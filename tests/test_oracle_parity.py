@@ -1,0 +1,44 @@
+"""The correctness gate, locally: every registered query with an
+oracle must match DuckDB exactly at sf0.01 (same comparison the driver
+runs); oracle-less queries must at least run and return rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_frame_demo_etl_spark import registry
+from tests.oracle_harness import compare, duckdb_connection
+
+ORACLE_KEYS = sorted(registry.oracle_sql().keys())
+ALL_KEYS = sorted(registry.queries().keys())
+
+
+@pytest.fixture(scope="module")
+def con(sf_oracle_dir):
+    c = duckdb_connection(sf_oracle_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, sf_oracle_dir, con, name):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    report = compare(q(spark, sf_oracle_dir), con, sql, name=name)
+    assert report["ok"], report
+
+
+@pytest.mark.parametrize("name", [k for k in ALL_KEYS if k not in ORACLE_KEYS])
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql().keys()) <= set(e.queries().keys())
