@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line with per-query wall times.
+
+Each query is executed to completion (count + a cheap checksum
+collect) so lazy plans are fully materialized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_frame_demo_etl_spark import registry
+from data_frame_demo_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline queries: one per major capability area (keep the list stable
+# across rounds so BENCH_r{N}.json is comparable).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "revenue_by_region",
+    "events_engagement",
+    "per_segment_summary",
+    "top_n_orders",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n and n in qs
+    ]
+
+    # Warm the JVM/session once so timings reflect steady-state.
+    qs[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
