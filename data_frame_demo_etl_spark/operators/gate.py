@@ -1,0 +1,298 @@
+"""Correctness-gate wrappers: each exercises a real operator API from
+this package against the synthetic tables, paired with a DuckDB oracle.
+These are what the driver runs side-by-side at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+from . import combine, dedupe, transform
+from .profile import column_stats_df, profile_metrics_df
+from .query_builder import Filter, QuerySpec
+from .validate import coerce_field_types
+
+# --- T1 unpivot -----------------------------------------------------------
+
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return transform.unpivot(
+        part.select("p_partkey", "p_name", "p_size", "p_retailprice"),
+        id_vars=["p_partkey", "p_name"],
+        value_vars=["p_size", "p_retailprice"],
+        var_name="metric",
+        value_name="value",
+    ).orderBy("p_partkey", "metric")
+
+
+UNPIVOT_PART_SQL = """
+SELECT p_partkey, p_name, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, p_name, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+# --- T5-T8 cleaning chain -------------------------------------------------
+
+def clean_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build deliberately messy columns from `part`, then run the
+    cleaning operators (trim, strip-thousands, date coercion, numeric
+    coercion with fill)."""
+    part = load_table(spark, "part", sf_dir)
+    messy = part.select(
+        "p_partkey",
+        F.concat(F.lit("  "), F.col("p_name"), F.lit("  ")).alias("name_clean"),
+        F.concat(
+            F.col("p_partkey").cast("string"),
+            F.lit(","),
+            F.lpad(F.col("p_size").cast("string"), 2, "0"),
+        ).alias("amount"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("p_size") % 28) + 1).cast("string"), 2, "0"),
+        ).alias("report_date"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("not_a_number"))
+        .otherwise(F.col("p_retailprice").cast("string"))
+        .alias("sales_amount"),
+    )
+    cleaned = transform.trim_strings(messy, ["name_clean"])
+    cleaned = transform.strip_thousands(cleaned, ["amount"])
+    cleaned = cleaned.withColumn("amount", F.col("amount").try_cast("double"))
+    cleaned = transform.coerce_date(cleaned, "report_date", drop_unparseable=True)
+    cleaned = transform.coerce_numeric(cleaned, "sales_amount", fill=0.0)
+    return cleaned.orderBy("p_partkey")
+
+
+CLEAN_TRANSFORM_SQL = """
+SELECT
+  p_partkey,
+  TRIM('  ' || p_name || '  ') AS name_clean,
+  TRY_CAST(REGEXP_REPLACE(CAST(p_partkey AS VARCHAR) || ',' || LPAD(CAST(p_size AS VARCHAR), 2, '0'), '[,\\s]', '', 'g') AS DOUBLE) AS amount,
+  TRY_CAST('2024-01-' || LPAD(CAST((p_size % 28) + 1 AS VARCHAR), 2, '0') AS TIMESTAMP) AS report_date,
+  COALESCE(TRY_CAST(CASE WHEN p_partkey % 5 = 0 THEN 'not_a_number' ELSE CAST(p_retailprice AS VARCHAR) END AS DOUBLE), 0.0) AS sales_amount
+FROM part
+ORDER BY p_partkey
+"""
+
+
+# --- C1 concat ------------------------------------------------------------
+
+def combine_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    a = l.filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    # Different column order on purpose: unionByName must align.
+    r = l.filter(F.col("l_returnflag") == "R").select(
+        "l_quantity", "l_orderkey", "l_returnflag", "l_linenumber"
+    )
+    return combine.concat_frames([a, r]).orderBy("l_orderkey", "l_linenumber")
+
+
+COMBINE_CONCAT_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- C2 merge -------------------------------------------------------------
+
+def combine_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("name"),
+        "o_totalprice",
+    )
+    customer = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        "c_mktsegment",
+    )
+    merged = combine.merge_frames([orders, customer], keys=["custkey"], how="inner")
+    return merged.orderBy("o_orderkey")
+
+
+COMBINE_MERGE_SQL = """
+SELECT
+  o.o_custkey AS custkey,
+  o.o_orderkey,
+  o.o_orderpriority AS name,
+  o.o_totalprice,
+  c.c_name AS name_2,
+  c.c_mktsegment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_orderkey
+"""
+
+
+# --- T9 combine_on aggregate ---------------------------------------------
+
+def combine_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("l_quantity"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("l_extendedprice"),
+    )
+    agg = transform.combine_on_aggregate(l, keys=["l_orderkey", "l_returnflag"])
+    return agg.select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round("l_quantity", 2).cast("double").alias("l_quantity"),
+        F.round("l_extendedprice", 2).cast("double").alias("l_extendedprice"),
+    ).orderBy("l_orderkey", "l_returnflag")
+
+
+COMBINE_ON_AGG_SQL = """
+SELECT
+  l_orderkey,
+  l_returnflag,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS l_quantity,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS l_extendedprice
+FROM lineitem
+GROUP BY l_orderkey, l_returnflag
+ORDER BY l_orderkey, l_returnflag
+"""
+
+
+# --- T10 dedupe keep-first ------------------------------------------------
+
+def dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    # Order by every non-partition output column: even if the data has
+    # full-row ties, the surviving tuple is then uniquely determined.
+    return dedupe.dedupe_keep_first(
+        l, subset=["l_orderkey"], order_by=["l_linenumber", "l_partkey", "l_quantity"]
+    ).orderBy("l_orderkey")
+
+
+DEDUPE_KEEP_FIRST_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) = 1
+ORDER BY l_orderkey
+"""
+
+
+# --- V2 profile metrics ---------------------------------------------------
+
+def profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return profile_metrics_df(orders)
+
+
+PROFILE_METRICS_SQL = """
+SELECT
+  COUNT(*) AS rows,
+  COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM orders)) AS duplicate_rows,
+  ROUND(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS null_pct_o_orderkey,
+  ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS null_pct_o_custkey,
+  ROUND(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS null_pct_o_orderstatus,
+  ROUND(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS null_pct_o_totalprice,
+  ROUND(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS null_pct_o_orderdate,
+  ROUND(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS null_pct_o_orderpriority
+FROM orders
+"""
+
+
+# --- N5 column stats ------------------------------------------------------
+
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return column_stats_df(docs).orderBy("column_name")
+
+
+PROFILE_COLUMN_STATS_SQL = """
+WITH stats AS (
+  SELECT 'doc_id' AS column_name,
+    ROUND(AVG(CASE WHEN TRY_CAST(CAST(doc_id AS VARCHAR) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS numeric_ratio,
+    ROUND(AVG(CASE WHEN TRY_CAST(CAST(doc_id AS VARCHAR) AS DOUBLE) BETWEEN 1900 AND 2100 THEN 1.0 ELSE 0.0 END), 4) AS year_like_ratio,
+    ROUND(AVG(COALESCE(LENGTH(CAST(doc_id AS VARCHAR)), 0)), 2) AS avg_len
+  FROM documents
+  UNION ALL
+  SELECT 'text',
+    ROUND(AVG(CASE WHEN TRY_CAST(text AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(CASE WHEN TRY_CAST(text AS DOUBLE) BETWEEN 1900 AND 2100 THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(COALESCE(LENGTH(text), 0)), 2)
+  FROM documents
+  UNION ALL
+  SELECT 'lang',
+    ROUND(AVG(CASE WHEN TRY_CAST(lang AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(CASE WHEN TRY_CAST(lang AS DOUBLE) BETWEEN 1900 AND 2100 THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(COALESCE(LENGTH(lang), 0)), 2)
+  FROM documents
+  UNION ALL
+  SELECT 'source',
+    ROUND(AVG(CASE WHEN TRY_CAST(source AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(CASE WHEN TRY_CAST(source AS DOUBLE) BETWEEN 1900 AND 2100 THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(COALESCE(LENGTH(source), 0)), 2)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars',
+    ROUND(AVG(CASE WHEN TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(CASE WHEN TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) BETWEEN 1900 AND 2100 THEN 1.0 ELSE 0.0 END), 4),
+    ROUND(AVG(COALESCE(LENGTH(CAST(n_chars AS VARCHAR)), 0)), 2)
+  FROM documents
+)
+SELECT * FROM stats ORDER BY column_name
+"""
+
+
+# --- Q1/Q2 query builder --------------------------------------------------
+
+_QB_SPEC = QuerySpec(
+    columns=("p_partkey", "p_name", "p_type", "p_size"),
+    filters=(Filter("p_type", "contains", "PROMO"), Filter("p_size", ">=", 10)),
+    order_by=("p_partkey",),
+)
+
+
+def query_builder_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return _QB_SPEC.apply(part)
+
+
+# The oracle IS the SQL the builder generates (Q2 parity).
+QUERY_BUILDER_FILTER_SQL = _QB_SPEC.to_sql("part")
+
+
+# --- V1 validation coercion metrics --------------------------------------
+
+def validate_coercion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    mixed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("x"))
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("mixed"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+    )
+    _, failures = coerce_field_types(mixed, {"mixed": "int", "n_chars": "float"})
+    return failures.orderBy("field")
+
+
+VALIDATE_COERCION_METRICS_SQL = """
+WITH src AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'x' ELSE CAST(doc_id AS VARCHAR) END AS mixed,
+         CAST(n_chars AS VARCHAR) AS n_chars
+  FROM documents
+)
+SELECT 'mixed' AS field,
+       SUM(CASE WHEN mixed IS NOT NULL AND TRY_CAST(mixed AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS failures,
+       COUNT(*) AS rows
+FROM src
+UNION ALL
+SELECT 'n_chars',
+       SUM(CASE WHEN n_chars IS NOT NULL AND TRY_CAST(n_chars AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+       COUNT(*)
+FROM src
+ORDER BY field
+"""

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .analytics import engagement, tpch
+from .operators import gate as ops_gate
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -52,3 +53,19 @@ register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
 register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
 register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
 register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
+
+# --- ETL operators (SURVEY §2.3, §2.4, §2.5, §2.6) ---
+register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
+register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
+register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
+register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
+register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
+register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
+register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
+register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
+register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
+register(
+    "validate_coercion_metrics",
+    ops_gate.validate_coercion_metrics,
+    ops_gate.VALIDATE_COERCION_METRICS_SQL,
+)
