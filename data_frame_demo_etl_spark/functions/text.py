@@ -1,0 +1,97 @@
+"""Text-analysis Column builders for large-scale corpus processing:
+token counting, quality scoring, language ID, fingerprinting.
+
+All pure built-in expressions (whole-stage codegen, no Python in the
+row path). Designed for the `documents` table but applicable to any
+string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Deterministic marker-word sets for the 5-language ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "es": ("el", "los", "las", "y", "que"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": (),  # handled by CJK codepoint detection
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# BPE-ish tokenization: letter runs, single digits, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (empty-string tokens filtered out)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def token_count_whitespace(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Sub-word-ish token count via regexp (approximates BPE token
+    budgeting without a vocab)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(F.filter(words(F.lower(text)), lambda w: w.isin(*STOPWORDS)))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    rewards mid-length documents and prose-like stopword density,
+    penalizes punctuation soup. Deterministic closed form so it can be
+    oracle-checked in SQL.
+    """
+    n = F.length(text).cast("double")
+    wc = token_count_whitespace(text).cast("double")
+    sw_ratio = F.when(wc > 0, stopword_count(text) / wc).otherwise(F.lit(0.0))
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    sw_score = F.least(sw_ratio * 5, F.lit(1.0))
+    p_penalty = F.least(punct_ratio(text) * 4, F.lit(1.0))
+    return F.round(0.5 * len_score + 0.5 * sw_score - 0.25 * p_penalty, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language + CJK codepoint count."""
+    toks = words(F.lower(text))
+    scores: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        if markers:
+            scores[lang] = F.size(F.filter(toks, lambda w: w.isin(*markers)))
+    scores["zh"] = F.regexp_count(text, F.lit(r"[一-鿿]"))
+    return scores
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language with deterministic alphabetical tie-break."""
+    scores = lang_scores(text)
+    ordered = sorted(scores.items())  # alphabetical → ties break to first
+    best_lang, best_score = ordered[0]
+    result = F.lit(best_lang)
+    current = best_score
+    for lang, score in ordered[1:]:
+        result = F.when(score > current, F.lit(lang)).otherwise(result)
+        current = F.greatest(current, score)
+    return F.when(current > 0, result).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 over whitespace-normalized,
+    lowercased text. Used for exact dedup at scale (hash, not payload,
+    crosses the shuffle)."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized)

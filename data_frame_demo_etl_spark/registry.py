@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .analytics import engagement, tpch
+from .functions import gate as fn_gate
 from .operators import gate as ops_gate
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -69,3 +70,10 @@ register(
     ops_gate.validate_coercion_metrics,
     ops_gate.VALIDATE_COERCION_METRICS_SQL,
 )
+
+# --- text analysis + exact dedup (SURVEY §2.9, §2.11) ---
+register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
+register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
+register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
+register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
+register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
