@@ -1,0 +1,56 @@
+"""Correctness-gate wrappers for near-duplicate detection on the
+`documents` table. The exact n-gram Jaccard op has a full DuckDB
+oracle; the sketch-based ops (MinHash/SimHash) are rows-only checks
+(their xxhash64-based internals aren't expressible in DuckDB SQL) but
+are cross-validated against the exact Jaccard op in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+from .jaccard import jaccard_pairs
+from .minhash import minhash_near_dup_pairs
+from .simhash import simhash_near_dup_pairs
+
+THRESHOLD = 0.8
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return jaccard_pairs(docs, threshold=THRESHOLD).orderBy("id_a", "id_b")
+
+
+DEDUP_NGRAM_JACCARD_SQL = r"""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_near_dup_pairs(docs, threshold=THRESHOLD).orderBy("id_a", "id_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")

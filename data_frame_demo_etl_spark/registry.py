@@ -15,8 +15,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .analytics import engagement, tpch
+from .dedup import gate as dedup_gate
 from .functions import gate as fn_gate
 from .operators import gate as ops_gate
+from .similarity import gate as sim_gate
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -77,3 +79,13 @@ register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_
 register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
 register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
 register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
+
+# --- near-dup dedup (SURVEY §2.9) ---
+register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
+register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, None)
+register("dedup_simhash", dedup_gate.dedup_simhash, None)
+
+# --- similarity search (SURVEY §2.10) ---
+register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+register("ann_lsh_topk", sim_gate.ann_lsh_topk, None)
+register("dedup_embedding", sim_gate.dedup_embedding, None)
