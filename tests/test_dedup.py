@@ -1,0 +1,76 @@
+"""Unit tests for near-dup detection: planted duplicates must be
+found; sketch methods must agree with exact Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.dedup.jaccard import jaccard_pairs
+from data_frame_demo_etl_spark.dedup.minhash import minhash_near_dup_pairs, signatures
+from data_frame_demo_etl_spark.dedup.simhash import simhash_near_dup_pairs, simhash_table
+from data_frame_demo_etl_spark.operators.dedupe import dedup_exact
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about spark dataframes and distributed query engines today"),
+        (4, "yet another unrelated document mentioning parquet files and shuffle partitions in clusters"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark, corpus):
+    result = dedup_exact(corpus, "text", "doc_id")
+    ids = sorted(r.doc_id for r in result.collect())
+    assert ids == [0, 2, 3, 4]
+
+
+def test_jaccard_finds_planted_pair(spark, corpus):
+    pairs = jaccard_pairs(corpus, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup → jaccard 1.0
+    assert (0, 2) in found and (1, 2) in found  # near dup
+    assert all(r.jaccard <= 1.0 for r in pairs)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert exact[(0, 1)] == 1.0
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, corpus):
+    pairs = minhash_near_dup_pairs(corpus, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(0, 1)] == 1.0  # identical docs → identical signatures
+
+
+def test_minhash_signature_deterministic(spark, corpus):
+    s1 = signatures(corpus).collect()
+    s2 = signatures(corpus).collect()
+    assert sorted(map(repr, s1)) == sorted(map(repr, s2))
+
+
+def test_simhash_identical_fingerprints(spark, corpus):
+    fps = {r.doc: r.fp for r in simhash_table(corpus).collect()}
+    assert fps[0] == fps[1]
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=3).collect()
+    assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_minhash_recall_on_testdata(spark, sf_dir):
+    """On the driver corpus, MinHash must recover the overwhelming
+    majority of exact-Jaccard>=0.9 pairs (LSH theory: ~100% at these
+    band settings)."""
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.9).collect()}
+    approx = {(r.id_a, r.id_b) for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()}
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"

@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.similarity.ann import brute_force_topk, lsh_topk
+from data_frame_demo_etl_spark.sources.catalog import load_table
+
+
+def test_brute_force_self_similarity_excluded(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = brute_force_topk(emb, q, k=4).collect()
+    assert all(r.neighbor_id != r.query_id for r in res)
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [1, 2, 3, 4]
+        cosines = [r.cosine for r in sorted(rows, key=lambda x: x.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(spark, sf_dir):
+    """LSH neighbors must be genuine corpus vectors with correct
+    cosine values (spot check against brute force scores)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, q, k=1000).collect()
+    }
+    approx = lsh_topk(emb, q, dim=64, k=5).collect()
+    for r in approx:
+        assert (r.query_id, r.neighbor_id) in exact
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
