@@ -19,6 +19,7 @@ from .dedup import gate as dedup_gate
 from .functions import gate as fn_gate
 from .operators import gate as ops_gate
 from .similarity import gate as sim_gate
+from .streaming import events as streaming_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -89,3 +90,9 @@ register("dedup_simhash", dedup_gate.dedup_simhash, None)
 register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
 register("ann_lsh_topk", sim_gate.ann_lsh_topk, None)
 register("dedup_embedding", sim_gate.dedup_embedding, None)
+
+# --- streaming-equivalent event processing (SURVEY §2.13) ---
+register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
+register(
+    "events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL
+)

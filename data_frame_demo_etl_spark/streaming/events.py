@@ -1,0 +1,154 @@
+"""Structured Streaming operators over the `events` schema, plus their
+batch-equivalent forms used by the correctness gate.
+
+The batch/streaming split is deliberate: the windowed aggregation is
+the same logical plan in both modes (Spark unifies them), so the gate
+verifies the batch form against DuckDB while the streaming tests run
+the identical transformation through a file-source → memory-sink
+stream with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.catalog import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def windowed_event_stats(events: DataFrame, window_len: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts and value sums per event_type.
+
+    Works identically on a batch DataFrame and a streaming DataFrame
+    (add ``with_watermark`` upstream for streams).
+    """
+    return (
+        events.groupBy(F.window("ts", window_len), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def with_watermark(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound: state for windows older than max(ts)-delay is
+    finalized and dropped — this is what keeps streaming state finite
+    on an unbounded stream."""
+    return stream.withWatermark("ts", delay)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap from the
+    user's previous event exceeds `gap_minutes`. One shuffle (the
+    per-user window); the cumulative sum stays within partitions.
+
+    Total ordering via (ts, event_id) makes results reproducible even
+    with duplicate timestamps.
+    """
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_sec = gap_minutes * 60
+    prev_ts = F.lag("ts").over(w)
+    # Compare epoch seconds as double (microsecond-exact in IEEE754 at
+    # this magnitude) — integer unix_timestamp would truncate subsecond
+    # gaps.
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > gap_sec),
+        1,
+    ).otherwise(0)
+    with_session = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream with the events schema (one file = one
+    micro-batch in tests)."""
+    batch = load_table(spark, "events", sf_dir)
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("path", f"{sf_dir}")
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --- gate queries ---------------------------------------------------------
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return windowed_event_stats(events).orderBy("window_start", "event_type")
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT
+  TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+  TIME_BUCKET(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sessionize(events).orderBy("user_id", "session_id")
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
