@@ -1,0 +1,103 @@
+"""Dataset export with manifest + quality metrics.
+
+Parity: reference src/exporter.py:69-118 (export_dataset writing
+xlsx/jsonl/parquet + manifest.json with rows/columns/dtypes/null_pct/
+duplicates). Spark-first: parquet and jsonl are distributed writers;
+xlsx is a driver-side tail gated on openpyxl and an explicit row cap
+(spreadsheets are not a big-data sink).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from .operators.profile import profile_metrics
+
+XLSX_ROW_CAP = 1_000_000
+
+
+def export_dataset(
+    df: DataFrame,
+    out_dir: str | Path,
+    formats: tuple[str, ...] = ("parquet", "jsonl"),
+    meta: dict | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> dict[str, Path]:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    manifest: dict = {
+        "run_id": str(uuid.uuid4()),
+        "run_started_at": datetime.now(timezone.utc).isoformat(),
+        "formats": sorted(set(formats)),
+    }
+    if meta:
+        manifest.update(meta)
+    manifest["metrics"] = profile_metrics(df)
+
+    written: dict[str, Path] = {}
+    for fmt in manifest["formats"]:
+        fmt = fmt.lower()
+        if fmt == "parquet":
+            target = out / "data.parquet"
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(target))
+        elif fmt == "jsonl":
+            target = out / "data.jsonl"
+            df.write.mode("overwrite").json(str(target))
+        elif fmt == "csv":
+            target = out / "data.csv"
+            df.write.mode("overwrite").option("header", "true").csv(str(target))
+        elif fmt == "xlsx":
+            target = out / "data.xlsx"
+            _write_xlsx(df, manifest, target)
+        else:
+            continue
+        written[fmt] = target
+
+    manifest["run_completed_at"] = datetime.now(timezone.utc).isoformat()
+    manifest_path = out / "manifest.json"
+    manifest_path.write_text(json.dumps(manifest, indent=2, default=str), encoding="utf-8")
+    written["manifest"] = manifest_path
+    return written
+
+
+def _write_xlsx(df: DataFrame, meta: dict, path: Path) -> None:
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "xlsx export requires openpyxl (not installed here); "
+            "use parquet/jsonl/csv formats instead"
+        ) from exc
+    import pandas as pd
+
+    n = df.count()
+    if n > XLSX_ROW_CAP:
+        raise ValueError(f"refusing xlsx export of {n} rows (cap {XLSX_ROW_CAP})")
+    pdf = df.toPandas()
+    with pd.ExcelWriter(path) as writer:
+        pdf.to_excel(writer, sheet_name="data", index=False)
+        pd.DataFrame(
+            [{"key": k, "value": str(v)} for k, v in meta.items()]
+        ).to_excel(writer, sheet_name="meta", index=False)
+
+
+def export_summary_workbook(
+    sheets: dict[str, DataFrame], out_dir: str | Path, formats: tuple[str, ...] = ("parquet",)
+) -> dict[str, Path]:
+    """Multi-sheet summary export (reference youtube summary workbook
+    parity): each named frame lands as its own dataset directory."""
+    out = Path(out_dir)
+    written: dict[str, Path] = {}
+    for name, df in sheets.items():
+        res = export_dataset(df, out / name, formats=formats)
+        written[name] = res.get(formats[0], out / name)
+    return written

@@ -1,0 +1,150 @@
+"""Schema-mapping helpers: canonical-field auto-mapping, header
+guessing, and ranked schema candidates.
+
+These decide *column-level* metadata, so they run driver-side over
+column names and (for data-dependent heuristics) over the distributed
+single-pass stats from ``profile.column_stats_df`` — never over
+collected data.
+
+Parity: reference src/core.py:246-282 (snake_case/auto_map_columns),
+src/services/header_detection.py:16-26 (guess_header_row),
+src/services/schema_candidates.py (candidate ranking).
+"""
+
+from __future__ import annotations
+
+import difflib
+from collections.abc import Mapping, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .profile import column_stats_df, is_numeric_col, is_texty_col
+
+# Default canonical schema synonyms (public demo domain).
+TARGET_SCHEMA: dict[str, list[str]] = {
+    "provider_id": ["provider", "vendor", "supplier", "source", "partner"],
+    "article_sku": ["sku", "item", "material", "product"],
+    "report_date": ["date", "period", "month", "time", "year"],
+    "sales_qty": ["qty", "quantity", "units", "volume"],
+    "sales_amount": ["amount", "total", "revenue", "sales", "net", "gross"],
+    "order_id": ["order", "po number", "reference"],
+    "region": ["region", "area", "location"],
+    "unit_price": ["unit_price", "price", "unit cost", "rate"],
+}
+
+
+def snake_case(text: str) -> str:
+    cleaned = "".join(ch if ch.isalnum() else "_" for ch in text)
+    while "__" in cleaned:
+        cleaned = cleaned.replace("__", "_")
+    return cleaned.strip("_").lower()
+
+
+def auto_map_columns(
+    headers: Sequence[str], target_schema: Mapping[str, Sequence[str]] | None = None
+) -> dict[str, str]:
+    """Best-effort header → canonical-field mapping: substring match on
+    the synonym pool first, then fuzzy (difflib ratio ≥ 0.82); each
+    target is claimed at most once; unmatched headers snake_case."""
+    schema = target_schema or TARGET_SCHEMA
+    mapping: dict[str, str] = {}
+    used: set[str] = set()
+    for header in headers:
+        hl = header.lower().strip()
+        best = None
+        for target, synonyms in schema.items():
+            if target in used:
+                continue
+            pool = [target, *synonyms]
+            if any(p.lower() and p.lower() in hl for p in pool):
+                best = target
+                break
+            if difflib.get_close_matches(hl, pool, n=1, cutoff=0.82):
+                best = target
+                break
+        if best:
+            mapping[header] = best
+            used.add(best)
+        else:
+            mapping[header] = snake_case(header)
+    return mapping
+
+
+def guess_header_row(preview: pd.DataFrame) -> int:
+    """Heuristic over a small driver-side preview: the first row that
+    is mostly strings and mostly populated is the header."""
+    n_cols = preview.shape[1]
+    for idx, (_, row) in enumerate(preview.iterrows()):
+        non_null = row.dropna()
+        if non_null.empty:
+            continue
+        str_ratio = sum(isinstance(v, str) for v in non_null) / len(non_null)
+        width_ratio = len(non_null) / n_cols if n_cols else 0
+        if str_ratio > 0.8 and width_ratio > 0.5:
+            return idx
+    return 0
+
+
+def schema_diff(
+    headers: Sequence[str], target_fields: Sequence[str] | None
+) -> tuple[list[str], list[str]]:
+    """(missing, extra) vs the expected field set."""
+    expected = set(target_fields or [])
+    got = set(headers)
+    return sorted(expected - got), sorted(got - expected)
+
+
+def build_schema_candidates(
+    df: DataFrame, target_fields: Sequence[str] | None = None
+) -> list[dict]:
+    """Ranked header-layout candidates driven by distributed column
+    stats (one aggregation pass over the data)."""
+    stats = {r["column_name"]: r.asDict() for r in column_stats_df(df).collect()}
+    headers = list(df.columns)
+    numeric = [c for c in headers if is_numeric_col(stats[c])]
+    texty = [c for c in headers if is_texty_col(stats[c])]
+
+    candidates: list[dict] = [
+        {"label": "As detected", "headers": headers, "score": 0.20, "note": "Headers as read."}
+    ]
+
+    # Contiguous numeric blocks with an optional text key on the left.
+    block: list[str] = []
+    blocks: list[list[str]] = []
+    for c in headers:
+        if c in numeric:
+            block.append(c)
+        elif block:
+            blocks.append(block)
+            block = []
+    if block:
+        blocks.append(block)
+    for blk in blocks:
+        start = headers.index(blk[0])
+        ordered = list(blk)
+        score = 0.5 + 0.05 * len(blk)
+        note = f"Numeric block of {len(blk)} columns"
+        if start > 0 and headers[start - 1] in texty:
+            ordered = [headers[start - 1], *ordered]
+            score += 0.1
+            note += f"; key column '{headers[start-1]}' on the left"
+        candidates.append(
+            {"label": "Numeric block ordering", "headers": ordered, "score": min(score, 0.9), "note": note}
+        )
+
+    if texty and numeric:
+        candidates.append(
+            {
+                "label": "Key + numeric measures",
+                "headers": [texty[0], *numeric],
+                "score": 0.55 + 0.05 * len(numeric),
+                "note": f"Text key '{texty[0]}' with numeric measures.",
+            }
+        )
+
+    for cand in candidates:
+        missing, extra = schema_diff(cand["headers"], target_fields)
+        cand["missing"], cand["extra"] = missing, extra
+    return sorted(candidates, key=lambda c: -c["score"])

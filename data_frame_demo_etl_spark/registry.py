@@ -19,6 +19,7 @@ from .dedup import gate as dedup_gate
 from .functions import gate as fn_gate
 from .operators import gate as ops_gate
 from .similarity import gate as sim_gate
+from .sources import gate as src_gate
 from .streaming import events as streaming_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -96,3 +97,9 @@ register("events_windowed", streaming_events.events_windowed, streaming_events.E
 register(
     "events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL
 )
+
+# --- sources / normalize / pipeline e2e (SURVEY §2.1, §2.2, pipeline) ---
+register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
+register("ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL)
+register("normalize_rename", src_gate.normalize_rename, src_gate.NORMALIZE_RENAME_SQL)
+register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)

@@ -1,0 +1,131 @@
+"""Correctness-gate wrappers for template-driven ingestion, rename
+normalization, and the end-to-end pipeline. Source files (CSV/JSONL)
+are materialized deterministically from the driver parquet into
+`.tmp/` inside the repo, so the oracle can read the same rows straight
+from parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..pipeline import run_pipeline
+from ..template_config import TemplateConfig
+from ..sources.readers import read_with_template, _project_spark
+from .catalog import load_table
+
+TMP_ROOT = Path(__file__).resolve().parents[2] / ".tmp"
+
+
+def _tmp_dir(sf_dir: str, name: str) -> Path:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = TMP_ROOT / f"{name}_{tag}"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _materialize_part_csv(sf_dir: str) -> Path:
+    """part.parquet → messy CSV: comment line, junk line, header at
+    physical line 2, ';' delimited."""
+    out = _tmp_dir(sf_dir, "ingest_csv") / "part.csv"
+    pdf = pd.read_parquet(f"{sf_dir}/part.parquet").sort_values("p_partkey")
+    body = pdf.to_csv(sep=";", index=False)
+    out.write_text("# exported by gate\njunk;junk;junk;junk;junk;junk\n" + body, encoding="utf-8")
+    return out
+
+
+_CSV_TEMPLATE = TemplateConfig(
+    source_type="csv",
+    header_row=1,
+    skiprows=[0],
+    delimiter=";",
+    columns=["p_partkey", "p_name", "p_retailprice"],
+    column_mappings={"p_name": "part_name"},
+    provider_name="gate",
+)
+
+
+def ingest_csv_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template CSV ingest: header offset + skiprows + delimiter +
+    column subset + rename (the pandas-per-file scale path)."""
+    csv_path = _materialize_part_csv(sf_dir)
+    df = read_with_template(spark, str(csv_path), _CSV_TEMPLATE)
+    return df.orderBy("p_partkey")
+
+
+INGEST_CSV_TEMPLATE_SQL = """
+SELECT p_partkey, p_name AS part_name, p_retailprice
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → jsonl (distributed write) → read back: lossless."""
+    target = str(_tmp_dir(sf_dir, "jsonl") / "documents.jsonl")
+    docs = load_table(spark, "documents", sf_dir)
+    docs.write.mode("overwrite").json(target)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(target)
+    return back.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+INGEST_JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id
+"""
+
+
+def normalize_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_and_rename parity: subset + canonical renames."""
+    tpl = TemplateConfig(
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        column_mappings={"c_custkey": "customer_id", "c_name": "customer_name"},
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    return _project_spark(cust, tpl).orderBy("customer_id")
+
+
+NORMALIZE_RENAME_SQL = """
+SELECT c_custkey AS customer_id, c_name AS customer_name, c_acctbal
+FROM customer
+ORDER BY customer_id
+"""
+
+
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: messy CSV → template ingest → transforms →
+    contract validation → parquet sink; the gate reads the sink."""
+    csv_path = _materialize_part_csv(sf_dir)
+    out_path = str(_tmp_dir(sf_dir, "pipeline_out") / "part_clean.parquet")
+    tpl = TemplateConfig(
+        source_type="csv",
+        header_row=1,
+        skiprows=[0],
+        delimiter=";",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+        column_mappings={"p_name": "part_name"},
+        provider_name="gate",
+        trim_strings=True,
+        required_fields=["part_name"],
+        field_types={"p_retailprice": "float"},
+    )
+    result = run_pipeline(spark, str(csv_path), tpl, out_path, validation_level="contract")
+    assert result.success, result.message
+    return (
+        spark.read.parquet(out_path)
+        .select("p_partkey", "part_name", "p_retailprice", "provider_id")
+        .orderBy("p_partkey")
+    )
+
+
+PIPELINE_E2E_SQL = """
+SELECT p_partkey, p_name AS part_name, p_retailprice, 'gate' AS provider_id
+FROM part
+ORDER BY p_partkey
+"""

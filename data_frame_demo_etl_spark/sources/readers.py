@@ -1,0 +1,196 @@
+"""Template-driven source readers.
+
+Two execution shapes, chosen by the template:
+
+1. **Fast path** (plain CSV/JSONL/parquet, header at row 0, no
+   skiprows): native ``spark.read`` — fully distributed, splittable,
+   pushdown-capable.
+2. **Pandas-per-file path** (header offsets, skiprows, Excel sheets):
+   the file *list* is parallelized and each task parses whole files
+   with pandas via ``mapInPandas``. This is the right scale shape for
+   the reference's workload — thousands of small provider
+   spreadsheets — where per-file parallelism beats intra-file
+   splitting and pandas handles the messy header logic.
+
+Excel needs openpyxl (absent here) → import-gated with a clear error.
+JDBC (``source_type='sql'``) wraps ``spark.read.jdbc`` and is gated on
+a driver jar being present.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..template_config import TemplateConfig
+
+
+def _pandas_dtype_to_spark(dtype) -> object:
+    s = str(dtype)
+    if s.startswith("int"):
+        return LongType()
+    if s.startswith("float"):
+        return DoubleType()
+    if s.startswith("datetime"):
+        return TimestampType()
+    return StringType()
+
+
+def _read_one_csv(path: str, tpl: TemplateConfig, nrows: int | None = None) -> pd.DataFrame:
+    return pd.read_csv(
+        path,
+        header=tpl.header_row,
+        skiprows=tpl.skiprows or None,
+        sep=tpl.delimiter,
+        encoding=tpl.encoding,
+        nrows=nrows,
+    )
+
+
+def _read_one_excel(path: str, tpl: TemplateConfig, nrows: int | None = None) -> pd.DataFrame:
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "Excel ingestion requires openpyxl, which is not installed in this "
+            "environment. Install openpyxl, or convert sources to CSV/parquet."
+        ) from exc
+    sheets = tpl.sheets if (tpl.combine_sheets and tpl.sheets) else [tpl.sheet if tpl.sheet is not None else 0]
+    frames = []
+    for sheet in sheets:
+        pdf = pd.read_excel(
+            path, sheet_name=sheet, header=tpl.header_row, skiprows=tpl.skiprows or None, nrows=nrows
+        )
+        if tpl.combine_sheets:
+            pdf["source_sheet"] = str(sheet)
+        frames.append(pdf)
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+
+def _apply_template_projection(pdf: pd.DataFrame, tpl: TemplateConfig) -> pd.DataFrame:
+    """Column subset + rename (reference filter_and_rename semantics,
+    templates.py:484-512)."""
+    if tpl.columns:
+        available = [c for c in tpl.columns if c in pdf.columns]
+        extras = [c for c in ("source_sheet",) if c in pdf.columns and c not in available]
+        pdf = pdf[available + extras]
+    if tpl.column_mappings:
+        pdf = pdf.rename(columns={c: tpl.column_mappings.get(c, c) for c in pdf.columns})
+    return pdf
+
+
+def _needs_pandas_path(tpl: TemplateConfig) -> bool:
+    return bool(
+        tpl.source_type == "excel"
+        or tpl.header_row != 0
+        or tpl.skiprows
+        or tpl.combine_sheets
+    )
+
+
+def read_with_template(
+    spark: SparkSession, path_or_glob: str, tpl: TemplateConfig
+) -> DataFrame:
+    """Read one file or a glob of files according to the template."""
+    files = sorted(globmod.glob(path_or_glob)) or [path_or_glob]
+
+    if tpl.source_type == "parquet":
+        df = spark.read.parquet(*files)
+        return _project_spark(df, tpl)
+    if tpl.source_type == "jsonl":
+        df = spark.read.json(files)
+        return _project_spark(df, tpl)
+    if tpl.source_type == "sql":
+        return read_jdbc(spark, tpl)
+
+    if not _needs_pandas_path(tpl):
+        df = (
+            spark.read.option("header", "true")
+            .option("sep", tpl.delimiter)
+            .option("encoding", tpl.encoding)
+            .option("inferSchema", "true")
+            .csv(files)
+        )
+        return _project_spark(df, tpl)
+
+    # Pandas-per-file path: parallelize the file list, parse each file
+    # in a task. Schema comes from a driver-side sample of the first
+    # file (cheap: header region only for CSV).
+    reader = _read_one_excel if tpl.source_type == "excel" else _read_one_csv
+    sample = _apply_template_projection(reader(files[0], tpl, nrows=200), tpl)
+    schema = StructType(
+        [StructField(str(c), _pandas_dtype_to_spark(dt), True) for c, dt in sample.dtypes.items()]
+    )
+    tpl_dict = tpl.to_dict()
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tpl_local = TemplateConfig.from_dict(tpl_dict)
+        rdr = _read_one_excel if tpl_local.source_type == "excel" else _read_one_csv
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = _apply_template_projection(rdr(p, tpl_local), tpl_local)
+                out = out.reindex(columns=[f.name for f in schema.fields])
+                yield out
+
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        min(len(files), 64)
+    )
+    return paths_df.mapInPandas(parse_files, schema)
+
+
+def _project_spark(df: DataFrame, tpl: TemplateConfig) -> DataFrame:
+    if tpl.columns:
+        available = [c for c in tpl.columns if c in df.columns]
+        if available:
+            df = df.select(*available)
+    if tpl.column_mappings:
+        for old, new in tpl.column_mappings.items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+    return df
+
+
+def read_jdbc(spark: SparkSession, tpl: TemplateConfig, url: str | None = None, properties: dict | None = None) -> DataFrame:
+    """SQL source via spark.read.jdbc (reference connectors.py parity).
+
+    Gated: requires a JDBC driver jar on the Spark classpath and a
+    connection URL (from args or the connections registry)."""
+    if url is None:
+        raise ValueError(
+            "JDBC source requires a connection URL; no driver jars are bundled in "
+            "this environment. Pass url=jdbc:... and a driver property."
+        )
+    reader = spark.read.format("jdbc").option("url", url)
+    if tpl.sql_query:
+        reader = reader.option("query", tpl.sql_query)
+    elif tpl.sql_table:
+        reader = reader.option("dbtable", tpl.sql_table)
+    else:
+        raise ValueError("sql source needs sql_table or sql_query")
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
