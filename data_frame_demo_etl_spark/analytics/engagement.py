@@ -51,6 +51,52 @@ def iso8601_duration_seconds(duration: Column) -> Column:
     return F.when(valid, total).otherwise(F.lit(0))
 
 
+def build_summaries(
+    detail: DataFrame,
+    top_n: int = 10,
+    group_col: str = "channel_title",
+    date_col: str = "published_at",
+) -> dict[str, DataFrame]:
+    """Summary frames for a video-shaped detail table (video_id,
+    view_count, like_count, comment_count, `group_col`, `date_col`).
+
+    Parity: reference youtube.py:227-274 — detail / top_videos /
+    per_channel / per_year, as lazy Spark plans.
+    """
+    detail = add_engagement_metrics(detail)
+    top_videos = detail.orderBy(
+        F.col("view_count").desc(), F.col("like_count").desc(), F.col("video_id").asc()
+    ).limit(top_n)
+    per_channel = (
+        detail.groupBy(group_col)
+        .agg(
+            F.count("video_id").alias("video_count"),
+            F.sum("view_count").alias("views"),
+            F.sum("like_count").alias("likes"),
+            F.sum("comment_count").alias("comments"),
+            F.round(F.avg("engagement_rate_pct"), 4).alias("avg_engagement_pct"),
+        )
+        .orderBy(F.col("views").desc())
+    )
+    per_year = (
+        detail.withColumn("year", F.year(F.to_timestamp(date_col)))
+        .groupBy("year")
+        .agg(
+            F.count("video_id").alias("video_count"),
+            F.sum("view_count").alias("views"),
+            F.sum("like_count").alias("likes"),
+            F.sum("comment_count").alias("comments"),
+        )
+        .orderBy("year")
+    )
+    return {
+        "detail": detail,
+        "top_videos": top_videos,
+        "per_channel": per_channel,
+        "per_year": per_year,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Correctness-gate queries over the synthetic tables
 # ---------------------------------------------------------------------------

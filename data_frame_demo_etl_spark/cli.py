@@ -1,0 +1,127 @@
+"""CLI entrypoints: run (template batch pipeline), combine, profile,
+export — parity with the reference CLI surface (reference src/cli.py:
+run/combine subcommands), Spark-backed.
+
+Usage:
+  python -m data_frame_demo_etl_spark.cli run --target-dir data/input --output-dir out
+  python -m data_frame_demo_etl_spark.cli combine --input-dir out --pattern '*.parquet' --mode concat --output combined
+  python -m data_frame_demo_etl_spark.cli profile --path table.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+from .exporter import export_dataset
+from .operators.combine import concat_frames, merge_frames
+from .operators.profile import profile_metrics
+from .pipeline import run_pipeline
+from .session import get_spark
+from .template_config import load_template, locate_template
+
+
+def _cmd_run(args) -> int:
+    spark = get_spark(app_name="etl-run")
+    target = Path(args.target_dir)
+    tpl_path = Path(args.template) if args.template else locate_template(target)
+    tpl = load_template(tpl_path)
+    out_dir = Path(args.output_dir or tpl.output_dir or target / "output")
+
+    patterns = {"csv": "*.csv", "excel": "*.xlsx", "jsonl": "*.jsonl", "parquet": "*.parquet"}
+    pattern = patterns.get(tpl.source_type, "*.csv")
+    sources = sorted(target.glob(pattern))
+    if not sources:
+        logging.error("no %s sources in %s", tpl.source_type, target)
+        return 1
+    failures = 0
+    for src in sources:
+        result = run_pipeline(
+            spark,
+            str(src),
+            tpl,
+            str(out_dir / f"{src.stem}_clean.parquet"),
+            quarantine_dir=args.quarantine_dir,
+            validation_level=args.validation_level,
+        )
+        print(json.dumps({"source": src.name, "success": result.success, "rows": result.row_count}))
+        failures += 0 if result.success else 1
+    return 1 if failures else 0
+
+
+def _cmd_combine(args) -> int:
+    spark = get_spark(app_name="etl-combine")
+    files = sorted(Path(args.input_dir).glob(args.pattern))
+    if not files:
+        logging.error("no files match %s in %s", args.pattern, args.input_dir)
+        return 1
+    frames = [spark.read.parquet(str(f)) for f in files]
+    if args.mode == "concat":
+        combined = concat_frames(frames, strict_schema=args.strict_schema)
+    else:
+        combined = merge_frames(frames, keys=args.key or [], how=args.how)
+    combined.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def _cmd_profile(args) -> int:
+    spark = get_spark(app_name="etl-profile")
+    df = spark.read.parquet(args.path)
+    print(json.dumps(profile_metrics(df), indent=2))
+    return 0
+
+
+def _cmd_export(args) -> int:
+    spark = get_spark(app_name="etl-export")
+    df = spark.read.parquet(args.path)
+    written = export_dataset(df, args.out_dir, formats=tuple(args.format))
+    print(json.dumps({k: str(v) for k, v in written.items()}, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data_frame_demo_etl_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="batch-process files in a directory with a template")
+    run.add_argument("--target-dir", required=True)
+    run.add_argument("--template")
+    run.add_argument("--output-dir")
+    run.add_argument("--quarantine-dir")
+    run.add_argument("--validation-level", default="coerce", choices=["off", "coerce", "contract"])
+    run.set_defaults(fn=_cmd_run)
+
+    combine = sub.add_parser("combine", help="concat or merge processed outputs")
+    combine.add_argument("--input-dir", required=True)
+    combine.add_argument("--pattern", default="*.parquet")
+    combine.add_argument("--mode", default="concat", choices=["concat", "merge"])
+    combine.add_argument("--key", action="append")
+    combine.add_argument("--how", default="inner")
+    combine.add_argument("--strict-schema", action="store_true")
+    combine.add_argument("--output", required=True)
+    combine.set_defaults(fn=_cmd_combine)
+
+    profile = sub.add_parser("profile", help="print manifest-style quality metrics")
+    profile.add_argument("--path", required=True)
+    profile.set_defaults(fn=_cmd_profile)
+
+    export = sub.add_parser("export", help="export a parquet dataset with manifest")
+    export.add_argument("--path", required=True)
+    export.add_argument("--out-dir", required=True)
+    export.add_argument("--format", action="append", default=["parquet", "jsonl"])
+    export.set_defaults(fn=_cmd_export)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

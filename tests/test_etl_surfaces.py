@@ -1,0 +1,191 @@
+"""Unit tests for the reference-parity surfaces: templates, readers,
+normalize helpers, validation levels, combine semantics, exporter
+manifest, engagement summaries, query-builder SQL."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.analytics.engagement import (
+    add_engagement_metrics,
+    build_summaries,
+)
+from data_frame_demo_etl_spark.exporter import export_dataset
+from data_frame_demo_etl_spark.operators.combine import concat_frames, merge_frames
+from data_frame_demo_etl_spark.operators.normalize import (
+    auto_map_columns,
+    build_schema_candidates,
+    guess_header_row,
+    schema_diff,
+    snake_case,
+)
+from data_frame_demo_etl_spark.operators.query_builder import Filter, QuerySpec
+from data_frame_demo_etl_spark.operators.validate import (
+    SchemaContractError,
+    validate_contract,
+)
+from data_frame_demo_etl_spark.template_config import (
+    TemplateConfig,
+    load_template,
+    parse_skiprows,
+    save_template,
+)
+
+
+def test_template_roundtrip(tmp_path):
+    tpl = TemplateConfig(
+        source_type="csv",
+        header_row=2,
+        skiprows=[0, 1],
+        delimiter=";",
+        columns=["a", "b"],
+        column_mappings={"a": "alpha"},
+        unpivot=True,
+        combine_on=["alpha"],
+        required_fields=["alpha"],
+        field_types={"b": "float"},
+    )
+    p = tmp_path / "x.df-template.json"
+    save_template(tpl, p)
+    back = load_template(p)
+    assert back == tpl
+
+    yml = tmp_path / "x.df-template.yaml"
+    save_template(tpl, yml)
+    assert load_template(yml) == tpl
+
+
+def test_template_legacy_aliases():
+    tpl = TemplateConfig.from_dict(
+        {"sheet_name": "S1", "header": 3, "selected_headers": ["x"], "dedupe_on": "a, b"}
+    )
+    assert tpl.sheet == "S1" and tpl.header_row == 3
+    assert tpl.columns == ["x"] and tpl.dedupe_on == ["a", "b"]
+    assert tpl.sheets == ["S1"]
+
+
+def test_parse_skiprows():
+    assert parse_skiprows("0, 2,x,5") == [0, 2, 5]
+    assert parse_skiprows(None) == []
+
+
+def test_snake_case_and_automap():
+    assert snake_case("Total Sales (EUR)") == "total_sales_eur"
+    mapping = auto_map_columns(["Vendor Name", "Net Amount", "Weird Col"])
+    assert mapping["Vendor Name"] == "provider_id"
+    assert mapping["Net Amount"] == "sales_amount"
+    assert mapping["Weird Col"] == "weird_col"
+
+
+def test_guess_header_row():
+    prev = pd.DataFrame(
+        [
+            [None, None, None],
+            ["Report", None, None],
+            ["sku", "date", "amount"],
+            ["A1", "2024-01-01", 5],
+        ]
+    )
+    assert guess_header_row(prev) == 2
+
+
+def test_schema_diff():
+    missing, extra = schema_diff(["a", "b"], ["b", "c"])
+    assert missing == ["c"] and extra == ["a"]
+
+
+def test_schema_candidates(spark):
+    df = spark.createDataFrame(
+        [("widget alpha long description", 1.0, 2.0, 1999)] * 20,
+        ["desc", "m1", "m2", "year"],
+    )
+    cands = build_schema_candidates(df, target_fields=["desc", "m1"])
+    assert cands[0]["score"] >= cands[-1]["score"]
+    labels = {c["label"] for c in cands}
+    assert "As detected" in labels
+
+
+def test_validate_levels(spark):
+    df = spark.createDataFrame([("1", "x"), ("2", "3")], ["num", "mixed"])
+    res = validate_contract(df, field_types={"num": "int", "mixed": "int"}, level="coerce")
+    assert res.is_valid
+    assert any("coercion" in e["failure"] for e in res.errors)
+
+    with pytest.raises(SchemaContractError):
+        validate_contract(df, field_types={"mixed": "int"}, level="contract")
+    with pytest.raises(SchemaContractError):
+        validate_contract(df, required_fields=["absent"], level="contract")
+    assert validate_contract(df, required_fields=["absent"], level="off").is_valid
+
+
+def test_concat_strict_schema_mismatch(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(2, 3)], ["x", "y"])
+    with pytest.raises(ValueError, match="Schema mismatch"):
+        concat_frames([a, b], strict_schema=True)
+    loose = concat_frames([a, b])
+    assert set(loose.columns) == {"x", "y"}
+    assert loose.count() == 2
+
+
+def test_merge_missing_keys(spark):
+    a = spark.createDataFrame([(1, "a")], ["k", "v"])
+    b = spark.createDataFrame([(1, "b")], ["other", "v"])
+    with pytest.raises(ValueError, match="Missing merge keys"):
+        merge_frames([a, b], keys=["k"])
+
+
+def test_exporter_manifest(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, None), (2, None)], ["id", "val"])
+    written = export_dataset(df, tmp_path / "out", formats=("parquet", "jsonl", "csv"))
+    manifest = json.loads((tmp_path / "out" / "manifest.json").read_text())
+    assert manifest["metrics"]["rows"] == 3
+    assert manifest["metrics"]["duplicates"] == 1
+    assert manifest["metrics"]["null_pct"]["val"] == pytest.approx(66.67)
+    back = spark.read.parquet(str(written["parquet"]))
+    assert back.count() == 3
+
+
+def test_engagement_metrics_zero_safe(spark):
+    df = spark.createDataFrame(
+        [("v1", 10, 2, 100), ("v2", 5, 1, 0)],
+        ["video_id", "like_count", "comment_count", "view_count"],
+    )
+    out = {r.video_id: r for r in add_engagement_metrics(df).collect()}
+    assert out["v1"].engagement_rate == pytest.approx(0.12)
+    assert out["v2"].engagement_rate == 0.0
+
+
+def test_build_summaries(spark):
+    rows = [
+        ("v1", "chA", "2023-05-01T00:00:00Z", 100, 10, 1),
+        ("v2", "chA", "2024-05-01T00:00:00Z", 300, 30, 3),
+        ("v3", "chB", "2024-06-01T00:00:00Z", 200, 20, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, ["video_id", "channel_title", "published_at", "view_count", "like_count", "comment_count"]
+    )
+    s = build_summaries(df, top_n=2)
+    top = [r.video_id for r in s["top_videos"].collect()]
+    assert top == ["v2", "v3"]
+    per_channel = {r.channel_title: r for r in s["per_channel"].collect()}
+    assert per_channel["chA"].video_count == 2 and per_channel["chA"].views == 400
+    per_year = {r.year: r.video_count for r in s["per_year"].collect()}
+    assert per_year == {2023: 1, 2024: 2}
+
+
+def test_query_builder_sql_text():
+    spec = QuerySpec(
+        columns=("a", "b"),
+        filters=(Filter("a", ">", 5), Filter("b", "contains", "x")),
+        order_by=("a",),
+        limit=3,
+    )
+    assert (
+        spec.to_sql("t")
+        == "SELECT a, b FROM t WHERE a > 5 AND b LIKE '%x%' ORDER BY a LIMIT 3"
+    )
