@@ -24,13 +24,29 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Headline queries: one per major capability area (keep the list stable
 # across rounds so BENCH_r{N}.json is comparable).
 HEADLINE = [
+    # joins / aggregations
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "revenue_by_region",
+    # analytics summaries
     "events_engagement",
     "per_segment_summary",
     "top_n_orders",
+    # streaming-equivalent event processing
+    "events_windowed",
+    "events_sessionize",
+    # text / dedup / similarity
+    "text_token_count",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    # ETL operators
+    "unpivot_part",
+    "combine_on_agg",
+    "dedupe_keep_first",
 ]
 
 

@@ -1,14 +1,22 @@
 """MinHash + banded LSH near-duplicate detection.
 
-Pipeline: shingle → K minhash values (xxhash64 with per-permutation
-salt; all JVM-side) → B bands of R rows hashed to bucket keys →
-self-join within (band, bucket) → candidate pairs → verify by
-estimated Jaccard (fraction of matching minhash components).
+Formulation chosen for scale: each shingle is hashed ONCE with a
+strong 64-bit hash (``xxhash64``); the K permutations are salted
+re-hashes of that fixed-width long. Signatures are then K ``min``
+aggregates over the exploded (doc, shingle-hash) table — a single scan
+with map-side partial mins, one shuffle keyed by doc. This beats
+per-permutation string hashing by ~K× (long input vs variable-length
+string) and keeps everything in whole-stage codegen.
 
-Scale notes: the only wide shuffle is the band-bucket self-join, and
-buckets bound the pair blowup; signatures (K longs) travel instead of
-document text. Oversized buckets (degenerate content) should be capped
-upstream via a bucket-frequency cutoff like jaccard.max_shingle_freq.
+Bands: the K-long signature array is sliced into B bands of R values;
+each band slice is hashed to a bucket key. Docs sharing any
+(band, bucket) become candidate pairs; verification estimates Jaccard
+as the fraction of matching signature components.
+
+Scale notes: the band-bucket self-join is the only pair-producing
+shuffle and buckets bound its size; signatures (K longs) travel, never
+document text. Degenerate hot buckets (e.g. boilerplate docs) should
+be capped upstream with a bucket-frequency cutoff.
 """
 
 from __future__ import annotations
@@ -18,44 +26,38 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .shingling import shingles
 
 
-def minhash_signature(text: Column, num_perm: int = 32, n: int = 3) -> Column:
-    """array<long> of length num_perm: per-permutation min of
-    xxhash64(salt, shingle). An empty shingle set yields nulls."""
-    sh = shingles(text, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(k), s)))
-            for k in range(num_perm)
-        ]
-    )
-    return sig
-
-
 def signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 32, n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    n: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    return df.select(
+    """(doc, sig: array<long>[num_perm]) via explode + K min-aggregates."""
+    exploded = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), num_perm, n).alias("sig"),
-    ).filter(F.col("sig")[0].isNotNull())
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    ).select("doc", F.xxhash64("sh").alias("h"))
+    # Permutation k = xxhash64 of the (one-time) shingle hash salted
+    # with k: hashing a fixed-width long is far cheaper than re-hashing
+    # the string K times, and avoids ANSI-mode overflow that an affine
+    # (a*h+b) permutation would hit.
+    mins = [
+        F.min(F.xxhash64(F.lit(seed + k), F.col("h"))).alias(f"m{k}")
+        for k in range(num_perm)
+    ]
+    agg = exploded.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[f"m{k}" for k in range(num_perm)]).alias("sig"))
 
 
 def band_buckets(sig_df: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
-    """(doc, band, bucket) — one row per band; bucket is the hash of
-    that band's signature slice."""
-    out = []
-    for b in range(bands):
-        out.append(
-            sig_df.select(
-                "doc",
-                F.lit(b).alias("band"),
-                F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    """(doc, band, bucket): one pass — all band hashes in a single
+    projection, then posexplode."""
+    band_hashes = F.array(
+        *[F.hash(F.slice("sig", b * rows + 1, rows)) for b in range(bands)]
+    )
+    return sig_df.select("doc", F.posexplode(band_hashes).alias("band", "bucket"))
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
@@ -76,11 +78,12 @@ def minhash_near_dup_pairs(
     rows: int = 4,
     n: int = 3,
     threshold: float = 0.8,
+    seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) for candidate pairs whose estimated
     Jaccard >= threshold."""
     assert bands * rows == num_perm, "bands*rows must equal num_perm"
-    sig = signatures(df, id_col, text_col, num_perm, n)
+    sig = signatures(df, id_col, text_col, num_perm, n, seed).persist()
     bb = band_buckets(sig, bands, rows)
 
     left = bb.select("band", "bucket", F.col("doc").alias("id_a"))
