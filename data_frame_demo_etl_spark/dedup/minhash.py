@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .shingling import shingles
+from .shingling import shingle_hash_table
 
 
 def signatures(
@@ -35,10 +35,7 @@ def signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(doc, sig: array<long>[num_perm]) via explode + K min-aggregates."""
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("sh"),
-    ).select("doc", F.xxhash64("sh").alias("h"))
+    exploded = shingle_hash_table(df, id_col, text_col, n)
     # Permutation k = xxhash64 of the (one-time) shingle hash salted
     # with k: hashing a fixed-width long is far cheaper than re-hashing
     # the string K times, and avoids ANSI-mode overflow that an affine

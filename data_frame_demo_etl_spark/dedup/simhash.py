@@ -1,9 +1,13 @@
 """SimHash fingerprinting + hamming-band near-dup detection.
 
 fingerprint: 64-bit where bit j = sign of Σ_tokens (bit j of
-xxhash64(token) ? +1 : −1). Near-dup candidates share at least one of
-four 16-bit bands (catches hamming distance ≤ 3 by pigeonhole);
-verification computes exact hamming via bit_count(xor).
+xxhash64(token) ? +1 : −1), token-frequency weighted.
+
+Computed as explode(token-hash) → ONE aggregation with 64 conditional
+sums (map-side partial aggregation, single shuffle keyed by doc) —
+never 64 passes over the token array. Near-dup candidates share at
+least one of four 16-bit bands (pigeonhole ⇒ full recall for hamming
+distance ≤ 3); verification is exact ``bit_count(xor)``.
 """
 
 from __future__ import annotations
@@ -17,35 +21,60 @@ BAND_BITS = 16
 N_BANDS = N_BITS // BAND_BITS
 
 
-def simhash(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens (long)."""
-    hashes = F.transform(word_array(F.lower(text)), lambda t: F.xxhash64(t))
-    fp = F.lit(0).cast("long")
-    for j in range(N_BITS):
-        bit_sum = F.aggregate(
-            F.transform(
-                hashes,
-                lambda h: F.when(
-                    F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1).cast("long")) == 1, 1
-                ).otherwise(-1),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        fp = fp.bitwiseOR(
-            F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return fp
-
-
 def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp"))
+    """(doc, fp): 64-bit SimHash per document. Docs with no tokens get
+    fp = 0."""
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_array(F.lower(F.col(text_col)))).alias("tok"),
+    ).select("doc", F.xxhash64("tok").alias("th"))
+
+    one = F.lit(1).cast("long")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned("th", j).bitwiseAND(one) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_BITS)
+    ]
+    agg = tokens.groupBy("doc").agg(*bit_sums)
+
+    fp = F.lit(0).cast("long")
+    for j in range(N_BITS):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        )
+    fps = agg.select("doc", fp.alias("fp"))
+
+    # Docs that produced zero tokens fall out of the explode; restore
+    # them with fp = 0 so the operator is total.
+    all_docs = df.select(F.col(id_col).alias("doc"))
+    return all_docs.join(fps, "doc", "left").select(
+        "doc", F.coalesce("fp", F.lit(0).cast("long")).alias("fp")
+    )
+
+
+def simhash(text: Column) -> Column:
+    """Column-expression SimHash (small inputs / tests). Prefer
+    ``simhash_table`` in hot paths — this form folds the token array
+    64 times."""
+    hashes = F.transform(word_array(F.lower(text)), lambda t: F.xxhash64(t))
+    fp = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for j in range(N_BITS):
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, j).bitwiseAND(one) == 1, 1).otherwise(-1),
+        )
+        fp = fp.bitwiseOR(
+            F.when(bit_sum > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        )
+    return fp
 
 
 def simhash_near_dup_pairs(
@@ -54,23 +83,22 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) for pairs within max_hamming bits.
-
-    Banding guarantees recall for max_hamming < N_BANDS; the band
-    equi-join replaces the quadratic all-pairs compare.
-    """
-    fps = simhash_table(df, id_col, text_col)
-    banded = None
-    for b in range(N_BANDS):
-        piece = fps.select(
-            "doc",
-            "fp",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("fp", b * BAND_BITS)
-            .bitwiseAND(F.lit((1 << BAND_BITS) - 1).cast("long"))
-            .alias("bucket"),
-        )
-        banded = piece if banded is None else banded.unionByName(piece)
+    """(id_a, id_b, hamming) for pairs within max_hamming bits."""
+    fps = simhash_table(df, id_col, text_col).persist()
+    banded = fps.select(
+        "doc",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fp", b * BAND_BITS).bitwiseAND(
+                        F.lit((1 << BAND_BITS) - 1).cast("long")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
 
     left = banded.select("band", "bucket", F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"))
     right = banded.select("band", "bucket", F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"))

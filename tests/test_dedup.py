@@ -74,3 +74,14 @@ def test_minhash_recall_on_testdata(spark, sf_dir):
     if exact:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"
+
+
+def test_prefix_filter_matches_naive(spark, sf_dir):
+    """The prefix-filtered join must return exactly the naive result."""
+    from data_frame_demo_etl_spark.dedup.jaccard import jaccard_pairs_naive
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    fast = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_pairs(docs, threshold=0.7).collect()}
+    naive = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_pairs_naive(docs, threshold=0.7).collect()}
+    assert fast == naive and len(fast) > 0
