@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .analytics import engagement, tpch
+from .analytics import engagement, relational, tpch
 from .dedup import gate as dedup_gate
 from .functions import gate as fn_gate
 from .operators import gate as ops_gate
@@ -51,6 +51,22 @@ register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
 register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
+
+# --- relational operator coverage (SURVEY §2.8 extension) ---
+register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
+register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
+register(
+    "customers_without_orders",
+    relational.customers_without_orders,
+    relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+)
+register("churned_customers", relational.churned_customers, relational.CHURNED_CUSTOMERS_SQL)
+register(
+    "window_running_total", relational.window_running_total, relational.WINDOW_RUNNING_TOTAL_SQL
+)
+register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_PER_BRAND_SQL)
+register("events_pivot", relational.events_pivot, relational.EVENTS_PIVOT_SQL)
+register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
 
 # --- engagement analytics (SURVEY §2.7) ---
 register("events_engagement", engagement.events_engagement, engagement.EVENTS_ENGAGEMENT_SQL)
