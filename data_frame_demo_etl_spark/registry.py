@@ -114,6 +114,29 @@ register(
     "events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL
 )
 
+register(
+    "events_props_extract",
+    streaming_events.events_props_extract,
+    streaming_events.EVENTS_PROPS_EXTRACT_SQL,
+)
+
+
+def _group_zscore_gate(spark, sf_dir):
+    """applyInPandas grouped-map coverage (rows-only: float summation
+    order inside pandas groups is engine-specific)."""
+    from pyspark.sql import functions as F
+
+    from .operators.grouped import group_zscore
+    from .sources.catalog import load_table
+
+    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_returnflag", "l_quantity")
+    return group_zscore(l, ["l_returnflag"], "l_quantity").orderBy(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+
+
+register("group_zscore", _group_zscore_gate, None)
+
 # --- sources / normalize / pipeline e2e (SURVEY §2.1, §2.2, pipeline) ---
 register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
 register("ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL)

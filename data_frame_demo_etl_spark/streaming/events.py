@@ -103,6 +103,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column processing: extract typed fields from the props
+    JSON string with get_json_object (codegen'd JVM path)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_PROPS_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+ORDER BY event_id
+"""
+
+
 # --- gate queries ---------------------------------------------------------
 
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,3 +189,30 @@ def test_query_builder_sql_text():
         spec.to_sql("t")
         == "SELECT a, b FROM t WHERE a > 5 AND b LIKE '%x%' ORDER BY a LIMIT 3"
     )
+
+
+def test_group_zscore(spark):
+    from data_frame_demo_etl_spark.operators.grouped import group_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)], ["g", "v"]
+    )
+    rows = group_zscore(df, ["g"], "v").collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+    zs = sorted(r.zscore for r in by_g["a"])
+    import math
+    expected = [-1.2247448713915892, 0.0, 1.2247448713915892]
+    assert all(math.isclose(a, b, rel_tol=1e-9) for a, b in zip(zs, expected))
+    assert by_g["b"][0].zscore == 0.0  # zero-variance group
+
+
+def test_salted_join_equivalence(spark):
+    from data_frame_demo_etl_spark.operators.grouped import salted_join
+
+    big = spark.createDataFrame([(i % 3, i) for i in range(100)], ["k", "v"])
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], ["k", "name"])
+    plain = {(r.k, r.v, r.name) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(big, small, "k", n_salts=4).collect()}
+    assert plain == salted and len(salted) == 100
