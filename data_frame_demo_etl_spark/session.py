@@ -37,6 +37,10 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "spark-warehouse"),
+        ),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
     if extra_conf:

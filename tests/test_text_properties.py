@@ -1,0 +1,82 @@
+"""Property-based tests: the Spark Column expressions for text
+analysis must agree with straightforward pure-Python references on
+arbitrary (ASCII) inputs."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.analytics.engagement import iso8601_duration_seconds
+from data_frame_demo_etl_spark.functions import text as T
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=80
+)
+
+
+def _py_ws_tokens(t: str) -> int:
+    return len([w for w in re.split(r"\s+", t) if w != ""])
+
+
+def _py_bpe_tokens(t: str) -> int:
+    return len(re.findall(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]", t))
+
+
+def _py_fingerprint(t: str) -> str:
+    return hashlib.md5(re.sub(r"\s+", " ", t).strip().lower().encode()).hexdigest()
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=40))
+def test_token_counts_match_python(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    rows = df.select(
+        "i",
+        T.token_count_whitespace(F.col("t")).alias("ws"),
+        T.token_count_bpe(F.col("t")).alias("bpe"),
+        T.fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    for r in rows:
+        t = texts[r.i]
+        assert r.ws == _py_ws_tokens(t), repr(t)
+        assert r.bpe == _py_bpe_tokens(t), repr(t)
+        assert r.fp == _py_fingerprint(t), repr(t)
+
+
+DURATION = st.tuples(
+    st.integers(0, 40), st.integers(0, 30), st.integers(0, 90), st.integers(0, 90)
+)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(DURATION, min_size=1, max_size=30))
+def test_iso8601_matches_python(spark, parts):
+    def render(d, h, m, s):
+        out = f"P{d}D" if d else "P"
+        if h or m or s:
+            out += "T"
+            if h:
+                out += f"{h}H"
+            if m:
+                out += f"{m}M"
+            if s:
+                out += f"{s}S"
+        return out
+
+    rows = [(i, render(*p), p[0] * 86400 + p[1] * 3600 + p[2] * 60 + p[3]) for i, p in enumerate(parts)]
+    df = spark.createDataFrame(rows, ["i", "dur", "want"])
+    got = df.select("i", "want", iso8601_duration_seconds(F.col("dur")).alias("got")).collect()
+    for r in got:
+        # "P" alone (all-zero) parses to 0 by construction.
+        assert r.got == r.want
+
+
+def test_iso8601_rejects_garbage(spark):
+    df = spark.createDataFrame([("xP1D",), ("",), ("P1X",), (None,)], ["dur"])
+    vals = [r.s for r in df.select(iso8601_duration_seconds(F.col("dur")).alias("s")).collect()]
+    assert vals == [0, 0, 0, 0]
