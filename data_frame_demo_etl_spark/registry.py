@@ -137,6 +137,20 @@ def _group_zscore_gate(spark, sf_dir):
 
 register("group_zscore", _group_zscore_gate, None)
 
+# --- temporal joins (custom operators, SURVEY §2 'custom operators') ---
+from .operators import temporal_gate as tmp_gate  # noqa: E402
+
+register(
+    "asof_view_before_purchase",
+    tmp_gate.asof_view_before_purchase,
+    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
+)
+register(
+    "range_join_error_followups",
+    tmp_gate.range_join_error_followups,
+    tmp_gate.RANGE_JOIN_ERROR_FOLLOWUPS_SQL,
+)
+
 # --- sources / normalize / pipeline e2e (SURVEY §2.1, §2.2, pipeline) ---
 register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
 register("ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL)

@@ -1,0 +1,88 @@
+"""Temporal joins vs brute-force references on adversarial synthetic
+data (duplicate timestamps, empty matches, boundary deltas)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_brute_force(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(10)), (3, 10, _ts(0)), (4, 20, _ts(7))],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts(1), 1.0),
+            (101, 10, _ts(5), 2.0),   # equal ts to lid=1 → counts (<=)
+            (102, 10, _ts(5), 3.0),   # duplicate ts; larger rid wins
+            (103, 10, _ts(9), 4.0),
+            (104, 30, _ts(0), 9.0),   # wrong key
+        ],
+        "rid long, user_id long, ts timestamp, val double",
+    )
+    out = {
+        r.lid: (r.rid, r.val)
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"], right_payload=["rid", "val"], tie_break="rid"
+        ).collect()
+    }
+    assert out[1] == (102, 3.0)   # ties at ts=5 → max rid
+    assert out[2] == (103, 4.0)
+    assert out[3] == (None, None)  # nothing at-or-before
+    assert out[4] == (None, None)  # no right rows for key 20
+
+
+def test_range_join_brute_force(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(0)), (2, 10, _ts(30))], "lid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(200, 10, _ts(0)), (201, 10, _ts(10)), (202, 10, _ts(60)), (203, 20, _ts(5))],
+        "rid long, user_id long, ts timestamp",
+    )
+    got = {
+        (r.lid, r.rid_r)
+        for r in range_join(
+            left, right, on="ts", by=["user_id"], lo_seconds=0, hi_seconds=600
+        ).collect()
+    }
+    # lid=1 window [0,10min] → rids at 0 and 10 min (inclusive bounds).
+    # lid=2 window [30,40min] → nothing.
+    assert got == {(1, 200), (1, 201)}
+
+    # brute-force cross check on a denser grid
+    left2 = spark.createDataFrame(
+        [(i, 1, _ts(i)) for i in range(40)], "lid long, user_id long, ts timestamp"
+    )
+    right2 = spark.createDataFrame(
+        [(100 + i, 1, _ts(i * 3 + 1)) for i in range(15)],
+        "rid long, user_id long, ts timestamp",
+    )
+    fast = {
+        (r.lid, r.rid_r)
+        for r in range_join(
+            left2, right2, on="ts", by=["user_id"], lo_seconds=60, hi_seconds=420
+        ).collect()
+    }
+    r2 = right2.select("user_id", F.col("rid"), F.col("ts").alias("rts"))
+    naive = {
+        (r.lid, r.rid)
+        for r in left2.join(r2, "user_id")
+        .filter(
+            (F.col("ts").cast("double") + 60 <= F.col("rts").cast("double"))
+            & (F.col("rts").cast("double") <= F.col("ts").cast("double") + 420)
+        )
+        .collect()
+    }
+    assert fast == naive and len(fast) > 0
