@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .analytics import engagement, relational, tpch
+from .analytics import engagement, relational, sketches, tpch
 from .dedup import gate as dedup_gate
 from .functions import gate as fn_gate
 from .operators import gate as ops_gate
@@ -66,6 +66,12 @@ register(
 )
 register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_PER_BRAND_SQL)
 register("events_pivot", relational.events_pivot, relational.EVENTS_PIVOT_SQL)
+register("events_approx_stats", sketches.events_approx_stats, None)
+register(
+    "events_hypertable_rollup",
+    sketches.events_hypertable_rollup,
+    sketches.EVENTS_HYPERTABLE_ROLLUP_SQL,
+)
 register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
 
 # --- engagement analytics (SURVEY §2.7) ---

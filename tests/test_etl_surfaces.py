@@ -216,3 +216,24 @@ def test_salted_join_equivalence(spark):
     plain = {(r.k, r.v, r.name) for r in big.join(small, "k").collect()}
     salted = {(r.k, r.v, r.name) for r in salted_join(big, small, "k", n_salts=4).collect()}
     assert plain == salted and len(salted) == 100
+
+
+def test_approx_stats_accuracy(spark, sf_oracle_dir):
+    from data_frame_demo_etl_spark.analytics.sketches import approx_stats
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_oracle_dir)
+    approx = {r.event_type: r for r in approx_stats(events).collect()}
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_users - ex.users) / ex.users < 0.05
+        assert abs(ap.value_pcts[0] - ex.p50) <= abs(ex.p50) * 0.05 + 1.0
