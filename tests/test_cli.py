@@ -1,0 +1,78 @@
+"""CLI integration: template-driven batch run → combine → profile,
+driven through the argparse entrypoints."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_frame_demo_etl_spark.cli import main
+from data_frame_demo_etl_spark.template_config import TemplateConfig, save_template
+
+
+@pytest.fixture()
+def input_dir(tmp_path, spark):
+    d = tmp_path / "input"
+    d.mkdir()
+    for stem, rows in {
+        "jan": [("A1", "2024-01-01", "100"), ("A2", "2024-01-02", "200")],
+        "feb": [("A1", "2024-02-01", "300"), ("A3", "2024-02-02", "x")],
+    }.items():
+        lines = ["sku,date,amount"] + [",".join(r) for r in rows]
+        (d / f"{stem}.csv").write_text("\n".join(lines) + "\n")
+    tpl = TemplateConfig(
+        source_type="csv",
+        columns=["sku", "date", "amount"],
+        column_mappings={"sku": "article_sku", "date": "report_date", "amount": "sales_amount"},
+        provider_name="acme",
+        field_types={"sales_amount": "float"},
+    )
+    save_template(tpl, d / "provider.df-template.json")
+    return d
+
+
+def test_cli_run_combine_profile(spark, input_dir, tmp_path, capsys):
+    out_dir = tmp_path / "out"
+    rc = main(
+        [
+            "run",
+            "--target-dir",
+            str(input_dir),
+            "--output-dir",
+            str(out_dir),
+            "--validation-level",
+            "coerce",
+        ]
+    )
+    assert rc == 0
+    run_lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert all(r["success"] for r in run_lines)
+    assert {r["source"] for r in run_lines} == {"jan.csv", "feb.csv"}
+
+    combined = tmp_path / "combined.parquet"
+    rc = main(
+        [
+            "combine",
+            "--input-dir",
+            str(out_dir),
+            "--pattern",
+            "*_clean.parquet",
+            "--mode",
+            "concat",
+            "--output",
+            str(combined),
+        ]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 4
+
+    rc = main(["profile", "--path", str(combined)])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out)
+    assert metrics["rows"] == 4
+    assert "provider_id" in metrics["null_pct"]
+
+    df = spark.read.parquet(str(combined))
+    vals = {r.article_sku: r.sales_amount for r in df.collect() if r.article_sku == "A3"}
+    assert vals["A3"] == 0.0  # unparseable amount coerced+filled
