@@ -63,3 +63,55 @@ def test_sessionize_gap_rule(spark):
     s1, s2 = sorted(by_user[10], key=lambda r: r.session_id)
     assert s1.n_events == 2 and s2.n_events == 2
     assert len(by_user[20]) == 1
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """With update-mode windowed aggregation and a finalized watermark,
+    events older than watermark are excluded from state updates."""
+    import datetime as dt
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "late_events")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        (1, t0 + dt.timedelta(hours=0, minutes=10), 1, "view", 1.0, ""),
+        (2, t0 + dt.timedelta(hours=5), 1, "view", 1.0, ""),  # advances watermark far ahead
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "10 minutes")
+    agg = windowed_event_stats(stream)
+
+    sink = str(tmp_path / "sink")
+
+    def run():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = {
+        (r.window_start, r.n_events) for r in spark.read.parquet(sink).collect()
+    }
+    # Window [0:00,1:00) finalized (watermark 4:50) with the on-time event.
+    assert (t0, 1) in first
+
+    # Batch 2 (same checkpoint → watermark persists): an event 4.5h
+    # late lands behind the watermark and must be dropped.
+    batch2 = [(3, t0 + dt.timedelta(minutes=20), 1, "view", 1.0, "")]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    second = {
+        (r.window_start, r.n_events) for r in spark.read.parquet(sink).collect()
+    }
+    # No re-emission, no count bump from the late event.
+    assert second == first
