@@ -1,0 +1,142 @@
+"""Time-series helpers beyond plain windowing: gap-filled bucket
+series (timescale-style ``time_bucket_gapfill``), built from
+``sequence`` + explode + left join — no driver-side loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+
+
+def gapfill_buckets(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket: str = "1 hour",
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Dense (bucket × key) grid with zero-filled missing buckets.
+
+    The bucket spine is built with ``sequence(min, max, interval)``
+    from a single min/max aggregate — one tiny row exploded, then a
+    broadcast-joined grid against the sparse aggregates.
+    """
+    bucketed = df.select(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"), F.col(key_col).alias("key")
+    )
+    sparse = bucketed.groupBy("bucket", "key").agg(F.count(F.lit(1)).alias("n"))
+
+    bounds = bucketed.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, interval {bucket})")).alias("bucket")
+    )
+    keys = bucketed.select("key").distinct()
+    grid = spine.crossJoin(keys)
+    return (
+        grid.join(sparse, ["bucket", "key"], "left")
+        .select("bucket", "key", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    out = gapfill_buckets(events, "ts", "event_type", "1 hour")
+    return out.select(
+        "bucket", F.col("key").alias("event_type"), "n"
+    ).orderBy("bucket", "event_type")
+
+
+EVENTS_GAPFILL_SQL = """
+WITH b AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, event_type FROM events
+),
+sparse AS (
+  SELECT bucket, event_type, COUNT(*) AS n FROM b GROUP BY bucket, event_type
+),
+spine AS (
+  SELECT UNNEST(GENERATE_SERIES((SELECT MIN(bucket) FROM b),
+                                (SELECT MAX(bucket) FROM b),
+                                INTERVAL '1 hour')) AS bucket
+),
+keys AS (SELECT DISTINCT event_type FROM b)
+SELECT spine.bucket AS bucket, keys.event_type AS event_type, COALESCE(sparse.n, 0) AS n
+FROM spine CROSS JOIN keys
+LEFT JOIN sparse ON sparse.bucket = spine.bucket AND sparse.event_type = keys.event_type
+ORDER BY spine.bucket, keys.event_type
+"""
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names within a brand (edit distance ≤ 3,
+    brand as the blocking key — fuzzy joins need blocking at scale)."""
+    part = load_table(spark, "part", sf_dir)
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= 3)
+        .select("brand", "key_a", "key_b", "name_a", "name_b", "distance")
+        .orderBy("brand", "key_a", "key_b")
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = """
+SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS distance
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 3
+ORDER BY brand, key_a, key_b
+"""
+
+
+def top_terms_per_source(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Most frequent terms per document source (explode → count →
+    windowed top-k; deterministic alphabetical tie-break)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    terms = docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")).alias("term"),
+    )
+    counts = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("source", "rank")
+    )
+
+
+TOP_TERMS_PER_SOURCE_SQL = r"""
+WITH terms AS (
+  SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w != '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, COUNT(*) AS n FROM terms GROUP BY source, term
+)
+SELECT source, term, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT source, term, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rank
+  FROM counts
+)
+WHERE rank <= 5
+ORDER BY source, rank
+"""

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .analytics import engagement, relational, sketches, tpch
+from .analytics import engagement, relational, sketches, timeseries, tpch
 from .dedup import gate as dedup_gate
 from .functions import gate as fn_gate
 from .operators import gate as ops_gate
@@ -67,6 +67,11 @@ register(
 register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_PER_BRAND_SQL)
 register("events_pivot", relational.events_pivot, relational.EVENTS_PIVOT_SQL)
 register("events_approx_stats", sketches.events_approx_stats, None)
+register("events_gapfill", timeseries.events_gapfill, timeseries.EVENTS_GAPFILL_SQL)
+register("fuzzy_name_pairs", timeseries.fuzzy_name_pairs, timeseries.FUZZY_NAME_PAIRS_SQL)
+register(
+    "top_terms_per_source", timeseries.top_terms_per_source, timeseries.TOP_TERMS_PER_SOURCE_SQL
+)
 register(
     "events_hypertable_rollup",
     sketches.events_hypertable_rollup,
