@@ -1,0 +1,46 @@
+"""Change-data-capture apply (merge/upsert/delete).
+
+``apply_changes`` folds a change stream (op ∈ {insert, update,
+delete}, ordered per key by a sequence column) into a base snapshot:
+
+1. collapse the change stream to the LATEST change per key (window,
+   one shuffle — at 100 TB this is the step that turns billions of
+   change rows into per-key state),
+2. anti-join base rows whose key has any change,
+3. union the surviving base rows with the latest upserts.
+
+Deterministic given a total (seq, tie-break) order; no driver loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Return the new snapshot after applying `changes` to `base`.
+
+    `changes` columns: key cols + seq_col + op_col + the base payload
+    columns (payload ignored for deletes).
+    """
+    key = list(key)
+    payload = [c for c in base.columns if c not in key]
+
+    w = Window.partitionBy(*key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    untouched = base.join(latest.select(*key), key, "left_anti")
+    upserts = latest.filter(F.lower(F.col(op_col)) != "delete").select(*key, *payload)
+    return untouched.unionByName(upserts)

@@ -264,6 +264,67 @@ def query_builder_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_BUILDER_FILTER_SQL = _QB_SPEC.to_sql("part")
 
 
+# --- CDC merge/upsert -----------------------------------------------------
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic synthetic change stream to `customer`:
+    custkey%10==0 → delete, %10==1 → update (acctbal+100, two change
+    versions so latest-wins is exercised), plus inserts at key+1e6."""
+    from .cdc import apply_changes
+
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    deletes = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit(1).alias("seq"),
+        F.lit("delete").alias("op"),
+        "c_name",
+        "c_acctbal",
+    )
+    stale_updates = customer.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey",
+        F.lit(1).alias("seq"),
+        F.lit("update").alias("op"),
+        "c_name",
+        (F.col("c_acctbal") - 999).alias("c_acctbal"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey",
+        F.lit(2).alias("seq"),
+        F.lit("update").alias("op"),
+        "c_name",
+        F.round(F.col("c_acctbal").cast("decimal(12,2)") + 100, 2)
+        .cast("double")
+        .alias("c_acctbal"),
+    )
+    inserts = customer.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(1).alias("seq"),
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = deletes.unionByName(stale_updates).unionByName(updates).unionByName(inserts)
+    snapshot = apply_changes(customer, changes, key=["c_custkey"], seq_col="seq")
+    return snapshot.orderBy("c_custkey")
+
+
+CDC_APPLY_CHANGES_SQL = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+SELECT c_custkey, c_name, c_acctbal FROM base
+WHERE c_custkey % 10 NOT IN (0, 1)
+UNION ALL
+SELECT c_custkey, c_name,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) + 100, 2) AS DOUBLE)
+FROM base WHERE c_custkey % 10 = 1
+UNION ALL
+SELECT c_custkey + 1000000, 'new-' || c_name, 0.0
+FROM base WHERE c_custkey % 10 = 2
+ORDER BY c_custkey
+"""
+
+
 # --- V1 validation coercion metrics --------------------------------------
 
 def validate_coercion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
