@@ -169,7 +169,8 @@ def per_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-market-segment rollup (per_channel parity, youtube.py:243-254)."""
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    joined = orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    # customer scales with SF — no forced broadcast.
+    joined = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
     return (
         joined.groupBy("c_mktsegment")
         .agg(

@@ -188,7 +188,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir)
     joined = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )

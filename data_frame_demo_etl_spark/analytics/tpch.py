@@ -10,9 +10,12 @@ Scale notes:
   final round+cast) — and decimal sums are also the right call on a
   real cluster where non-deterministic float summation order makes
   reruns unstable.
-- Dimension tables are explicitly ``broadcast()`` so the big fact
-  tables never shuffle for them; the only shuffles left are the
-  group-bys on the (high-cardinality) agg keys, which AQE coalesces.
+- Broadcast policy: only constant-size dims (region, nation) are
+  force-broadcast; tables that scale with the data volume (customer,
+  supplier, part) are left to Catalyst/AQE, which broadcasts them at
+  small SF and switches to shuffle joins when stats say otherwise.
+  The remaining shuffles are the group-bys on high-cardinality agg
+  keys, which AQE coalesces.
 - Top-N uses ``orderBy().limit()`` which Spark executes as a
   distributed TakeOrdered (per-partition heap + driver merge), not a
   global sort.
@@ -97,9 +100,8 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapted TPC-H Q3: top unshipped orders by revenue.
 
-    customer (dim, broadcast) ⋈ orders ⋈ lineitem with date window;
-    deterministic top-10 via full tie-break (revenue desc, date,
-    orderkey).
+    customer ⋈ orders ⋈ lineitem with date window; deterministic
+    top-10 via full tie-break (revenue desc, date, orderkey).
     """
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -112,7 +114,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            # customer scales with SF: let Catalyst/AQE pick broadcast
+            # vs shuffle from size stats instead of forcing it.
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -142,8 +146,8 @@ LIMIT 10
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapted TPC-H Q5: revenue by nation for one region/year.
 
-    Six-way join; every dimension side is broadcast so the lineitem
-    scan is never shuffled for the dims.
+    Six-way join; constant-size dims broadcast, scaling tables left
+    to the optimizer.
     """
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -160,9 +164,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -205,7 +209,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name"), F.year("o_orderdate").alias("order_year"))

@@ -325,6 +325,55 @@ ORDER BY c_custkey
 """
 
 
+# --- sampling / capping / packing ----------------------------------------
+
+def cap_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quota: at most 5 events per user, earliest first."""
+    from .sampling import cap_per_key
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    return cap_per_key(events, key=["user_id"], order_by=["ts", "event_id"], n=5).orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+CAP_EVENTS_PER_USER_SQL = """
+SELECT event_id, user_id, ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5
+ORDER BY user_id, ts, event_id
+"""
+
+
+def pack_documents_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: bin documents per source into ~2000-char
+    bins in doc_id order."""
+    from .sampling import pack_by_budget
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
+    return pack_by_budget(
+        docs, group_col="source", order_by=["doc_id"], size_col="n_chars", budget=2000
+    ).orderBy("source", "doc_id")
+
+
+PACK_DOCUMENTS_BY_BUDGET_SQL = """
+SELECT doc_id, source, n_chars,
+       CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_chars) / 2000.0) AS BIGINT) AS bin
+FROM documents
+ORDER BY source, doc_id
+"""
+
+
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% content-hash sample of documents (rows-only:
+    xxhash64 has no DuckDB equivalent; fraction asserted in pytest)."""
+    from .sampling import deterministic_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return deterministic_sample(docs, ["doc_id"], 0.2).orderBy("doc_id")
+
+
 # --- V1 validation coercion metrics --------------------------------------
 
 def validate_coercion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

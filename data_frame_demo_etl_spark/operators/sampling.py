@@ -1,0 +1,89 @@
+"""Sampling, splitting, capping, and packing operators for
+training-data pipelines.
+
+All deterministic-by-construction: hash-threshold sampling and splits
+depend only on row content (stable across reruns, partitionings, and
+cluster sizes — `rand()`-based sampling is none of those), capping and
+packing use explicit total orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_BUCKETS = 1_000_000
+
+
+def deterministic_sample(df: DataFrame, id_cols: Sequence[str], fraction: float, seed: int = 42) -> DataFrame:
+    """Content-hash Bernoulli sample: keeps rows whose seeded hash of
+    `id_cols` falls under `fraction`. Same rows in, same rows out —
+    anywhere."""
+    bucket = F.pmod(F.xxhash64(F.lit(seed), *[F.col(c) for c in id_cols]), F.lit(_BUCKETS))
+    return df.filter(bucket < int(fraction * _BUCKETS))
+
+
+def split_by_hash(
+    df: DataFrame, id_cols: Sequence[str], fractions: Mapping[str, float], seed: int = 42
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive train/val/test split keyed on content hash.
+
+    Fractions must sum to 1 (±1e-9). A row's split follows it forever:
+    new data never migrates old rows between splits.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(F.xxhash64(F.lit(seed), *[F.col(c) for c in id_cols]), F.lit(_BUCKETS))
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    items = list(fractions.items())
+    for i, (name, frac) in enumerate(items):
+        hi = 1.0 if i == len(items) - 1 else lo + frac
+        out[name] = df.filter((bucket >= int(lo * _BUCKETS)) & (bucket < int(hi * _BUCKETS)))
+        lo = hi
+    return out
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: Mapping[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling via the native ``sampleBy``."""
+    return df.sampleBy(strata_col, dict(fractions), seed)
+
+
+def cap_per_key(
+    df: DataFrame, key: Sequence[str], order_by: Sequence[str], n: int
+) -> DataFrame:
+    """Keep at most `n` rows per key (explicit order → deterministic
+    survivors). The standard class-balance / per-domain quota step."""
+    w = Window.partitionBy(*key).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def pack_by_budget(
+    df: DataFrame,
+    group_col: str,
+    order_by: Sequence[str],
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign rows to sequential bins of ~`budget` total `size_col`
+    per group (running-sum binning — the distributed approximation of
+    greedy sequence packing for LLM batch assembly).
+
+    Adds `bin`: floor((cumsum - size) / budget), so a row starts a new
+    bin once the running total crosses the budget boundary.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col(size_col)).over(w)
+    return df.withColumn("bin", F.floor((running - F.col(size_col)) / budget))

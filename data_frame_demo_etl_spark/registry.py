@@ -95,6 +95,13 @@ register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
 register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
 register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
 register("cdc_apply_changes", ops_gate.cdc_apply_changes, ops_gate.CDC_APPLY_CHANGES_SQL)
+register("cap_events_per_user", ops_gate.cap_events_per_user, ops_gate.CAP_EVENTS_PER_USER_SQL)
+register(
+    "pack_documents_by_budget",
+    ops_gate.pack_documents_by_budget,
+    ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
+)
+register("sample_documents", ops_gate.sample_documents, None)
 register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
 register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
 register(

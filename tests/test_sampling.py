@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.operators.sampling import (
+    cap_per_key,
+    deterministic_sample,
+    pack_by_budget,
+    split_by_hash,
+    stratified_sample,
+)
+from data_frame_demo_etl_spark.sources.catalog import load_table
+
+
+def test_deterministic_sample_stable_and_sized(spark, sf_oracle_dir):
+    docs = load_table(spark, "documents", sf_oracle_dir)
+    s1 = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.2).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.2).collect()}
+    assert s1 == s2  # stable across runs
+    n = docs.count()
+    assert 0.12 * n <= len(s1) <= 0.28 * n
+    # Larger fraction is a superset (threshold semantics).
+    s3 = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.5).collect()}
+    assert s1 <= s3
+
+
+def test_split_by_hash_partitions(spark, sf_oracle_dir):
+    docs = load_table(spark, "documents", sf_oracle_dir)
+    splits = split_by_hash(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    ids = {k: {r.doc_id for r in v.collect()} for k, v in splits.items()}
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert ids["train"] | ids["val"] | ids["test"] == all_ids
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    assert len(ids["train"]) > len(ids["val"])
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(docs, ["doc_id"], {"a": 0.5})
+
+
+def test_stratified_sample_fractions(spark, sf_oracle_dir):
+    events = load_table(spark, "events", sf_oracle_dir)
+    sampled = stratified_sample(events, "event_type", {"view": 0.5, "click": 0.1})
+    got = {r["event_type"]: r["cnt"] for r in sampled.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    base = {r["event_type"]: r["cnt"] for r in events.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    assert set(got) <= {"view", "click"}
+    assert abs(got.get("view", 0) / base["view"] - 0.5) < 0.15
+
+
+def test_cap_per_key(spark):
+    df = spark.createDataFrame([(1, i) for i in range(10)] + [(2, 0)], ["k", "v"])
+    out = cap_per_key(df, ["k"], ["v"], 3).collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r.k, []).append(r.v)
+    assert sorted(by_k[1]) == [0, 1, 2]  # earliest survive
+    assert by_k[2] == [0]
+
+
+def test_pack_by_budget(spark):
+    rows = [("s", i, 600) for i in range(7)]  # 600 each, budget 2000 → 3 per bin
+    df = spark.createDataFrame(rows, ["g", "i", "sz"])
+    out = {r.i: r.bin for r in pack_by_budget(df, "g", ["i"], "sz", 2000).collect()}
+    assert [out[i] for i in range(7)] == [0, 0, 0, 0, 1, 1, 1]
