@@ -127,6 +127,22 @@ register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_S
 register("ann_lsh_topk", sim_gate.ann_lsh_topk, None)
 register("dedup_embedding", sim_gate.dedup_embedding, None)
 
+from .similarity.ivf import ann_ivf_topk  # noqa: E402
+
+register("ann_ivf_topk", ann_ivf_topk, None)
+
+
+def _sql_interface_gate(spark, sf_dir):
+    """The SQL front door: the same ANSI text runs on spark.sql and on
+    the DuckDB oracle (dialect-shared subset)."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(tpch.Q1_SQL)
+
+
+register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
+
 # --- streaming-equivalent event processing (SURVEY §2.13) ---
 register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
 register(

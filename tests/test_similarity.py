@@ -52,3 +52,23 @@ def test_vectorized_matches_expression_path(spark, sf_dir):
     for key, (nid, cos) in expr_path.items():
         nid2, cos2 = np_path[key]
         assert nid == nid2 and abs(cos - cos2) <= 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from data_frame_demo_etl_spark.similarity.ivf import fit_ivf, ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, centroids = fit_ivf(emb, k=8)
+    q_pd = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).toPandas()
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(assigned, centroids, q_pd, k=5, nprobe=4).collect()
+    }
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
