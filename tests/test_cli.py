@@ -76,3 +76,34 @@ def test_cli_run_combine_profile(spark, input_dir, tmp_path, capsys):
     df = spark.read.parquet(str(combined))
     vals = {r.article_sku: r.sales_amount for r in df.collect() if r.article_sku == "A3"}
     assert vals["A3"] == 0.0  # unparseable amount coerced+filled
+
+
+def test_pipeline_quarantine_on_contract_failure(spark, tmp_path):
+    from data_frame_demo_etl_spark.pipeline import run_pipeline
+    from data_frame_demo_etl_spark.template_config import TemplateConfig
+
+    src = tmp_path / "bad.csv"
+    src.write_text("sku,amount\nA1,xx\nA2,yy\n")
+    tpl = TemplateConfig(
+        source_type="csv",
+        columns=["sku", "amount"],
+        field_types={"amount": "float"},
+        provider_name="p",
+    )
+    qdir = tmp_path / "quarantine"
+    result = run_pipeline(
+        spark,
+        str(src),
+        tpl,
+        str(tmp_path / "out.parquet"),
+        quarantine_dir=str(qdir),
+        validation_level="contract",
+    )
+    assert not result.success
+    assert (qdir / "bad.error.log").exists()
+    assert (qdir / "bad.parquet").exists()
+    # coerce level on the same input succeeds with nulls→0 handling upstream
+    ok = run_pipeline(
+        spark, str(src), tpl, str(tmp_path / "out2.parquet"), validation_level="coerce"
+    )
+    assert ok.success
