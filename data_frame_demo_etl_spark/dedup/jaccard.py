@@ -64,19 +64,25 @@ def jaccard_pairs(
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     with_sz = ranked.join(F.broadcast(sizes), "doc")
-    # Prefix length ⌊(1−t)·sz⌋ + 1.
+    # Prefix length sz − ⌈t·sz⌉ + 1, in EXACT integer arithmetic.
+    # Naive float floor((1−t)·sz)+1 silently shrinks the prefix when
+    # (1−t)·sz lands just under an integer (e.g. 0.2·10 →
+    # 1.9999999999999996), which breaks the AllPairs guarantee and
+    # drops true pairs sitting exactly at the threshold.
+    scale = 1_000_000
+    t_num = int(round(threshold * scale))
+    ceil_t_sz = F.floor((F.col("sz") * t_num + (scale - 1)) / scale)
     prefix = with_sz.filter(
-        F.col("rn") <= F.floor((1.0 - threshold) * F.col("sz")) + 1
+        F.col("rn") <= F.col("sz") - ceil_t_sz + 1
     ).select("doc", "h", "sz")
 
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), F.col("a.h") == F.col("b.h"))
         .filter(F.col("a.doc") < F.col("b.doc"))
-        # Length filter: J >= t ⇒ min/max sizes ratio >= t.
-        .filter(
-            (F.least("a.sz", "b.sz").cast("double") / F.greatest("a.sz", "b.sz")) >= threshold
-        )
+        # Length filter: J >= t ⇒ min/max sizes ratio >= t (exact
+        # integer comparison for the same reason as above).
+        .filter(F.least("a.sz", "b.sz") * scale >= F.greatest("a.sz", "b.sz") * t_num)
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
