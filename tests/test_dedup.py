@@ -82,6 +82,12 @@ def test_prefix_filter_matches_naive(spark, sf_dir):
     from data_frame_demo_etl_spark.sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    fast = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_pairs(docs, threshold=0.7).collect()}
-    naive = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_pairs_naive(docs, threshold=0.7).collect()}
-    assert fast == naive and len(fast) > 0
+    # 0.8 is the regression threshold: pairs sitting EXACTLY at t
+    # (e.g. an 8-subset of a 10-set) once fell to float truncation in
+    # the prefix-length computation.
+    for t in (0.7, 0.8):
+        fast = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_pairs(docs, threshold=t).collect()}
+        naive = {
+            (r.id_a, r.id_b, r.jaccard) for r in jaccard_pairs_naive(docs, threshold=t).collect()
+        }
+        assert fast == naive and len(fast) > 0
