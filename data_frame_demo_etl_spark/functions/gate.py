@@ -111,6 +111,93 @@ ORDER BY doc_id
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + counting over synthesized PII-bearing text
+    (deterministically injected into the corpus so the oracle sees the
+    same spans)."""
+    docs = load_table(spark, "documents", sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 123-45-6789 end")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return salted.select(
+        "doc_id",
+        T.redact_pii(F.col("text")).alias("redacted"),
+        T.pii_counts(F.col("text"))["email"].alias("email_hits"),
+        T.pii_counts(F.col("text"))["ssn"].alias("ssn_hits"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_REDACT_SQL = r"""
+WITH salted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789 end' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  REGEXP_REPLACE(
+    REGEXP_REPLACE(
+      REGEXP_REPLACE(
+        REGEXP_REPLACE(
+          REGEXP_REPLACE(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+          '[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}', '[CREDIT_CARD]', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IPV4]', 'g'),
+    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g') AS redacted,
+  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS email_hits,
+  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER) AS ssn_hits
+FROM salted
+ORDER BY doc_id
+"""
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring over text with deterministically injected
+    duplicate lines."""
+    docs = load_table(spark, "documents", sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nfooter line"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nfooter line")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return lined.select(
+        "doc_id", F.round(T.repetition_score(F.col("text")), 6).alias("repetition")
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SCORE_SQL = r"""
+WITH lined AS (
+  SELECT doc_id,
+    text || CHR(10) || 'footer line'
+         || CASE WHEN doc_id % 3 = 0 THEN CHR(10) || 'footer line' ELSE '' END AS text
+  FROM documents
+),
+arr AS (
+  SELECT doc_id,
+    LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, CHR(10)), s -> TRIM(s)), s -> s != '') AS lines
+  FROM lined
+)
+SELECT doc_id,
+  ROUND(CASE WHEN LEN(lines) > 1
+        THEN CAST(LEN(lines) - LEN(LIST_DISTINCT(lines)) AS DOUBLE) / LEN(lines)
+        ELSE 0.0 END, 6) AS repetition
+FROM arr
+ORDER BY doc_id
+"""
+
+
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup_exact(docs, text_col="text", id_col="doc_id").orderBy("doc_id")

@@ -89,6 +89,45 @@ def lang_id(text: Column) -> Column:
     return F.when(current > 0, result).otherwise(F.lit("und"))
 
 
+# PII patterns kept RE2-compatible (no lookarounds) so the same regex
+# semantics hold in Spark (java.util.regex) and DuckDB (RE2) — and in
+# any downstream engine a pipeline might verify against.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "credit_card": r"[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace PII spans with ``[<KIND>]`` tokens (training-data
+    hygiene). Order matters: more specific patterns run first."""
+    order = [k for k in ("ssn", "credit_card", "email", "ipv4", "phone") if kinds is None or k in kinds]
+    out = text
+    for kind in order:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (for filtering/reporting)."""
+    return {k: F.regexp_count(text, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def repetition_score(text: Column) -> Column:
+    """Fraction of lines that duplicate an earlier line — the standard
+    boilerplate/repetition signal. 0.0 for ≤1 line; pure array
+    expressions (no explode, no shuffle)."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda s: F.trim(s)), lambda s: s != ""
+    )
+    n = F.size(lines)
+    distinct_n = F.size(F.array_distinct(lines))
+    return F.when(n > 1, (n - distinct_n).cast("double") / n).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 over whitespace-normalized,
     lowercased text. Used for exact dedup at scale (hash, not payload,

@@ -115,6 +115,10 @@ register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_
 register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
 register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
 register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
+register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
+register(
+    "text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL
+)
 register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
 
 # --- near-dup dedup (SURVEY §2.9) ---

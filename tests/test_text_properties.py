@@ -80,3 +80,40 @@ def test_iso8601_rejects_garbage(spark):
     df = spark.createDataFrame([("xP1D",), ("",), ("P1X",), (None,)], ["dur"])
     vals = [r.s for r in df.select(iso8601_duration_seconds(F.col("dur")).alias("s")).collect()]
     assert vals == [0, 0, 0, 0]
+
+
+def test_redact_pii_known_cases(spark):
+    from data_frame_demo_etl_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.co.uk please"),
+        (1, "ssn 123-45-6789 and card 4111 1111 1111 1111"),
+        (2, "server at 192.168.0.1 called +1 (555) 123-4567"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {r.i: r.red for r in df.select("i", redact_pii(F.col("t")).alias("red")).collect()}
+    assert "[EMAIL]" in out[0] and "@" not in out[0]
+    assert "[SSN]" in out[1] and "[CREDIT_CARD]" in out[1]
+    assert "[IPV4]" in out[2] and "[PHONE]" in out[2]
+    assert out[3] == rows[3][1]
+
+    counts = df.select("i", *[c.alias(k) for k, c in pii_counts(F.col("t")).items()]).collect()
+    by_i = {r.i: r for r in counts}
+    assert by_i[0].email == 1 and by_i[1].ssn == 1 and by_i[3].email == 0
+
+
+def test_repetition_score_cases(spark):
+    from data_frame_demo_etl_spark.functions.text import repetition_score
+
+    rows = [
+        (0, "a\nb\nc"),          # no repeats → 0
+        (1, "x\nx\nx\nx"),       # 3 of 4 repeated → 0.75
+        (2, "single"),           # one line → 0
+        (3, "a\n a \nb"),        # trimmed duplicates count
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {r.i: r.s for r in df.select("i", repetition_score(F.col("t")).alias("s")).collect()}
+    assert out[0] == 0.0 and out[2] == 0.0
+    assert abs(out[1] - 0.75) < 1e-12
+    assert abs(out[3] - 1 / 3) < 1e-12
