@@ -1,0 +1,57 @@
+"""Physical-plan auditing: programmatic checks that a DataFrame's
+executed plan has the shape you intended — filters pushed to scans,
+dims broadcast, no accidental cartesian products or stray shuffles.
+
+Meant for perf CI: assert on the report instead of eyeballing
+``explain()`` output.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanReport:
+    broadcast_joins: int = 0
+    sort_merge_joins: int = 0
+    nested_loop_joins: int = 0
+    exchanges: int = 0
+    scans: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    wholestage_codegen: bool = False
+    raw: str = ""
+
+
+def plan_report(df: DataFrame) -> PlanReport:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rep = PlanReport(raw=plan)
+    rep.broadcast_joins = plan.count("BroadcastHashJoin")
+    rep.sort_merge_joins = plan.count("SortMergeJoin")
+    rep.nested_loop_joins = plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "CartesianProduct"
+    )
+    rep.exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    rep.scans = plan.count("FileScan")
+    rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    rep.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    rep.wholestage_codegen = "WholeStageCodegen" in plan
+    return rep
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    rep = plan_report(df)
+    if rep.nested_loop_joins:
+        raise AssertionError(f"plan contains nested-loop/cartesian join:\n{rep.raw}")
+
+
+def assert_filters_pushed(df: DataFrame, expect_substring: str) -> None:
+    rep = plan_report(df)
+    if not any(expect_substring in f for f in rep.pushed_filters):
+        raise AssertionError(
+            f"no pushed filter mentioning {expect_substring!r}; got {rep.pushed_filters}"
+        )

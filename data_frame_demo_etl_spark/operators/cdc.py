@@ -44,3 +44,30 @@ def apply_changes(
     untouched = base.join(latest.select(*key), key, "left_anti")
     upserts = latest.filter(F.lower(F.col(op_col)) != "delete").select(*key, *payload)
     return untouched.unionByName(upserts)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    one row per change version with ``valid_from`` / ``valid_to``
+    (null = current) and ``is_current``.
+
+    A delete closes the previous version without opening a new one.
+    One shuffle (the per-key window); ``lead()`` supplies each
+    version's expiry.
+    """
+    key = list(key)
+    w = Window.partitionBy(*key).orderBy(F.col(seq_col).asc())
+    with_next = changes.withColumn("__next_seq", F.lead(seq_col).over(w))
+    versions = with_next.filter(F.lower(F.col(op_col)) != "delete")
+    return versions.select(
+        *key,
+        *[c for c in changes.columns if c not in key and c != op_col and c != seq_col],
+        F.col(seq_col).alias("valid_from"),
+        F.col("__next_seq").alias("valid_to"),
+        F.col("__next_seq").isNull().alias("is_current"),
+    )

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark import registry
+from data_frame_demo_etl_spark.operators.audit import (
+    assert_filters_pushed,
+    assert_no_cartesian,
+    plan_report,
+)
+from data_frame_demo_etl_spark.operators.cdc import scd2_history
+
+
+def test_scd2_history(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "insert", 10.0),
+            (1, 2, "update", 20.0),
+            (1, 3, "update", 30.0),
+            (2, 1, "insert", 5.0),
+            (2, 2, "delete", None),
+            (3, 1, "insert", 7.0),
+        ],
+        "k long, seq long, op string, val double",
+    )
+    hist = scd2_history(changes, key=["k"], seq_col="seq")
+    rows = sorted(hist.collect(), key=lambda r: (r.k, r.valid_from))
+    k1 = [r for r in rows if r.k == 1]
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in k1] == [
+        (1, 2, False),
+        (2, 3, False),
+        (3, None, True),
+    ]
+    assert [r.val for r in k1] == [10.0, 20.0, 30.0]
+    k2 = [r for r in rows if r.k == 2]
+    # Deleted key: its only version is closed by the delete, not current.
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in k2] == [(1, 2, False)]
+    k3 = [r for r in rows if r.k == 3]
+    assert k3[0].is_current
+
+
+def test_plan_audit_q1(spark, sf_oracle_dir):
+    df = registry.queries()["q1_pricing_summary"](spark, sf_oracle_dir)
+    rep = plan_report(df)
+    assert rep.scans == 1
+    assert_no_cartesian(df)
+    assert_filters_pushed(df, "l_shipdate")
+    # Only the aggregation shuffle — no join exchanges.
+    assert rep.sort_merge_joins == 0
+
+
+def test_plan_audit_q5_broadcasts(spark, sf_oracle_dir):
+    df = registry.queries()["q5_local_supplier_volume"](spark, sf_oracle_dir)
+    rep = plan_report(df)
+    assert rep.broadcast_joins >= 2  # nation + region forced; others stats-chosen
+    assert_no_cartesian(df)
+    assert_filters_pushed(df, "o_orderdate")
+
+
+def test_plan_audit_flags_cartesian(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(2,)], ["y"])
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_no_cartesian(a.crossJoin(b))
