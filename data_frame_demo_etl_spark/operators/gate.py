@@ -325,6 +325,52 @@ ORDER BY c_custkey
 """
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioning over a synthetic customer change stream:
+    v1 insert for everyone, v2 balance update for custkey%3==0,
+    v3 delete for custkey%9==0."""
+    from .cdc import scd2_history
+
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    v1 = customer.select(
+        "c_custkey", F.lit(1).alias("seq"), F.lit("insert").alias("op"), "c_acctbal"
+    )
+    v2 = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("seq"),
+        F.lit("update").alias("op"),
+        F.round(F.col("c_acctbal").cast("decimal(12,2)") * 2, 2).cast("double").alias("c_acctbal"),
+    )
+    v3 = customer.filter(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey", F.lit(3).alias("seq"), F.lit("delete").alias("op"), F.lit(None).cast("double").alias("c_acctbal")
+    )
+    hist = scd2_history(v1.unionByName(v2).unionByName(v3), key=["c_custkey"], seq_col="seq")
+    return hist.orderBy("c_custkey", "valid_from")
+
+
+SCD2_CUSTOMER_HISTORY_SQL = """
+WITH changes AS (
+  SELECT c_custkey, 1 AS seq, 'insert' AS op, c_acctbal FROM customer
+  UNION ALL
+  SELECT c_custkey, 2, 'update',
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) * 2, 2) AS DOUBLE)
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, 3, 'delete', CAST(NULL AS DOUBLE) FROM customer WHERE c_custkey % 9 = 0
+),
+with_next AS (
+  SELECT c_custkey, seq, op, c_acctbal,
+         LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS next_seq
+  FROM changes
+)
+SELECT c_custkey, c_acctbal, seq AS valid_from, next_seq AS valid_to,
+       next_seq IS NULL AS is_current
+FROM with_next
+WHERE LOWER(op) != 'delete'
+ORDER BY c_custkey, valid_from
+"""
+
+
 # --- sampling / capping / packing ----------------------------------------
 
 def cap_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,6 +102,9 @@ register(
     ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
 )
 register("sample_documents", ops_gate.sample_documents, None)
+register(
+    "scd2_customer_history", ops_gate.scd2_customer_history, ops_gate.SCD2_CUSTOMER_HISTORY_SQL
+)
 register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
 register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
 register(
