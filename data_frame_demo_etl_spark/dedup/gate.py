@@ -46,6 +46,59 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → (doc_id, cluster).
+    Oracle: recursive-CTE transitive closure over the same pairs."""
+    from .clusters import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = jaccard_pairs(docs, threshold=THRESHOLD)
+    comps = connected_components(pairs)
+    return comps.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster")).orderBy(
+        "doc_id"
+    )
+
+
+# Recursive transitive closure over the jaccard pairs (the pair graph
+# is tiny relative to the corpus, so the CTE oracle is tractable).
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster
+FROM reach
+GROUP BY u
+ORDER BY doc_id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return minhash_near_dup_pairs(docs, threshold=THRESHOLD).orderBy("id_a", "id_b")

@@ -91,3 +91,17 @@ def test_prefix_filter_matches_naive(spark, sf_dir):
             (r.id_a, r.id_b, r.jaccard) for r in jaccard_pairs_naive(docs, threshold=t).collect()
         }
         assert fast == naive and len(fast) > 0
+
+
+def test_connected_components_known_graph(spark):
+    from data_frame_demo_etl_spark.dedup.clusters import connected_components, resolve_duplicates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], ["id_a", "id_b"]
+    )
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+    corpus = spark.createDataFrame([(i, f"d{i}") for i in range(12)], ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in resolve_duplicates(corpus, pairs).collect())
+    assert kept == [0, 1, 5, 7, 8, 11]
