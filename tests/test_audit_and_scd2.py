@@ -63,3 +63,27 @@ def test_plan_audit_flags_cartesian(spark):
     b = spark.createDataFrame([(2,)], ["y"])
     with pytest.raises(AssertionError, match="cartesian"):
         assert_no_cartesian(a.crossJoin(b))
+
+
+# Queries that intentionally cross-join: ANN scores a broadcast query
+# set against the corpus; gap-fill builds a dense (bucket × key) grid
+# from two tiny sides.
+CARTESIAN_ALLOWED = {"ann_cosine_topk", "events_gapfill"}
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    import pyspark
+
+    bad = {}
+    for name, fn in registry.queries().items():
+        if name in CARTESIAN_ALLOWED:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover
+            bad[name] = f"build failed: {exc}"
+            continue
+        rep = plan_report(df)
+        if rep.nested_loop_joins:
+            bad[name] = "nested-loop/cartesian join in plan"
+    assert not bad, bad
