@@ -196,6 +196,7 @@ register(
 
 # --- sources / normalize / pipeline e2e (SURVEY §2.1, §2.2, pipeline) ---
 register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
+register("ingest_csv_multifile", src_gate.ingest_csv_multifile, src_gate.INGEST_CSV_MULTIFILE_SQL)
 register("ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL)
 register("normalize_rename", src_gate.normalize_rename, src_gate.NORMALIZE_RENAME_SQL)
 register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)

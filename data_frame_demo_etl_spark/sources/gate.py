@@ -65,6 +65,24 @@ ORDER BY p_partkey
 """
 
 
+def ingest_csv_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-small-files ingest: part split into 4 CSV shards read as a
+    glob through the pandas-per-file path (parallelized file list)."""
+    d = _tmp_dir(sf_dir, "ingest_csv_multi")
+    pdf = pd.read_parquet(f"{sf_dir}/part.parquet").sort_values("p_partkey")
+    for shard in range(4):
+        chunk = pdf[pdf["p_partkey"] % 4 == shard]
+        body = chunk.to_csv(sep=";", index=False)
+        (d / f"part_{shard}.csv").write_text(
+            "# shard export\njunk;junk;junk;junk;junk;junk\n" + body, encoding="utf-8"
+        )
+    df = read_with_template(spark, str(d / "part_*.csv"), _CSV_TEMPLATE)
+    return df.orderBy("p_partkey")
+
+
+INGEST_CSV_MULTIFILE_SQL = INGEST_CSV_TEMPLATE_SQL
+
+
 def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → jsonl (distributed write) → read back: lossless."""
     target = str(_tmp_dir(sf_dir, "jsonl") / "documents.jsonl")
