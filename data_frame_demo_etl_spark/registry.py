@@ -134,6 +134,9 @@ register("dedup_simhash", dedup_gate.dedup_simhash, None)
 register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
 register("ann_lsh_topk", sim_gate.ann_lsh_topk, None)
 register("dedup_embedding", sim_gate.dedup_embedding, None)
+register(
+    "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
+)
 
 from .similarity.ivf import ann_ivf_topk  # noqa: E402
 

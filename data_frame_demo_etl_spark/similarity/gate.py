@@ -53,6 +53,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, _queries(emb), dim=DIM, k=K).orderBy("query_id", "rank")
 
 
+def embeddings_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: posexplode the vectors and
+    average each dimension (decimal-exact sums → engine-identical
+    results). Covers labelled-vector analytics: class centroids are
+    the building block of nearest-class-mean classification and
+    per-class drift monitoring."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label", "dim", F.col("val").cast("double").cast("decimal(18,9)").alias("val")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val").cast("double") / F.count(F.lit(1)), 6).alias("centroid_val"),
+        )
+        .filter(F.col("dim") < 8)  # keep the gate output compact
+        .orderBy("label", "dim")
+    )
+
+
+EMBEDDINGS_LABEL_STATS_SQL = """
+WITH exploded AS (
+  SELECT label, i - 1 AS dim,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS val
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i)
+)
+SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
+       ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+FROM exploded
+WHERE dim < 8
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return embedding_near_dup_pairs(emb, dim=DIM, threshold=0.9).orderBy("id_a", "id_b")
