@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.catalog import load_table
-from .tpch import _dec, _disc_price, _money
+from .tpch import _dec, _money
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

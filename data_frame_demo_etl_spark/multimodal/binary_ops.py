@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 MAGIC = b"FIMG"
 HEADER_FMT = ">4sHHH"  # magic, width, height, channels

@@ -10,7 +10,7 @@ the parquet scan (visible as PushedFilters in explain()).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 

@@ -15,7 +15,7 @@ import traceback
 from dataclasses import dataclass, field as dc_field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from .operators import transform as T
 from .operators.dedupe import dedupe_keep_first

@@ -170,8 +170,6 @@ register(
 def _group_zscore_gate(spark, sf_dir):
     """applyInPandas grouped-map coverage (rows-only: float summation
     order inside pandas groups is engine-specific)."""
-    from pyspark.sql import functions as F
-
     from .operators.grouped import group_zscore
     from .sources.catalog import load_table
 

@@ -12,7 +12,7 @@ from pathlib import Path
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline import run_pipeline
 from ..template_config import TemplateConfig

@@ -21,11 +21,10 @@ from __future__ import annotations
 
 import glob as globmod
 from collections.abc import Iterator
-from pathlib import Path
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     DoubleType,
     LongType,
