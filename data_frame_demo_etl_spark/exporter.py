@@ -27,6 +27,7 @@ def export_dataset(
     formats: tuple[str, ...] = ("parquet", "jsonl"),
     meta: dict | None = None,
     partition_by: tuple[str, ...] = (),
+    compression: str | None = None,
 ) -> dict[str, Path]:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -46,9 +47,17 @@ def export_dataset(
         if fmt == "parquet":
             target = out / "data.parquet"
             writer = df.write.mode("overwrite")
+            if compression:
+                writer = writer.option("compression", compression)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(str(target))
+        elif fmt == "orc":
+            target = out / "data.orc"
+            writer = df.write.mode("overwrite")
+            if compression:
+                writer = writer.option("compression", compression)
+            writer.orc(str(target))
         elif fmt == "jsonl":
             target = out / "data.jsonl"
             df.write.mode("overwrite").json(str(target))

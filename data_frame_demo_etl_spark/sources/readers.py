@@ -109,6 +109,9 @@ def read_with_template(
     if tpl.source_type == "parquet":
         df = spark.read.parquet(*files)
         return _project_spark(df, tpl)
+    if tpl.source_type == "orc":
+        df = spark.read.orc(*files)
+        return _project_spark(df, tpl)
     if tpl.source_type == "jsonl":
         df = spark.read.json(files)
         return _project_spark(df, tpl)

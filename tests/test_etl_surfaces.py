@@ -237,3 +237,17 @@ def test_approx_stats_accuracy(spark, sf_oracle_dir):
         ap = approx[et]
         assert abs(ap.approx_users - ex.users) / ex.users < 0.05
         assert abs(ap.value_pcts[0] - ex.p50) <= abs(ex.p50) * 0.05 + 1.0
+
+
+def test_orc_roundtrip_with_compression(spark, tmp_path):
+    from data_frame_demo_etl_spark.sources.readers import read_with_template
+    from data_frame_demo_etl_spark.template_config import TemplateConfig
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    written = export_dataset(
+        df, tmp_path / "orc_out", formats=("orc",), compression="zstd"
+    )
+    back = read_with_template(
+        spark, str(written["orc"]), TemplateConfig(source_type="orc")
+    )
+    assert {(r.id, r.val) for r in back.collect()} == {(1, "a"), (2, "b")}
