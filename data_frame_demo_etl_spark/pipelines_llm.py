@@ -1,0 +1,175 @@
+"""End-to-end LLM training-data preparation pipeline: the operators of
+this engine composed into the actual product workflow.
+
+    documents
+      → text hygiene (PII redaction)
+      → quality scoring + filtering (length / stopword / punctuation)
+      → language ID + filtering
+      → exact dedup (hash winners)
+      → near-dup clustering (n-gram Jaccard pairs → connected
+        components → keep cluster minimum)
+      → deterministic train/val/test split (content hash)
+      → token-budget packing per split
+      → export with manifest
+
+Everything up to the split is expressible in ANSI SQL, so the gate
+runs the whole composed pipeline against a single DuckDB oracle — the
+strongest end-to-end correctness statement in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup.clusters import connected_components
+from .dedup.jaccard import jaccard_pairs
+from .functions import text as T
+from .operators.dedupe import dedup_exact
+from .operators.sampling import pack_by_budget, split_by_hash
+from .sources.catalog import load_table
+
+QUALITY_MIN = 0.3
+JACCARD_THRESHOLD = 0.8
+KEEP_LANGS = ("en", "und")
+
+
+def prepare_corpus(docs: DataFrame) -> DataFrame:
+    """The deterministic (oracle-able) portion: hygiene → filters →
+    exact dedup → near-dup cluster resolution."""
+    scored = docs.select(
+        "doc_id",
+        T.redact_pii(F.col("text")).alias("text"),
+        "source",
+        "n_chars",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred").isin(*KEEP_LANGS))
+    )
+    exact = dedup_exact(filtered, text_col="text", id_col="doc_id")
+
+    pairs = jaccard_pairs(exact, threshold=JACCARD_THRESHOLD)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return exact.join(losers, "doc_id", "left_anti")
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    budget: int = 2000,
+) -> dict[str, DataFrame]:
+    """Full pipeline: corpus prep + hash split + per-split packing."""
+    corpus = prepare_corpus(docs)
+    splits = split_by_hash(corpus, ["doc_id"], fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    return {
+        name: pack_by_budget(df, group_col="source", order_by=["doc_id"], size_col="n_chars", budget=budget)
+        for name, df in splits.items()
+    }
+
+
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the oracle-able pipeline portion over `documents`."""
+    docs = load_table(spark, "documents", sf_dir)
+    return prepare_corpus(docs).select(
+        "doc_id", "source", "n_chars", "quality", "lang_pred"
+    ).orderBy("doc_id")
+
+
+_SW = "', '".join(T.STOPWORDS)
+_EN = "', '".join(T.LANG_MARKERS["en"])
+_DE = "', '".join(T.LANG_MARKERS["de"])
+_ES = "', '".join(T.LANG_MARKERS["es"])
+_FR = "', '".join(T.LANG_MARKERS["fr"])
+
+LLM_PREP_PIPELINE_SQL = rf"""
+WITH RECURSIVE redacted AS (
+  SELECT doc_id, source, n_chars,
+    REGEXP_REPLACE(
+      REGEXP_REPLACE(
+        REGEXP_REPLACE(
+          REGEXP_REPLACE(
+            REGEXP_REPLACE(text, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '[SSN]', 'g'),
+            '[0-9]{{4}}[ -]?[0-9]{{4}}[ -]?[0-9]{{4}}[ -]?[0-9]{{4}}', '[CREDIT_CARD]', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+        '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}', '[IPV4]', 'g'),
+      '\+?[0-9][0-9()\-\s]{{7,}}[0-9]', '[PHONE]', 'g') AS text
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, text, source, n_chars,
+    CAST(LENGTH(text) AS DOUBLE) AS n,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '')) AS DOUBLE) AS wc,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w IN ('{_SW}'))) AS DOUBLE) AS sw,
+    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS DOUBLE) AS punct,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w IN ('{_DE}'))) AS INTEGER) AS de,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w IN ('{_EN}'))) AS INTEGER) AS en,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w IN ('{_ES}'))) AS INTEGER) AS es,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w IN ('{_FR}'))) AS INTEGER) AS fr,
+    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[一-鿿]')) AS INTEGER) AS zh
+  FROM redacted
+),
+scored AS (
+  SELECT doc_id, text, source, n_chars,
+    ROUND(
+      0.5 * LEAST(n / 500.0, 1.0)
+      + 0.5 * LEAST((CASE WHEN wc > 0 THEN sw / wc ELSE 0.0 END) * 5, 1.0)
+      - 0.25 * LEAST((CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4, 1.0),
+    6) AS quality,
+    CASE
+      WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+      WHEN de >= GREATEST(en, es, fr, zh) THEN 'de'
+      WHEN en >= GREATEST(es, fr, zh) THEN 'en'
+      WHEN es >= GREATEST(fr, zh) THEN 'es'
+      WHEN fr >= zh THEN 'fr'
+      ELSE 'zh'
+    END AS lang_pred
+  FROM feats
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE quality >= {QUALITY_MIN} AND lang_pred IN ('en', 'und')
+),
+exact AS (
+  SELECT * FROM filtered
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM exact
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+),
+clusters AS (
+  SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u
+)
+SELECT e.doc_id, e.source, e.n_chars, e.quality, e.lang_pred
+FROM exact e
+LEFT JOIN clusters c ON c.doc_id = e.doc_id
+WHERE c.doc_id IS NULL OR c.component = e.doc_id
+ORDER BY e.doc_id
+"""

@@ -195,6 +195,11 @@ register(
     tmp_gate.RANGE_JOIN_ERROR_FOLLOWUPS_SQL,
 )
 
+# --- composed LLM data-prep pipeline (flagship composition) ---
+from . import pipelines_llm  # noqa: E402
+
+register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
+
 # --- sources / normalize / pipeline e2e (SURVEY §2.1, §2.2, pipeline) ---
 register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
 register("ingest_csv_multifile", src_gate.ingest_csv_multifile, src_gate.INGEST_CSV_MULTIFILE_SQL)
