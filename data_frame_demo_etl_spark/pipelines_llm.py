@@ -44,10 +44,13 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
         F.round(T.quality_score(F.col("text")), 6).alias("quality"),
         T.lang_id(F.col("text")).alias("lang_pred"),
     )
+    # Persist before the self-joining dedup: every downstream branch
+    # (winner groupBy, rejoin, shingling, final anti-join) would
+    # otherwise re-execute the regex-heavy scoring.
     filtered = scored.filter(
         (F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred").isin(*KEEP_LANGS))
-    )
-    exact = dedup_exact(filtered, text_col="text", id_col="doc_id")
+    ).persist()
+    exact = dedup_exact(filtered, text_col="text", id_col="doc_id").persist()
 
     pairs = jaccard_pairs(exact, threshold=JACCARD_THRESHOLD)
     comps = connected_components(pairs)

@@ -105,3 +105,18 @@ def test_connected_components_known_graph(spark):
     corpus = spark.createDataFrame([(i, f"d{i}") for i in range(12)], ["doc_id", "text"])
     kept = sorted(r.doc_id for r in resolve_duplicates(corpus, pairs).collect())
     assert kept == [0, 1, 5, 7, 8, 11]
+
+
+def test_distributed_components_match_union_find(spark):
+    from data_frame_demo_etl_spark.dedup.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30, 2)] + [(5, 9), (9, 13), (100, 2)],
+        ["id_a", "id_b"],
+    )
+    fast = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
