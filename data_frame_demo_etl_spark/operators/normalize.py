@@ -72,6 +72,41 @@ def auto_map_columns(
     return mapping
 
 
+def normalize_header_text(text: str) -> str:
+    """Lowercase, strip punctuation, collapse whitespace (reference
+    webapp/pages/02_Mapping.py:29-31)."""
+    import re
+
+    cleaned = re.sub(r"[^a-z0-9]+", " ", text.lower())
+    return re.sub(r"\s+", " ", cleaned).strip()
+
+
+def best_target(source: str, synonyms: Mapping[str, Sequence[str]], cutoff: float = 0.6) -> str | None:
+    """Highest-similarity canonical field for one header, or None below
+    cutoff (reference 02_Mapping.py:34-47 semantics)."""
+    source_norm = normalize_header_text(source)
+    best_score, best = 0.0, None
+    for target, terms in synonyms.items():
+        for term in [target, *terms]:
+            score = difflib.SequenceMatcher(None, source_norm, normalize_header_text(term)).ratio()
+            if score > best_score:
+                best_score, best = score, target
+    return best if best_score >= cutoff else None
+
+
+def infer_simple_type(spark_dtype: str) -> str:
+    """Coarse UI type label for a Spark dtype (reference
+    02_Mapping.py:50-57 semantics)."""
+    d = spark_dtype.lower()
+    if d.startswith(("timestamp", "date")):
+        return "Date"
+    if d in ("boolean",):
+        return "Boolean"
+    if d.startswith(("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")):
+        return "Number"
+    return "Text"
+
+
 def guess_header_row(preview: pd.DataFrame) -> int:
     """Heuristic over a small driver-side preview: the first row that
     is mostly strings and mostly populated is the header."""

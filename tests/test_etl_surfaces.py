@@ -251,3 +251,21 @@ def test_orc_roundtrip_with_compression(spark, tmp_path):
         spark, str(written["orc"]), TemplateConfig(source_type="orc")
     )
     assert {(r.id, r.val) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_best_target_and_type_inference():
+    from data_frame_demo_etl_spark.operators.normalize import (
+        TARGET_SCHEMA,
+        best_target,
+        infer_simple_type,
+        normalize_header_text,
+    )
+
+    assert normalize_header_text("Net-Amount (EUR)!") == "net amount eur"
+    assert best_target("Vendor", TARGET_SCHEMA) == "provider_id"
+    assert best_target("Quantity Sold", TARGET_SCHEMA) == "sales_qty"
+    assert best_target("zzqx", TARGET_SCHEMA) is None
+    assert infer_simple_type("timestamp") == "Date"
+    assert infer_simple_type("decimal(12,2)") == "Number"
+    assert infer_simple_type("boolean") == "Boolean"
+    assert infer_simple_type("string") == "Text"
