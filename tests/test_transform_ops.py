@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.operators.transform import (
+    add_provider_id,
+    coerce_date,
+    coerce_numeric,
+    combine_on_aggregate,
+    drop_empty_rows,
+    drop_null_columns,
+    null_fractions,
+    strip_thousands,
+    trim_strings,
+    unpivot,
+)
+
+
+def test_drop_empty_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, None), (2, None)], "x int, y string"
+    )
+    assert drop_empty_rows(df).count() == 2
+
+
+def test_null_fractions_and_drop_null_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, None), (3, None, "c"), (4, 1.0, "d")],
+        "x int, mostly_null double, y string",
+    )
+    fracs = null_fractions(df)
+    assert fracs["x"] == 0.0 and fracs["mostly_null"] == 0.75
+    kept = drop_null_columns(df, threshold=0.5)
+    assert set(kept.columns) == {"x", "y"}
+    # threshold 0.2 keeps the 25%-non-null column too
+    assert set(drop_null_columns(df, threshold=0.25).columns) == {"x", "mostly_null", "y"}
+
+
+def test_trim_and_strip_thousands(spark):
+    df = spark.createDataFrame([("  a b  ", "1,234 567")], "s string, amt string")
+    out = strip_thousands(trim_strings(df, ["s"]), ["amt"]).collect()[0]
+    assert out.s == "a b"
+    assert out.amt == "1234567"
+
+
+def test_coerce_date_and_numeric(spark):
+    df = spark.createDataFrame(
+        [("2024-01-05", "10.5"), ("garbage", "xx")], "d string, v string"
+    )
+    dates = coerce_date(df, "d", drop_unparseable=True)
+    assert dates.count() == 1
+    nums = coerce_numeric(df, "v", fill=0.0).collect()
+    assert sorted(r.v for r in nums) == [0.0, 10.5]
+    kept_null = coerce_numeric(df, "v", fill=None).collect()
+    assert None in [r.v for r in kept_null]
+
+
+def test_unpivot_and_provider(spark):
+    df = spark.createDataFrame([(1, 10, 2.5)], "id int, a int, b double")
+    melted = add_provider_id(
+        unpivot(df, ["id"], ["a", "b"], var_name="m", value_name="v"), "prov"
+    ).collect()
+    assert {(r.m, r.v, r.provider_id) for r in melted} == {("a", 10.0, "prov"), ("b", 2.5, "prov")}
+
+
+def test_combine_on_aggregate_null_groups(spark):
+    df = spark.createDataFrame(
+        [("k1", 1.0), ("k1", 2.0), ("k2", None)], "k string, v double"
+    )
+    out = {r.k: r.v for r in combine_on_aggregate(df, ["k"]).collect()}
+    assert out["k1"] == 3.0
+    assert out["k2"] is None  # all-null group → null (pandas min_count=1 parity)
