@@ -264,6 +264,31 @@ def query_builder_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_BUILDER_FILTER_SQL = _QB_SPEC.to_sql("part")
 
 
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorization of extended prices at [p01, p99]
+    (exact percentiles match DuckDB quantile_cont bit-for-bit)."""
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return transform.winsorize(
+        l, "l_extendedprice", group_cols=["l_returnflag"]
+    ).orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+WINSORIZE_PRICES_SQL = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         QUANTILE_CONT(l_extendedprice, 0.01) AS lo,
+         QUANTILE_CONT(l_extendedprice, 0.99) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi) AS l_extendedprice
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag
+"""
+
+
 # --- CDC merge/upsert -----------------------------------------------------
 
 def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:

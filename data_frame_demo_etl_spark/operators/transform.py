@@ -105,6 +105,36 @@ def coerce_numeric(df: DataFrame, column: str, fill: float | None = 0.0) -> Data
     return df.withColumn(column, cast)
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Clip `value_col` to its [lower, upper] exact percentiles,
+    optionally per group — the standard outlier treatment before
+    aggregate modeling.
+
+    Exact ``percentile`` (interpolated) is computed in one aggregate
+    and broadcast back; clipping itself is a pure projection. At
+    extreme scale swap ``percentile`` for ``percentile_approx`` (the
+    API is otherwise identical)."""
+    lo, hi = F.expr(f"percentile({value_col}, {lower})"), F.expr(
+        f"percentile({value_col}, {upper})"
+    )
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(lo.alias("__lo"), hi.alias("__hi"))
+        joined = df.join(F.broadcast(bounds), list(group_cols))
+    else:
+        bounds = df.agg(lo.alias("__lo"), hi.alias("__hi"))
+        joined = df.crossJoin(F.broadcast(bounds))
+    return joined.withColumn(
+        value_col,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")
+
+
 def combine_on_aggregate(
     df: DataFrame, keys: Sequence[str], numeric_cols: Sequence[str] | None = None
 ) -> DataFrame:

@@ -95,6 +95,7 @@ register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
 register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
 register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
 register("cdc_apply_changes", ops_gate.cdc_apply_changes, ops_gate.CDC_APPLY_CHANGES_SQL)
+register("winsorize_prices", ops_gate.winsorize_prices, ops_gate.WINSORIZE_PRICES_SQL)
 register("cap_events_per_user", ops_gate.cap_events_per_user, ops_gate.CAP_EVENTS_PER_USER_SQL)
 register(
     "pack_documents_by_budget",
