@@ -55,6 +55,13 @@ register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL
 # --- relational operator coverage (SURVEY §2.8 extension) ---
 register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
 register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
+register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)
+register("q8_market_share", relational.q8_market_share, relational.Q8_MARKET_SHARE_SQL)
+register(
+    "orders_above_customer_avg",
+    relational.orders_above_customer_avg,
+    relational.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
+)
 register(
     "customers_without_orders",
     relational.customers_without_orders,
