@@ -72,3 +72,27 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_near_dup_recall(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs vs exhaustive cosine:
+    every emitted pair must be correct; recall over true pairs ≥ 0.5
+    (single 8-plane table; production would OR multiple tables)."""
+    from data_frame_demo_etl_spark.similarity.ann import embedding_near_dup_pairs
+    from data_frame_demo_etl_spark.functions.vectors import cosine as cos_expr
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos_expr(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= 0.9)
+        .collect()
+    }
+    approx = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, dim=64, threshold=0.9).collect()}
+    assert approx <= exact or not exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.5
