@@ -83,6 +83,31 @@ def _cmd_export(args) -> int:
     return 0
 
 
+def _cmd_youtube(args) -> int:
+    from .analytics.engagement import build_summaries
+    from .exporter import export_summary_workbook
+    from .sources.youtube_api import fetch_videos_df
+
+    spark = get_spark(app_name="etl-youtube")
+    frames = []
+    for pid in args.playlist_id or []:
+        frames.append(fetch_videos_df(spark, playlist_id=pid, max_results=args.max_results, api_key=args.api_key))
+    for cid in args.channel_id or []:
+        frames.append(fetch_videos_df(spark, channel_id=cid, max_results=args.max_results, api_key=args.api_key))
+    if not frames:
+        logging.error("provide --playlist-id or --channel-id")
+        return 1
+    detail = frames[0]
+    for f in frames[1:]:
+        detail = detail.unionByName(f)
+    written = export_dataset(detail, args.output_dir, formats=("parquet", "jsonl"))
+    if args.summary:
+        summaries = build_summaries(detail, top_n=args.top_n)
+        export_summary_workbook(summaries, Path(args.output_dir) / "summary")
+    print(json.dumps({"rows": detail.count(), "output": str(written.get("parquet"))}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_frame_demo_etl_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -114,6 +139,16 @@ def build_parser() -> argparse.ArgumentParser:
     export.add_argument("--out-dir", required=True)
     export.add_argument("--format", action="append", default=["parquet", "jsonl"])
     export.set_defaults(fn=_cmd_export)
+
+    yt = sub.add_parser("youtube", help="YouTube ETL: fetch videos + engagement summaries")
+    yt.add_argument("--playlist-id", action="append")
+    yt.add_argument("--channel-id", action="append")
+    yt.add_argument("--max-results", type=int, default=50)
+    yt.add_argument("--api-key")
+    yt.add_argument("--output-dir", required=True)
+    yt.add_argument("--summary", action="store_true")
+    yt.add_argument("--top-n", type=int, default=15)
+    yt.set_defaults(fn=_cmd_youtube)
     return p
 
 

@@ -107,3 +107,29 @@ def test_pipeline_quarantine_on_contract_failure(spark, tmp_path):
         spark, str(src), tpl, str(tmp_path / "out2.parquet"), validation_level="coerce"
     )
     assert ok.success
+
+
+def test_cli_youtube_with_fake_transport(spark, tmp_path, monkeypatch, capsys):
+    import data_frame_demo_etl_spark.sources.youtube_api as yt
+    from tests.test_youtube_api import fake_transport
+
+    monkeypatch.setattr(yt, "requests_transport", lambda key: fake_transport)
+    monkeypatch.setenv("YOUTUBE_API_KEY", "test-key")
+    rc = main(
+        [
+            "youtube",
+            "--playlist-id",
+            "UPL1",
+            "--max-results",
+            "5",
+            "--output-dir",
+            str(tmp_path / "yt"),
+            "--summary",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 3
+    detail = spark.read.parquet(str(tmp_path / "yt" / "data.parquet"))
+    assert "engagement_rate" in detail.columns
+    assert (tmp_path / "yt" / "summary" / "per_year").exists()
