@@ -25,10 +25,13 @@ def profile_metrics_df(df: DataFrame) -> DataFrame:
         (n - F.count_distinct(F.struct(*df.columns))).alias("duplicate_rows"),
     ]
     for c in df.columns:
+        # coalesce → 0.0 keeps the empty-input case well-formed
+        # (sum over zero rows is null, and 0/0 would be too).
         aggs.append(
-            F.round(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) * 100.0 / n, 2).alias(
-                f"null_pct_{c}"
-            )
+            F.coalesce(
+                F.round(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) * 100.0 / n, 2),
+                F.lit(0.0),
+            ).alias(f"null_pct_{c}")
         )
     return df.agg(*aggs)
 

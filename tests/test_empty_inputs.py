@@ -1,0 +1,65 @@
+"""Empty-input behavior: every operator must return a well-formed
+empty result, not crash — the difference between an engine and a
+script collection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.dedup.clusters import connected_components
+from data_frame_demo_etl_spark.dedup.jaccard import jaccard_pairs
+from data_frame_demo_etl_spark.dedup.minhash import minhash_near_dup_pairs
+from data_frame_demo_etl_spark.dedup.simhash import simhash_near_dup_pairs
+from data_frame_demo_etl_spark.operators.combine import concat_frames, merge_frames
+from data_frame_demo_etl_spark.operators.dedupe import dedup_exact, dedupe_keep_first
+from data_frame_demo_etl_spark.operators.profile import profile_metrics
+from data_frame_demo_etl_spark.operators.sampling import cap_per_key, pack_by_budget
+from data_frame_demo_etl_spark.operators.transform import (
+    combine_on_aggregate,
+    unpivot,
+    winsorize,
+)
+from data_frame_demo_etl_spark.streaming.events import sessionize
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_dedup_ops_on_empty_corpus(spark):
+    docs = _empty_docs(spark)
+    assert jaccard_pairs(docs).count() == 0
+    assert minhash_near_dup_pairs(docs).count() == 0
+    assert simhash_near_dup_pairs(docs).count() == 0
+    assert dedup_exact(docs, "text", "doc_id").count() == 0
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+    assert connected_components(pairs, driver_threshold=0).count() == 0
+
+
+def test_transform_ops_on_empty(spark):
+    df = spark.createDataFrame([], "id long, a double, b double")
+    assert unpivot(df, ["id"], ["a", "b"]).count() == 0
+    assert combine_on_aggregate(df, ["id"]).count() == 0
+    assert winsorize(df, "a", ["id"]).count() == 0
+    assert dedupe_keep_first(df, ["id"], ["a"]).count() == 0
+    assert cap_per_key(df, ["id"], ["a"], 3).count() == 0
+    assert pack_by_budget(df, "id", ["a"], "b", 100).count() == 0
+
+
+def test_combine_and_profile_on_empty(spark):
+    df = spark.createDataFrame([], "k long, v string")
+    assert concat_frames([df, df]).count() == 0
+    assert merge_frames([df, df], keys=["k"]).count() == 0
+    metrics = profile_metrics(df)
+    assert metrics["rows"] == 0 and metrics["duplicates"] == 0
+
+
+def test_sessionize_empty(spark):
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    assert sessionize(df).count() == 0
