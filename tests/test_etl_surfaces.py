@@ -269,3 +269,32 @@ def test_best_target_and_type_inference():
     assert infer_simple_type("decimal(12,2)") == "Number"
     assert infer_simple_type("boolean") == "Boolean"
     assert infer_simple_type("string") == "Text"
+
+
+def test_data_engine_facade(spark, tmp_path):
+    from data_frame_demo_etl_spark.engine import DataEngine, run_engine
+
+    eng = DataEngine(spark)
+    src = tmp_path / "in.csv"
+    src.write_text("sku,amount\nA1,5\nA2,7\n")
+    tpl = TemplateConfig(
+        source_type="csv",
+        columns=["sku", "amount"],
+        column_mappings={"sku": "article_sku", "amount": "sales_amount"},
+        provider_name="acme",
+        field_types={"sales_amount": "float"},
+    )
+    df = eng.read_source(src, tpl)
+    transformed, metrics, validation = run_engine(spark, df, tpl)
+    assert validation.is_valid
+    rows = {r.article_sku: r.sales_amount for r in transformed.collect()}
+    assert rows == {"A1": 5.0, "A2": 7.0}
+    assert set(transformed.columns) >= {"article_sku", "sales_amount", "provider_id"}
+
+    result = eng.run_full_process(src, tpl, tmp_path / "out.parquet")
+    assert result.success
+    combined = eng.run_combine(tmp_path, pattern="out.parquet")
+    assert combined.count() == 2
+
+    with pytest.raises(ValueError):
+        eng.ingest("not a frame", tpl)
