@@ -198,6 +198,78 @@ ORDER BY doc_id
 """
 
 
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (200 chars, 50 overlap) exploded to
+    one row per chunk."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunked = docs.select(
+        "doc_id", F.explode(T.chunk_text(F.col("text"), 200, 50)).alias("c")
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+        F.length("c.chunk").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+TEXT_CHUNKING_SQL = """
+WITH starts AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         UNNEST(GENERATE_SERIES(0, GREATEST((LENGTH(text)-1) - ((LENGTH(text)-1) % 150), 0), 150)) AS s
+  FROM documents
+),
+valid AS (
+  SELECT doc_id, text, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx
+  FROM starts WHERE s = 0 OR s < n
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       SUBSTRING(text, s + 1, 200) AS chunk,
+       CAST(LENGTH(SUBSTRING(text, s + 1, 200)) AS INTEGER) AS chunk_len
+FROM valid
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ↔ vector join: documents matched to their embedding row
+    (doc_id = vec_id), carrying quality and vector norm."""
+    from .vectors import norm
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "source",
+            "label",
+            F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+            F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_WITH_EMBEDDINGS_SQL = rf"""
+SELECT d.doc_id, d.source, e.label,
+  ROUND(
+    0.5 * LEAST(CAST(LENGTH(d.text) AS DOUBLE) / 500.0, 1.0)
+    + 0.5 * LEAST((CASE WHEN LEN(LIST_FILTER(STRING_SPLIT_REGEX(d.text, '\s+'), w -> w != '')) > 0
+        THEN CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(d.text), '\s+'), w -> w IN ('{_SW}'))) AS DOUBLE)
+             / LEN(LIST_FILTER(STRING_SPLIT_REGEX(d.text, '\s+'), w -> w != ''))
+        ELSE 0.0 END) * 5, 1.0)
+    - 0.25 * LEAST((CASE WHEN LENGTH(d.text) > 0
+        THEN CAST(LEN(REGEXP_EXTRACT_ALL(d.text, '[^\w\s]')) AS DOUBLE) / LENGTH(d.text)
+        ELSE 0.0 END) * 4, 1.0),
+  6) AS quality,
+  ROUND(SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 6) AS vec_norm
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+"""
+
+
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup_exact(docs, text_col="text", id_col="doc_id").orderBy("doc_id")

@@ -128,6 +128,33 @@ def repetition_score(text: Column) -> Column:
     return F.when(n > 1, (n - distinct_n).cast("double") / n).otherwise(F.lit(0.0))
 
 
+def chunk_text(text: Column, chunk_size: int = 200, overlap: int = 50) -> Column:
+    """Split text into overlapping character windows:
+    array<struct<chunk_idx:int, chunk:string>>.
+
+    The standard context-window chunking for embedding/training prep;
+    pure ``sequence`` + ``transform`` + ``substring`` (explode at the
+    call site). Stride = chunk_size − overlap; the final partial chunk
+    is kept.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    n = F.length(text)
+    starts = F.sequence(
+        F.lit(0), F.greatest((n - F.lit(1)) - ((n - F.lit(1)) % stride), F.lit(0)), F.lit(stride)
+    )
+    # Drop trailing windows that start at/after the end (short docs).
+    valid = F.filter(starts, lambda s: (s == 0) | (s < n))
+    return F.transform(
+        valid,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.substring(text, s + 1, chunk_size).alias("chunk"),
+        ),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 over whitespace-normalized,
     lowercased text. Used for exact dedup at scale (hash, not payload,

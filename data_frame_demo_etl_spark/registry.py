@@ -130,6 +130,8 @@ register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL
 register(
     "text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL
 )
+register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
+register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
 register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
 
 # --- near-dup dedup (SURVEY §2.9) ---

@@ -117,3 +117,30 @@ def test_repetition_score_cases(spark):
     assert out[0] == 0.0 and out[2] == 0.0
     assert abs(out[1] - 0.75) < 1e-12
     assert abs(out[3] - 1 / 3) < 1e-12
+
+
+def test_chunk_text_edge_cases(spark):
+    from data_frame_demo_etl_spark.functions.text import chunk_text
+
+    rows = [
+        (0, "x" * 500),   # 500 chars, size 200 stride 150 → starts 0,150,300,450
+        (1, "short"),     # single partial chunk
+        (2, ""),          # empty → one empty chunk at start 0
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = df.select("i", F.explode(chunk_text(F.col("t"), 200, 50)).alias("c")).select(
+        "i", "c.chunk_idx", "c.chunk"
+    ).collect()
+    by_i = {}
+    for r in out:
+        by_i.setdefault(r.i, []).append((r.chunk_idx, len(r.chunk)))
+    assert by_i[0] == [(0, 200), (1, 200), (2, 200), (3, 50)]
+    assert by_i[1] == [(0, 5)]
+    assert by_i[2] == [(0, 0)]
+    # overlap property: consecutive chunks share `overlap` characters
+    chunks0 = [r.chunk for r in sorted((x for x in out if x.i == 0), key=lambda r: r.chunk_idx)]
+    assert chunks0[0][-50:] == chunks0[1][:50]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_text(F.col("t"), 100, 100)
