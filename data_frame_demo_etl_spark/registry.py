@@ -175,6 +175,11 @@ register(
     streaming_events.events_props_extract,
     streaming_events.EVENTS_PROPS_EXTRACT_SQL,
 )
+register(
+    "user_event_sequences",
+    streaming_events.user_event_sequences,
+    streaming_events.USER_EVENT_SEQUENCES_SQL,
+)
 
 
 def _group_zscore_gate(spark, sf_dir):

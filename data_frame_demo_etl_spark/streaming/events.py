@@ -103,6 +103,37 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered action sequences (the training-sequence /
+    session-modeling primitive): collect each user's event types in
+    (ts, event_id) order into a single delimited string.
+
+    `sort_array(collect_list(struct(...)))` keeps ordering inside the
+    aggregate — one shuffle, no window pass."""
+    events = load_table(spark, "events", sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("sequence"))
+        .orderBy("user_id")
+    )
+
+
+USER_EVENT_SEQUENCES_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS sequence
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column processing: extract typed fields from the props
     JSON string with get_json_object (codegen'd JVM path)."""
