@@ -152,6 +152,10 @@ from .similarity.ivf import ann_ivf_topk  # noqa: E402
 
 register("ann_ivf_topk", ann_ivf_topk, None)
 
+from .similarity.text_retrieval import text_retrieval_topk  # noqa: E402
+
+register("text_retrieval_topk", text_retrieval_topk, None)
+
 
 def _sql_interface_gate(spark, sf_dir):
     """The SQL front door: the same ANSI text runs on spark.sql and on

@@ -96,3 +96,29 @@ def test_embedding_near_dup_recall(spark, sf_dir):
     assert approx <= exact or not exact
     if exact:
         assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_tfidf_retrieval_finds_planted_twin(spark, sf_oracle_dir):
+    """Near-duplicate documents (exact jaccard >= 0.9 pairs) must
+    retrieve each other at rank 1 via TF-IDF cosine."""
+    from data_frame_demo_etl_spark.dedup.jaccard import jaccard_pairs
+    from data_frame_demo_etl_spark.similarity.text_retrieval import retrieval_topk
+
+    # Long docs only: the synthetic corpus has a ~30-word vocabulary,
+    # so short documents carry no lexical signal; IDF is likewise
+    # degenerate here (ubiquitous terms → ~zero weights), hence
+    # use_idf=False (binary set-cosine).
+    docs = load_table(spark, "documents", sf_oracle_dir).filter(F.col("n_chars") >= 300)
+    pairs = jaccard_pairs(docs, threshold=0.9).collect()
+    assert pairs, "expected planted near-dups in testdata"
+    partners: dict[int, set[int]] = {}
+    for p in pairs:
+        partners.setdefault(int(p.id_a), set()).add(int(p.id_b))
+        partners.setdefault(int(p.id_b), set()).add(int(p.id_a))
+    query_ids = sorted(partners)[:6]
+    res = retrieval_topk(docs, query_ids, k=5, use_idf=False).collect()
+    top5: dict[int, set[int]] = {}
+    for r in res:
+        top5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q in query_ids if partners[q] & top5.get(q, set()))
+    assert hits >= len(query_ids) - 2, (top5, {q: partners[q] for q in query_ids})
