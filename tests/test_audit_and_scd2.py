@@ -68,7 +68,7 @@ def test_plan_audit_flags_cartesian(spark):
 # Queries that intentionally cross-join: ANN scores a broadcast query
 # set against the corpus; gap-fill builds a dense (bucket × key) grid
 # from two tiny sides.
-CARTESIAN_ALLOWED = {"ann_cosine_topk", "events_gapfill"}
+CARTESIAN_ALLOWED = {"ann_cosine_topk", "text_retrieval_topk", "events_gapfill"}
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
