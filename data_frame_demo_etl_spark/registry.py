@@ -137,6 +137,10 @@ register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
 # --- near-dup dedup (SURVEY §2.9) ---
 register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
 register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
+
+from .dedup.contamination import CONTAMINATION_CHECK_SQL, contamination_check  # noqa: E402
+
+register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
 register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, None)
 register("dedup_simhash", dedup_gate.dedup_simhash, None)
 

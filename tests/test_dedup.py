@@ -120,3 +120,24 @@ def test_distributed_components_match_union_find(spark):
         for r in connected_components(pairs, driver_threshold=0).collect()
     }
     assert fast == dist and len(fast) > 0
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    from data_frame_demo_etl_spark.dedup.contamination import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text {span} outro words here"),   # contains eval span
+            (2, "totally unrelated training document with distinct words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame([(100, f"benchmark asks about {span} exactly")], ["doc_id", "text"])
+    pairs = contamination_pairs(train, eval_set, n=8).collect()
+    assert {(r.train_id, r.eval_id) for r in pairs} == {(1, 100)}
+    clean = decontaminate(train, eval_set, n=8)
+    assert [r.doc_id for r in clean.collect()] == [2]
