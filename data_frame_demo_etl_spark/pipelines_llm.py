@@ -64,9 +64,15 @@ def prepare_training_set(
     docs: DataFrame,
     fractions: dict[str, float] | None = None,
     budget: int = 2000,
+    eval_set: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Full pipeline: corpus prep + hash split + per-split packing."""
+    """Full pipeline: corpus prep (+ optional benchmark
+    decontamination) + hash split + per-split packing."""
     corpus = prepare_corpus(docs)
+    if eval_set is not None:
+        from .dedup.contamination import decontaminate
+
+        corpus = decontaminate(corpus, eval_set)
     splits = split_by_hash(corpus, ["doc_id"], fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
     return {
         name: pack_by_budget(df, group_col="source", order_by=["doc_id"], size_col="n_chars", budget=budget)

@@ -17,3 +17,17 @@ def test_prepare_training_set(spark, sf_oracle_dir):
     # Packing produced sane bins: bin ids start at 0 per source group.
     sample = splits["train"].filter("bin = 0").count()
     assert sample > 0
+
+
+def test_prepare_training_set_with_decontamination(spark, sf_oracle_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_oracle_dir)
+    # Use a handful of corpus docs themselves as the "benchmark":
+    # they must disappear from every split.
+    eval_set = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    splits = prepare_training_set(docs, eval_set=eval_set)
+    all_ids = set()
+    for df in splits.values():
+        all_ids |= {r.doc_id for r in df.collect()}
+    assert not (all_ids & {0, 1, 2, 3, 4})
