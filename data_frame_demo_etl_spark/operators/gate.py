@@ -467,12 +467,12 @@ WITH src AS (
   FROM documents
 )
 SELECT 'mixed' AS field,
-       SUM(CASE WHEN mixed IS NOT NULL AND TRY_CAST(mixed AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS failures,
+       CAST(SUM(CASE WHEN mixed IS NOT NULL AND TRY_CAST(mixed AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS failures,
        COUNT(*) AS rows
 FROM src
 UNION ALL
 SELECT 'n_chars',
-       SUM(CASE WHEN n_chars IS NOT NULL AND TRY_CAST(n_chars AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN n_chars IS NOT NULL AND TRY_CAST(n_chars AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(*)
 FROM src
 ORDER BY field

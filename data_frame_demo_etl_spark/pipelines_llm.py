@@ -36,9 +36,14 @@ KEEP_LANGS = ("en", "und")
 def prepare_corpus(docs: DataFrame) -> DataFrame:
     """The deterministic (oracle-able) portion: hygiene → filters →
     exact dedup → near-dup cluster resolution."""
-    scored = docs.select(
+    # Redact FIRST, then score the redacted text (matches the oracle's
+    # `feats FROM redacted` CTE). A single select would score the
+    # ORIGINAL column — sibling aliases don't resolve within a select —
+    # silently diverging on any PII-bearing corpus.
+    redacted = docs.withColumn("text", T.redact_pii(F.col("text")))
+    scored = redacted.select(
         "doc_id",
-        T.redact_pii(F.col("text")).alias("text"),
+        "text",
         "source",
         "n_chars",
         F.round(T.quality_score(F.col("text")), 6).alias("quality"),

@@ -19,6 +19,41 @@ def test_prepare_training_set(spark, sf_oracle_dir):
     assert sample > 0
 
 
+def test_prepare_corpus_scores_redacted_text(spark):
+    """Quality/lang must be computed on the REDACTED text (hygiene →
+    scoring), not the original — a single-select with sibling aliases
+    silently scores the original column. Regression for ADVICE r1."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.functions import text as T
+    from data_frame_demo_etl_spark.pipelines_llm import prepare_corpus
+
+    filler = "the and is of to in it you that was " * 12
+    pii = "reach me at john.doe@example.com or 192.168.1.1 now"
+    rows = [
+        (1, filler + pii, "web", len(filler + pii)),
+        (2, filler + "clean tail", "web", len(filler) + 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+
+    # The test only has teeth if redaction actually moves the score.
+    probe = docs.filter("doc_id = 1").select(
+        F.round(T.quality_score(F.col("text")), 6).alias("q_orig"),
+        F.round(T.quality_score(T.redact_pii(F.col("text"))), 6).alias("q_red"),
+    ).first()
+    assert probe.q_orig != probe.q_red
+
+    out = prepare_corpus(docs)
+    got = {r.doc_id: r for r in out.collect()}
+    assert 1 in got
+    assert "[EMAIL]" in got[1].text and "[IPV4]" in got[1].text
+    recheck = out.select(
+        (F.round(T.quality_score(F.col("text")), 6) == F.col("quality")).alias("q_ok"),
+        (T.lang_id(F.col("text")) == F.col("lang_pred")).alias("l_ok"),
+    ).collect()
+    assert all(r.q_ok and r.l_ok for r in recheck)
+
+
 def test_prepare_training_set_with_decontamination(spark, sf_oracle_dir):
     from pyspark.sql import functions as F
 
