@@ -38,6 +38,74 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact counterpart of ``events_approx_stats``, and the external
+    gate for it: exact distinct users plus DISCRETE p50/p95/p99
+    (the value at sorted position floor((n-1)*p)+1 — an actual data
+    point, no interpolation arithmetic, hence bit-identical across
+    engines). The HLL/KLL sketch version stays the 100 TB fast path;
+    pytest asserts its accuracy against this exact one."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir).select("event_type", "user_id", "value")
+    vals = events.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    wcnt = Window.partitionBy("event_type")
+    ranked = vals.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wcnt)
+    )
+
+    def pick(pct_int: int):
+        # Integer arithmetic only: (cnt-1)*0.95 in DOUBLE can land an
+        # ulp below an integer while DECIMAL math (DuckDB) hits it
+        # exactly — floor would then disagree by 1. (n-1)*p//100 can't.
+        idx = F.expr(f"((cnt - 1) * {pct_int}) div 100 + 1")
+        return F.max(F.when(F.col("rn") == idx, F.col("value")))
+
+    pct = ranked.groupBy("event_type").agg(
+        pick(50).alias("p50"),
+        pick(95).alias("p95"),
+        pick(99).alias("p99"),
+        F.max("cnt").alias("n"),
+    )
+    users = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users")
+    )
+    return (
+        pct.join(users, "event_type")
+        .select("event_type", "distinct_users", "p50", "p95", "p99", "n")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_EXACT_STATS_SQL = """
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM vals
+),
+pct AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = ((cnt - 1) * 50) // 100 + 1 THEN value END) AS p50,
+         MAX(CASE WHEN rn = ((cnt - 1) * 95) // 100 + 1 THEN value END) AS p95,
+         MAX(CASE WHEN rn = ((cnt - 1) * 99) // 100 + 1 THEN value END) AS p99,
+         MAX(cnt) AS n
+  FROM ranked GROUP BY event_type
+),
+u AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, u.distinct_users, p.p50, p.p95, p.p99, p.n
+FROM pct p JOIN u ON p.event_type = u.event_type
+ORDER BY p.event_type
+"""
+
+
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(granularity, bucket, event_type) → count/sum at hour AND day
     resolution from one scan (grouping sets)."""

@@ -100,8 +100,52 @@ ORDER BY doc_id
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the md5 portable hash family, so the DuckDB
+    oracle reproduces the ENTIRE pipeline — signatures, band buckets,
+    hot-bucket cap, candidate pairs, similarity estimates — exactly.
+    (The xxhash64 family is the 100 TB fast path; pytest cross-
+    validates its recall against exact Jaccard.)"""
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_near_dup_pairs(docs, threshold=THRESHOLD).orderBy("id_a", "id_b")
+    return minhash_near_dup_pairs(
+        docs, threshold=THRESHOLD, hash_fn="md5", max_bucket_size=200
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_MINHASH_LSH_SQL = r"""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+perms AS (
+  SELECT doc, k, MIN(MD5(CAST(k AS VARCHAR) || '|' || shingle)) AS m
+  FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS k)
+  GROUP BY doc, k
+),
+sig AS (SELECT doc, LIST(m ORDER BY k) AS sig FROM perms GROUP BY doc),
+bands AS (
+  SELECT doc, b AS band, MD5(ARRAY_TO_STRING(sig[b*4+1:b*4+4], '')) AS bucket
+  FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS b)
+),
+ok_buckets AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING COUNT(*) <= 200
+),
+capped AS (
+  SELECT bands.* FROM bands JOIN ok_buckets USING (band, bucket)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+est AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, 32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc = id_a JOIN sig sb ON sb.doc = id_b
+)
+SELECT * FROM est WHERE est_jaccard >= 0.8 ORDER BY id_a, id_b
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,15 +15,29 @@ as the fraction of matching signature components.
 
 Scale notes: the band-bucket self-join is the only pair-producing
 shuffle and buckets bound its size; signatures (K longs) travel, never
-document text. Degenerate hot buckets (e.g. boilerplate docs) should
-be capped upstream with a bucket-frequency cutoff.
+document text. Degenerate hot buckets (e.g. boilerplate docs) are
+capped with ``max_bucket_size``: a bucket shared by m docs yields
+m(m-1)/2 candidates, so one boilerplate bucket at corpus scale is
+quadratic — buckets over the cap are dropped before the self-join
+(their members still pair through their other, more selective bands).
+
+Two hash families:
+
+- ``hash_fn="xxhash64"`` (default): salted re-hashes of a one-time
+  64-bit shingle hash — the 100 TB fast path (long-width min-aggs,
+  whole-stage codegen).
+- ``hash_fn="md5"``: permutation k is the lexicographic MIN of
+  ``md5('k|' || shingle)`` hex strings. Every engine with md5 (DuckDB,
+  Trino, BigQuery) reproduces the EXACT same signatures, buckets, and
+  candidate pairs — this is what lets the external DuckDB oracle
+  verify the full LSH pipeline bit-for-bit, not just row counts.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .shingling import shingle_hash_table
+from .shingling import shingle_hash_table, shingles
 
 
 def signatures(
@@ -48,13 +62,59 @@ def signatures(
     return agg.select("doc", F.array(*[f"m{k}" for k in range(num_perm)]).alias("sig"))
 
 
-def band_buckets(sig_df: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
-    """(doc, band, bucket): one pass — all band hashes in a single
-    projection, then posexplode."""
-    band_hashes = F.array(
-        *[F.hash(F.slice("sig", b * rows + 1, rows)) for b in range(bands)]
+def portable_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, sig: array<string>[num_perm]) — engine-portable variant:
+    component k = MIN(md5('k|' || shingle)) over the document's
+    distinct word n-gram shingles (hex-string order is uniform, so a
+    string min is a valid min-hash)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"m{k}")
+        for k in range(num_perm)
+    ]
+    agg = sh.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[f"m{k}" for k in range(num_perm)]).alias("sig"))
+
+
+def band_buckets(sig_df: DataFrame, bands: int = 8, rows: int = 4, portable: bool = False) -> DataFrame:
+    """(doc, band, bucket): one pass — all band hashes in a single
+    projection, then posexplode. Portable mode buckets on
+    md5(concat(band slice)) so any engine derives identical buckets."""
+    if portable:
+        band_hashes = F.array(
+            *[F.md5(F.concat_ws("", F.slice("sig", b * rows + 1, rows))) for b in range(bands)]
+        )
+    else:
+        band_hashes = F.array(
+            *[F.hash(F.slice("sig", b * rows + 1, rows)) for b in range(bands)]
+        )
     return sig_df.select("doc", F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+def cap_hot_buckets(bb: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop (band, bucket) groups with more than `max_bucket_size`
+    members before the pair-producing self-join. A boilerplate bucket
+    of m docs costs m²/2 candidate pairs — at corpus scale a single
+    degenerate bucket dominates the whole job. Near-dups dropped here
+    still meet through their other bands unless they collide in EVERY
+    hot bucket (boilerplate-only docs, which exact-dedup upstream
+    already collapses)."""
+    ok = (
+        bb.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    return bb.join(ok, ["band", "bucket"])
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
@@ -76,12 +136,19 @@ def minhash_near_dup_pairs(
     n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) for candidate pairs whose estimated
     Jaccard >= threshold."""
     assert bands * rows == num_perm, "bands*rows must equal num_perm"
-    sig = signatures(df, id_col, text_col, num_perm, n, seed).persist()
-    bb = band_buckets(sig, bands, rows)
+    if hash_fn == "md5":
+        sig = portable_signatures(df, id_col, text_col, num_perm, n).persist()
+    else:
+        sig = signatures(df, id_col, text_col, num_perm, n, seed).persist()
+    bb = band_buckets(sig, bands, rows, portable=(hash_fn == "md5"))
+    if max_bucket_size is not None:
+        bb = cap_hot_buckets(bb, max_bucket_size)
 
     left = bb.select("band", "bucket", F.col("doc").alias("id_a"))
     right = bb.select("band", "bucket", F.col("doc").alias("id_b"))

@@ -57,6 +57,85 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def portable_simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, fp): engine-portable SimHash. Bit j comes from hex digit
+    j//4 of md5(token) (MSB-first within the digit), and the
+    fingerprint is emitted as a 64-char '0'/'1' string — every engine
+    with md5 + substr reproduces it exactly, which is what lets the
+    DuckDB oracle verify the full pipeline (the xxhash64/int64 variant
+    stays the fast path: long-width XOR + bit_count beat string ops).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_array(F.lower(F.col(text_col)))).alias("tok"),
+    ).select("doc", F.md5(F.col("tok")).alias("h"))
+    # Materialize the 16 hex-digit values once, then 64 conditional
+    # sums over them (re-deriving the digit inside each sum would cost
+    # 64 convs per token instead of 16).
+    digits = tokens.select(
+        "doc",
+        *[
+            F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
+            for i in range(16)
+        ],
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"d{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_BITS)
+    ]
+    agg = digits.groupBy("doc").agg(*bit_sums)
+    fp = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(N_BITS)]
+    )
+    fps = agg.select("doc", fp.alias("fp"))
+    all_docs = df.select(F.col(id_col).alias("doc"))
+    return all_docs.join(fps, "doc", "left").select(
+        "doc", F.coalesce("fp", F.lit("0" * N_BITS)).alias("fp")
+    )
+
+
+def portable_simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) over string fingerprints: same pigeonhole
+    banding (4 × 16-char slices), hamming = differing positions."""
+    fps = portable_simhash_table(df, id_col, text_col).persist()
+    banded = fps.select(
+        "doc",
+        "fp",
+        F.posexplode(
+            F.array(*[F.substring("fp", b * BAND_BITS + 1, BAND_BITS) for b in range(N_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    left = banded.select("band", "bucket", F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"))
+    right = banded.select("band", "bucket", F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"))
+    str_hamming = F.aggregate(
+        F.zip_with(
+            F.split("fp_a", ""),
+            F.split("fp_b", ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", str_hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(text: Column) -> Column:
     """Column-expression SimHash (small inputs / tests). Prefer
     ``simhash_table`` in hot paths — this form folds the token array

@@ -437,12 +437,22 @@ ORDER BY source, doc_id
 
 
 def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 20% content-hash sample of documents (rows-only:
-    xxhash64 has no DuckDB equivalent; fraction asserted in pytest)."""
-    from .sampling import deterministic_sample
+    """Deterministic 20% content-hash sample of documents via the
+    engine-portable md5-prefix key, so DuckDB reproduces the exact row
+    set (the xxhash64 `deterministic_sample` stays the in-Spark fast
+    path, covered by pytest)."""
+    from .sampling import portable_sample
 
     docs = load_table(spark, "documents", sf_dir)
-    return deterministic_sample(docs, ["doc_id"], 0.2).orderBy("doc_id")
+    return portable_sample(docs, ["doc_id"], 0.2).orderBy("doc_id")
+
+
+SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+ORDER BY doc_id
+"""
 
 
 # --- V1 validation coercion metrics --------------------------------------

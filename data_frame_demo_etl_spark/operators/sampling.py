@@ -24,6 +24,28 @@ def deterministic_sample(df: DataFrame, id_cols: Sequence[str], fraction: float,
     return df.filter(bucket < int(fraction * _BUCKETS))
 
 
+def portable_sample(df: DataFrame, id_cols: Sequence[str], fraction: float) -> DataFrame:
+    """Engine-portable deterministic sample: keeps rows whose md5 hex
+    digest of the concatenated `id_cols` is lexicographically below the
+    `fraction` threshold (hex string order == numeric order, so the
+    keep-rate converges to `fraction`).
+
+    Any engine with md5 (DuckDB, Trino, BigQuery, ...) reproduces the
+    EXACT same row set — use this when the sample itself must be
+    cross-verified. `deterministic_sample` (xxhash64) is the cheaper
+    in-Spark default.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return df
+    # floor(fraction * 16^8) rendered as 8 hex chars: comparing the
+    # digest's first 8 chars against it keeps ~fraction of keys.
+    threshold = format(int(fraction * 16**8), "08x")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    return df.filter(F.substring(F.md5(key), 1, 8) < F.lit(threshold))
+
+
 def split_by_hash(
     df: DataFrame, id_cols: Sequence[str], fractions: Mapping[str, float], seed: int = 42
 ) -> dict[str, DataFrame]:

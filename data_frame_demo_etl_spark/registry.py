@@ -5,6 +5,18 @@ the test harness. Every operator from SURVEY.md §2 that is SQL-
 expressible registers both a Spark implementation and an oracle;
 non-SQL-expressible ops register with ``oracle=None`` (rows-only
 check).
+
+ORDER MATTERS: the external driver correctness gate checks the FIRST
+50 registered queries (registration order == dict order). The file is
+therefore two tiers:
+
+- Tier 1 (exactly 50): every SURVEY §2 hook with an oracle, the
+  LLM-pipeline flagship + its components, sources/normalize/pipeline
+  gates. These get the hard external signal every round.
+- Tier 2: beyond-survey extras that went driver-green in round 1
+  (TPC-H q4/q6/q7/q8, subqueries, windows, rollups, SCD2/CDC, ...)
+  and rows-only sketch/ANN variants whose accuracy is asserted in
+  pytest against exact in-window counterparts.
 """
 
 from __future__ import annotations
@@ -16,11 +28,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .analytics import engagement, relational, sketches, timeseries, tpch
 from .dedup import gate as dedup_gate
+from .dedup.contamination import CONTAMINATION_CHECK_SQL, contamination_check
 from .functions import gate as fn_gate
 from .operators import gate as ops_gate
+from .operators import temporal_gate as tmp_gate
 from .similarity import gate as sim_gate
+from .similarity.ivf import ann_ivf_topk
+from .similarity.text_retrieval import text_retrieval_topk
 from .sources import gate as src_gate
 from .streaming import events as streaming_events
+from . import pipelines_llm
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,13 +63,138 @@ def oracle_sql() -> dict[str, str]:
     return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
 
 
-# --- TPC-H-style analytics (SURVEY §2.8) ---
+def _sql_interface_gate(spark, sf_dir):
+    """The SQL front door: the same ANSI text runs on spark.sql and on
+    the DuckDB oracle (dialect-shared subset)."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(tpch.Q1_SQL)
+
+
+def _group_zscore_gate(spark, sf_dir):
+    """applyInPandas grouped-map coverage (rows-only: float summation
+    order inside pandas groups is engine-specific)."""
+    from .operators.grouped import group_zscore
+    from .sources.catalog import load_table
+
+    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_returnflag", "l_quantity")
+    return group_zscore(l, ["l_returnflag"], "l_quantity").orderBy(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+
+
+# ═══════════════════ TIER 1: driver window (50) ═══════════════════
+
+# --- TPC-H-style analytics (SURVEY §2.8: H1-H4) --- 4
 register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
 register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
 
-# --- relational operator coverage (SURVEY §2.8 extension) ---
+# --- engagement analytics (SURVEY §2.7: A1-A5) --- 9
+register("events_engagement", engagement.events_engagement, engagement.EVENTS_ENGAGEMENT_SQL)
+register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
+register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
+register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
+register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
+
+# --- ETL operators (SURVEY §2.3-§2.6: T1-T10, V1-V2, C1-C2, Q1-Q2, N5) --- 19
+register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
+register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
+register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
+register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
+register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
+register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
+register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
+register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
+register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
+register(
+    "validate_coercion_metrics",
+    ops_gate.validate_coercion_metrics,
+    ops_gate.VALIDATE_COERCION_METRICS_SQL,
+)
+
+# --- text analysis (SURVEY §2.9 L1-L4 + hygiene/chunking) --- 26
+register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
+register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
+register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
+register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
+register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
+register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
+register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
+
+# --- dedup (SURVEY §2.9: D1, D4 + clusters + contamination) --- 30
+register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
+register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
+register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
+register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
+
+# --- similarity search (SURVEY §2.10: X1 + label stats) --- 33
+register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+register(
+    "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
+)
+register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
+
+# --- streaming-equivalent event processing (SURVEY §2.13: ST1, ST3) --- 37
+register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
+register(
+    "events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL
+)
+register(
+    "events_props_extract",
+    streaming_events.events_props_extract,
+    streaming_events.EVENTS_PROPS_EXTRACT_SQL,
+)
+register(
+    "user_event_sequences",
+    streaming_events.user_event_sequences,
+    streaming_events.USER_EVENT_SEQUENCES_SQL,
+)
+
+# --- temporal joins (custom operators) --- 39
+register(
+    "asof_view_before_purchase",
+    tmp_gate.asof_view_before_purchase,
+    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
+)
+register(
+    "range_join_error_followups",
+    tmp_gate.range_join_error_followups,
+    tmp_gate.RANGE_JOIN_ERROR_FOLLOWUPS_SQL,
+)
+
+# --- composed LLM data-prep pipeline (flagship) --- 40
+register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
+
+# --- sources / normalize / pipeline e2e (SURVEY §2.1-§2.2: S2, S3, N1, T2) --- 45
+register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
+register("ingest_csv_multifile", src_gate.ingest_csv_multifile, src_gate.INGEST_CSV_MULTIFILE_SQL)
+register(
+    "ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL
+)
+register("normalize_rename", src_gate.normalize_rename, src_gate.NORMALIZE_RENAME_SQL)
+register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
+
+# --- sampling / packing / stats (LLM-pipeline ops) --- 49
+register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
+register("cap_events_per_user", ops_gate.cap_events_per_user, ops_gate.CAP_EVENTS_PER_USER_SQL)
+register(
+    "pack_documents_by_budget",
+    ops_gate.pack_documents_by_budget,
+    ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
+)
+register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
+
+# --- SQL front door --- 50
+register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
+
+_TIER1 = len(_REGISTRY)
+assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
+
+# ═══════════════ TIER 2: beyond-survey extras (r1 driver-green) ═══════════════
+
 register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
 register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
 register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)
@@ -73,7 +215,6 @@ register(
 )
 register("top_parts_per_brand", relational.top_parts_per_brand, relational.TOP_PARTS_PER_BRAND_SQL)
 register("events_pivot", relational.events_pivot, relational.EVENTS_PIVOT_SQL)
-register("events_approx_stats", sketches.events_approx_stats, None)
 register("events_gapfill", timeseries.events_gapfill, timeseries.EVENTS_GAPFILL_SQL)
 register("fuzzy_name_pairs", timeseries.fuzzy_name_pairs, timeseries.FUZZY_NAME_PAIRS_SQL)
 register(
@@ -85,147 +226,20 @@ register(
     sketches.EVENTS_HYPERTABLE_ROLLUP_SQL,
 )
 register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
-
-# --- engagement analytics (SURVEY §2.7) ---
-register("events_engagement", engagement.events_engagement, engagement.EVENTS_ENGAGEMENT_SQL)
-register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
-register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
-register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
-register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
-
-# --- ETL operators (SURVEY §2.3, §2.4, §2.5, §2.6) ---
-register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
-register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
-register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
-register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
-register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
-register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
-register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
 register("cdc_apply_changes", ops_gate.cdc_apply_changes, ops_gate.CDC_APPLY_CHANGES_SQL)
 register("winsorize_prices", ops_gate.winsorize_prices, ops_gate.WINSORIZE_PRICES_SQL)
-register("cap_events_per_user", ops_gate.cap_events_per_user, ops_gate.CAP_EVENTS_PER_USER_SQL)
-register(
-    "pack_documents_by_budget",
-    ops_gate.pack_documents_by_budget,
-    ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
-)
-register("sample_documents", ops_gate.sample_documents, None)
 register(
     "scd2_customer_history", ops_gate.scd2_customer_history, ops_gate.SCD2_CUSTOMER_HISTORY_SQL
 )
-register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
-register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
-register(
-    "validate_coercion_metrics",
-    ops_gate.validate_coercion_metrics,
-    ops_gate.VALIDATE_COERCION_METRICS_SQL,
-)
 
-# --- text analysis + exact dedup (SURVEY §2.9, §2.11) ---
-register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
-register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
-register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
-register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
-register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
-register(
-    "text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL
-)
-register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
-register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
-register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
-
-# --- near-dup dedup (SURVEY §2.9) ---
-register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
-register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
-
-from .dedup.contamination import CONTAMINATION_CHECK_SQL, contamination_check  # noqa: E402
-
-register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
+# --- rows-only: sketches and probabilistic/ANN variants. Accuracy is
+# asserted in pytest against the exact in-window counterparts
+# (events_exact_stats, ann_cosine_topk, dedup_ngram_jaccard). ---
+register("events_approx_stats", sketches.events_approx_stats, None)
 register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, None)
 register("dedup_simhash", dedup_gate.dedup_simhash, None)
-
-# --- similarity search (SURVEY §2.10) ---
-register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
 register("ann_lsh_topk", sim_gate.ann_lsh_topk, None)
 register("dedup_embedding", sim_gate.dedup_embedding, None)
-register(
-    "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
-)
-
-from .similarity.ivf import ann_ivf_topk  # noqa: E402
-
 register("ann_ivf_topk", ann_ivf_topk, None)
-
-from .similarity.text_retrieval import text_retrieval_topk  # noqa: E402
-
 register("text_retrieval_topk", text_retrieval_topk, None)
-
-
-def _sql_interface_gate(spark, sf_dir):
-    """The SQL front door: the same ANSI text runs on spark.sql and on
-    the DuckDB oracle (dialect-shared subset)."""
-    from .sources.catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(tpch.Q1_SQL)
-
-
-register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
-
-# --- streaming-equivalent event processing (SURVEY §2.13) ---
-register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
-register(
-    "events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL
-)
-
-register(
-    "events_props_extract",
-    streaming_events.events_props_extract,
-    streaming_events.EVENTS_PROPS_EXTRACT_SQL,
-)
-register(
-    "user_event_sequences",
-    streaming_events.user_event_sequences,
-    streaming_events.USER_EVENT_SEQUENCES_SQL,
-)
-
-
-def _group_zscore_gate(spark, sf_dir):
-    """applyInPandas grouped-map coverage (rows-only: float summation
-    order inside pandas groups is engine-specific)."""
-    from .operators.grouped import group_zscore
-    from .sources.catalog import load_table
-
-    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_returnflag", "l_quantity")
-    return group_zscore(l, ["l_returnflag"], "l_quantity").orderBy(
-        "l_orderkey", "l_returnflag", "l_quantity"
-    )
-
-
 register("group_zscore", _group_zscore_gate, None)
-
-# --- temporal joins (custom operators, SURVEY §2 'custom operators') ---
-from .operators import temporal_gate as tmp_gate  # noqa: E402
-
-register(
-    "asof_view_before_purchase",
-    tmp_gate.asof_view_before_purchase,
-    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
-)
-register(
-    "range_join_error_followups",
-    tmp_gate.range_join_error_followups,
-    tmp_gate.RANGE_JOIN_ERROR_FOLLOWUPS_SQL,
-)
-
-# --- composed LLM data-prep pipeline (flagship composition) ---
-from . import pipelines_llm  # noqa: E402
-
-register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
-
-# --- sources / normalize / pipeline e2e (SURVEY §2.1, §2.2, pipeline) ---
-register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
-register("ingest_csv_multifile", src_gate.ingest_csv_multifile, src_gate.INGEST_CSV_MULTIFILE_SQL)
-register("ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL)
-register("normalize_rename", src_gate.normalize_rename, src_gate.NORMALIZE_RENAME_SQL)
-register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)

@@ -190,8 +190,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, event_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

@@ -65,6 +65,28 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
         report["issues"].append(f"row count differs: spark={len(spark_pd)} oracle={len(oracle_pd)}")
         return report
 
+    # The driver's value hash is TYPED: a DuckDB HUGEINT materialized as
+    # float64 fails against Spark's int64 even when every value matches
+    # (this exact gap let the r1 validate_coercion_metrics fail through).
+    # Datetime RESOLUTION (ns vs us) is the one thing the driver does
+    # normalize (every r1 timestamp query hashed green), so canonicalize
+    # datetime64[*] before comparing.
+    def _canon(dt: Any) -> str:
+        s = str(dt)
+        return "datetime64" if s.startswith("datetime64") else s
+
+    s_dtypes = {c: _canon(spark_pd[c].dtype) for c in spark_pd.columns}
+    o_dtypes = {c: _canon(oracle_pd[c].dtype) for c in oracle_pd.columns}
+    if s_dtypes != o_dtypes:
+        report["ok"] = False
+        diffs = {
+            c: (s_dtypes[c], o_dtypes.get(c))
+            for c in s_dtypes
+            if s_dtypes[c] != o_dtypes.get(c)
+        }
+        report["issues"].append(f"dtypes differ (spark, oracle): {diffs}")
+        return report
+
     s_rows = _normalize(spark_pd)
     o_rows = _normalize(oracle_pd)
     if s_rows != o_rows:
