@@ -149,5 +149,61 @@ SELECT * FROM est WHERE est_jaccard >= 0.8 ORDER BY id_a, id_b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5-digit portable bit family,
+    fully replicated by the DuckDB oracle below (the xxhash64/int64
+    variant is the scale path — long XOR + bit_count — and is
+    cross-validated in pytest)."""
+    from .simhash import portable_simhash_near_dup_pairs
+
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return portable_simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle_sql() -> str:
+    """Generate the 64-bit-sum SimHash pipeline in DuckDB SQL: bit j
+    of md5(token) is bit (3 - j%4) of hex digit j//4; fingerprint is a
+    64-char '0'/'1' string; bands are 4 × 16-char slices; hamming is
+    the count of differing positions."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((STRPOS('0123456789abcdef', SUBSTR(h, {j // 4 + 1}, 1)) - 1)"
+        f" >> {3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    fp_concat = " || ".join(
+        f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w != '')) AS tok
+  FROM documents
+),
+hashed AS (SELECT doc, MD5(tok) AS h FROM toks),
+sums AS (
+  SELECT doc,
+         {bit_sums}
+  FROM hashed GROUP BY doc
+),
+fps0 AS (SELECT doc, {fp_concat} AS fp FROM sums),
+fps AS (
+  SELECT d.doc_id AS doc, COALESCE(f.fp, REPEAT('0', 64)) AS fp
+  FROM documents d LEFT JOIN fps0 f ON f.doc = d.doc_id
+),
+banded AS (
+  SELECT doc, fp, b AS band, SUBSTR(fp, b * 16 + 1, 16) AS bucket
+  FROM fps CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+ham AS (
+  SELECT id_a, id_b,
+         LEN(LIST_FILTER(GENERATE_SERIES(1, 64), i -> SUBSTR(fp_a, i, 1) != SUBSTR(fp_b, i, 1))) AS hamming
+  FROM cand
+)
+SELECT DISTINCT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_oracle_sql()

@@ -62,8 +62,12 @@ def jaccard_pairs(
             ),
         )
     )
+    # No broadcast hint: the per-document sizes table grows linearly
+    # with the corpus, so force-broadcasting it OOMs the driver at the
+    # scales this module targets — let AQE pick (it will still
+    # broadcast when the corpus is actually small).
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    with_sz = ranked.join(F.broadcast(sizes), "doc")
+    with_sz = ranked.join(sizes, "doc")
     # Prefix length sz − ⌈t·sz⌉ + 1, in EXACT integer arithmetic.
     # Naive float floor((1−t)·sz)+1 silently shrinks the prefix when
     # (1−t)·sz lands just under an integer (e.g. 0.2·10 →

@@ -130,7 +130,7 @@ def portable_simhash_near_dup_pairs(
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", str_hamming.alias("hamming"))
+        .select("id_a", "id_b", str_hamming.cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

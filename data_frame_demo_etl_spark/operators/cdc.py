@@ -25,16 +25,23 @@ def apply_changes(
     key: Sequence[str],
     seq_col: str,
     op_col: str = "op",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Return the new snapshot after applying `changes` to `base`.
 
     `changes` columns: key cols + seq_col + op_col + the base payload
     columns (payload ignored for deletes).
+
+    Two changes sharing a seq for the same key would otherwise pick an
+    arbitrary winner (nondeterministic across runs/partitionings) —
+    pass `tiebreak` columns that complete the total order, e.g. an
+    ingest offset; they are appended descending after `seq_col`.
     """
     key = list(key)
     payload = [c for c in base.columns if c not in key]
 
-    w = Window.partitionBy(*key).orderBy(F.col(seq_col).desc())
+    order = [F.col(seq_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*key).orderBy(*order)
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

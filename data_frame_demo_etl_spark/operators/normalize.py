@@ -183,3 +183,87 @@ def build_schema_candidates(
         missing, extra = schema_diff(cand["headers"], target_fields)
         cand["missing"], cand["extra"] = missing, extra
     return sorted(candidates, key=lambda c: -c["score"])
+
+
+# --- learned-synonym persistence ------------------------------------------
+# Reference parity: core.py:56-120 — user-learned header→field mappings
+# are saved in a SIBLING override file (never rewriting the base
+# config) and merged over the base synonyms on load, with
+# case-insensitive list dedup. JSON here (the base TARGET_SCHEMA is
+# code, and json is stdlib); the merge/override semantics are the
+# compatibility surface, not the serialization.
+
+
+def user_override_path(config_path):
+    """Sibling path for user-learned overrides: `<stem>.user<suffix>`."""
+    from pathlib import Path
+
+    p = Path(config_path)
+    return p.with_name(f"{p.stem}.user{p.suffix}")
+
+
+def merge_synonym_maps(
+    base: Mapping[str, Sequence[str]], new_items: Mapping[str, Sequence[str]]
+) -> dict[str, list[str]]:
+    """Append `new_items` onto `base` per target, deduplicating
+    case-insensitively while preserving first-seen casing/order."""
+    merged: dict[str, list[str]] = {str(k): [str(v) for v in vs] for k, vs in base.items()}
+    for target, values in new_items.items():
+        bucket = merged.setdefault(str(target), [])
+        seen = {v.lower() for v in bucket}
+        for value in values:
+            s = str(value)
+            if s.lower() not in seen:
+                bucket.append(s)
+                seen.add(s.lower())
+    return merged
+
+
+def load_synonyms(config_path=None) -> dict[str, list[str]]:
+    """Base synonyms (TARGET_SCHEMA or a JSON config file) merged with
+    the sibling user-override file, if present."""
+    import json
+    from pathlib import Path
+
+    if config_path is None:
+        return {k: list(v) for k, v in TARGET_SCHEMA.items()}
+    p = Path(config_path)
+    base: dict[str, list[str]] = {k: list(v) for k, v in TARGET_SCHEMA.items()}
+    if p.exists():
+        try:
+            data = json.loads(p.read_text(encoding="utf-8"))
+            if isinstance(data, dict):
+                base = merge_synonym_maps(base, data.get("synonyms", data))
+        except (json.JSONDecodeError, OSError):
+            pass
+    user = user_override_path(p)
+    if user.exists():
+        try:
+            data = json.loads(user.read_text(encoding="utf-8"))
+            if isinstance(data, dict):
+                base = merge_synonym_maps(base, data.get("synonyms", data))
+        except (json.JSONDecodeError, OSError):
+            pass
+    return base
+
+
+def learn_synonyms(
+    new_items: Mapping[str, Sequence[str]], config_path
+) -> dict[str, list[str]]:
+    """Persist user-learned mappings into the override file (merging
+    with what it already holds — the base file is never touched) and
+    return the full merged view."""
+    import json
+
+    user = user_override_path(config_path)
+    existing: dict[str, list[str]] = {}
+    if user.exists():
+        try:
+            data = json.loads(user.read_text(encoding="utf-8"))
+            if isinstance(data, dict):
+                existing = data.get("synonyms", data)
+        except (json.JSONDecodeError, OSError):
+            existing = {}
+    updated = merge_synonym_maps(existing, new_items)
+    user.write_text(json.dumps({"synonyms": updated}, indent=2), encoding="utf-8")
+    return load_synonyms(config_path)

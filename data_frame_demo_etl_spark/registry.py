@@ -124,18 +124,19 @@ register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL
 register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
 register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
 
-# --- dedup (SURVEY §2.9: D1, D4 + clusters + contamination) --- 30
+# --- dedup (SURVEY §2.9: D1-D4 + clusters + contamination) --- 32
 register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
 register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
 register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
+register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, dedup_gate.DEDUP_MINHASH_LSH_SQL)
+register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
-# --- similarity search (SURVEY §2.10: X1 + label stats) --- 33
+# --- similarity search (SURVEY §2.10: X1 + label stats) --- 34
 register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
 register(
     "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
 )
-register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
 
 # --- streaming-equivalent event processing (SURVEY §2.13: ST1, ST3) --- 37
 register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
@@ -187,9 +188,6 @@ register(
 )
 register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
 
-# --- SQL front door --- 50
-register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
-
 _TIER1 = len(_REGISTRY)
 assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
 
@@ -232,12 +230,13 @@ register(
     "scd2_customer_history", ops_gate.scd2_customer_history, ops_gate.SCD2_CUSTOMER_HISTORY_SQL
 )
 
+register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
+register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
+
 # --- rows-only: sketches and probabilistic/ANN variants. Accuracy is
 # asserted in pytest against the exact in-window counterparts
 # (events_exact_stats, ann_cosine_topk, dedup_ngram_jaccard). ---
 register("events_approx_stats", sketches.events_approx_stats, None)
-register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, None)
-register("dedup_simhash", dedup_gate.dedup_simhash, None)
 register("ann_lsh_topk", sim_gate.ann_lsh_topk, None)
 register("dedup_embedding", sim_gate.dedup_embedding, None)
 register("ann_ivf_topk", ann_ivf_topk, None)

@@ -59,6 +59,94 @@ def _read_one_csv(path: str, tpl: TemplateConfig, nrows: int | None = None) -> p
     )
 
 
+def _col_letter(n: int) -> str:
+    """1-based column number → Excel letters (1→A, 27→AA)."""
+    s = ""
+    while n > 0:
+        n, r = divmod(n - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _effective_header_row(header_row: int, skiprows) -> int:
+    """0-based pandas header index → 1-based worksheet row, accounting
+    for rows pandas skipped before the header (reference
+    templates.py:393-403)."""
+    skipped_before = len(
+        [r for r in (skiprows or []) if isinstance(r, int) and r <= header_row]
+    )
+    return header_row + skipped_before + 1
+
+
+def expand_merged_headers(
+    headers: list, merged_ranges: list[tuple], target_row: int
+) -> tuple[list[str], bool]:
+    """Expand merged header regions across their spanned columns
+    (reference-parity: templates.py:412-465).
+
+    `merged_ranges`: (min_row, min_col, max_row, max_col, base_value)
+    tuples, 1-based. For each range crossing `target_row`, the
+    top-left value propagates to every spanned column; an EMPTY base
+    becomes ``merged_<colletter><row>`` (suffixed ``_<colletter>``
+    per column when the span is wider than one column, to stay
+    unique). Pure function so the semantics are unit-testable without
+    openpyxl; the workbook extraction lives in
+    ``_normalized_excel_headers``.
+    """
+    headers = ["" if h is None else str(h) for h in headers]
+    merged_detected = False
+    for min_row, min_col, max_row, max_col, base_value in merged_ranges:
+        if not (min_row <= target_row <= max_row):
+            continue
+        merged_detected = True
+        base_empty = base_value in (None, "")
+        placeholder = (
+            f"merged_{_col_letter(min_col)}{min_row}" if base_empty else str(base_value)
+        )
+        for col in range(min_col, max_col + 1):
+            value = placeholder
+            if base_empty and max_col > min_col:
+                value = f"{placeholder}_{_col_letter(col)}"
+            idx = col - 1
+            while len(headers) <= idx:
+                headers.append("")
+            headers[idx] = value
+    return headers, merged_detected
+
+
+def _normalized_excel_headers(path: str, sheet, header_row: int, skiprows):
+    """Openpyxl-side extraction feeding ``expand_merged_headers``
+    (reference templates.py:407-440 worksheet-selection fallbacks)."""
+    from openpyxl import load_workbook
+
+    workbook = load_workbook(path, read_only=False, data_only=False)
+    if isinstance(sheet, int):
+        try:
+            worksheet = workbook.worksheets[sheet]
+        except IndexError:
+            worksheet = workbook.active
+    elif sheet is None:
+        worksheet = workbook.active
+    else:
+        try:
+            worksheet = workbook[sheet]
+        except KeyError:
+            worksheet = workbook.active
+
+    target_row = _effective_header_row(header_row, skiprows)
+    row_cells = list(
+        worksheet.iter_rows(min_row=target_row, max_row=target_row, values_only=True)
+    )
+    if not row_cells:
+        return [], False
+    headers = ["" if v is None else str(v) for v in row_cells[0]]
+    ranges = [
+        (r.min_row, r.min_col, r.max_row, r.max_col, worksheet.cell(r.min_row, r.min_col).value)
+        for r in worksheet.merged_cells.ranges
+    ]
+    return expand_merged_headers(headers, ranges, target_row)
+
+
 def _read_one_excel(path: str, tpl: TemplateConfig, nrows: int | None = None) -> pd.DataFrame:
     try:
         import openpyxl  # noqa: F401
@@ -73,6 +161,13 @@ def _read_one_excel(path: str, tpl: TemplateConfig, nrows: int | None = None) ->
         pdf = pd.read_excel(
             path, sheet_name=sheet, header=tpl.header_row, skiprows=tpl.skiprows or None, nrows=nrows
         )
+        # Merged title rows leave pandas with Unnamed:/NaN headers;
+        # expand them from the worksheet's merged regions.
+        headers, merged = _normalized_excel_headers(path, sheet, tpl.header_row, tpl.skiprows)
+        if merged and headers:
+            ncols = len(pdf.columns)
+            headers = (headers + [""] * ncols)[:ncols]
+            pdf.columns = [h if h else str(orig) for h, orig in zip(headers, pdf.columns)]
         if tpl.combine_sheets:
             pdf["source_sheet"] = str(sheet)
         frames.append(pdf)

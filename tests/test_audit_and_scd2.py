@@ -40,6 +40,23 @@ def test_scd2_history(spark):
     assert k3[0].is_current
 
 
+def test_cdc_tiebreak_breaks_seq_ties_deterministically(spark):
+    """Two changes sharing (key, seq) must resolve by the tiebreak
+    column, not partition luck."""
+    from data_frame_demo_etl_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "old")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, 5, "update", "a", 10), (1, 5, "update", "b", 20)],
+        ["k", "seq", "op", "v", "offset"],
+    )
+    for n_parts in (1, 7):
+        out = apply_changes(
+            base, changes.repartition(n_parts), key=["k"], seq_col="seq", tiebreak=["offset"]
+        ).collect()
+        assert [(r.k, r.v) for r in out] == [(1, "b")]  # highest offset wins
+
+
 def test_plan_audit_q1(spark, sf_oracle_dir):
     df = registry.queries()["q1_pricing_summary"](spark, sf_oracle_dir)
     rep = plan_report(df)

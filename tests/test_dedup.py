@@ -62,6 +62,52 @@ def test_simhash_identical_fingerprints(spark, corpus):
     assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """A degenerate corpus (1k near-identical docs) must NOT produce
+    the ~500k-pair quadratic blowup: with max_bucket_size=50 every
+    band bucket is hot, so zero candidate pairs survive — the cap
+    bounds the self-join. With the cap disabled the same corpus
+    produces the full quadratic pair set."""
+    base = "the quick brown fox jumps over the lazy dog and runs far into the woods "
+    rows = [(i, base + f"variant token {i % 3}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = minhash_near_dup_pairs(df, threshold=0.5, max_bucket_size=50).count()
+    assert capped == 0
+
+    # Sanity on a mixed corpus: the cap must not hurt normal pairs —
+    # planted near-dups still meet through their (non-hot) buckets.
+    mixed = spark.createDataFrame(
+        [(i, base + f"filler {i} " * 3) for i in range(100)]
+        + [(1000, base + "twin alpha beta gamma"), (1001, base + "twin alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(mixed, threshold=0.8, max_bucket_size=50).collect()
+    }
+    assert (1000, 1001) in pairs
+
+
+def test_portable_minhash_simhash_match_planted(spark, corpus):
+    """The md5 portable families must find the same planted dups as
+    the xxhash64 fast paths."""
+    from data_frame_demo_etl_spark.dedup.minhash import portable_signatures
+    from data_frame_demo_etl_spark.dedup.simhash import portable_simhash_near_dup_pairs
+
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(corpus, threshold=0.5, hash_fn="md5").collect()
+    }
+    assert (0, 1) in mh
+    sh = {(r.id_a, r.id_b) for r in portable_simhash_near_dup_pairs(corpus).collect()}
+    assert (0, 1) in sh
+    # portable signatures are deterministic
+    s1 = portable_signatures(corpus).collect()
+    s2 = portable_signatures(corpus).collect()
+    assert sorted(map(repr, s1)) == sorted(map(repr, s2))
+
+
 def test_minhash_recall_on_testdata(spark, sf_dir):
     """On the driver corpus, MinHash must recover the overwhelming
     majority of exact-Jaccard>=0.9 pairs (LSH theory: ~100% at these

@@ -81,6 +81,37 @@ def test_snake_case_and_automap():
     assert mapping["Weird Col"] == "weird_col"
 
 
+def test_learned_synonyms_roundtrip(tmp_path):
+    """Learning persists to the sibling .user file, never the base;
+    reload merges base + learned; re-learning dedups case-insensitively
+    and the learned synonym then drives auto_map_columns."""
+    from data_frame_demo_etl_spark.operators.normalize import (
+        learn_synonyms,
+        load_synonyms,
+        user_override_path,
+    )
+
+    cfg = tmp_path / "schema.json"
+    cfg.write_text('{"synonyms": {"sales_qty": ["cartons"]}}', encoding="utf-8")
+
+    merged = learn_synonyms({"provider_id": ["Lieferant"]}, cfg)
+    assert "Lieferant" in merged["provider_id"]
+    assert "cartons" in merged["sales_qty"]  # base survives
+    assert cfg.read_text(encoding="utf-8") == '{"synonyms": {"sales_qty": ["cartons"]}}'
+    assert user_override_path(cfg).name == "schema.user.json"
+    assert user_override_path(cfg).exists()
+
+    # dedup on re-learn with different casing
+    merged2 = learn_synonyms({"provider_id": ["lieferant", "Anbieter"]}, cfg)
+    assert merged2["provider_id"].count("Lieferant") == 1
+    assert "lieferant" not in merged2["provider_id"]
+    assert "Anbieter" in merged2["provider_id"]
+
+    # a fresh load sees the learned mapping, and auto-map uses it
+    mapping = auto_map_columns(["Lieferant"], load_synonyms(cfg))
+    assert mapping["Lieferant"] == "provider_id"
+
+
 def test_guess_header_row():
     prev = pd.DataFrame(
         [
