@@ -402,3 +402,86 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_discount >= 0.02 AND l_discount <= 0.06
   AND l_quantity < 24
 """
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated scalar subquery: for each part (of a
+    filtered type — STANDARD/LARGE stand in for Q2's '%BRASS' against
+    the synthetic p_type vocabulary) find the European supplier(s)
+    whose offer price
+    equals that part's minimum. The testdata ships no partsupp, so the
+    offer table derives from lineitem as MIN(l_extendedprice) per
+    (part, supplier) — pure value selection, no arithmetic, hence
+    bit-exact across engines.
+
+    Spark-first shape: the correlated `= (SELECT MIN ...)` becomes a
+    single window MIN over the partkey partition — one shuffle of the
+    offers table, no self-join (this is also what Catalyst's
+    RewriteCorrelatedScalarSubquery produces, minus the join). Region
+    filtering broadcasts the constant-size region/nation dims.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+
+    offers = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
+        )
+        .agg(F.min("l_extendedprice").alias("offer_price"))
+    )
+    euro_sup = (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    euro_offers = offers.join(
+        euro_sup, F.col("s_key") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("p_key")
+    best = euro_offers.withColumn("min_price", F.min("offer_price").over(w)).filter(
+        F.col("offer_price") == F.col("min_price")
+    )
+    brass = part.filter(F.col("p_type").isin("STANDARD", "LARGE")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+    return (
+        best.join(brass, F.col("p_key") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "offer_price"
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# The oracle states the SAME semantics as an actual correlated scalar
+# subquery, proving the window formulation equivalent.
+Q2_MIN_COST_SUPPLIER_SQL = """
+WITH offers AS (
+  SELECT l_partkey AS p_key, l_suppkey AS s_key, MIN(l_extendedprice) AS offer_price
+  FROM lineitem GROUP BY 1, 2
+),
+euro AS (
+  SELECT o.p_key, o.s_key, o.offer_price, s.s_name, s.s_acctbal, n.n_name
+  FROM offers o
+  JOIN supplier s ON o.s_key = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type, e.offer_price
+FROM euro e
+JOIN part p ON e.p_key = p.p_partkey
+WHERE p.p_type IN ('STANDARD', 'LARGE')
+  AND e.offer_price = (
+    SELECT MIN(e2.offer_price) FROM euro e2 WHERE e2.p_key = e.p_key
+  )
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""

@@ -40,6 +40,33 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .shingling import shingle_hash_table, shingles
 
 
+def tune_bands(num_perm: int, threshold: float, target_recall: float = 0.95) -> tuple[int, int]:
+    """Pick (bands, rows) for banded LSH from first principles: a pair
+    with Jaccard s becomes a candidate with probability
+    1 - (1 - s^rows)^bands. Among factorizations bands*rows = num_perm,
+    choose the LARGEST rows (fewest, most selective bands — fewest
+    spurious candidates) whose recall at s = threshold still meets
+    `target_recall`. Falls back to rows=1 (bands=num_perm, maximum
+    recall) when nothing meets the target.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    choices = [r for r in range(1, num_perm + 1) if num_perm % r == 0]
+    for rows in sorted(choices, reverse=True):
+        bands = num_perm // rows
+        recall = 1.0 - (1.0 - threshold**rows) ** bands
+        if recall >= target_recall:
+            return bands, rows
+    return num_perm, 1
+
+
+def candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(pair with Jaccard s shares at least one band bucket)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
 def signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -131,16 +158,22 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 32,
-    bands: int = 8,
-    rows: int = 4,
+    bands: int | None = 8,
+    rows: int | None = 4,
     n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = 200,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) for candidate pairs whose estimated
-    Jaccard >= threshold."""
+    Jaccard >= threshold.
+
+    Pass ``target_recall`` (with bands=rows=None) to auto-tune the
+    banding from LSH theory instead of fixing 8×4."""
+    if target_recall is not None:
+        bands, rows = tune_bands(num_perm, threshold, target_recall)
     assert bands * rows == num_perm, "bands*rows must equal num_perm"
     if hash_fn == "md5":
         sig = portable_signatures(df, id_col, text_col, num_perm, n).persist()

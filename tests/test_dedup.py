@@ -122,6 +122,37 @@ def test_minhash_recall_on_testdata(spark, sf_dir):
         assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"
 
 
+def test_band_autotune_theory_and_recall(spark, sf_dir):
+    """tune_bands must honor the closed-form recall bound, and the
+    auto-tuned operator must actually hit the target recall against
+    exact Jaccard on the driver corpus at two thresholds."""
+    from data_frame_demo_etl_spark.dedup.minhash import candidate_probability, tune_bands
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    for t, p in [(0.5, 0.9), (0.8, 0.95), (0.9, 0.99)]:
+        b, r = tune_bands(32, t, p)
+        assert b * r == 32
+        assert candidate_probability(t, b, r) >= p
+        # rows is maximal: the next-larger factorization misses the target
+        larger = [rr for rr in range(r + 1, 33) if 32 % rr == 0]
+        if larger:
+            assert candidate_probability(t, 32 // larger[0], larger[0]) < p
+
+    docs = load_table(spark, "documents", sf_dir)
+    for thr in (0.8, 0.9):
+        exact = {(r_.id_a, r_.id_b) for r_ in jaccard_pairs(docs, threshold=thr).collect()}
+        if not exact:
+            continue
+        tuned = {
+            (r_.id_a, r_.id_b)
+            for r_ in minhash_near_dup_pairs(
+                docs, bands=None, rows=None, threshold=0.5, target_recall=0.95
+            ).collect()
+        }
+        recall = len(exact & tuned) / len(exact)
+        assert recall >= 0.9, f"thr={thr}: tuned recall {recall} over {len(exact)} pairs"
+
+
 def test_prefix_filter_matches_naive(spark, sf_dir):
     """The prefix-filtered join must return exactly the naive result."""
     from data_frame_demo_etl_spark.dedup.jaccard import jaccard_pairs_naive

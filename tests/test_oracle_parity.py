@@ -25,8 +25,12 @@ def con(sf_oracle_dir):
 def test_oracle_parity(spark, sf_oracle_dir, con, name):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
-    report = compare(q(spark, sf_oracle_dir), con, sql, name=name)
+    df = q(spark, sf_oracle_dir)
+    report = compare(df, con, sql, name=name)
     assert report["ok"], report
+    # An empty result "matches" trivially — zero-row gates are zero
+    # evidence (a bad filter passed this way once: q2's '%BRASS').
+    assert df.count() > 0, f"{name}: oracle query returns 0 rows at sf0.01 — gate is vacuous"
 
 
 @pytest.mark.parametrize("name", [k for k in ALL_KEYS if k not in ORACLE_KEYS])
