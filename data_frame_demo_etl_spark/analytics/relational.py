@@ -51,11 +51,16 @@ ORDER BY o_orderpriority
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers that never ordered."""
+    """Left-anti join: customers with no 1-URGENT order. (Plain
+    "never ordered" is vacuous on the synthetic data — every customer
+    has orders — and a 0-row gate proves nothing; the filtered
+    anti-join keeps the operator shape AND returns rows at every
+    test scale.)"""
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
@@ -64,7 +69,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 ORDER BY c_custkey
 """
 
