@@ -236,12 +236,17 @@ register(
 register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
 register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
 
-# --- rows-only: sketches and probabilistic/ANN variants. Accuracy is
-# asserted in pytest against the exact in-window counterparts
-# (events_exact_stats, ann_cosine_topk, dedup_ngram_jaccard). ---
+# ANN variants, now oracle-backed: LSH hyperplanes are deterministic
+# constants embedded in the generated SQL (candidate generation itself
+# is verified, not just scores); IVF runs the gate at full probe,
+# where it is exact by construction, against the brute-force oracle.
+register("ann_lsh_topk", sim_gate.ann_lsh_topk, sim_gate.ANN_LSH_TOPK_SQL)
+register("dedup_embedding", sim_gate.dedup_embedding, sim_gate.DEDUP_EMBEDDING_SQL)
+register("ann_ivf_topk", ann_ivf_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+
+# --- rows-only: sketches and remaining probabilistic variants.
+# Accuracy is asserted in pytest against exact oracle-checked
+# counterparts. ---
 register("events_approx_stats", sketches.events_approx_stats, None)
-register("ann_lsh_topk", sim_gate.ann_lsh_topk, None)
-register("dedup_embedding", sim_gate.dedup_embedding, None)
-register("ann_ivf_topk", ann_ivf_topk, None)
 register("text_retrieval_topk", text_retrieval_topk, None)
 register("group_zscore", _group_zscore_gate, None)

@@ -129,7 +129,7 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def lsh_assign(
     df: DataFrame,
     dim: int,
-    n_planes: int = 12,
+    n_planes: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:

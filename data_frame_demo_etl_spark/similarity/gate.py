@@ -1,8 +1,14 @@
 """Correctness-gate wrappers for similarity search on `embeddings`.
 
-Brute-force cosine top-k has a DuckDB oracle (list_cosine_similarity);
-the LSH variants are rows-only (deterministic seeded hyperplanes, but
-no SQL equivalent) and are recall-tested against brute force in pytest.
+Every gate here has a full DuckDB oracle:
+- brute-force cosine top-k via LIST_COSINE_SIMILARITY;
+- the LSH variants by EMBEDDING the deterministic hyperplane floats
+  into generated SQL, so the oracle reproduces candidate generation
+  (sign-bit buckets) and not just the scores;
+- IVF at full probe, where it is exact by construction, against the
+  brute-force SQL.
+The approximate regimes (nprobe<k, bucket-bounded recall) are
+recall-tested against brute force in pytest.
 """
 
 from __future__ import annotations
@@ -93,5 +99,65 @@ ORDER BY label, dim
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs. Gate threshold is 0.4 because the
+    synthetic embeddings are near-orthogonal random vectors (max pair
+    cosine ≈0.5 even at sf0.1) — at the API default of 0.9 the gate
+    would pass vacuously on zero rows. Real corpora keep the 0.9
+    default of ``embedding_near_dup_pairs``."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return embedding_near_dup_pairs(emb, dim=DIM, threshold=0.9).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(emb, dim=DIM, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def _lsh_bucket_sql(n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB expression computing the SAME sign-bit LSH bucket as
+    ``lsh_assign``: the hyperplanes are deterministic (fixed seed), so
+    their float values are embedded as literals (repr → exact double
+    round-trip) and the bucket is the bit-packed sum of dot-product
+    signs. This is what makes the LSH candidate generation — not just
+    the final scores — externally verifiable."""
+    from .ann import hyperplanes
+
+    planes = hyperplanes(DIM, n_planes, seed)
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), [{lits}]) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])), 6) AS cosine
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b
+"""

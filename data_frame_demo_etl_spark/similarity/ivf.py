@@ -95,8 +95,12 @@ def ivf_topk(
 
 
 def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    """Gate query: IVF top-5 for the first 10 vectors (rows-only;
-    recall vs brute force asserted in pytest)."""
+    """Gate query: IVF top-5 for the first 10 vectors at FULL probe
+    (nprobe = all 16 posting lists). Full probe makes IVF exact by
+    construction, so the brute-force cosine SQL is its oracle — the
+    gate proves the entire assignment → probe → rerank machinery
+    loses nothing. The approximate regime (nprobe=4) is recall-tested
+    against brute force in pytest."""
     from ..sources.catalog import load_table
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -107,4 +111,6 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .toPandas()
     )
-    return ivf_topk(assigned, centroids, queries_pd, k=5, nprobe=4).orderBy("query_id", "rank")
+    return ivf_topk(assigned, centroids, queries_pd, k=5, nprobe=len(centroids)).orderBy(
+        "query_id", "rank"
+    )
