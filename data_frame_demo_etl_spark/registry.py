@@ -34,7 +34,10 @@ from .operators import gate as ops_gate
 from .operators import temporal_gate as tmp_gate
 from .similarity import gate as sim_gate
 from .similarity.ivf import ann_ivf_topk
-from .similarity.text_retrieval import text_retrieval_topk
+from .similarity.text_retrieval import (
+    TEXT_RETRIEVAL_TOPK_SQL,
+    text_retrieval_topk_portable,
+)
 from .sources import gate as src_gate
 from .streaming import events as streaming_events
 from . import pipelines_llm
@@ -244,9 +247,13 @@ register("ann_lsh_topk", sim_gate.ann_lsh_topk, sim_gate.ANN_LSH_TOPK_SQL)
 register("dedup_embedding", sim_gate.dedup_embedding, sim_gate.DEDUP_EMBEDDING_SQL)
 register("ann_ivf_topk", ann_ivf_topk, sim_gate.ANN_COSINE_TOPK_SQL)
 
-# --- rows-only: sketches and remaining probabilistic variants.
-# Accuracy is asserted in pytest against exact oracle-checked
-# counterparts. ---
+# Text retrieval: the gate runs the md5-bucket portable TF-IDF
+# (oracle-verified end-to-end); the Spark-ML HashingTF path is the
+# throughput variant, planted-twin-tested in pytest.
+register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOPK_SQL)
+
+# --- rows-only: sketch internals and pandas-group float-order are
+# genuinely engine-specific; accuracy asserted in pytest against
+# exact oracle-checked counterparts. ---
 register("events_approx_stats", sketches.events_approx_stats, None)
-register("text_retrieval_topk", text_retrieval_topk, None)
 register("group_zscore", _group_zscore_gate, None)

@@ -79,3 +79,126 @@ def text_retrieval_topk(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return retrieval_topk(docs, query_ids=[0, 1, 2, 3, 4]).orderBy("query_id", "rank")
+
+
+def portable_retrieval_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_features: int = 1024,
+    use_idf: bool = False,
+) -> DataFrame:
+    """Engine-portable hashed retrieval: md5-derived hash buckets
+    (binary presence); optionally idf = ln((N+1)/(df+1)) weighting.
+    Sparse dot products accumulate in DECIMAL so summation order
+    can't move bits — every CTE is expressible in DuckDB, giving the
+    retrieval gate a full oracle. The gate (and its SQL) run
+    use_idf=False: on the synthetic ~30-word vocabulary document
+    frequencies are degenerate (ubiquitous terms → ~zero idf), the
+    same reason the ML-path quality test disables IDF; binary
+    set-cosine is then exact integer arithmetic. The Spark-ML
+    HashingTF path (murmur3, dense vectors) stays the throughput
+    path; pytest checks both rank the planted twin first."""
+    toks = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""))
+        ).alias("tok"),
+    )
+    bucketed = toks.select(
+        "doc",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % n_features).alias(
+            "bucket"
+        ),
+    ).distinct()
+    if use_idf:
+        n_docs = corpus.count()
+        dfreq = bucketed.groupBy("bucket").agg(F.countDistinct("doc").alias("df"))
+        w = bucketed.join(dfreq, "bucket").select(
+            "doc", "bucket", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)).alias("idf")
+        ).persist()
+    else:
+        w = bucketed.select("doc", "bucket", F.lit(1.0).alias("idf")).persist()
+    norms = w.groupBy("doc").agg(
+        F.sqrt(F.sum((F.col("idf") * F.col("idf")).cast("decimal(28,12)")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    q = w.filter(F.col("doc").isin(query_ids)).select(
+        F.col("doc").alias("query_id"), "bucket", F.col("idf").alias("qidf")
+    )
+    dots = (
+        q.join(w, "bucket")
+        .filter(F.col("doc") != F.col("query_id"))
+        .groupBy("query_id", "doc")
+        .agg(F.sum((F.col("qidf") * F.col("idf")).cast("decimal(28,12)")).alias("dot"))
+    )
+    qn = norms.select(F.col("doc").alias("query_id"), F.col("nrm").alias("qn"))
+    cn = norms.select(F.col("doc").alias("doc"), F.col("nrm").alias("cn"))
+    scored = (
+        dots.join(qn, "query_id")
+        .join(cn, "doc")
+        .select(
+            "query_id",
+            F.col("doc").alias("neighbor_id"),
+            F.round(F.col("dot").cast("double") / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+TEXT_RETRIEVAL_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc,
+         UNNEST(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w != ''))) AS tok
+  FROM documents
+),
+bucketed AS (
+  SELECT DISTINCT doc,
+         CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM toks
+),
+w AS (SELECT doc, bucket, 1.0 AS idf FROM bucketed),
+norms AS (
+  SELECT doc, SQRT(CAST(SUM(CAST(idf * idf AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc
+),
+q AS (SELECT doc AS query_id, bucket, idf AS qidf FROM w WHERE doc IN (0, 1, 2, 3, 4)),
+dots AS (
+  SELECT q.query_id, w.doc, SUM(CAST(q.qidf * w.idf AS DECIMAL(28,12))) AS dot
+  FROM q JOIN w ON q.bucket = w.bucket AND w.doc != q.query_id
+  GROUP BY q.query_id, w.doc
+),
+scored AS (
+  SELECT d.query_id, d.doc AS neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE) / (qn.nrm * cn.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.doc = d.query_id
+  JOIN norms cn ON cn.doc = d.doc
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def text_retrieval_topk_portable(spark, sf_dir: str) -> DataFrame:
+    """Gate query: portable TF-IDF retrieval for the first 5 docs,
+    oracle-verified end-to-end (TEXT_RETRIEVAL_TOPK_SQL)."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return portable_retrieval_topk(docs, query_ids=[0, 1, 2, 3, 4]).orderBy("query_id", "rank")

@@ -122,3 +122,14 @@ def test_tfidf_retrieval_finds_planted_twin(spark, sf_oracle_dir):
         top5.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for q in query_ids if partners[q] & top5.get(q, set()))
     assert hits >= len(query_ids) - 2, (top5, {q: partners[q] for q in query_ids})
+
+    # The md5-bucket portable vectorizer (the oracle-backed gate path)
+    # must find the planted twins too.
+    from data_frame_demo_etl_spark.similarity.text_retrieval import portable_retrieval_topk
+
+    pres = portable_retrieval_topk(docs, query_ids, k=5).collect()
+    ptop5: dict[int, set[int]] = {}
+    for r in pres:
+        ptop5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    phits = sum(1 for q in query_ids if partners[q] & ptop5.get(q, set()))
+    assert phits >= len(query_ids) - 2, (ptop5, {q: partners[q] for q in query_ids})
