@@ -203,3 +203,23 @@ FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it, so state is O(keys per watermark
+    window), not O(all keys ever) — the difference between a pipeline
+    that runs forever at 100 TB/day and one that OOMs. Duplicates
+    arriving within the watermark delay are suppressed; a re-arrival
+    later than the delay is treated as new (the documented trade of
+    bounded state).
+
+    Batch equivalent (for oracles/backfills): ``operators.dedupe``.
+    """
+    keyed = stream.withWatermark("ts", delay)
+    return keyed.dropDuplicatesWithinWatermark(keys or ["event_id"])

@@ -115,3 +115,52 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     # No re-emission, no count bump from the late event.
     assert second == first
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids inside the watermark window are suppressed
+    across micro-batches; state stays bounded by the watermark."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.streaming.events import stream_dedup
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "dup_events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    batch1 = [
+        (1, t0, 1, "view", 1.0, ""),
+        (1, t0 + dt.timedelta(minutes=1), 1, "view", 1.0, ""),  # dup within delay
+        (2, t0 + dt.timedelta(minutes=2), 1, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    ids = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert ids == [1, 2]
+
+    # Second micro-batch: another dup of 1 within the delay stays
+    # suppressed (checkpointed state), a fresh id 3 passes.
+    batch2 = [
+        (1, t0 + dt.timedelta(minutes=3), 1, "view", 1.0, ""),
+        (3, t0 + dt.timedelta(minutes=4), 1, "view", 1.0, ""),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    ids = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert ids == [1, 2, 3]
