@@ -72,15 +72,17 @@ def portable_simhash_table(
         F.explode(word_array(F.lower(F.col(text_col)))).alias("tok"),
     ).select("doc", F.md5(F.col("tok")).alias("h"))
     # Materialize the 16 hex-digit values once, then 64 conditional
-    # sums over them (re-deriving the digit inside each sum would cost
-    # 64 convs per token instead of 16).
+    # sums over them. The persist() is load-bearing: Catalyst inlines
+    # projections into the aggregate, so without the barrier each of
+    # the 64 sums re-derives conv(substring(md5)) per token (measured
+    # 12s → ~2s at sf0.01 for 500 docs).
     digits = tokens.select(
         "doc",
         *[
             F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
             for i in range(16)
         ],
-    )
+    ).persist()
     bit_sums = [
         F.sum(
             F.when(

@@ -57,6 +57,17 @@ def test_cdc_tiebreak_breaks_seq_ties_deterministically(spark):
         assert [(r.k, r.v) for r in out] == [(1, "b")]  # highest offset wins
 
 
+def test_plan_audit_q2_window_not_selfjoin(spark, sf_oracle_dir):
+    """The correlated-min must compile to a Window over the offers
+    table, not a self-join, and the final top-100 must be a
+    distributed TakeOrdered — no cartesian anywhere."""
+    df = registry.queries()["q2_min_cost_supplier"](spark, sf_oracle_dir)
+    rep = plan_report(df)
+    assert "Window" in rep.raw
+    assert "TakeOrderedAndProject" in rep.raw
+    assert rep.nested_loop_joins == 0
+
+
 def test_plan_audit_q1(spark, sf_oracle_dir):
     df = registry.queries()["q1_pricing_summary"](spark, sf_oracle_dir)
     rep = plan_report(df)

@@ -62,3 +62,55 @@ def test_pack_by_budget(spark):
     df = spark.createDataFrame(rows, ["g", "i", "sz"])
     out = {r.i: r.bin for r in pack_by_budget(df, "g", ["i"], "sz", 2000).collect()}
     assert [out[i] for i in range(7)] == [0, 0, 0, 0, 1, 1, 1]
+
+
+def test_portable_sample_properties(spark):
+    """Property-style checks on the md5-prefix portable sample:
+    monotone in fraction (nested thresholds), exact bounds at 0/1,
+    pure-python reproducibility of the engine's row choice."""
+    import hashlib
+
+    from data_frame_demo_etl_spark.operators.sampling import portable_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    kept = {}
+    for frac in (0.0, 0.1, 0.3, 0.7, 1.0):
+        kept[frac] = {r.k for r in portable_sample(df, ["k"], frac).collect()}
+    assert kept[0.0] == set()
+    assert kept[1.0] == set(range(2000))
+    assert kept[0.1] <= kept[0.3] <= kept[0.7]  # thresholds nest
+    # Python replicates the exact membership rule (engine-portable).
+    expected = {
+        i for i in range(2000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] < format(int(0.3 * 16**8), "08x")
+    }
+    assert kept[0.3] == expected
+
+
+def test_split_by_hash_property(spark):
+    """Hypothesis over fraction vectors: splits are always disjoint
+    and exhaustive, and a row's split assignment never changes when
+    OTHER fractions of the remaining mass move."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["k"]).cache()
+    df.count()
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.floats(min_value=0.1, max_value=0.8))
+    def check(train_frac):
+        rest = 1.0 - train_frac
+        splits = split_by_hash(
+            df, ["k"], {"train": train_frac, "val": rest / 2, "test": rest / 2}
+        )
+        ids = {name: {r.k for r in d.collect()} for name, d in splits.items()}
+        assert ids["train"] | ids["val"] | ids["test"] == set(range(500))
+        assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+        assert not (ids["train"] & ids["test"])
+        # first-interval stability: shrinking later splits never moves
+        # a train row out (intervals are [0, f) prefixes of the hash)
+        smaller = split_by_hash(df, ["k"], {"train": train_frac, "val": rest, "test": 0.0})
+        assert ids["train"] == {r.k for r in smaller["train"].collect()}
+
+    check()
