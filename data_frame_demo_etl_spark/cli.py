@@ -108,6 +108,30 @@ def _cmd_youtube(args) -> int:
     return 0
 
 
+def _cmd_query(args) -> int:
+    """Run any registered gate query by name against a testdata-style
+    directory of parquet tables; print rows as JSONL (capped)."""
+    from . import registry
+
+    qs = registry.queries()
+    if args.name == "list" or args.name not in qs:
+        names = "\n".join(sorted(qs))
+        if args.name == "list":
+            print(names)
+            return 0
+        logging.error("unknown query %r; available:\n%s", args.name, names)
+        return 1
+    spark = get_spark(app_name=f"etl-query-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    rows = df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    if args.oracle:
+        sql = registry.oracle_sql().get(args.name)
+        print(json.dumps({"oracle_sql": sql or "rows-only (no SQL oracle)"}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_frame_demo_etl_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -139,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
     export.add_argument("--out-dir", required=True)
     export.add_argument("--format", action="append", default=["parquet", "jsonl"])
     export.set_defaults(fn=_cmd_export)
+
+    query = sub.add_parser("query", help="run a registered query by name ('list' to enumerate)")
+    query.add_argument("name")
+    query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    query.add_argument("--limit", type=int, default=20)
+    query.add_argument("--oracle", action="store_true", help="also print the DuckDB oracle SQL")
+    query.set_defaults(fn=_cmd_query)
 
     yt = sub.add_parser("youtube", help="YouTube ETL: fetch videos + engagement summaries")
     yt.add_argument("--playlist-id", action="append")
