@@ -51,23 +51,22 @@ def jaccard_pairs(
     # the dominant cost of the whole operator.
     sh = _hashed_shingles(df, id_col, text_col, n).persist()
 
-    # Global rare-first total order on shingles.
+    # Global rare-first total order on shingles. The per-doc window
+    # that assigns rank also carries the doc's shingle count (same
+    # partition key → same single shuffle), so there is no separate
+    # sizes aggregation, no sizes join, and no question of
+    # broadcasting a table that grows with the corpus.
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    wdoc = Window.partitionBy("doc")
     ranked = (
         sh.join(freq, "h")
         .withColumn(
             "rn",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy(F.col("freq").asc(), F.col("h").asc())
-            ),
+            F.row_number().over(wdoc.orderBy(F.col("freq").asc(), F.col("h").asc())),
         )
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
     )
-    # No broadcast hint: the per-document sizes table grows linearly
-    # with the corpus, so force-broadcasting it OOMs the driver at the
-    # scales this module targets — let AQE pick (it will still
-    # broadcast when the corpus is actually small).
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    with_sz = ranked.join(sizes, "doc")
+    with_sz = ranked
     # Prefix length sz − ⌈t·sz⌉ + 1, in EXACT integer arithmetic.
     # Naive float floor((1−t)·sz)+1 silently shrinks the prefix when
     # (1−t)·sz lands just under an integer (e.g. 0.2·10 →
