@@ -1,8 +1,9 @@
 """Correctness-gate wrappers for near-duplicate detection on the
-`documents` table. The exact n-gram Jaccard op has a full DuckDB
-oracle; the sketch-based ops (MinHash/SimHash) are rows-only checks
-(their xxhash64-based internals aren't expressible in DuckDB SQL) but
-are cross-validated against the exact Jaccard op in pytest.
+`documents` table. Every gate here has a full DuckDB oracle: exact
+n-gram Jaccard directly, and the sketch ops (MinHash/SimHash) through
+their md5-portable hash families, whose signatures/buckets/pairs any
+engine with md5 reproduces bit-for-bit. The xxhash64 families remain
+the throughput path, cross-validated against exact Jaccard in pytest.
 """
 
 from __future__ import annotations

@@ -72,9 +72,10 @@ def retrieval_topk(
 
 
 def text_retrieval_topk(spark, sf_dir: str) -> DataFrame:
-    """Gate query (rows-only): TF-IDF retrieval for the first 5 docs.
-    Validated in pytest: planted near-duplicate documents must
-    retrieve their twin at rank 1."""
+    """ML-path (HashingTF) retrieval for the first 5 docs — the
+    throughput variant; pytest checks planted near-duplicates
+    retrieve their twin. The registered gate is
+    ``text_retrieval_topk_portable`` (oracle-backed)."""
     from ..sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir)
