@@ -281,3 +281,57 @@ FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
 ORDER BY doc_id
 """
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality rule flags + the overall keep/drop
+    decision (emitting flags rather than filtering keeps the gate
+    non-vacuous regardless of the corpus's pass rate)."""
+    from .text import gopher_quality_flags, gopher_quality_pass
+
+    docs = load_table(spark, "documents", sf_dir)
+    flags = gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in flags.items()],
+        gopher_quality_pass(F.col("text")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+TEXT_GOPHER_QUALITY_SQL = r"""
+WITH feats AS (
+  SELECT doc_id,
+    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws,
+    LIST_FILTER(STRING_SPLIT_REGEX(text, '\n'), l -> TRIM(l) != '') AS lines,
+    LEN(REGEXP_EXTRACT_ALL(text, '(#|\.\.\.|…)')) AS symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    LEN(ws) AS n_words,
+    CASE WHEN LEN(ws) > 0
+         THEN CAST(LIST_SUM(LIST_TRANSFORM(ws, w -> LEN(w))) AS DOUBLE) / LEN(ws)
+         ELSE 0.0 END AS mean_len,
+    symbols,
+    GREATEST(LEN(lines), 1) AS n_lines,
+    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(TRIM(l), '^([*\-•]|[0-9]+[.)])'))) AS bullet_lines,
+    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(TRIM(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+    LEN(LIST_FILTER(ws, w -> REGEXP_MATCHES(w, '[A-Za-z]'))) AS alpha_words
+  FROM feats
+)
+SELECT doc_id,
+  n_words >= 50 AND n_words <= 100000 AS wc_ok,
+  mean_len >= 3.0 AND mean_len <= 10.0 AS mean_len_ok,
+  CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words <= 0.1 ELSE FALSE END AS symbol_ok,
+  CAST(bullet_lines AS DOUBLE) / n_lines < 0.9 AS bullet_ok,
+  CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3 AS ellipsis_ok,
+  CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words >= 0.8 ELSE FALSE END AS alpha_ok,
+  (n_words >= 50 AND n_words <= 100000)
+    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+    AND (CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words <= 0.1 ELSE FALSE END)
+    AND (CAST(bullet_lines AS DOUBLE) / n_lines < 0.9)
+    AND (CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3)
+    AND (CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words >= 0.8 ELSE FALSE END) AS keep
+FROM m
+ORDER BY doc_id
+"""

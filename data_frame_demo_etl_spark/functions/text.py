@@ -161,3 +161,55 @@ def fingerprint(text: Column) -> Column:
     crosses the shuffle)."""
     normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
     return F.md5(normalized)
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    — public heuristics reused across Dolma/RefinedWeb/FineWeb-class
+    pipelines), each as a boolean Column:
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# or ellipsis) <= 0.1
+    - < 90% of lines start with a bullet
+    - < 30% of lines end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+
+    All whole-stage-codegen Column expressions — no UDFs — so the
+    filter runs at scan speed and pushes into one pass.
+    """
+    ws = words(text)
+    n_words = F.size(ws)
+    total_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.when(n_words > 0, total_chars / n_words).otherwise(F.lit(0.0))
+    symbols = F.regexp_count(text, F.lit(r"(#|\.\.\.|…)"))
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([*\-•]|[0-9]+[.)])"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    return {
+        "wc_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_len_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "symbol_ok": F.when(
+            n_words > 0, (symbols.cast("double") / n_words) <= 0.1
+        ).otherwise(F.lit(False)),
+        "bullet_ok": (bullet_lines.cast("double") / n_lines) < 0.9,
+        "ellipsis_ok": (ellipsis_lines.cast("double") / n_lines) < 0.3,
+        "alpha_ok": F.when(
+            n_words > 0, (alpha_words.cast("double") / n_words) >= 0.8
+        ).otherwise(F.lit(False)),
+    }
+
+
+def gopher_quality_pass(text: Column) -> Column:
+    """Conjunction of all Gopher rules — the keep/drop decision."""
+    flags = gopher_quality_flags(text)
+    out = F.lit(True)
+    for c in flags.values():
+        out = out & c
+    return out

@@ -199,6 +199,9 @@ assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
 register(
     "q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_MIN_COST_SUPPLIER_SQL
 )
+register(
+    "text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL
+)
 register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
 register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
 register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)

@@ -144,3 +144,33 @@ def test_chunk_text_edge_cases(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_text(F.col("t"), 100, 100)
+
+
+def test_gopher_rules_each_trigger(spark):
+    """One crafted document per rule violation; a clean long document
+    passes all rules."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.functions.text import gopher_quality_flags
+
+    clean = ("solid wording with readable sentences about engines " * 10).strip()
+    rows = [
+        (0, clean),                                   # passes everything
+        (1, "too short"),                             # wc_ok fails
+        (2, ("a b c d e " * 20).strip()),             # mean_len < 3
+        (3, clean + " " + "# " * 20),                 # symbol ratio > 0.1
+        (4, "\n".join(f"- bullet {i} here" for i in range(20))),   # bullets
+        (5, "\n".join(f"line {i} trails off..." for i in range(20))),  # ellipsis
+        (6, ("123 456 789 000 " * 20).strip()),       # alpha ratio < 0.8
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flags = gopher_quality_flags(F.col("text"))
+    out = {r.doc_id: r for r in df.select("doc_id", *[c.alias(n) for n, c in flags.items()]).collect()}
+    flag_names = ["wc_ok", "mean_len_ok", "symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok"]
+    assert all(getattr(out[0], n) for n in flag_names)  # clean doc passes all
+    assert not out[1].wc_ok
+    assert not out[2].mean_len_ok
+    assert not out[3].symbol_ok
+    assert not out[4].bullet_ok
+    assert not out[5].ellipsis_ok
+    assert not out[6].alpha_ok
