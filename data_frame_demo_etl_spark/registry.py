@@ -202,6 +202,10 @@ register(
 register(
     "text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL
 )
+
+from .dedup.spans import DEDUP_SPANS_SQL, dedup_spans  # noqa: E402
+
+register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
 register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
 register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
 register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)

@@ -218,3 +218,22 @@ def test_decontaminate_removes_overlapping_docs(spark):
     assert {(r.train_id, r.eval_id) for r in pairs} == {(1, 100)}
     clean = decontaminate(train, eval_set, n=8)
     assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_span_dedup_removes_cross_doc_boilerplate(spark):
+    """A 20-word header shared by two docs survives exactly once
+    (first occurrence), per-doc counts reconcile, and a doc whose
+    every span is boilerplate reduces to empty text."""
+    from data_frame_demo_etl_spark.dedup.spans import span_dedup
+
+    hdr = " ".join(f"nav{i}" for i in range(20))
+    rows = [
+        (1, hdr + " unique body alpha beta gamma"),
+        (2, hdr + " different tail body here now"),
+        (3, hdr),  # all-boilerplate doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup(df).collect()}
+    assert out[1].dedup_text.startswith("nav0") and out[1].n_kept == out[1].n_total == 2
+    assert not out[2].dedup_text.startswith("nav0") and out[2].n_kept == 1
+    assert out[3].dedup_text == "" and out[3].n_kept == 0 and out[3].n_total == 1
