@@ -124,11 +124,13 @@ register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_
 register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
 register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
 register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
-register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
-register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
+register("text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL)
 
 # --- dedup (SURVEY §2.9: D1-D4 + clusters + contamination) --- 32
+from .dedup.spans import DEDUP_SPANS_SQL, dedup_spans  # noqa: E402
+
 register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
+register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
 register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
 register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
 register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
@@ -199,13 +201,8 @@ assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
 register(
     "q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_MIN_COST_SUPPLIER_SQL
 )
-register(
-    "text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL
-)
-
-from .dedup.spans import DEDUP_SPANS_SQL, dedup_spans  # noqa: E402
-
-register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
+register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
+register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
 register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
 register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
 register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)
