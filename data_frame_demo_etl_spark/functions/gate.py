@@ -335,3 +335,129 @@ SELECT doc_id,
 FROM m
 ORDER BY doc_id
 """
+
+
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation / min-words / javascript filtering, then
+    document-level sentence-count, lorem-ipsum, and curly-brace rules.
+
+    The shipped synthetic corpus has no line structure or punctuation
+    at all, which would make every rule constant. The gate therefore
+    first SENTENCIFIES each document deterministically — regroups its
+    words into 8-word lines with cyclic punctuation, injecting
+    javascript / lorem-ipsum / curly-brace markers keyed on line index
+    and doc_id — using only expressions both engines share, then
+    applies the C4 rules to that lined text. Every flag varies across
+    the corpus, so the gate checks the full rule logic, not a
+    constant. Emitting per-document flags (rather than the filtered
+    corpus) keeps row count non-vacuous regardless of pass rate."""
+    from .text import C4_MIN_SENTENCES
+
+    docs = load_table(spark, "documents", sf_dir)
+    # stage 1: word array (computed once; HOF lambdas would otherwise
+    # re-split the text per line)
+    ws = docs.select("doc_id", F.filter(F.split("text", r"\s+"), lambda w: w != "").alias("ws"))
+    # stage 2: deterministic sentencified text
+    n_chunks = (F.ceil(F.size("ws") / 8)).cast("int")
+    suffix = (
+        lambda i: F.when(i % 5 == F.lit(2), F.lit(" javascript enabled."))
+        .when(i % 3 == F.lit(0), F.lit("."))
+        .when(i % 3 == F.lit(2), F.lit("!"))
+        .otherwise(F.lit(""))
+    )
+    lines = F.when(
+        F.size("ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat(F.array_join(F.slice("ws", i * 8 + 1, 8), " "), suffix(i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nweird { brace } block here okay.")).otherwise(
+            F.lit("")
+        ),
+    )
+    staged = ws.select("doc_id", lined.alias("text"))
+    # stage 3: C4 line rules over the lined text (kept materialized once)
+    kept = F.filter(
+        F.split("text", r"\n"),
+        lambda l: F.trim(l).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    m = staged.select("doc_id", "text", kept.alias("kept")).select(
+        "doc_id",
+        "text",
+        F.size("kept").cast("long").alias("lines_kept"),
+        F.regexp_count(F.array_join("kept", "\n"), F.lit(r"[.!?]")).cast("long").alias(
+            "n_sentences"
+        ),
+    )
+    return m.select(
+        "doc_id",
+        "lines_kept",
+        "n_sentences",
+        (F.col("n_sentences") >= C4_MIN_SENTENCES).alias("sentences_ok"),
+        (~F.lower(F.col("text")).contains("lorem ipsum")).alias("no_lorem"),
+        (~F.col("text").contains("{")).alias("no_brace"),
+        (
+            (F.col("n_sentences") >= C4_MIN_SENTENCES)
+            & ~F.lower(F.col("text")).contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+TEXT_C4_FILTERS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x != '') AS ws
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+    ARRAY_TO_STRING(
+      LIST_TRANSFORM(
+        RANGE(0, CAST(CEIL(LEN(ws) / 8.0) AS INT)),
+        i -> ARRAY_TO_STRING(ws[i*8+1 : i*8+8], ' ') ||
+             CASE WHEN i % 5 = 2 THEN ' javascript enabled.'
+                  WHEN i % 3 = 0 THEN '.'
+                  WHEN i % 3 = 2 THEN '!'
+                  ELSE '' END
+      ), chr(10))
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'weird { brace } block here okay.' ELSE '' END
+    AS text
+  FROM w
+),
+kept AS (
+  SELECT doc_id, text,
+    LIST_FILTER(STRING_SPLIT(text, chr(10)), l ->
+      REGEXP_MATCHES(TRIM(l), '[.!?"]$')
+      AND LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(l), '\s+'), x -> x != '')) >= 5
+      AND NOT CONTAINS(LOWER(l), 'javascript')
+    ) AS kl
+  FROM lined
+),
+m AS (
+  SELECT doc_id, text,
+    LEN(kl) AS lines_kept,
+    LEN(REGEXP_EXTRACT_ALL(ARRAY_TO_STRING(kl, chr(10)), '[.!?]')) AS n_sentences
+  FROM kept
+)
+SELECT doc_id,
+  lines_kept,
+  n_sentences,
+  n_sentences >= 3 AS sentences_ok,
+  NOT CONTAINS(LOWER(text), 'lorem ipsum') AS no_lorem,
+  NOT CONTAINS(text, '{') AS no_brace,
+  (n_sentences >= 3
+   AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+   AND NOT CONTAINS(text, '{')) AS keep
+FROM m
+ORDER BY doc_id
+"""

@@ -206,6 +206,51 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     }
 
 
+C4_LINE_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_kept_lines(text: Column) -> Column:
+    """Line-level C4 cleaning rules (Raffel et al. 2020 §2.2 — the
+    public heuristics behind the C4 corpus): keep only lines that
+    end in terminal punctuation, have at least 5 words, and do not
+    mention "javascript" (boilerplate cookie/JS warnings)."""
+    lines = F.split(text, r"\n")
+    return F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")) >= C4_LINE_MIN_WORDS)
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_clean(text: Column) -> Column:
+    """Text rebuilt from the C4-kept lines."""
+    return F.array_join(c4_kept_lines(text), "\n")
+
+
+def c4_document_flags(text: Column) -> dict[str, Column]:
+    """Document-level C4 rules over the line-cleaned text: at least 3
+    sentences remain, no "lorem ipsum" placeholder, no curly brace
+    (code leakage marker). The badword-list rule is omitted (no public
+    list shipped here); slot a `F.lower(text).rlike(...)` term in if
+    one is provided."""
+    cleaned = c4_clean(text)
+    return {
+        "lines_kept": F.size(c4_kept_lines(text)),
+        "n_sentences": F.regexp_count(cleaned, F.lit(r"[.!?]")),
+        "sentences_ok": F.regexp_count(cleaned, F.lit(r"[.!?]")) >= C4_MIN_SENTENCES,
+        "no_lorem": ~F.lower(text).contains("lorem ipsum"),
+        "no_brace": ~text.contains("{"),
+    }
+
+
+def c4_document_pass(text: Column) -> Column:
+    """Conjunction of the document-level C4 rules."""
+    flags = c4_document_flags(text)
+    return flags["sentences_ok"] & flags["no_lorem"] & flags["no_brace"]
+
+
 def gopher_quality_pass(text: Column) -> Column:
     """Conjunction of all Gopher rules — the keep/drop decision."""
     flags = gopher_quality_flags(text)

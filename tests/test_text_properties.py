@@ -174,3 +174,44 @@ def test_gopher_rules_each_trigger(spark):
     assert not out[4].bullet_ok
     assert not out[5].ellipsis_ok
     assert not out[6].alpha_ok
+
+
+def test_c4_rules_each_trigger(spark):
+    """Line-level and document-level C4 rules each fire on a crafted
+    document; a clean multi-sentence document passes everything."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.functions.text import (
+        c4_document_flags,
+        c4_document_pass,
+        c4_kept_lines,
+    )
+
+    clean = "\n".join(["this line has enough words and ends properly."] * 4)
+    rows = [
+        (0, clean),                                           # passes
+        (1, "no terminal punctuation on this line at all"),   # line dropped
+        (2, "too short."),                                    # < 5 words
+        (3, "please enable javascript to view this page."),   # javascript
+        (4, clean + "\nlorem ipsum dolor sit amet."),         # lorem
+        (5, clean + "\nbody { margin: 0; } is css."),         # brace
+        (6, "one good sentence stands alone here."),          # < 3 sentences
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flags = c4_document_flags(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(c4_kept_lines(F.col("text"))).alias("kept"),
+            *[c.alias(n) for n, c in flags.items()],
+            c4_document_pass(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    assert out[0].keep and out[0].kept == 4
+    assert out[1].kept == 0   # no terminal punctuation
+    assert out[2].kept == 0   # min-words
+    assert out[3].kept == 0   # javascript
+    assert not out[4].no_lorem and not out[4].keep
+    assert not out[5].no_brace and not out[5].keep
+    assert not out[6].sentences_ok and not out[6].keep
