@@ -487,3 +487,42 @@ SELECT 'n_chars',
 FROM src
 ORDER BY field
 """
+
+
+# --- training-mix sampling ------------------------------------------------
+
+# Target mixture for the gate: source srcN keeps (20-N)/20 of its rows
+# (src0 everything, src19 one in twenty) — a monotone re-weighting
+# resembling a quality-tiered training mix.
+MIX_RATES = {f"src{n}": (20 - n) / 20 for n in range(20)}
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing via per-stratum md5-integer
+    thresholds (see operators/sampling.py:portable_weighted_sample).
+    DuckDB reproduces the exact sampled row set from the generated
+    CASE ladder below — the thresholds are the same integers."""
+    from .sampling import portable_weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        portable_weighted_sample(docs, "source", MIX_RATES, ["doc_id"])
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_CASES = "\n".join(
+    f"    WHEN '{s}' THEN {int(r * 2**32)}" for s, r in MIX_RATES.items()
+)
+
+CORPUS_MIX_SAMPLE_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
+  CASE source
+{_MIX_CASES}
+    ELSE 0
+  END
+ORDER BY doc_id
+"""

@@ -109,3 +109,35 @@ def pack_by_budget(
     )
     running = F.sum(F.col(size_col)).over(w)
     return df.withColumn("bin", F.floor((running - F.col(size_col)) / budget))
+
+
+def portable_weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_cols: Sequence[str],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix operator:
+    each stratum (source/domain/language) keeps its own fraction of
+    rows, so a corpus can be re-weighted into a target mixture in one
+    scan with no shuffle.
+
+    Engine-portable by construction: a row is kept iff the integer
+    value of the first 8 md5 hex chars of its id is below
+    ``floor(rate * 2^32)`` for its stratum. Any engine with md5
+    reproduces the exact row set; rate 1.0 maps to 2^32, above every
+    32-bit digest prefix, so full-keep strata need no special case.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols])
+    hash_int = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    mapping = F.create_map(
+        *[F.lit(x) for s, r in rates.items() for x in (s, int(r * 2**32))]
+    )
+    threshold = F.coalesce(
+        mapping[F.col(strata_col)], F.lit(int(default_rate * 2**32))
+    )
+    return df.filter(hash_int < threshold)

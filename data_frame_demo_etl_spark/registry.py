@@ -260,6 +260,7 @@ register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOP
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---
 register("text_c4_filters", fn_gate.text_c4_filters, fn_gate.TEXT_C4_FILTERS_SQL)
+register("corpus_mix_sample", ops_gate.corpus_mix_sample, ops_gate.CORPUS_MIX_SAMPLE_SQL)
 
 register("events_approx_stats", sketches.events_approx_stats, None)
 register("group_zscore", _group_zscore_gate, None)

@@ -114,3 +114,29 @@ def test_split_by_hash_property(spark):
         assert ids["train"] == {r.k for r in smaller["train"].collect()}
 
     check()
+
+
+def test_portable_weighted_sample_rates_and_determinism(spark):
+    """Full-keep stratum keeps everything, zero stratum nothing,
+    unknown strata fall to default_rate; the kept set matches a
+    Python md5 replay exactly."""
+    import hashlib
+
+    from data_frame_demo_etl_spark.operators.sampling import portable_weighted_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    kept = portable_weighted_sample(df, "src", rates, ["id"]).collect()
+
+    def keep(i, src):
+        thr = int(rates.get(src, 0.0) * 2**32)
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < thr
+
+    expected = {(i, s) for i, s in rows if keep(i, s)}
+    assert {(r.id, r.src) for r in kept} == expected
+    assert all(s != "c" for _, s in expected)
+    assert sum(1 for i, s in rows if s == "a") == sum(1 for _, s in expected if s == "a")
+
+    with pytest.raises(ValueError):
+        portable_weighted_sample(df, "src", {"a": 1.5}, ["id"])
