@@ -526,3 +526,33 @@ WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) <
   END
 ORDER BY doc_id
 """
+
+
+# --- exact heavy hitters --------------------------------------------------
+
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 corpus terms via the two-pass candidate-pruned
+    counter (operators/heavy.py) — output provably equals the plain
+    exact top-k the oracle computes, while shuffling only the bounded
+    candidate set at scale."""
+    from ..functions.text import words
+    from .heavy import top_k_exact
+
+    docs = load_table(spark, "documents", sf_dir)
+    terms = docs.select(F.explode(words(F.col("text"))).alias("term"))
+    return top_k_exact(terms, "term", k=25).select(
+        F.col("item").alias("term"), "cnt"
+    ).orderBy(F.col("cnt").desc(), F.col("term").asc())
+
+
+HEAVY_HITTER_TERMS_SQL = r"""
+WITH t AS (
+  SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '')) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM t
+GROUP BY term
+ORDER BY cnt DESC, term ASC
+LIMIT 25
+"""

@@ -71,3 +71,28 @@ def test_combine_on_aggregate_null_groups(spark):
     out = {r.k: r.v for r in combine_on_aggregate(df, ["k"]).collect()}
     assert out["k1"] == 3.0
     assert out["k2"] is None  # all-null group → null (pandas min_count=1 parity)
+
+
+def test_top_k_exact_matches_full_count_both_paths(spark):
+    """Pruned path on a skewed corpus and fallback path on a flat one
+    both equal the exact groupBy top-k."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.operators.heavy import top_k_exact
+
+    # skewed: item i appears ~1000/(i+1) times → clear heavy hitters
+    skewed = [(f"w{i}",) for i in range(50) for _ in range(1000 // (i + 1))]
+    # flat: every item exactly twice → guarantee fails, fallback fires
+    flat = [(f"f{i}",) for i in range(200) for _ in range(2)]
+    for rows, m in [(skewed, 8), (flat, 4)]:
+        df = spark.createDataFrame(rows, ["item"]).repartition(8)
+        got = [(r.item, r.cnt) for r in top_k_exact(df, "item", k=10, m=m).collect()]
+        exact = [
+            (r.item, r.cnt)
+            for r in df.groupBy("item")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("item").asc())
+            .limit(10)
+            .collect()
+        ]
+        assert got == exact
