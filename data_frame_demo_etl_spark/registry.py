@@ -262,6 +262,7 @@ register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOP
 register("text_c4_filters", fn_gate.text_c4_filters, fn_gate.TEXT_C4_FILTERS_SQL)
 register("corpus_mix_sample", ops_gate.corpus_mix_sample, ops_gate.CORPUS_MIX_SAMPLE_SQL)
 register("heavy_hitter_terms", ops_gate.heavy_hitter_terms, ops_gate.HEAVY_HITTER_TERMS_SQL)
+register("embedding_covariance", sim_gate.embedding_covariance, sim_gate.EMBEDDING_COVARIANCE_SQL)
 
 register("events_approx_stats", sketches.events_approx_stats, None)
 register("group_zscore", _group_zscore_gate, None)

@@ -161,3 +161,43 @@ pairs AS (
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b
 """
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance entries of the embedding column via
+    the portable decimal-summed aggregation (similarity/stats.py).
+    The mapInPandas sufficient-statistics pass is the 100 TB variant;
+    pytest cross-checks the two to 1e-9."""
+    from .stats import covariance_entries
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return covariance_entries(emb, dim=DIM)
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH idx AS (SELECT UNNEST(GENERATE_SERIES(0, {DIM - 1})) AS i),
+q AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+prod AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(CAST(qv[a.i+1] * qv[b.i+1] AS DECIMAL(38,0))) AS sxy,
+         COUNT(*) AS n
+  FROM q, idx a, idx b
+  WHERE b.i >= a.i
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT i, SUM(CAST(qv[i+1] AS DECIMAL(38,0))) AS s
+  FROM q, idx
+  GROUP BY i
+)
+SELECT p.i, p.j,
+  (CAST(sxy AS DOUBLE) - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n) / (n - 1)
+    / 1000000000000.0 AS cov
+FROM prod p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j
+ORDER BY p.i, p.j
+"""

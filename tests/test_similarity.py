@@ -133,3 +133,51 @@ def test_tfidf_retrieval_finds_planted_twin(spark, sf_oracle_dir):
         ptop5.setdefault(r.query_id, set()).add(r.neighbor_id)
     phits = sum(1 for q in query_ids if partners[q] & ptop5.get(q, set()))
     assert phits >= len(query_ids) - 2, (ptop5, {q: partners[q] for q in query_ids})
+
+
+def test_covariance_paths_agree(spark, sf_oracle_dir):
+    """mapInPandas sufficient-stats path == portable quantized gate
+    path == numpy, within quantization tolerance."""
+    import numpy as np
+
+    from data_frame_demo_etl_spark.similarity.stats import (
+        covariance_entries,
+        covariance_matrix,
+    )
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    X = np.stack(emb.toPandas().sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    ref = np.cov(X, rowvar=False)
+
+    _, cov, n = covariance_matrix(emb)
+    assert n == X.shape[0]
+    assert np.abs(cov - ref).max() < 1e-12
+
+    port = {(r.i, r.j): r.cov for r in covariance_entries(emb).collect()}
+    assert max(abs(port[(i, j)] - ref[i, j]) for i in range(64) for j in range(i, 64)) < 1e-6
+
+
+def test_pca_project_properties(spark, sf_oracle_dir):
+    """Explained variance is descending and matches the variance of
+    the projected coordinates; projection matches numpy."""
+    import numpy as np
+
+    from data_frame_demo_etl_spark.similarity.stats import pca_components, pca_project
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    mean, comps, ev = pca_components(emb, r=4)
+    assert (np.diff(ev) <= 1e-12).all() and (ev > 0).all()
+
+    proj = (
+        pca_project(emb, mean, comps)
+        .select("vec_id", "pc0", "pc1", "pc2", "pc3")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    X = np.stack(emb.toPandas().sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    ref = (X - mean) @ comps.T
+    assert np.abs(proj[["pc0", "pc1", "pc2", "pc3"]].to_numpy() - ref).max() < 1e-9
+    # variance along each axis equals the eigenvalue
+    assert np.abs(ref.var(axis=0, ddof=1) - ev).max() < 1e-9
