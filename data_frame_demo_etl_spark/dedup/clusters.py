@@ -1,13 +1,16 @@
 """Duplicate-cluster resolution: near-dup PAIRS → connected components
 → one survivor per cluster.
 
-``connected_components`` is iterative min-label propagation: each node
-repeatedly adopts the smallest label among itself and its neighbors
-until no label changes. Each iteration is one join + one min-aggregate
-(both map-side combinable); convergence needs O(diameter) rounds —
-duplicate clusters are near-cliques, so 2-3 rounds in practice. This
-is the standard Spark-shaped formulation of the problem (a GraphX/
-Pregel-style loop expressed in DataFrames).
+The distributed path is the alternating large-star / small-star
+contraction of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SoCC 2014): each round re-points nodes at their
+neighborhood minimum, which provably converges to a star forest (one
+star per component, rooted at the component's minimum id) in
+O(log n) rounds — unlike plain min-label propagation, whose round
+count is the graph DIAMETER, so a 10⁶-node chain (pathological but
+possible in transitive near-dup graphs) needs 10⁶ rounds. Each round
+is two groupBy-min aggregations (map-side combinable) and an
+equi-join; nothing touches the driver.
 
 ``resolve_duplicates`` then keeps the minimum-id document of every
 cluster — turning pair detection into an actual deduplicated corpus.
@@ -22,7 +25,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node in `pairs`; component = min node
@@ -68,51 +71,94 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
     return spark.createDataFrame(rows, "id long, component long")
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to
+    min(Γ(u) ∪ {u}). `edges` must hold both directions."""
+    mins = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        edges.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (larger → smaller), then connect every smaller
+    neighbor of u — and u itself — to min(Γ≤(u) ∪ {u})."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return relinked
+
+
 def _distributed_components(
     pairs: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
-    """Iterative min-label propagation (the 100 TB path)."""
+    """Alternating star contraction (see module docstring) — the
+    100 TB path. Raises if `max_iter` rounds don't converge rather
+    than returning silently-wrong labels."""
+    nodes = (
+        pairs.select(F.col(src).alias("id"))
+        .unionByName(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
         .persist()
     )
 
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_chk = None
+    final = None
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.id)
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        grown = _large_star(edges)
+        # small-star re-orients internally, so one direction suffices.
+        # localCheckpoint truncates the lineage — without it the plan
+        # tree doubles every round and stringification alone OOMs.
+        contracted = _small_star(grown).localCheckpoint(eager=True)
+        edges.unpersist()
+        final = contracted
+        cur = _checksum(contracted)
+        if cur == prev_chk:
             break
-    edges.unpersist()
+        prev_chk = cur
+        edges = contracted.unionByName(
+            contracted.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    else:
+        nodes.unpersist()
+        raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
+
+    # converged star forest: (child → root). Roots and isolated-in-
+    # pairs nodes map to themselves.
+    child_to_root = final.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    labels = nodes.join(child_to_root, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
     return labels
 
 

@@ -237,3 +237,25 @@ def test_span_dedup_removes_cross_doc_boilerplate(spark):
     assert out[1].dedup_text.startswith("nav0") and out[1].n_kept == out[1].n_total == 2
     assert not out[2].dedup_text.startswith("nav0") and out[2].n_kept == 1
     assert out[3].dedup_text == "" and out[3].n_kept == 0 and out[3].n_total == 1
+
+
+def test_star_contraction_long_chain_and_random(spark):
+    """The star-contraction path converges on a 400-node chain (where
+    min-label propagation would need 400 rounds) and matches driver
+    union-find on random graphs."""
+    import random
+
+    from data_frame_demo_etl_spark.dedup.clusters import connected_components
+
+    chain = [(i, i + 1) if i % 2 else (i + 1, i) for i in range(400)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    dist = {r.id: r.component for r in connected_components(pairs, driver_threshold=0).collect()}
+    assert set(dist.values()) == {0} and len(dist) == 401
+
+    rng = random.Random(7)
+    rand_edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    pairs = spark.createDataFrame(rand_edges, ["id_a", "id_b"])
+    dist = {(r.id, r.component) for r in connected_components(pairs, driver_threshold=0).collect()}
+    ref = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert dist == ref
