@@ -181,3 +181,61 @@ def test_pca_project_properties(spark, sf_oracle_dir):
     assert np.abs(proj[["pc0", "pc1", "pc2", "pc3"]].to_numpy() - ref).max() < 1e-9
     # variance along each axis equals the eigenvalue
     assert np.abs(ref.var(axis=0, ddof=1) - ev).max() < 1e-9
+
+
+def test_pq_exact_on_codebook_vectors(spark):
+    """Vectors that ARE subspace-centroid concatenations reconstruct
+    losslessly, so ADC cosine equals true cosine."""
+    import numpy as np
+
+    from data_frame_demo_etl_spark.similarity.pq import fit_pq, pq_adc_topk, pq_encode
+
+    rng = np.random.default_rng(3)
+    m, dsub = 4, 4
+    base = rng.normal(size=(8, m, dsub))  # 8 "words" per subspace
+    vecs = [
+        np.concatenate([base[rng.integers(8), i] for i in range(m)]) for _ in range(80)
+    ]
+    pdf = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    cb = fit_pq(df, m=m, nbits=3, sample_n=80)
+    enc = pq_encode(df, cb)
+    queries = df.filter(df.vec_id < 3).toPandas().rename(columns={"vec_id": "query_id"})
+    got = pq_adc_topk(enc, cb, queries, k=5).toPandas()
+
+    X = np.stack(vecs)
+    for qid in range(3):
+        q = X[qid]
+        cos = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+        cos[qid] = -np.inf
+        expect = set(np.argsort(-cos)[:5])
+        mine = set(got[got.query_id == qid].neighbor_id)
+        # codebook-exact data: ADC ranking == exact ranking
+        assert len(mine & expect) >= 4
+
+
+def test_pq_recall_vs_brute_force(spark, sf_oracle_dir):
+    """On the real (near-orthogonal) embeddings, ADC with m=8/nbits=6
+    keeps useful recall of the true top-10."""
+    from data_frame_demo_etl_spark.similarity.ann import brute_force_topk
+    from data_frame_demo_etl_spark.similarity.pq import fit_pq, pq_adc_topk, pq_encode
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    cb = fit_pq(emb, m=8, nbits=6)
+    enc = pq_encode(emb, cb).persist()
+    approx = pq_adc_topk(enc, cb, queries.toPandas(), k=10).toPandas()
+    hits = total = 0
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    recall = hits / total
+    assert recall >= 0.3, f"PQ recall collapsed: {recall}"
