@@ -556,3 +556,30 @@ GROUP BY term
 ORDER BY cnt DESC, term ASC
 LIMIT 25
 """
+
+
+# --- pruned per-key top-n -------------------------------------------------
+
+def topn_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per event_type by (value desc, event_id asc) via
+    the partition-pruned top-n (operators/topn.py) — provably equal to
+    the plain window the oracle runs, while shuffling only the pruned
+    survivors."""
+    from .topn import pruned_topn
+
+    events = load_table(spark, "events", sf_dir).select("event_type", "event_id", "value")
+    return pruned_topn(
+        events, ["event_type"], [("value", False), ("event_id", True)], n=3
+    ).orderBy("event_type", "rank")
+
+
+TOPN_EVENTS_PER_TYPE_SQL = """
+SELECT event_type, event_id, value, rank
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+WHERE rank <= 3
+ORDER BY event_type, rank
+"""

@@ -263,6 +263,7 @@ register("text_c4_filters", fn_gate.text_c4_filters, fn_gate.TEXT_C4_FILTERS_SQL
 register("corpus_mix_sample", ops_gate.corpus_mix_sample, ops_gate.CORPUS_MIX_SAMPLE_SQL)
 register("heavy_hitter_terms", ops_gate.heavy_hitter_terms, ops_gate.HEAVY_HITTER_TERMS_SQL)
 register("embedding_covariance", sim_gate.embedding_covariance, sim_gate.EMBEDDING_COVARIANCE_SQL)
+register("topn_events_per_type", ops_gate.topn_events_per_type, ops_gate.TOPN_EVENTS_PER_TYPE_SQL)
 
 register("events_approx_stats", sketches.events_approx_stats, None)
 register("group_zscore", _group_zscore_gate, None)

@@ -96,3 +96,29 @@ def test_top_k_exact_matches_full_count_both_paths(spark):
             .collect()
         ]
         assert got == exact
+
+
+def test_pruned_topn_equals_plain_window(spark):
+    """Partition-pruned top-n == plain window top-n, including with
+    many partitions and duplicate order values."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from data_frame_demo_etl_spark.operators.topn import pruned_topn
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(7), i, rng.randrange(50) * 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "id", "v"]).repartition(16)
+    got = {
+        (r.k, r.id, r.rank)
+        for r in pruned_topn(df, ["k"], [("v", False), ("id", True)], n=5).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("id").asc())
+    ref = {
+        (r.k, r.id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == ref and len(ref) == 35
