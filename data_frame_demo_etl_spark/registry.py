@@ -251,6 +251,14 @@ register("ann_lsh_topk", sim_gate.ann_lsh_topk, sim_gate.ANN_LSH_TOPK_SQL)
 register("dedup_embedding", sim_gate.dedup_embedding, sim_gate.DEDUP_EMBEDDING_SQL)
 register("ann_ivf_topk", ann_ivf_topk, sim_gate.ANN_COSINE_TOPK_SQL)
 
+# Semantic dedup (SemDeDup): the gate clusters on deterministic anchor
+# centroids embedded in the generated SQL (assignment + within-cluster
+# pairs + keep-lowest-id rule all externally verified); the
+# data-adaptive KMeans variant is recall-tested in pytest.
+from .similarity.semdedup import DEDUP_SEMANTIC_SQL, dedup_semantic  # noqa: E402
+
+register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
+
 # Text retrieval: the gate runs the md5-bucket portable TF-IDF
 # (oracle-verified end-to-end); the Spark-ML HashingTF path is the
 # throughput variant, planted-twin-tested in pytest.

