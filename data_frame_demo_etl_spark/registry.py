@@ -259,6 +259,13 @@ from .similarity.semdedup import DEDUP_SEMANTIC_SQL, dedup_semantic  # noqa: E40
 
 register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
 
+# CCNet-style corpus-self-trained bigram LM quality scoring; per-term
+# log-probs quantized to a 1e-6 integer grid so the aggregate is exact
+# integer arithmetic in both engines.
+from .functions.lm import LM_SCORE_SQL, lm_score_gate  # noqa: E402
+
+register("lm_score_documents", lm_score_gate, LM_SCORE_SQL)
+
 # Text retrieval: the gate runs the md5-bucket portable TF-IDF
 # (oracle-verified end-to-end); the Spark-ML HashingTF path is the
 # throughput variant, planted-twin-tested in pytest.

@@ -215,3 +215,22 @@ def test_c4_rules_each_trigger(spark):
     assert not out[4].no_lorem and not out[4].keep
     assert not out[5].no_brace and not out[5].keep
     assert not out[6].sentences_ok and not out[6].keep
+
+
+def test_lm_score_prefers_common_sequences(spark):
+    """A document made of the corpus's dominant bigram scores higher
+    (less negative) than one made of hapax bigrams; n_bigrams is
+    tokens-1; sub-2-token docs are absent."""
+    from data_frame_demo_etl_spark.functions.lm import lm_score_documents
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zyx wvu tsr qpo nml kji"))  # every bigram unique
+    rows.append((101, "solo"))  # one token: no bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lm_score_documents(docs).toPandas().set_index("doc_id")
+    assert 101 not in got.index
+    assert got.loc[0, "n_bigrams"] == 5
+    assert got.loc[100, "n_bigrams"] == 5
+    assert got.loc[0, "avg_logprob"] > got.loc[100, "avg_logprob"]
+    # the 20 identical docs score identically
+    assert got.loc[list(range(20)), "avg_logprob"].nunique() == 1
