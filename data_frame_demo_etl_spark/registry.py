@@ -208,6 +208,21 @@ register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_RE
 register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)
 register("q8_market_share", relational.q8_market_share, relational.Q8_MARKET_SHARE_SQL)
 register(
+    "q10_returned_items", relational.q10_returned_items, relational.Q10_RETURNED_ITEMS_SQL
+)
+register("q12_priority_class", relational.q12_priority_class, relational.Q12_PRIORITY_CLASS_SQL)
+register("q14_promo_revenue", relational.q14_promo_revenue, relational.Q14_PROMO_REVENUE_SQL)
+register(
+    "q19_disjunctive_revenue",
+    relational.q19_disjunctive_revenue,
+    relational.Q19_DISJUNCTIVE_REVENUE_SQL,
+)
+register(
+    "q22_idle_rich_customers",
+    relational.q22_idle_rich_customers,
+    relational.Q22_IDLE_RICH_CUSTOMERS_SQL,
+)
+register(
     "orders_above_customer_avg",
     relational.orders_above_customer_avg,
     relational.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
