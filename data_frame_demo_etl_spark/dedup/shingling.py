@@ -24,7 +24,11 @@ def shingles(text: Column, n: int = 3) -> Column:
     for both set-based (jaccard) and sketch-based (minhash) paths.
     """
     ws = word_array(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    # sequence(1, 0) counts DOWN to [1, 0] and slice(ws, 0, n) throws:
+    # short documents need an explicit empty-index guard.
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
     return F.array_distinct(grams)
 

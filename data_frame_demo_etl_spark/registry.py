@@ -281,6 +281,13 @@ from .functions.lm import LM_SCORE_SQL, lm_score_gate  # noqa: E402
 
 register("lm_score_documents", lm_score_gate, LM_SCORE_SQL)
 
+# Per-document novelty/boilerplate share (distinct 8-gram document
+# frequency): gate uses string shingles (portable); the xxhash64 path
+# is pinned equal in pytest.
+from .dedup.novelty import DOC_NOVELTY_SQL, doc_novelty_gate  # noqa: E402
+
+register("doc_novelty", doc_novelty_gate, DOC_NOVELTY_SQL)
+
 # Text retrieval: the gate runs the md5-bucket portable TF-IDF
 # (oracle-verified end-to-end); the Spark-ML HashingTF path is the
 # throughput variant, planted-twin-tested in pytest.

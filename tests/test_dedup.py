@@ -259,3 +259,28 @@ def test_star_contraction_long_chain_and_random(spark):
     dist = {(r.id, r.component) for r in connected_components(pairs, driver_threshold=0).collect()}
     ref = {(r.id, r.component) for r in connected_components(pairs).collect()}
     assert dist == ref
+
+
+def test_doc_novelty_scores_planted_boilerplate(spark):
+    """A shared 10-word header across 3 docs marks exactly those
+    header shingles as shared; a fully-unique doc scores 0; a doc
+    shorter than n has no shingles and scores 0."""
+    from data_frame_demo_etl_spark.dedup.novelty import doc_novelty
+
+    header = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, header + " uniq0a uniq0b uniq0c uniq0d uniq0e"),
+        (1, header + " uniq1a uniq1b uniq1c uniq1d uniq1e"),
+        (2, header + " uniq2a uniq2b uniq2c uniq2d uniq2e"),
+        (3, "lone wolf document with entirely distinct words here now ok"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for hashed in (False, True):
+        got = doc_novelty(docs, n=8, hashed=hashed).orderBy("doc_id").toPandas()
+        # 15 words -> 8 distinct 8-gram positions; the first 3 grams sit
+        # fully inside the shared header (positions 1-3 of 10-word header)
+        assert list(got.n_shingles) == [8, 8, 8, 3, 0]
+        assert list(got.n_shared) == [3, 3, 3, 0, 0]
+        assert got.boilerplate_share[3] == 0.0 and got.boilerplate_share[4] == 0.0
+        assert abs(got.boilerplate_share[0] - 3 / 8) < 1e-9
