@@ -288,6 +288,13 @@ from .dedup.novelty import DOC_NOVELTY_SQL, doc_novelty_gate  # noqa: E402
 
 register("doc_novelty", doc_novelty_gate, DOC_NOVELTY_SQL)
 
+# Incremental batch-vs-corpus MinHash dedup (the ingestion shape):
+# even ids = accepted corpus, odd ids = new batch; md5 family so the
+# oracle replays the index build, both candidate joins, and admission.
+from .dedup.incremental import DEDUP_INCREMENTAL_SQL, dedup_incremental  # noqa: E402
+
+register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
+
 # Text retrieval: the gate runs the md5-bucket portable TF-IDF
 # (oracle-verified end-to-end); the Spark-ML HashingTF path is the
 # throughput variant, planted-twin-tested in pytest.

@@ -284,3 +284,39 @@ def test_doc_novelty_scores_planted_boilerplate(spark):
         assert list(got.n_shared) == [3, 3, 3, 0, 0]
         assert got.boilerplate_share[3] == 0.0 and got.boilerplate_share[4] == 0.0
         assert abs(got.boilerplate_share[0] - 3 / 8) < 1e-9
+
+
+def test_incremental_dedup_admission(spark):
+    """xxhash64 production path: a batch doc near-identical to a
+    corpus doc is rejected; a batch doc duplicating an earlier batch
+    doc keeps only the earlier one; novel docs are admitted."""
+    from data_frame_demo_etl_spark.dedup.incremental import (
+        build_lsh_index,
+        incremental_dedup_batch,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(0, base), (2, " ".join(f"other{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, base + " tail"),                                  # dup of corpus doc 0
+            (13, " ".join(f"fresh{i}" for i in range(60))),        # novel
+            (15, " ".join(f"fresh{i}" for i in range(60)) + " x"), # dup of 13
+        ],
+        "doc_id long, text string",
+    )
+    sig, bb = build_lsh_index(corpus)
+    got = (
+        incremental_dedup_batch(batch, sig, bb, threshold=0.8)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert not got.loc[11, "is_kept"] and got.loc[11, "n_corpus_dups"] >= 1
+    assert got.loc[13, "is_kept"]
+    assert not got.loc[15, "is_kept"] and got.loc[15, "n_batch_dups"] >= 1
+    # the earlier batch doc is not penalized by its later duplicate
+    assert got.loc[13, "n_batch_dups"] == 0
