@@ -44,6 +44,10 @@ def doc_novelty(
             F.col(id_col).alias("doc"),
             F.explode(shingles(F.col(text_col), n=n)).alias("g"),
         )
+    # grams feeds both the frequency agg and the per-doc join: persist
+    # so the tokenize+explode runs once (at cluster scale, write the
+    # gram table to parquet instead and share it across metrics).
+    grams = grams.persist()
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         grams.join(freq, "g")

@@ -461,3 +461,84 @@ SELECT doc_id,
 FROM m
 ORDER BY doc_id
 """
+
+
+def docs_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality dashboard: ROLLUP(source, lang) over document
+    counts, whitespace-token volume, and Gopher-rule pass counts —
+    the per-source / per-language triage view a data curator reads
+    before deciding sampling weights. One grouping-sets pass; all
+    aggregates are integer sums (engine-exact), averages derived
+    after the fact."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        F.coalesce("source", F.lit("?")).alias("source"),
+        F.coalesce("lang", F.lit("?")).alias("lang"),
+        T.token_count_whitespace(F.col("text")).cast("long").alias("ws_tokens"),
+        F.when(T.gopher_quality_pass(F.col("text")), 1).otherwise(0).alias("gopher_pass"),
+    )
+    return (
+        base.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.sum("ws_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+            F.sum("gopher_pass").alias("n_gopher_pass"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            "n_gopher_pass",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DOCS_QUALITY_ROLLUP_SQL = r"""
+WITH feats AS (
+  SELECT doc_id,
+    COALESCE(source, '?') AS source,
+    COALESCE(lang, '?') AS lang,
+    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws,
+    LIST_FILTER(STRING_SPLIT_REGEX(text, '\n'), l -> TRIM(l) != '') AS lines,
+    LEN(REGEXP_EXTRACT_ALL(text, '(#|\.\.\.|…)')) AS symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, lang,
+    CAST(LEN(ws) AS BIGINT) AS ws_tokens,
+    LEN(ws) AS n_words,
+    CASE WHEN LEN(ws) > 0
+         THEN CAST(LIST_SUM(LIST_TRANSFORM(ws, w -> LEN(w))) AS DOUBLE) / LEN(ws)
+         ELSE 0.0 END AS mean_len,
+    symbols,
+    GREATEST(LEN(lines), 1) AS n_lines,
+    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(TRIM(l), '^([*\-•]|[0-9]+[.)])'))) AS bullet_lines,
+    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(TRIM(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+    LEN(LIST_FILTER(ws, w -> REGEXP_MATCHES(w, '[A-Za-z]'))) AS alpha_words
+  FROM feats
+),
+flags AS (
+  SELECT source, lang, ws_tokens,
+    CASE WHEN (n_words >= 50 AND n_words <= 100000)
+      AND (mean_len >= 3.0 AND mean_len <= 10.0)
+      AND (CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words <= 0.1 ELSE FALSE END)
+      AND (CAST(bullet_lines AS DOUBLE) / n_lines < 0.9)
+      AND (CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3)
+      AND (CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words >= 0.8 ELSE FALSE END)
+    THEN 1 ELSE 0 END AS gopher_pass
+  FROM m
+)
+SELECT COALESCE(source, 'ALL') AS source,
+       COALESCE(lang, 'ALL') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       CAST(SUM(gopher_pass) AS BIGINT) AS n_gopher_pass
+FROM flags
+GROUP BY ROLLUP (source, lang)
+ORDER BY source, lang
+"""

@@ -295,6 +295,9 @@ from .dedup.incremental import DEDUP_INCREMENTAL_SQL, dedup_incremental  # noqa:
 
 register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
 
+register("ingest_orc_roundtrip", src_gate.ingest_orc_roundtrip, src_gate.INGEST_ORC_ROUNDTRIP_SQL)
+register("docs_quality_rollup", fn_gate.docs_quality_rollup, fn_gate.DOCS_QUALITY_ROLLUP_SQL)
+
 # Text retrieval: the gate runs the md5-bucket portable TF-IDF
 # (oracle-verified end-to-end); the Spark-ML HashingTF path is the
 # throughput variant, planted-twin-tested in pytest.

@@ -147,3 +147,20 @@ SELECT p_partkey, p_name AS part_name, p_retailprice, 'gate' AS provider_id
 FROM part
 ORDER BY p_partkey
 """
+
+
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC (distributed columnar write, native Spark
+    format beside parquet) → read back: lossless. Covers the second
+    first-class columnar format a warehouse must speak; same push-
+    down/pruning machinery as the parquet scans."""
+    target = str(_tmp_dir(sf_dir, "orc") / "documents.orc")
+    docs = load_table(spark, "documents", sf_dir)
+    docs.write.mode("overwrite").orc(target)
+    back = spark.read.orc(target)
+    return back.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+INGEST_ORC_ROUNDTRIP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id
+"""
