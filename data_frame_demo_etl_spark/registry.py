@@ -303,6 +303,13 @@ register("docs_quality_rollup", fn_gate.docs_quality_rollup, fn_gate.DOCS_QUALIT
 # throughput variant, planted-twin-tested in pytest.
 register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOPK_SQL)
 
+# Okapi BM25 lexical retrieval (posting-list join; per-term scores
+# quantized to a 1e-6 integer grid before the per-doc sum, so the
+# ranking is engine-exact and fully oracled).
+from .similarity.bm25 import TEXT_BM25_TOPK_SQL, text_bm25_topk  # noqa: E402
+
+register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

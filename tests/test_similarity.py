@@ -366,3 +366,23 @@ def test_semdedup_max_cluster_size_bounds_pairs(spark):
     assigned = assign_clusters(df, anchor_centroids(dim=16, k=4, seed=3))
     capped = semantic_dup_pairs(assigned, threshold=0.9, max_cluster_size=10)
     assert capped.count() == 0
+
+
+def test_bm25_planted_twin_and_saturation(spark):
+    """A near-duplicate of the query doc ranks first; a doc that just
+    repeats one shared query term 50 times does NOT outrank it
+    (tf saturation via k1), though pure tf-counting would."""
+    from data_frame_demo_etl_spark.similarity.bm25 import bm25_topk
+
+    query = "quantum flux harmonics resonate beneath the copper lattice tonight"
+    twin = query.replace("tonight", "today")
+    spam = ("quantum " * 50).strip()
+    rows = [(0, query), (1, twin), (2, spam)] + [
+        (10 + i, f"unrelated filler text number {i} with plain everyday words") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(docs, query_ids=[0], k=3).toPandas()
+    assert list(got.neighbor_id)[0] == 1
+    first, = got[got["rank"] == 1].bm25.tolist()
+    spam_score = got[got.neighbor_id == 2].bm25.tolist()
+    assert not spam_score or spam_score[0] < first
