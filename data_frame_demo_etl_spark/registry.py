@@ -310,6 +310,13 @@ from .similarity.bm25 import TEXT_BM25_TOPK_SQL, text_bm25_topk  # noqa: E402
 
 register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_SQL)
 
+# Integer-grid PageRank on the customer-supplier trade graph: floor
+# division only, so three join+agg rounds are bit-identical in any
+# BIGINT engine; the oracle unrolls the loop as CTEs.
+from .analytics.pagerank import GRAPH_PAGERANK_SQL, graph_pagerank  # noqa: E402
+
+register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

@@ -115,3 +115,22 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         if rep.nested_loop_joins:
             bad[name] = "nested-loop/cartesian join in plan"
     assert not bad, bad
+
+
+def test_pagerank_properties(spark):
+    """On a star graph (hub trades with all spokes) the hub outranks
+    every spoke; total rank mass is conserved up to floor-division
+    truncation; ranks are deterministic across re-runs."""
+    from data_frame_demo_etl_spark.analytics.pagerank import SCALE, pagerank
+
+    hub_edges = []
+    for s in range(1, 9):
+        hub_edges.append((0, s))
+        hub_edges.append((s, 0))
+    edges = spark.createDataFrame(hub_edges, "src long, dst long")
+    r1 = pagerank(edges, n_rounds=3).toPandas().set_index("node").rank_units
+    r2 = pagerank(edges, n_rounds=3).toPandas().set_index("node").rank_units
+    assert r1.equals(r2)
+    assert r1[0] > max(r1[s] for s in range(1, 9))
+    n = 9
+    assert 0.95 * n * SCALE <= r1.sum() <= n * SCALE
