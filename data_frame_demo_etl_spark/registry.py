@@ -317,6 +317,15 @@ from .analytics.pagerank import GRAPH_PAGERANK_SQL, graph_pagerank  # noqa: E402
 
 register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_SQL)
 
+# Sliding/hopping-window aggregate (ST1 extension): the F.window
+# slide form is streaming-compatible as-is; the oracle replicates
+# each event into its 4 overlapping windows explicitly.
+register(
+    "events_sliding_window",
+    streaming_events.events_sliding_window,
+    streaming_events.EVENTS_SLIDING_WINDOW_SQL,
+)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

@@ -223,3 +223,57 @@ def stream_dedup(
     """
     keyed = stream.withWatermark("ts", delay)
     return keyed.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def sliding_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window aggregate: each event lands in
+    window/slide overlapping windows (4 here). `F.window` with a
+    slide duration is the Structured-Streaming-compatible form — the
+    identical expression works under readStream with a watermark.
+    Decimal event-value sums keep the aggregate engine-exact."""
+    return (
+        events.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return sliding_event_stats(events).orderBy("window_start", "event_type")
+
+
+# Oracle: replicate each event into its ceil(window/slide) = 4
+# overlapping windows via an explicit offset series, then aggregate.
+EVENTS_SLIDING_WINDOW_SQL = """
+WITH replicated AS (
+  SELECT
+    TIME_BUCKET(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+    event_type, value
+  FROM events,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k)
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+FROM replicated
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
