@@ -143,3 +143,77 @@ def frame_sample(assets: DataFrame, every_k: int = 2) -> DataFrame:
     return assets.select("asset_id", "content").mapInPandas(
         sample_batches, "asset_id long, frame_idx int, frame binary"
     )
+
+
+def doc_assets(docs: DataFrame) -> DataFrame:
+    """Wrap documents as binary assets: UTF-8 payload + typed metadata
+    struct — the standard multimodal layout (payload opaque, metadata
+    columnar and prunable) built from a shared table so external
+    engines can reproduce the bytes."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("n_chars"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def extract_byte_features(assets: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: byte
+    count, byte-sum checksum, and a derived 'brightness' — the decode
+    stage's shape (binary in, numeric features out) with a codec any
+    engine can replay. Real image decode drops into the same UDF."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                body = bytes(content)
+                checksum = sum(body) % (1 << 31)
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_bytes": len(body),
+                        "checksum": checksum,
+                        "brightness": checksum % 256,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "n_bytes", "checksum", "brightness"]
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        feature_batches, "asset_id long, n_bytes long, checksum long, brightness long"
+    )
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: documents → binary assets → Arrow-batched feature
+    extraction. Verifies the multimodal plumbing (binary encode,
+    mapInPandas batch shape, schema) end-to-end against an engine
+    that recomputes the same features from the text."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_byte_features(doc_assets(docs)).orderBy("asset_id")
+
+
+# ASCII corpus: per-character codepoints == UTF-8 bytes, so the byte
+# checksum is expressible over the text column.
+MULTIMODAL_DECODE_STATS_SQL = """
+WITH feats AS (
+  SELECT doc_id AS asset_id,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+         CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(SPLIT(text, ''), c -> ORD(c))), 0) AS BIGINT)
+           % 2147483648 AS checksum
+  FROM documents
+)
+SELECT asset_id, n_bytes, checksum, checksum % 256 AS brightness
+FROM feats
+ORDER BY asset_id
+"""

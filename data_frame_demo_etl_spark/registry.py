@@ -326,6 +326,16 @@ register(
     streaming_events.EVENTS_SLIDING_WINDOW_SQL,
 )
 
+# Multimodal plumbing gate: binary assets from documents, Arrow-
+# batched mapInPandas feature extraction with an engine-replayable
+# codec (real image/audio decode stays env-gated in the same UDF).
+from .multimodal.binary_ops import (  # noqa: E402
+    MULTIMODAL_DECODE_STATS_SQL,
+    multimodal_decode_stats,
+)
+
+register("multimodal_decode_stats", multimodal_decode_stats, MULTIMODAL_DECODE_STATS_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---
