@@ -1,0 +1,129 @@
+"""Product-analytics operators on the events stream: ordered
+conversion funnels and weekly cohort retention.
+
+Both are classic warehouse workloads a pandas-era analytics module
+(reference youtube.py's summaries) grows into at scale:
+
+- funnel: per user, the ORDERED chain view → click → purchase (each
+  stage's first occurrence strictly after the previous stage) — not
+  mere per-type existence; expressed as three bounded min-aggregates,
+  each one shuffle on user_id, no windows over the full stream.
+- cohort retention: users bucketed by first-active ISO week, activity
+  counted per (cohort, week-offset) — the re-engagement matrix.
+  Two shuffles (first-event agg, distinct-activity agg).
+
+Timestamps compare exactly across engines (microsecond integers), so
+both gates carry full DuckDB oracles with no quantization tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+
+STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(events: DataFrame, stages: tuple[str, ...] = STAGES) -> DataFrame:
+    """Per-user ordered funnel: first occurrence of each stage
+    strictly after the previous stage's chosen occurrence.
+    Returns (user_id, t_<stage>..., stage_reached)."""
+    out = events.select("user_id").distinct()
+    prev_col = None
+    for stage in stages:
+        ev = events.filter(F.col("event_type") == stage).select(
+            "user_id", F.col("ts").alias("__ts")
+        )
+        if prev_col is not None:
+            ev = ev.join(out.select("user_id", prev_col), "user_id").filter(
+                F.col("__ts") > F.col(prev_col)
+            )
+        t = ev.groupBy("user_id").agg(F.min("__ts").alias(f"t_{stage}"))
+        out = out.join(t, "user_id", "left")
+        prev_col = f"t_{stage}"
+    reached = sum(
+        (F.col(f"t_{s}").isNotNull()).cast("int") for s in stages
+    )
+    return out.withColumn("stage_reached", reached.cast("int"))
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return funnel_stages(events).orderBy("user_id")
+
+
+FUNNEL_VIEW_CLICK_PURCHASE_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST((v.user_id IS NOT NULL)::INT + (c.user_id IS NOT NULL)::INT
+            + (p.user_id IS NOT NULL)::INT AS INTEGER) AS stage_reached
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+ORDER BY u.user_id
+"""
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_active): distinct users active in
+    week cohort+offset, where cohort is the user's first-active ISO
+    week."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("act_week"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            "cohort_week",
+            F.expr("datediff(act_week, cohort_week) DIV 7").cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return cohort_retention(events)
+
+
+COHORT_RETENTION_WEEKLY_SQL = """
+WITH first AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week, DATE_TRUNC('week', e.ts) AS act_week
+  FROM events e JOIN first f ON f.user_id = e.user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(DATE_DIFF('day', cohort_week, act_week) // 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM act
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

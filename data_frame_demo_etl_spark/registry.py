@@ -336,6 +336,21 @@ from .multimodal.binary_ops import (  # noqa: E402
 
 register("multimodal_decode_stats", multimodal_decode_stats, MULTIMODAL_DECODE_STATS_SQL)
 
+# Product analytics: ordered conversion funnel + weekly cohort
+# retention (bounded min-aggregates / two-shuffle matrix; exact
+# timestamp arithmetic, no quantization needed).
+from .analytics.funnel import (  # noqa: E402
+    COHORT_RETENTION_WEEKLY_SQL,
+    FUNNEL_VIEW_CLICK_PURCHASE_SQL,
+    cohort_retention_weekly,
+    funnel_view_click_purchase,
+)
+
+register(
+    "funnel_view_click_purchase", funnel_view_click_purchase, FUNNEL_VIEW_CLICK_PURCHASE_SQL
+)
+register("cohort_retention_weekly", cohort_retention_weekly, COHORT_RETENTION_WEEKLY_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

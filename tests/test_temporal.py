@@ -86,3 +86,33 @@ def test_range_join_brute_force(spark):
         .collect()
     }
     assert fast == naive and len(fast) > 0
+
+
+def test_funnel_ordering_is_strict(spark):
+    """A user whose purchase precedes their click does NOT complete
+    the funnel; a properly-ordered user does; a user with only views
+    stalls at stage 1."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.funnel import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view < click < purchase — completes
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE click — stalls at stage 2
+        (4, t0, 2, "view", 0.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=2), 2, "click", 0.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "purchase", 0.0, "{}"),
+        # user 3: views only — stage 1
+        (7, t0, 3, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = funnel_stages(events).orderBy("user_id").toPandas().set_index("user_id")
+    assert got.loc[1, "stage_reached"] == 3
+    assert got.loc[2, "stage_reached"] == 2
+    assert got.loc[3, "stage_reached"] == 1
