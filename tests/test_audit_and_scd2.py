@@ -96,7 +96,15 @@ def test_plan_audit_flags_cartesian(spark):
 # Queries that intentionally cross-join: ANN scores a broadcast query
 # set against the corpus; gap-fill builds a dense (bucket × key) grid
 # from two tiny sides.
-CARTESIAN_ALLOWED = {"ann_cosine_topk", "text_retrieval_topk", "events_gapfill"}
+CARTESIAN_ALLOWED = {
+    "ann_cosine_topk",
+    "text_retrieval_topk",
+    "events_gapfill",
+    # broadcast of a 1-ROW aggregate (global threshold) — the scalar-
+    # subquery shape; bounded by construction, never a data-sized
+    # cartesian.
+    "q22_idle_rich_customers",
+}
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
