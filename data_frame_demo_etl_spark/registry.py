@@ -351,6 +351,13 @@ register(
 )
 register("cohort_retention_weekly", cohort_retention_weekly, COHORT_RETENTION_WEEKLY_SQL)
 
+# Vocabulary coverage / OOV rate against the corpus's own top-K vocab
+# (deterministic frequency+lexicographic tie-break): tokenizer-fit
+# triage; K=16 keeps a real OOV tail at every test scale.
+from .functions.vocab import VOCAB_COVERAGE_SQL, vocab_coverage_gate  # noqa: E402
+
+register("vocab_coverage", vocab_coverage_gate, VOCAB_COVERAGE_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

@@ -234,3 +234,17 @@ def test_lm_score_prefers_common_sequences(spark):
     assert got.loc[0, "avg_logprob"] > got.loc[100, "avg_logprob"]
     # the 20 identical docs score identically
     assert got.loc[list(range(20)), "avg_logprob"].nunique() == 1
+
+
+def test_vocab_coverage_planted_oov(spark):
+    """With K=2 the two dominant tokens are in-vocab; a doc of rare
+    tokens is 100% OOV, a doc of dominant tokens 0%."""
+    from data_frame_demo_etl_spark.functions.vocab import vocab_coverage
+
+    rows = [(i, "alpha beta alpha beta") for i in range(10)]
+    rows.append((100, "zeta eta theta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = vocab_coverage(docs, k=2).orderBy("doc_id").toPandas().set_index("doc_id")
+    assert got.loc[0, "oov_rate"] == 0.0
+    assert got.loc[100, "oov_rate"] == 1.0
+    assert got.loc[100, "n_oov"] == 4
