@@ -1,0 +1,137 @@
+"""Distributed BPE merge-rule learning (Sennrich et al. 2016).
+
+Byte-pair-encoding trainers (HuggingFace tokenizers, SentencePiece)
+learn merges from a WORD FREQUENCY TABLE, not the raw corpus — the
+corpus collapses to (word, count) once, and each merge round runs
+over the vocabulary weighted by counts. That formulation is exactly
+Spark-shaped: the corpus-sized work is one tokenize + groupBy; every
+round after that is an aggregate over the (small) vocabulary table:
+
+  round r:  count adjacent symbol pairs, weighted by word count
+            → pick the most frequent pair (ties: lexicographic)
+            → merge it greedily left-to-right in every word
+
+Determinism across engines: the symbol sequence is stored as a
+delimited string where every symbol carries its OWN leading and
+trailing space (" a  b  c "): adjacent-pair patterns then tile
+without sharing characters, so plain REPLACE (non-overlapping,
+left-to-right in SQL everywhere) implements exactly the greedy merge
+a fold would — no regex lookarounds needed (DuckDB's RE2 has none).
+The (count DESC, left, right) order makes every round's winner
+unique, so N rounds are bit-reproducible in any engine; the oracle
+unrolls them as CTEs.
+
+Driver involvement: one 1-row collect per round (the winning pair IS
+model state, like PQ codebooks) — model-constant, not data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_MERGES = 5
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("w")
+    )
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """(merge_idx, merge_left, merge_right, pair_count): the first
+    n_merges BPE rules learned from the corpus."""
+    spark = docs.sparkSession
+    wc = _word_counts(docs, text_col)
+    state = wc.select(
+        "w",
+        "c",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", r"(?!^)"), "  "), F.lit(" ")
+        ).alias("s"),
+    ).persist()
+
+    merges = []
+    for r in range(n_merges):
+        syms_df = state.select("c", F.split(F.trim(F.col("s")), "  ").alias("ts"))
+        n = F.greatest(F.size("ts") - 1, F.lit(0))
+        pairs = syms_df.select(
+            "c",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", F.lit(1), n),
+                    F.slice("ts", F.lit(2), n),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy("p.l", "p.r").agg(F.sum("c").alias("cnt"))
+        best = (
+            counts.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((r, left, right, cnt))
+        state = state.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ),
+        ).persist()
+    return spark.createDataFrame(
+        merges, "merge_idx int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+def bpe_learn_merges(spark, sf_dir: str) -> DataFrame:
+    """Gate: first 5 BPE merges over the documents corpus."""
+    from ..sources.catalog import load_table
+
+    return learn_bpe_merges(load_table(spark, "documents", sf_dir)).orderBy("merge_idx")
+
+
+def _bpe_round_ctes(r: int) -> str:
+    prev, cur = f"s{r - 1}", f"s{r}"
+    return f"""p{r} AS (
+  SELECT ts[i] AS l, ts[i+1] AS r, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT c, STRING_SPLIT(TRIM(s{r - 1}.s), '  ') AS ts FROM s{r - 1}) sp,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+{cur} AS (
+  SELECT w, c, REPLACE(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s
+  FROM {prev} CROSS JOIN b{r} b
+)"""
+
+
+BPE_LEARN_MERGES_SQL = (
+    """
+WITH words AS (
+  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+s0 AS (
+  SELECT w, c, ' ' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '  ') || ' ' AS s FROM wc
+),
+"""
+    + ",\n".join(_bpe_round_ctes(r) for r in range(1, N_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS merge_idx, l AS merge_left, r AS merge_right, cnt AS pair_count FROM b{r}"
+        for r in range(1, N_MERGES + 1)
+    )
+    + "\nORDER BY merge_idx"
+)

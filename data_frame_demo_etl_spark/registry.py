@@ -358,6 +358,14 @@ from .functions.vocab import VOCAB_COVERAGE_SQL, vocab_coverage_gate  # noqa: E4
 
 register("vocab_coverage", vocab_coverage_gate, VOCAB_COVERAGE_SQL)
 
+# Distributed BPE merge-rule learning over the word-frequency table
+# (the HF/SentencePiece trainer formulation); spaced-symbol REPLACE
+# encoding makes the greedy merge reproducible in plain SQL, and the
+# oracle unrolls all 5 rounds as CTEs.
+from .functions.bpe import BPE_LEARN_MERGES_SQL, bpe_learn_merges  # noqa: E402
+
+register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

@@ -248,3 +248,22 @@ def test_vocab_coverage_planted_oov(spark):
     assert got.loc[0, "oov_rate"] == 0.0
     assert got.loc[100, "oov_rate"] == 1.0
     assert got.loc[100, "n_oov"] == 4
+
+
+def test_bpe_learns_expected_merges(spark):
+    """Classic BPE toy corpus: 'low' x5 + 'lowest' x2 -> first merge
+    is (l,o) (7 occurrences), second (lo,w); greedy left-to-right
+    merging and lexicographic tie-breaks are exercised."""
+    from data_frame_demo_etl_spark.functions.bpe import learn_bpe_merges
+
+    rows = [(i, "low " * 5 + "lowest " * 2) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = learn_bpe_merges(docs, n_merges=3).orderBy("merge_idx").toPandas()
+    assert (got.merge_left[0], got.merge_right[0]) == ("l", "o")
+    assert got.pair_count[0] == 21  # 7 words x 3 docs
+    assert (got.merge_left[1], got.merge_right[1]) == ("lo", "w")
+    assert got.pair_count[1] == 21
+    # third round: (low,e), (e,s), (s,t) all tie at 6 occurrences;
+    # the lexicographic tie-break picks (e, s) deterministically
+    assert (got.merge_left[2], got.merge_right[2]) == ("e", "s")
+    assert got.pair_count[2] == 6
