@@ -712,3 +712,55 @@ WHERE bal_cents * n_pos > total_cents
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def loyal_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (INTERSECT): customers who placed
+    orders in BOTH 1996 and 1997 — completes the set-op family
+    beside churned_customers' EXCEPT and combine_concat's UNION."""
+    orders = load_table(spark, "orders", sf_dir)
+
+    def year_custs(y: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == y).select("o_custkey")
+
+    return year_custs(1996).intersect(year_custs(1997)).orderBy("o_custkey")
+
+
+LOYAL_CUSTOMERS_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+ORDER BY o_custkey
+"""
+
+
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization: PERCENT_RANK and NTILE(10)
+    of order value within each priority class — the distribution-free
+    normalization used before mixing heterogeneous feature scales.
+    percent_rank = (rank-1)/(n-1) from exact integer ranks, so the
+    doubles are engine-identical without quantization."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(F.percent_rank().over(w), 6).alias("price_pr"),
+            F.ntile(10).over(w).alias("price_decile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORDER_PRICE_PERCENTILES_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(PERCENT_RANK() OVER w, 6) AS price_pr,
+       CAST(NTILE(10) OVER w AS INTEGER) AS price_decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderkey
+"""

@@ -135,3 +135,78 @@ s0 AS (
     )
     + "\nORDER BY merge_idx"
 )
+
+
+def bpe_compression_curve(spark, sf_dir: str) -> DataFrame:
+    """Gate: corpus symbol count after each of the first 5 merges —
+    the tokenizer-compression curve (round 0 = characters). Shares
+    the learner's state evolution; one scalar agg per round."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = _word_counts(docs, "text")
+    state = wc.select(
+        "w",
+        "c",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", r"(?!^)"), "  "), F.lit(" ")
+        ).alias("s"),
+    ).persist()
+
+    def total_symbols(df: DataFrame) -> int:
+        return int(
+            df.select(
+                F.sum(F.col("c") * F.size(F.split(F.trim(F.col("s")), "  "))).alias("t")
+            ).collect()[0]["t"]
+        )
+
+    curve = [(0, total_symbols(state))]
+    for r in range(N_MERGES):
+        syms_df = state.select("c", F.split(F.trim(F.col("s")), "  ").alias("ts"))
+        n = F.greatest(F.size("ts") - 1, F.lit(0))
+        pairs = syms_df.select(
+            "c",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", F.lit(1), n),
+                    F.slice("ts", F.lit(2), n),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        state = state.withColumn(
+            "s",
+            F.replace(F.col("s"), F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")),
+        ).persist()
+        curve.append((r + 1, total_symbols(state)))
+    return spark.createDataFrame(curve, "merge_round int, total_symbols long").orderBy("merge_round")
+
+
+BPE_COMPRESSION_CURVE_SQL = (
+    """
+WITH words AS (
+  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+s0 AS (
+  SELECT w, c, ' ' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '  ') || ' ' AS s FROM wc
+),
+"""
+    + ",\n".join(_bpe_round_ctes(r) for r in range(1, N_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, CAST(SUM(c * LEN(STRING_SPLIT(TRIM(s), '  '))) AS BIGINT) AS total_symbols FROM s{r}"
+        for r in range(0, N_MERGES + 1)
+    )
+    + "\nORDER BY merge_round"
+)

@@ -366,6 +366,20 @@ from .functions.bpe import BPE_LEARN_MERGES_SQL, bpe_learn_merges  # noqa: E402
 
 register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_SQL)
 
+from .functions.bpe import BPE_COMPRESSION_CURVE_SQL, bpe_compression_curve  # noqa: E402
+
+register("bpe_compression_curve", bpe_compression_curve, BPE_COMPRESSION_CURVE_SQL)
+register(
+    "loyal_customers_intersect",
+    relational.loyal_customers_intersect,
+    relational.LOYAL_CUSTOMERS_INTERSECT_SQL,
+)
+register(
+    "order_price_percentiles",
+    relational.order_price_percentiles,
+    relational.ORDER_PRICE_PERCENTILES_SQL,
+)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---
