@@ -380,6 +380,12 @@ register(
     relational.ORDER_PRICE_PERCENTILES_SQL,
 )
 
+# Join-key skew diagnostics (pre-join triage at scale): exact order
+# statistics over the key-count table, integer arithmetic only.
+from .operators.skew import LINEITEM_KEY_SKEW_SQL, lineitem_key_skew  # noqa: E402
+
+register("lineitem_key_skew", lineitem_key_skew, LINEITEM_KEY_SKEW_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

@@ -164,3 +164,29 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     run()
     ids = sorted(r.event_id for r in spark.read.parquet(sink).collect())
     assert ids == [1, 2, 3]
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir):
+    """The hopping-window aggregate runs unchanged under readStream
+    with a watermark and equals its batch form — the ST5 claim."""
+    from data_frame_demo_etl_spark.streaming.events import sliding_event_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_event_stats(with_watermark(stream))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM slide_stats").collect()
+    }
+    batch = sliding_event_stats(load_table(spark, "events", sf_dir))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum) for r in batch.collect()
+    }
+    assert got == want

@@ -122,3 +122,22 @@ def test_pruned_topn_equals_plain_window(spark):
         .collect()
     }
     assert got == ref and len(ref) == 35
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    """A planted hot key dominates max_count and top_share; a uniform
+    key distribution reports max ~= p50."""
+    from data_frame_demo_etl_spark.operators.skew import key_skew_profile
+
+    uniform = [(i % 50, i) for i in range(500)]
+    hot = [(999, 10_000 + i) for i in range(500)]
+    df = spark.createDataFrame(uniform + hot, "k long, payload long")
+    prof = key_skew_profile(df, "k").collect()[0]
+    assert prof["n_rows"] == 1000 and prof["n_keys"] == 51
+    assert prof["max_count"] == 500 and prof["p50_count"] == 10
+    assert prof["top_share"] >= 0.5  # hot key holds half the table
+
+    uni_prof = key_skew_profile(
+        spark.createDataFrame(uniform, "k long, payload long"), "k"
+    ).collect()[0]
+    assert uni_prof["max_count"] == uni_prof["p50_count"] == 10
