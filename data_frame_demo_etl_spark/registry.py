@@ -386,6 +386,15 @@ from .operators.skew import LINEITEM_KEY_SKEW_SQL, lineitem_key_skew  # noqa: E4
 
 register("lineitem_key_skew", lineitem_key_skew, LINEITEM_KEY_SKEW_SQL)
 
+# Weighted sampling without replacement (A-ES, Efraimidis-Spirakis):
+# length-weighted corpus draw; md5-derived uniforms, 1e-6-grid keys.
+from .operators.weighted_sample import (  # noqa: E402
+    SAMPLE_DOCUMENTS_WEIGHTED_SQL,
+    sample_documents_weighted,
+)
+
+register("sample_documents_weighted", sample_documents_weighted, SAMPLE_DOCUMENTS_WEIGHTED_SQL)
+
 # --- rows-only: sketch internals and pandas-group float-order are
 # genuinely engine-specific; accuracy asserted in pytest against
 # exact oracle-checked counterparts. ---

@@ -140,3 +140,28 @@ def test_portable_weighted_sample_rates_and_determinism(spark):
 
     with pytest.raises(ValueError):
         portable_weighted_sample(df, "src", {"a": 1.5}, ["id"])
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A-ES property check: with weights 100 vs 1, heavy rows dominate
+    the sample; determinism across calls; k rows returned."""
+    from data_frame_demo_etl_spark.operators.weighted_sample import weighted_sample
+
+    rows = [(i, 100) for i in range(200)] + [(1000 + i, 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = weighted_sample(df, "w", k=100).toPandas()
+    s2 = weighted_sample(df, "w", k=100).toPandas()
+    assert s1.equals(s2)
+    assert len(s1) == 100
+    heavy = (s1.doc_id < 1000).sum()
+    assert heavy >= 80  # weight-100 rows should dominate
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from data_frame_demo_etl_spark.operators.weighted_sample import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, 7)], "doc_id long, w long"
+    )
+    got = weighted_sample(df, "w", k=10).toPandas()
+    assert set(got.doc_id) == {1, 4}
