@@ -20,7 +20,21 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def epoch_seconds(col: Column) -> Column:
+    """Fractional epoch seconds for any timestamp flavor.
+
+    TIMESTAMP_NTZ cannot be cast to DOUBLE directly; casting through
+    TIMESTAMP_LTZ first interprets the wall-clock value in the session
+    time zone (pinned to UTC in session.py), which matches how DuckDB's
+    ``epoch()`` treats naive timestamps — so the two engines agree
+    bit-for-bit. Double keeps sub-second precision (microsecond-exact
+    in IEEE754 at epoch magnitudes), which integer unix_timestamp
+    would truncate.
+    """
+    return col.cast("timestamp_ltz").cast("double")
 
 
 def asof_join(
@@ -95,7 +109,7 @@ def range_join(
     by = list(by)
     width = hi_seconds - lo_seconds
 
-    l_ts = F.col(on).cast("double")
+    l_ts = epoch_seconds(F.col(on))
     l_binned = left.withColumn("__bin_base", F.floor((l_ts + lo_seconds) / width))
     # A [l+lo, l+hi] window of width `width` overlaps exactly 2 bins.
     l_exploded = l_binned.withColumn(
@@ -104,9 +118,9 @@ def range_join(
 
     r_cols = [F.col(c).alias(c if c in by else f"{c}{suffix}") for c in right.columns]
     r_binned = right.select(*r_cols).withColumn(
-        "__bin", F.floor(F.col(f"{on}{suffix}").cast("double") / width)
+        "__bin", F.floor(epoch_seconds(F.col(f"{on}{suffix}")) / width)
     )
 
     joined = l_exploded.join(r_binned, [*by, "__bin"]).drop("__bin")
-    delta = F.col(f"{on}{suffix}").cast("double") - F.col(on).cast("double")
+    delta = epoch_seconds(F.col(f"{on}{suffix}")) - epoch_seconds(F.col(on))
     return joined.filter((delta >= lo_seconds) & (delta <= hi_seconds))

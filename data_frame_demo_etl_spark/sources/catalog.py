@@ -53,6 +53,12 @@ def _load_events(spark: SparkSession, base: str) -> DataFrame:
     # proper TIMESTAMP ts; only the original NANOS files read as long.
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP_NTZ generations: normalize to TIMESTAMP_LTZ so the
+    # same column feeds streaming watermarks (which reject NTZ) and
+    # epoch arithmetic. Session tz is pinned UTC, so wall-clock values
+    # — and toPandas/DuckDB comparisons — are unchanged.
+    if dict(df.dtypes)["ts"] == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

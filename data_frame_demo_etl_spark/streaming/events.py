@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.temporal import epoch_seconds
 from ..sources.catalog import load_table
 
 SESSION_GAP_MIN = 30
@@ -62,10 +63,10 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     prev_ts = F.lag("ts").over(w)
     # Compare epoch seconds as double (microsecond-exact in IEEE754 at
     # this magnitude) — integer unix_timestamp would truncate subsecond
-    # gaps.
+    # gaps. epoch_seconds handles TIMESTAMP_NTZ inputs too.
     is_new = F.when(
         prev_ts.isNull()
-        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > gap_sec),
+        | ((epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts)) > gap_sec),
         1,
     ).otherwise(0)
     with_session = events.withColumn(
@@ -89,18 +90,32 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream with the events schema (one file = one
-    micro-batch in tests)."""
-    batch = load_table(spark, "events", sf_dir)
+    micro-batch in tests).
+
+    The ts physical type varies across dataset generations (legacy
+    TIMESTAMP(NANOS) reads as long under nanosAsLong; current files
+    carry TIMESTAMP_NTZ), so probe the batch reader's raw schema and
+    declare the matching stream schema — a streaming source cannot
+    infer it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     raw = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
+            f"event_id long, ts {raw_ts}, user_id long, event_type string,"
+            " value double, props string"
         )
         .format("parquet")
         .option("path", f"{sf_dir}")
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw_ts == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif raw_ts == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ); session tz is UTC so the
+        # wall-clock values are unchanged (mirrors _load_events).
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return raw
 
 
 def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
