@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_xxhash64",
     "ann_cosine_topk",
     # ETL operators
     "unpivot_part",
@@ -53,7 +54,13 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = registry.queries()
+    qs = dict(registry.queries())
+    # Bench-only entry: the xxhash64 MinHash scale path (the registered
+    # dedup_minhash_lsh gate uses the md5-portable family so its whole
+    # pipeline is oracle-checkable; the cluster fast path is this one).
+    from data_frame_demo_etl_spark.dedup.gate import dedup_minhash_xxhash64
+
+    qs["dedup_minhash_xxhash64"] = dedup_minhash_xxhash64
     names = [n for n in HEADLINE if n in qs] + [
         n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n and n in qs
     ]

@@ -26,16 +26,98 @@ def approx_stats(events: DataFrame) -> DataFrame:
 
 
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, "events", sf_dir)
-    out = approx_stats(events)
-    return out.select(
+    """Sketch-vs-bound gate, fully oracle-backed.
+
+    The sketch values themselves (HLL++ distinct, KLL-style quantiles)
+    are engine-internal, so instead of hashing them the gate emits the
+    EXACT distinct count plus booleans asserting each sketch landed
+    inside its published error bound; the oracle replays the exact
+    side and expects every bound check TRUE. A Spark upgrade that
+    breaks a sketch's guarantee flips a boolean and fails the hash.
+
+    Bounds checked:
+    - ``approx_count_distinct(rsd=0.02)``: |approx − exact| ≤ 3·rsd·exact
+      (three standard errors; HLL++ is deterministic, no flakiness).
+    - ``percentile_approx(accuracy=10000)``: the returned value's exact
+      rank interval [#{v<x}+1, #{v≤x}] must lie within n/accuracy + 1
+      of the target rank p·(n−1)+1 (the Greenwald-Khanna guarantee
+      plus one grid step of slack).
+    """
+    events = load_table(spark, "events", sf_dir).select("event_type", "user_id", "value")
+    apx = approx_stats(events).select(
         "event_type",
         "approx_users",
-        F.round(out.value_pcts[0], 4).alias("p50"),
-        F.round(out.value_pcts[1], 4).alias("p95"),
-        F.round(out.value_pcts[2], 4).alias("p99"),
-        "n",
-    ).orderBy("event_type")
+        F.col("value_pcts")[0].alias("apx_p50"),
+        F.col("value_pcts")[1].alias("apx_p95"),
+        F.col("value_pcts")[2].alias("apx_p99"),
+    )
+    exact_users = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Exact rank interval of each approx percentile value, from one
+    # extra pass over the fact table (apx is 1 row per event type —
+    # broadcast by AQE/size).
+    vals = events.filter(F.col("value").isNotNull())
+    joined = vals.join(F.broadcast(apx), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        *[
+            agg
+            for p in (50, 95, 99)
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.col(f"apx_p{p}")).cast("long")
+                ).alias(f"lt_{p}"),
+                F.sum(
+                    (F.col("value") <= F.col(f"apx_p{p}")).cast("long")
+                ).alias(f"le_{p}"),
+                F.count(F.lit(1)).alias(f"nv_{p}"),
+            )
+        ]
+    )
+
+    def pct_ok(p: int):
+        # target rank on the discrete (n-1)-grid; slack = rank error
+        # bound n/accuracy plus one grid step.
+        target = (F.col(f"nv_{p}") - F.lit(1)) * F.lit(p) / F.lit(100) + F.lit(1)
+        bound = F.col(f"nv_{p}") / F.lit(10000) + F.lit(1.0)
+        lo = F.col(f"lt_{p}") + F.lit(1)
+        hi = F.col(f"le_{p}")
+        return ~((hi < target - bound) | (lo > target + bound))
+
+    out = (
+        exact_users.join(F.broadcast(apx), "event_type")
+        .join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type",
+            "distinct_users",
+            "n",
+            (
+                F.abs(F.col("approx_users") - F.col("distinct_users"))
+                <= F.lit(3 * 0.02) * F.col("distinct_users")
+            ).alias("hll_users_ok"),
+            pct_ok(50).alias("p50_ok"),
+            pct_ok(95).alias("p95_ok"),
+            pct_ok(99).alias("p99_ok"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+# Oracle for events_approx_stats: the exact side is replayed; each
+# bound check is expected TRUE (the sketches' published guarantees).
+EVENTS_APPROX_STATS_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(*) AS n,
+       TRUE AS hll_users_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok,
+       TRUE AS p99_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def events_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -142,11 +142,14 @@ def jaccard_pairs_naive(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # NB: `sizes` grows with the corpus — no broadcast hint here (a
+    # force-broadcast OOMs the driver at scale; AQE may still choose a
+    # broadcast join when the table is actually small).
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -37,7 +37,12 @@ def plan_report(df: DataFrame) -> PlanReport:
     )
     rep.exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     rep.scans = plan.count("FileScan")
-    rep.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # Capture to end of line: In(col, [a,b]) filters contain ']' and
+    # Spark truncates long scan lines (dropping the closing bracket),
+    # so both a negated-class and a greedy-to-']' capture lose entries.
+    rep.pushed_filters = [
+        m.rstrip("]") for m in re.findall(r"PushedFilters: \[([^\n]*)", plan)
+    ]
     rep.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
     rep.wholestage_codegen = "WholeStageCodegen" in plan
     return rep

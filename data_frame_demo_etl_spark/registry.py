@@ -7,16 +7,23 @@ non-SQL-expressible ops register with ``oracle=None`` (rows-only
 check).
 
 ORDER MATTERS: the external driver correctness gate checks the FIRST
-50 registered queries (registration order == dict order). The file is
-therefore two tiers:
+50 registered queries (registration order == dict order). The window
+is ROTATED each round so queries that have never received an external
+green row get one, while a spine of category-representative keepers
+stays in every round. See TIER_ROTATION.md for the per-round history
+of which queries were driver-verified when.
 
-- Tier 1 (exactly 50): every SURVEY §2 hook with an oracle, the
-  LLM-pipeline flagship + its components, sources/normalize/pipeline
-  gates. These get the hard external signal every round.
-- Tier 2: beyond-survey extras that went driver-green in round 1
-  (TPC-H q4/q6/q7/q8, subqueries, windows, rollups, SCD2/CDC, ...)
-  and rows-only sketch/ANN variants whose accuracy is asserted in
-  pytest against exact in-window counterparts.
+Round-3 window composition:
+- 36 queries never inside the r1/r2 windows (TPC-H H5-H10 +
+  sql_interface, ANN/LSH/IVF/PCA/BM25/TF-IDF, SemDeDup/incremental/
+  novelty/embedding dedup, C4/LM/rollup/vocab/BPE text ops,
+  funnel/cohort, pagerank, sliding window, multimodal gate, ORC,
+  skew/intersect/percentiles, weighted+mix sampling, heavy hitters,
+  per-key top-n, covariance, group_zscore).
+- 14 keepers spanning every category (TPC-H, ETL, text, dedup, ANN,
+  streaming, temporal, sources, sampling, the LLM flagship).
+All remaining queries are twice driver-green (r1+r2) and sit in
+tier 2, still fully covered by pytest + local oracle harness.
 """
 
 from __future__ import annotations
@@ -27,13 +34,42 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .analytics import engagement, relational, sketches, timeseries, tpch
+from .analytics.funnel import (
+    COHORT_RETENTION_WEEKLY_SQL,
+    FUNNEL_VIEW_CLICK_PURCHASE_SQL,
+    cohort_retention_weekly,
+    funnel_view_click_purchase,
+)
+from .analytics.pagerank import GRAPH_PAGERANK_SQL, graph_pagerank
 from .dedup import gate as dedup_gate
 from .dedup.contamination import CONTAMINATION_CHECK_SQL, contamination_check
+from .dedup.incremental import DEDUP_INCREMENTAL_SQL, dedup_incremental
+from .dedup.novelty import DOC_NOVELTY_SQL, doc_novelty_gate
+from .dedup.spans import DEDUP_SPANS_SQL, dedup_spans
 from .functions import gate as fn_gate
+from .functions.bpe import (
+    BPE_COMPRESSION_CURVE_SQL,
+    BPE_LEARN_MERGES_SQL,
+    bpe_compression_curve,
+    bpe_learn_merges,
+)
+from .functions.lm import LM_SCORE_SQL, lm_score_gate
+from .functions.vocab import VOCAB_COVERAGE_SQL, vocab_coverage_gate
+from .multimodal.binary_ops import (
+    MULTIMODAL_DECODE_STATS_SQL,
+    multimodal_decode_stats,
+)
 from .operators import gate as ops_gate
 from .operators import temporal_gate as tmp_gate
+from .operators.skew import LINEITEM_KEY_SKEW_SQL, lineitem_key_skew
+from .operators.weighted_sample import (
+    SAMPLE_DOCUMENTS_WEIGHTED_SQL,
+    sample_documents_weighted,
+)
 from .similarity import gate as sim_gate
+from .similarity.bm25 import TEXT_BM25_TOPK_SQL, text_bm25_topk
 from .similarity.ivf import ann_ivf_topk
+from .similarity.semdedup import DEDUP_SEMANTIC_SQL, dedup_semantic
 from .similarity.text_retrieval import (
     TEXT_RETRIEVAL_TOPK_SQL,
     text_retrieval_topk_portable,
@@ -76,140 +112,28 @@ def _sql_interface_gate(spark, sf_dir):
 
 
 def _group_zscore_gate(spark, sf_dir):
-    """applyInPandas grouped-map coverage (rows-only: float summation
-    order inside pandas groups is engine-specific)."""
-    from .operators.grouped import group_zscore
+    """applyInPandas grouped-map coverage. The grid variant quantizes
+    the per-group mean/std to a 1e-6 integer grid inside the pandas
+    UDF, so the resulting z-scores are exact integer arithmetic and
+    fully oracle-checkable (the float-summation-order caveat of the
+    raw variant no longer applies)."""
+    from .operators.grouped import group_zscore_grid
     from .sources.catalog import load_table
 
     l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_returnflag", "l_quantity")
-    return group_zscore(l, ["l_returnflag"], "l_quantity").orderBy(
+    return group_zscore_grid(l, ["l_returnflag"], "l_quantity").orderBy(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
 
 
 # ═══════════════════ TIER 1: driver window (50) ═══════════════════
+# Round-3 rotation: 36 never-externally-verified + 14 keepers.
 
-# --- TPC-H-style analytics (SURVEY §2.8: H1-H4) --- 4
-register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
-register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
-register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
-
-# --- engagement analytics (SURVEY §2.7: A1-A5) --- 9
-register("events_engagement", engagement.events_engagement, engagement.EVENTS_ENGAGEMENT_SQL)
-register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
-register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
-register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
-register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
-
-# --- ETL operators (SURVEY §2.3-§2.6: T1-T10, V1-V2, C1-C2, Q1-Q2, N5) --- 19
-register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
-register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
-register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
-register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
-register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
-register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
-register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
-register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
-register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
-register(
-    "validate_coercion_metrics",
-    ops_gate.validate_coercion_metrics,
-    ops_gate.VALIDATE_COERCION_METRICS_SQL,
-)
-
-# --- text analysis (SURVEY §2.9 L1-L4 + hygiene/chunking) --- 26
-register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
-register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
-register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
-register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
-register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
-register("text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL)
-
-# --- dedup (SURVEY §2.9: D1-D4 + clusters + contamination) --- 32
-from .dedup.spans import DEDUP_SPANS_SQL, dedup_spans  # noqa: E402
-
-register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
-register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
-register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
-register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
-register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
-register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, dedup_gate.DEDUP_MINHASH_LSH_SQL)
-register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
-
-# --- similarity search (SURVEY §2.10: X1 + label stats) --- 34
-register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
-register(
-    "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
-)
-
-# --- streaming-equivalent event processing (SURVEY §2.13: ST1, ST3) --- 37
-register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
-register(
-    "events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL
-)
-register(
-    "events_props_extract",
-    streaming_events.events_props_extract,
-    streaming_events.EVENTS_PROPS_EXTRACT_SQL,
-)
-register(
-    "user_event_sequences",
-    streaming_events.user_event_sequences,
-    streaming_events.USER_EVENT_SEQUENCES_SQL,
-)
-
-# --- temporal joins (custom operators) --- 39
-register(
-    "asof_view_before_purchase",
-    tmp_gate.asof_view_before_purchase,
-    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
-)
-register(
-    "range_join_error_followups",
-    tmp_gate.range_join_error_followups,
-    tmp_gate.RANGE_JOIN_ERROR_FOLLOWUPS_SQL,
-)
-
-# --- composed LLM data-prep pipeline (flagship) --- 40
-register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
-
-# --- sources / normalize / pipeline e2e (SURVEY §2.1-§2.2: S2, S3, N1, T2) --- 45
-register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
-register("ingest_csv_multifile", src_gate.ingest_csv_multifile, src_gate.INGEST_CSV_MULTIFILE_SQL)
-register(
-    "ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL
-)
-register("normalize_rename", src_gate.normalize_rename, src_gate.NORMALIZE_RENAME_SQL)
-register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
-
-# --- sampling / packing / stats (LLM-pipeline ops) --- 49
-register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
-register("cap_events_per_user", ops_gate.cap_events_per_user, ops_gate.CAP_EVENTS_PER_USER_SQL)
-register(
-    "pack_documents_by_budget",
-    ops_gate.pack_documents_by_budget,
-    ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
-)
-register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
-
-_TIER1 = len(_REGISTRY)
-assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
-
-# ═══════════════ TIER 2: beyond-survey extras (r1 driver-green) ═══════════════
-
+# --- TPC-H H5-H10 + the SQL front door (never verified) --- 7
 register(
     "q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_MIN_COST_SUPPLIER_SQL
 )
-register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
-register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
-register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
-register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
-register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)
-register("q8_market_share", relational.q8_market_share, relational.Q8_MARKET_SHARE_SQL)
-register(
-    "q10_returned_items", relational.q10_returned_items, relational.Q10_RETURNED_ITEMS_SQL
-)
+register("q10_returned_items", relational.q10_returned_items, relational.Q10_RETURNED_ITEMS_SQL)
 register("q12_priority_class", relational.q12_priority_class, relational.Q12_PRIORITY_CLASS_SQL)
 register("q14_promo_revenue", relational.q14_promo_revenue, relational.Q14_PROMO_REVENUE_SQL)
 register(
@@ -222,6 +146,108 @@ register(
     relational.q22_idle_rich_customers,
     relational.Q22_IDLE_RICH_CUSTOMERS_SQL,
 )
+register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
+
+# --- similarity search X2/X3/X5 + embedding dedup D5 (never verified) --- 11
+register("ann_lsh_topk", sim_gate.ann_lsh_topk, sim_gate.ANN_LSH_TOPK_SQL)
+register("ann_ivf_topk", ann_ivf_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+register("dedup_embedding", sim_gate.dedup_embedding, sim_gate.DEDUP_EMBEDDING_SQL)
+register("embedding_covariance", sim_gate.embedding_covariance, sim_gate.EMBEDDING_COVARIANCE_SQL)
+
+# --- semantic / incremental / novelty dedup D8-D10 (never verified) --- 14
+register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
+register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
+register("doc_novelty", doc_novelty_gate, DOC_NOVELTY_SQL)
+
+# --- text retrieval X7 + TF-IDF (never verified) --- 16
+register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_SQL)
+register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOPK_SQL)
+
+# --- text analysis L6-L10 (never verified) --- 21
+register("text_c4_filters", fn_gate.text_c4_filters, fn_gate.TEXT_C4_FILTERS_SQL)
+register("lm_score_documents", lm_score_gate, LM_SCORE_SQL)
+register("docs_quality_rollup", fn_gate.docs_quality_rollup, fn_gate.DOCS_QUALITY_ROLLUP_SQL)
+register("vocab_coverage", vocab_coverage_gate, VOCAB_COVERAGE_SQL)
+register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_SQL)
+
+# --- sampling / stats P2/P4/P5 + weighted sampling (never verified) --- 25
+register("corpus_mix_sample", ops_gate.corpus_mix_sample, ops_gate.CORPUS_MIX_SAMPLE_SQL)
+register("heavy_hitter_terms", ops_gate.heavy_hitter_terms, ops_gate.HEAVY_HITTER_TERMS_SQL)
+register("topn_events_per_type", ops_gate.topn_events_per_type, ops_gate.TOPN_EVENTS_PER_TYPE_SQL)
+register("sample_documents_weighted", sample_documents_weighted, SAMPLE_DOCUMENTS_WEIGHTED_SQL)
+
+# --- product analytics A7/A8 (never verified) --- 27
+register(
+    "funnel_view_click_purchase", funnel_view_click_purchase, FUNNEL_VIEW_CLICK_PURCHASE_SQL
+)
+register("cohort_retention_weekly", cohort_retention_weekly, COHORT_RETENTION_WEEKLY_SQL)
+
+# --- graph G2, streaming ST5, multimodal M3, ORC S7 (never verified) --- 31
+register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_SQL)
+register(
+    "events_sliding_window",
+    streaming_events.events_sliding_window,
+    streaming_events.EVENTS_SLIDING_WINDOW_SQL,
+)
+register("multimodal_decode_stats", multimodal_decode_stats, MULTIMODAL_DECODE_STATS_SQL)
+register("ingest_orc_roundtrip", src_gate.ingest_orc_roundtrip, src_gate.INGEST_ORC_ROUNDTRIP_SQL)
+
+# --- set ops / percentiles / skew K1-K4 (never verified) --- 35
+register(
+    "loyal_customers_intersect",
+    relational.loyal_customers_intersect,
+    relational.LOYAL_CUSTOMERS_INTERSECT_SQL,
+)
+register(
+    "order_price_percentiles",
+    relational.order_price_percentiles,
+    relational.ORDER_PRICE_PERCENTILES_SQL,
+)
+register("lineitem_key_skew", lineitem_key_skew, LINEITEM_KEY_SKEW_SQL)
+register("bpe_compression_curve", bpe_compression_curve, BPE_COMPRESSION_CURVE_SQL)
+
+# --- grouped-map z-score, now on the 1e-6 integer grid (never verified) --- 36
+from .operators.grouped import GROUP_ZSCORE_GRID_SQL  # noqa: E402
+
+register("group_zscore", _group_zscore_gate, GROUP_ZSCORE_GRID_SQL)
+
+# --- KEEPERS: category spine, all twice driver-green (r1+r2) --- 50
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
+register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
+register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, dedup_gate.DEDUP_MINHASH_LSH_SQL)
+register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
+register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
+register("events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL)
+register(
+    "asof_view_before_purchase",
+    tmp_gate.asof_view_before_purchase,
+    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
+)
+register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
+register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
+register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
+register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
+register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
+
+_TIER1 = len(_REGISTRY)
+assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
+
+#: The driver-window queries, in registration order (consumed by the
+#: plan-contract test, which holds every windowed plan to the scan/
+#: join/shuffle shape we want at 100 TB).
+TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
+
+# ═══════════ TIER 2: twice driver-green (r1+r2), rotated out ═══════════
+
+# --- TPC-H-style analytics ---
+register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
+register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
+register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
+register("q6_revenue_forecast", relational.q6_revenue_forecast, relational.Q6_REVENUE_FORECAST_SQL)
+register("q7_volume_shipping", relational.q7_volume_shipping, relational.Q7_VOLUME_SHIPPING_SQL)
+register("q8_market_share", relational.q8_market_share, relational.Q8_MARKET_SHARE_SQL)
 register(
     "orders_above_customer_avg",
     relational.orders_above_customer_avg,
@@ -249,160 +275,93 @@ register(
     sketches.EVENTS_HYPERTABLE_ROLLUP_SQL,
 )
 register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
+
+# --- engagement analytics ---
+register("events_engagement", engagement.events_engagement, engagement.EVENTS_ENGAGEMENT_SQL)
+register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
+register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
+register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
+register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
+
+# --- ETL operators ---
+register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
+register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
+register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
+register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
+register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
+register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
+register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
+register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
+register(
+    "validate_coercion_metrics",
+    ops_gate.validate_coercion_metrics,
+    ops_gate.VALIDATE_COERCION_METRICS_SQL,
+)
 register("cdc_apply_changes", ops_gate.cdc_apply_changes, ops_gate.CDC_APPLY_CHANGES_SQL)
 register("winsorize_prices", ops_gate.winsorize_prices, ops_gate.WINSORIZE_PRICES_SQL)
 register(
     "scd2_customer_history", ops_gate.scd2_customer_history, ops_gate.SCD2_CUSTOMER_HISTORY_SQL
 )
 
+# --- text analysis ---
+register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
+register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
+register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
+register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
+register("text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL)
+register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
+register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
 register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
-register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
 
-# ANN variants, now oracle-backed: LSH hyperplanes are deterministic
-# constants embedded in the generated SQL (candidate generation itself
-# is verified, not just scores); IVF runs the gate at full probe,
-# where it is exact by construction, against the brute-force oracle.
-register("ann_lsh_topk", sim_gate.ann_lsh_topk, sim_gate.ANN_LSH_TOPK_SQL)
-register("dedup_embedding", sim_gate.dedup_embedding, sim_gate.DEDUP_EMBEDDING_SQL)
-register("ann_ivf_topk", ann_ivf_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+# --- dedup ---
+register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
+register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
+register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
+register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
+register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
-# Semantic dedup (SemDeDup): the gate clusters on deterministic anchor
-# centroids embedded in the generated SQL (assignment + within-cluster
-# pairs + keep-lowest-id rule all externally verified); the
-# data-adaptive KMeans variant is recall-tested in pytest.
-from .similarity.semdedup import DEDUP_SEMANTIC_SQL, dedup_semantic  # noqa: E402
-
-register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
-
-# CCNet-style corpus-self-trained bigram LM quality scoring; per-term
-# log-probs quantized to a 1e-6 integer grid so the aggregate is exact
-# integer arithmetic in both engines.
-from .functions.lm import LM_SCORE_SQL, lm_score_gate  # noqa: E402
-
-register("lm_score_documents", lm_score_gate, LM_SCORE_SQL)
-
-# Per-document novelty/boilerplate share (distinct 8-gram document
-# frequency): gate uses string shingles (portable); the xxhash64 path
-# is pinned equal in pytest.
-from .dedup.novelty import DOC_NOVELTY_SQL, doc_novelty_gate  # noqa: E402
-
-register("doc_novelty", doc_novelty_gate, DOC_NOVELTY_SQL)
-
-# Incremental batch-vs-corpus MinHash dedup (the ingestion shape):
-# even ids = accepted corpus, odd ids = new batch; md5 family so the
-# oracle replays the index build, both candidate joins, and admission.
-from .dedup.incremental import DEDUP_INCREMENTAL_SQL, dedup_incremental  # noqa: E402
-
-register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
-
-register("ingest_orc_roundtrip", src_gate.ingest_orc_roundtrip, src_gate.INGEST_ORC_ROUNDTRIP_SQL)
-register("docs_quality_rollup", fn_gate.docs_quality_rollup, fn_gate.DOCS_QUALITY_ROLLUP_SQL)
-
-# Text retrieval: the gate runs the md5-bucket portable TF-IDF
-# (oracle-verified end-to-end); the Spark-ML HashingTF path is the
-# throughput variant, planted-twin-tested in pytest.
-register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOPK_SQL)
-
-# Okapi BM25 lexical retrieval (posting-list join; per-term scores
-# quantized to a 1e-6 integer grid before the per-doc sum, so the
-# ranking is engine-exact and fully oracled).
-from .similarity.bm25 import TEXT_BM25_TOPK_SQL, text_bm25_topk  # noqa: E402
-
-register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_SQL)
-
-# Integer-grid PageRank on the customer-supplier trade graph: floor
-# division only, so three join+agg rounds are bit-identical in any
-# BIGINT engine; the oracle unrolls the loop as CTEs.
-from .analytics.pagerank import GRAPH_PAGERANK_SQL, graph_pagerank  # noqa: E402
-
-register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_SQL)
-
-# Sliding/hopping-window aggregate (ST1 extension): the F.window
-# slide form is streaming-compatible as-is; the oracle replicates
-# each event into its 4 overlapping windows explicitly.
+# --- similarity ---
 register(
-    "events_sliding_window",
-    streaming_events.events_sliding_window,
-    streaming_events.EVENTS_SLIDING_WINDOW_SQL,
+    "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
 )
 
-# Multimodal plumbing gate: binary assets from documents, Arrow-
-# batched mapInPandas feature extraction with an engine-replayable
-# codec (real image/audio decode stays env-gated in the same UDF).
-from .multimodal.binary_ops import (  # noqa: E402
-    MULTIMODAL_DECODE_STATS_SQL,
-    multimodal_decode_stats,
-)
-
-register("multimodal_decode_stats", multimodal_decode_stats, MULTIMODAL_DECODE_STATS_SQL)
-
-# Product analytics: ordered conversion funnel + weekly cohort
-# retention (bounded min-aggregates / two-shuffle matrix; exact
-# timestamp arithmetic, no quantization needed).
-from .analytics.funnel import (  # noqa: E402
-    COHORT_RETENTION_WEEKLY_SQL,
-    FUNNEL_VIEW_CLICK_PURCHASE_SQL,
-    cohort_retention_weekly,
-    funnel_view_click_purchase,
-)
-
+# --- streaming-equivalent event processing ---
 register(
-    "funnel_view_click_purchase", funnel_view_click_purchase, FUNNEL_VIEW_CLICK_PURCHASE_SQL
-)
-register("cohort_retention_weekly", cohort_retention_weekly, COHORT_RETENTION_WEEKLY_SQL)
-
-# Vocabulary coverage / OOV rate against the corpus's own top-K vocab
-# (deterministic frequency+lexicographic tie-break): tokenizer-fit
-# triage; K=16 keeps a real OOV tail at every test scale.
-from .functions.vocab import VOCAB_COVERAGE_SQL, vocab_coverage_gate  # noqa: E402
-
-register("vocab_coverage", vocab_coverage_gate, VOCAB_COVERAGE_SQL)
-
-# Distributed BPE merge-rule learning over the word-frequency table
-# (the HF/SentencePiece trainer formulation); spaced-symbol REPLACE
-# encoding makes the greedy merge reproducible in plain SQL, and the
-# oracle unrolls all 5 rounds as CTEs.
-from .functions.bpe import BPE_LEARN_MERGES_SQL, bpe_learn_merges  # noqa: E402
-
-register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_SQL)
-
-from .functions.bpe import BPE_COMPRESSION_CURVE_SQL, bpe_compression_curve  # noqa: E402
-
-register("bpe_compression_curve", bpe_compression_curve, BPE_COMPRESSION_CURVE_SQL)
-register(
-    "loyal_customers_intersect",
-    relational.loyal_customers_intersect,
-    relational.LOYAL_CUSTOMERS_INTERSECT_SQL,
+    "events_props_extract",
+    streaming_events.events_props_extract,
+    streaming_events.EVENTS_PROPS_EXTRACT_SQL,
 )
 register(
-    "order_price_percentiles",
-    relational.order_price_percentiles,
-    relational.ORDER_PRICE_PERCENTILES_SQL,
+    "user_event_sequences",
+    streaming_events.user_event_sequences,
+    streaming_events.USER_EVENT_SEQUENCES_SQL,
 )
 
-# Join-key skew diagnostics (pre-join triage at scale): exact order
-# statistics over the key-count table, integer arithmetic only.
-from .operators.skew import LINEITEM_KEY_SKEW_SQL, lineitem_key_skew  # noqa: E402
-
-register("lineitem_key_skew", lineitem_key_skew, LINEITEM_KEY_SKEW_SQL)
-
-# Weighted sampling without replacement (A-ES, Efraimidis-Spirakis):
-# length-weighted corpus draw; md5-derived uniforms, 1e-6-grid keys.
-from .operators.weighted_sample import (  # noqa: E402
-    SAMPLE_DOCUMENTS_WEIGHTED_SQL,
-    sample_documents_weighted,
+# --- temporal joins ---
+register(
+    "range_join_error_followups",
+    tmp_gate.range_join_error_followups,
+    tmp_gate.RANGE_JOIN_ERROR_FOLLOWUPS_SQL,
 )
 
-register("sample_documents_weighted", sample_documents_weighted, SAMPLE_DOCUMENTS_WEIGHTED_SQL)
+# --- sources / normalize ---
+register("ingest_csv_multifile", src_gate.ingest_csv_multifile, src_gate.INGEST_CSV_MULTIFILE_SQL)
+register(
+    "ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL
+)
+register("normalize_rename", src_gate.normalize_rename, src_gate.NORMALIZE_RENAME_SQL)
 
-# --- rows-only: sketch internals and pandas-group float-order are
-# genuinely engine-specific; accuracy asserted in pytest against
-# exact oracle-checked counterparts. ---
-register("text_c4_filters", fn_gate.text_c4_filters, fn_gate.TEXT_C4_FILTERS_SQL)
-register("corpus_mix_sample", ops_gate.corpus_mix_sample, ops_gate.CORPUS_MIX_SAMPLE_SQL)
-register("heavy_hitter_terms", ops_gate.heavy_hitter_terms, ops_gate.HEAVY_HITTER_TERMS_SQL)
-register("embedding_covariance", sim_gate.embedding_covariance, sim_gate.EMBEDDING_COVARIANCE_SQL)
-register("topn_events_per_type", ops_gate.topn_events_per_type, ops_gate.TOPN_EVENTS_PER_TYPE_SQL)
+# --- sampling / packing / stats ---
+register("cap_events_per_user", ops_gate.cap_events_per_user, ops_gate.CAP_EVENTS_PER_USER_SQL)
+register(
+    "pack_documents_by_budget",
+    ops_gate.pack_documents_by_budget,
+    ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
+)
+register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
 
-register("events_approx_stats", sketches.events_approx_stats, None)
-register("group_zscore", _group_zscore_gate, None)
+# Sketch-vs-bound gate: emits exact values + booleans asserting each
+# sketch (HLL++ distinct, approx percentiles) landed inside its
+# published error bound; oracle replays the exact side and expects
+# TRUE. 108/108 registered queries are now oracle-backed.
+register("events_approx_stats", sketches.events_approx_stats, sketches.EVENTS_APPROX_STATS_SQL)

@@ -96,9 +96,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) reads as long under nanosAsLong; current files
     carry TIMESTAMP_NTZ), so probe the batch reader's raw schema and
     declare the matching stream schema — a streaming source cannot
-    infer it."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    infer it. The nanosAsLong flag is only needed for the schema
+    probe, so the previous value is restored afterwards (it would
+    otherwise silently turn every later TIMESTAMP(NANOS) parquet read
+    in the session into bigint)."""
+    _FLAG = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(_FLAG, None)
+    spark.conf.set(_FLAG, "true")
+    try:
+        raw_ts = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    finally:
+        if prev is None:
+            spark.conf.unset(_FLAG)
+        else:
+            spark.conf.set(_FLAG, prev)
+    if raw_ts == "bigint":
+        # The stream itself must read under the flag too; re-set it
+        # for the lifetime of this legacy-format stream (documented
+        # session-wide effect, legacy datasets only).
+        spark.conf.set(_FLAG, "true")
     raw = (
         spark.readStream.schema(
             f"event_id long, ts {raw_ts}, user_id long, event_type string,"
@@ -112,8 +128,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if raw_ts == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif raw_ts == "timestamp_ntz":
-        # Watermarks require TIMESTAMP (LTZ); session tz is UTC so the
-        # wall-clock values are unchanged (mirrors _load_events).
+        # Normalize ts to LTZ for uniform epoch arithmetic and
+        # batch/stream type parity (session tz is UTC so wall-clock
+        # values are unchanged; watermarks themselves accept NTZ).
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return raw
 

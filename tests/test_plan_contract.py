@@ -1,0 +1,105 @@
+"""Plan contract for every driver-window (tier-1) query.
+
+One parametrized test holds each windowed plan to the physical shape
+we want at 100 TB:
+- no accidental nested-loop/cartesian join (explicit allowlist for
+  the documented broadcast-query-set / scalar-subquery shapes);
+- predicate pushdown: queries whose WHERE touches pushable base-table
+  columns must show them in the scan's PushedFilters;
+- constant dims (region/nation, broadcast query sets) must be
+  broadcast, not shuffled;
+- declared scan-count ceilings for single-table aggregates.
+
+If a future change un-pushes a filter, un-broadcasts a dim, or
+introduces a cartesian, this fails with the offending plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_frame_demo_etl_spark import registry
+from data_frame_demo_etl_spark.operators.audit import plan_report
+
+# Queries that intentionally contain a broadcast nested-loop/cross
+# shape, all bounded by construction:
+# - ann gates broadcast a tiny query set against the corpus;
+# - q22 broadcasts a 1-row global-threshold aggregate (scalar
+#   subquery);
+# - text_retrieval joins a broadcast query-term set.
+CARTESIAN_ALLOWED = {
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_retrieval_topk",
+    "q22_idle_rich_customers",
+}
+
+# name -> substrings that must each appear in some PushedFilters entry.
+PUSHED = {
+    "q2_min_cost_supplier": ["p_type", "r_name"],
+    "q10_returned_items": ["l_returnflag"],
+    "q12_priority_class": ["l_shipdate"],
+    "q14_promo_revenue": ["l_shipdate"],
+    # The disjunction itself must reach both scans (Spark pushes the
+    # whole Or tree; the line is truncated before every conjunct, so
+    # assert the Or + the part-side brand predicate).
+    "q19_disjunctive_revenue": ["Or(", "p_brand"],
+    "sql_interface_q1": ["l_shipdate"],
+    "q1_pricing_summary": ["l_shipdate"],
+    "funnel_view_click_purchase": ["event_type"],
+    "loyal_customers_intersect": ["o_orderdate"],
+}
+
+# name -> minimum number of BroadcastHashJoin nodes (constant dims /
+# query sets that must never become shuffle joins).
+BROADCASTS = {
+    "q2_min_cost_supplier": 1,
+    "q10_returned_items": 1,
+    "revenue_by_region": 2,
+}
+
+# name -> maximum number of FileScan nodes (catches accidental
+# double-scans of the fact table).
+MAX_SCANS = {
+    "q1_pricing_summary": 1,
+    "sql_interface_q1": 1,
+    "q12_priority_class": 2,
+    "q14_promo_revenue": 2,
+    "events_windowed": 1,
+    "events_sessionize": 1,
+    "text_token_count": 1,
+}
+
+
+def test_tier1_window_is_fifty():
+    assert len(registry.TIER1_NAMES) == 50
+
+
+@pytest.mark.parametrize("name", registry.TIER1_NAMES)
+def test_plan_contract(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    rep = plan_report(df)
+
+    if name not in CARTESIAN_ALLOWED:
+        assert rep.nested_loop_joins == 0, (
+            f"{name}: nested-loop/cartesian join in plan\n{rep.raw[:4000]}"
+        )
+
+    for col in PUSHED.get(name, ()):
+        assert any(col in f for f in rep.pushed_filters), (
+            f"{name}: expected pushed filter on {col!r}; "
+            f"PushedFilters={rep.pushed_filters}"
+        )
+
+    want_bc = BROADCASTS.get(name)
+    if want_bc is not None:
+        assert rep.broadcast_joins >= want_bc, (
+            f"{name}: expected ≥{want_bc} broadcast joins, got {rep.broadcast_joins}"
+        )
+
+    max_scans = MAX_SCANS.get(name)
+    if max_scans is not None:
+        assert rep.scans <= max_scans, (
+            f"{name}: {rep.scans} file scans (max {max_scans}) — accidental re-scan?"
+        )
