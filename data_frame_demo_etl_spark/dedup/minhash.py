@@ -130,18 +130,24 @@ def band_buckets(sig_df: DataFrame, bands: int = 8, rows: int = 4, portable: boo
 def cap_hot_buckets(bb: DataFrame, max_bucket_size: int) -> DataFrame:
     """Drop (band, bucket) groups with more than `max_bucket_size`
     members before the pair-producing self-join. A boilerplate bucket
-    of m docs costs m²/2 candidate pairs — at corpus scale a single
+    of m docs costs m²/2 candidates — at corpus scale a single
     degenerate bucket dominates the whole job. Near-dups dropped here
     still meet through their other bands unless they collide in EVERY
     hot bucket (boilerplate-only docs, which exact-dedup upstream
-    already collapses)."""
-    ok = (
-        bb.groupBy("band", "bucket")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .select("band", "bucket")
+    already collapses).
+
+    Implemented as a count window over (band, bucket) rather than a
+    count + semi-join: one shuffle instead of two, and the window's
+    hashpartitioning(band, bucket) is exactly what the downstream
+    pair-producing self-join needs, so the exchange is reused."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        bb.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
     )
-    return bb.join(ok, ["band", "bucket"])
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
@@ -180,15 +186,35 @@ def minhash_near_dup_pairs(
     else:
         sig = signatures(df, id_col, text_col, num_perm, n, seed).persist()
     bb = band_buckets(sig, bands, rows, portable=(hash_fn == "md5"))
-    if max_bucket_size is not None:
-        bb = cap_hot_buckets(bb, max_bucket_size)
 
-    left = bb.select("band", "bucket", F.col("doc").alias("id_a"))
-    right = bb.select("band", "bucket", F.col("doc").alias("id_b"))
+    # Bucket members are gathered with ONE groupBy shuffle and pairs
+    # expanded inside the array (vs. count-window + self-join: three
+    # shuffles for the same result). The hot-bucket cap bounds the
+    # quadratic expansion: a bucket of m docs yields m(m-1)/2 pairs,
+    # so buckets over the cap are dropped whole (their members still
+    # pair through their other, more selective bands). The per-bucket
+    # aggregation buffer is O(bucket size) doc ids — the same rows a
+    # self-join's shuffle partition would hold.
+    buckets = bb.groupBy("band", "bucket").agg(F.collect_list("doc").alias("ms"))
+    buckets = buckets.filter(F.size("ms") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    # Materialize the sorted array as a real column BEFORE the lambda
+    # (an expression referenced inside a HOF re-evaluates per element).
+    buckets = buckets.select(F.sort_array("ms").alias("ms"))
+    ms = F.col("ms")
+    combos = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
