@@ -79,24 +79,34 @@ def export_dataset(
 
 
 def _write_xlsx(df: DataFrame, meta: dict, path: Path) -> None:
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "xlsx export requires openpyxl (not installed here); "
-            "use parquet/jsonl/csv formats instead"
-        ) from exc
-    import pandas as pd
-
     n = df.count()
     if n > XLSX_ROW_CAP:
         raise ValueError(f"refusing xlsx export of {n} rows (cap {XLSX_ROW_CAP})")
     pdf = df.toPandas()
-    with pd.ExcelWriter(path) as writer:
-        pdf.to_excel(writer, sheet_name="data", index=False)
-        pd.DataFrame(
-            [{"key": k, "value": str(v)} for k, v in meta.items()]
-        ).to_excel(writer, sheet_name="meta", index=False)
+    try:
+        import pandas as pd
+
+        with pd.ExcelWriter(path) as writer:  # needs openpyxl
+            pdf.to_excel(writer, sheet_name="data", index=False)
+            pd.DataFrame(
+                [{"key": k, "value": str(v)} for k, v in meta.items()]
+            ).to_excel(writer, sheet_name="meta", index=False)
+    except ImportError:
+        # openpyxl absent: built-in OOXML writer.
+        from .sources.xlsx_lite import write_xlsx
+
+        def _cell(v):
+            if v is None:
+                return None
+            if hasattr(v, "item"):  # numpy scalar → Python native
+                v = v.item()
+            if isinstance(v, float) and v != v:  # NaN
+                return None
+            return v if isinstance(v, (int, float, bool)) else str(v)
+
+        data_rows = [list(pdf.columns)] + [[_cell(v) for v in row] for row in pdf.itertuples(index=False)]
+        meta_rows = [["key", "value"]] + [[str(k), str(v)] for k, v in meta.items()]
+        write_xlsx(str(path), {"data": data_rows, "meta": meta_rows})
 
 
 def export_summary_workbook(

@@ -228,7 +228,11 @@ register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_S
 register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
 register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
 register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
-register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
+# New this round: Excel ingest through the dependency-free OOXML
+# reader (S4 no longer env-gated) — needs its first external row.
+register(
+    "ingest_excel_template", src_gate.ingest_excel_template, src_gate.INGEST_EXCEL_TEMPLATE_SQL
+)
 register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
 
 _TIER1 = len(_REGISTRY)
@@ -304,6 +308,7 @@ register(
 )
 
 # --- text analysis ---
+register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
 register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
 register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
 register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)

@@ -83,6 +83,54 @@ def ingest_csv_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
 INGEST_CSV_MULTIFILE_SQL = INGEST_CSV_TEMPLATE_SQL
 
 
+def _materialize_part_xlsx(sf_dir: str) -> Path:
+    """part.parquet → xlsx workbook with a merged title row, a junk
+    row, the header at physical row 3, then data — exercising sheet
+    resolution, skiprows/header_row offsets, and the OOXML reader
+    (openpyxl-free via sources.xlsx_lite)."""
+    from .xlsx_lite import write_xlsx
+
+    out = _tmp_dir(sf_dir, "ingest_xlsx") / "part.xlsx"
+    pdf = pd.read_parquet(f"{sf_dir}/part.parquet").sort_values("p_partkey")
+    rows: list[list] = [
+        ["Part Export", None, None, None, None, None],
+        ["junk", "junk", "junk", "junk", "junk", "junk"],
+        list(pdf.columns),
+    ]
+    for rec in pdf.itertuples(index=False):
+        rows.append([v.item() if hasattr(v, "item") else v for v in rec])
+    write_xlsx(str(out), {"parts": rows}, {"parts": ["A1:C1"]})
+    return out
+
+
+_XLSX_TEMPLATE = TemplateConfig(
+    source_type="excel",
+    sheet="parts",
+    header_row=1,
+    skiprows=[0],
+    columns=["p_partkey", "p_name", "p_retailprice"],
+    column_mappings={"p_name": "part_name"},
+    provider_name="gate",
+)
+
+
+def ingest_excel_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template Excel ingest (S4/E4): the same offset/subset/rename
+    semantics as the CSV template, through the dependency-free OOXML
+    reader — files parallelized per task via mapInPandas, exactly like
+    the CSV pandas path (reference templates.py Excel handling)."""
+    xlsx_path = _materialize_part_xlsx(sf_dir)
+    df = read_with_template(spark, str(xlsx_path), _XLSX_TEMPLATE)
+    return df.orderBy("p_partkey")
+
+
+INGEST_EXCEL_TEMPLATE_SQL = """
+SELECT p_partkey, p_name AS part_name, p_retailprice
+FROM part
+ORDER BY p_partkey
+"""
+
+
 def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → jsonl (distributed write) → read back: lossless."""
     target = str(_tmp_dir(sf_dir, "jsonl") / "documents.jsonl")

@@ -147,14 +147,51 @@ def _normalized_excel_headers(path: str, sheet, header_row: int, skiprows):
     return expand_merged_headers(headers, ranges, target_row)
 
 
+def _read_one_excel_lite(path: str, tpl: TemplateConfig, nrows: int | None = None) -> pd.DataFrame:
+    """openpyxl-free Excel ingest via the built-in OOXML reader
+    (``xlsx_lite``), with pandas ``read_excel`` semantics: skiprows
+    drops physical rows (0-based), header_row indexes the remaining
+    rows, merged title regions expand per ``expand_merged_headers``."""
+    from . import xlsx_lite
+
+    sheets = (
+        tpl.sheets if (tpl.combine_sheets and tpl.sheets) else [tpl.sheet if tpl.sheet is not None else 0]
+    )
+    skip_set = {r for r in (tpl.skiprows or []) if isinstance(r, int)}
+    frames = []
+    for sheet in sheets:
+        grid, merges = xlsx_lite.read_grid(path, sheet)
+        kept = [row for i, row in enumerate(grid) if i not in skip_set]
+        header_cells = kept[tpl.header_row] if len(kept) > tpl.header_row else []
+        data = kept[tpl.header_row + 1 :]
+        if nrows is not None:
+            data = data[:nrows]
+        columns = [
+            str(h) if h not in (None, "") else f"Unnamed: {i}"
+            for i, h in enumerate(header_cells)
+        ]
+        target_row = _effective_header_row(tpl.header_row, tpl.skiprows)
+        expanded, merged = expand_merged_headers(
+            ["" if h is None else str(h) for h in header_cells], merges, target_row
+        )
+        if merged and expanded:
+            expanded = (expanded + [""] * len(columns))[: len(columns)]
+            columns = [e if e else orig for e, orig in zip(expanded, columns)]
+        width = len(columns)
+        rows = [(r + [None] * width)[:width] for r in data]
+        pdf = pd.DataFrame(rows, columns=columns)
+        if tpl.combine_sheets:
+            pdf["source_sheet"] = str(sheet)
+        frames.append(pdf)
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+
 def _read_one_excel(path: str, tpl: TemplateConfig, nrows: int | None = None) -> pd.DataFrame:
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "Excel ingestion requires openpyxl, which is not installed in this "
-            "environment. Install openpyxl, or convert sources to CSV/parquet."
-        ) from exc
+    except ImportError:
+        # Fall back to the dependency-free OOXML subset reader.
+        return _read_one_excel_lite(path, tpl, nrows)
     sheets = tpl.sheets if (tpl.combine_sheets and tpl.sheets) else [tpl.sheet if tpl.sheet is not None else 0]
     frames = []
     for sheet in sheets:
