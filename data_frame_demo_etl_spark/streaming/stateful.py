@@ -73,6 +73,64 @@ def _fold_sessions(
         yield pd.DataFrame(closed)
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, t_view timestamp, t_click timestamp, t_purchase timestamp, "
+    "stage_reached integer"
+)
+FUNNEL_STATE_SCHEMA = "t_view long, t_click long, t_purchase long"
+
+
+def _fold_funnel(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+) -> Iterator[pd.DataFrame]:
+    """Greedy ordered-funnel fold: first `view`, first `click` strictly
+    after it, first `purchase` strictly after that. Processing each
+    user's events in event-time order makes the greedy fold equal to
+    the batch ``analytics.funnel.funnel_stages`` fixpoint (each batch
+    is sorted here; cross-batch equality holds when micro-batches
+    arrive in event-time order, i.e. replay/backfill — out-of-order
+    arrivals within the watermark can only under-report a stage until
+    the stream catches up, never mis-order one)."""
+    (user_id,) = key
+    ts_us: list[int | None] = list(state.get) if state.exists else [None] * len(stages)
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et, ts in zip(pdf["event_type"], pdf["ts"]):
+            t = int(ts.value // 1000)
+            for i, s in enumerate(stages):
+                if et != s or ts_us[i] is not None:
+                    continue
+                if i == 0 or (ts_us[i - 1] is not None and t > ts_us[i - 1]):
+                    ts_us[i] = t
+                break
+    state.update(tuple(ts_us))
+    row = {"user_id": user_id}
+    for i, s in enumerate(stages):
+        row[f"t_{s}"] = pd.Timestamp(ts_us[i] * 1000) if ts_us[i] is not None else pd.NaT
+    out = pd.DataFrame([row])
+    out["stage_reached"] = pd.array(
+        [sum(1 for t in ts_us if t is not None)], dtype="int32"
+    )
+    yield out
+
+
+def funnel_stateful(events_stream: DataFrame) -> DataFrame:
+    """Streaming ordered conversion funnel (the A7 batch shape under
+    readStream): per-user state is three stage timestamps — O(users),
+    fixed width — updated per micro-batch and emitted in update mode."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _fold_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stateful(events_stream: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
     """Streaming sessionization over a watermarked events stream."""
     gap_sec = gap_minutes * 60

@@ -190,3 +190,62 @@ def test_sliding_window_stream_matches_batch(spark, sf_dir):
         (r.window_start, r.event_type): (r.n_events, r.value_sum) for r in batch.collect()
     }
     assert got == want
+
+
+def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
+    """A7 under streaming: the stateful greedy funnel over time-split
+    micro-batches equals the batch funnel_stages fixpoint (stream/batch
+    parity beyond windowed aggregates)."""
+    from data_frame_demo_etl_spark.analytics.funnel import funnel_stages
+    from data_frame_demo_etl_spark.streaming.stateful import funnel_stateful
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # Two event-time-ordered files → two micro-batches (the replay
+    # shape where the greedy fold is exact).
+    mid = events.selectExpr("percentile_approx(ts, 0.5) AS m").collect()[0].m
+    src = str(tmp_path / "funnel_src")
+    events.filter(F.col("ts") <= mid).coalesce(1).write.parquet(f"{src}/b0")
+    events.filter(F.col("ts") > mid).coalesce(1).write.parquet(f"{src}/b1")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        funnel_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM funnel_updates").collect():
+        prev = got.get(r.user_id)
+        if prev is None or r.stage_reached >= prev.stage_reached:
+            got[r.user_id] = r
+    want = {r.user_id: r for r in funnel_stages(events).collect()}
+    assert set(got) == set(want)
+    mism = [
+        u
+        for u in want
+        if (
+            got[u].stage_reached,
+            got[u].t_view,
+            got[u].t_click,
+            got[u].t_purchase,
+        )
+        != (
+            want[u].stage_reached,
+            want[u].t_view,
+            want[u].t_click,
+            want[u].t_purchase,
+        )
+    ]
+    assert not mism, f"{len(mism)} users diverge, e.g. {mism[:3]}"
