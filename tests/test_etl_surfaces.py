@@ -329,3 +329,30 @@ def test_data_engine_facade(spark, tmp_path):
 
     with pytest.raises(ValueError):
         eng.ingest("not a frame", tpl)
+
+
+def test_salted_key_bounds_hot_partition(spark):
+    """The skew proof in miniature: a key holding ~half the rows owns
+    one whole reducer when partitioned by key; partitioned by
+    (key, salt8) no reducer holds more than a salt-share of it."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+
+    def max_partition(d, *cols):
+        pid = d.repartition(16, *[F.col(c) for c in cols]).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        return max(r["count"] for r in pid.groupBy("__pid").count().collect())
+
+    plain_max = max_partition(df, "k")
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64("k", "payload"), F.lit(8)))
+    salted_max = max_partition(salted, "k", "__salt")
+    assert plain_max >= n // 2  # hot key monopolizes a reducer
+    # Worst salted reducer carries ≈ hot/8 + tail; 3× headroom on the
+    # deterministic layout keeps this stable across hash changes.
+    assert salted_max <= plain_max // 3, (plain_max, salted_max)

@@ -386,3 +386,33 @@ def test_bm25_planted_twin_and_saturation(spark):
     first, = got[got["rank"] == 1].bm25.tolist()
     spam_score = got[got.neighbor_id == 2].bm25.tolist()
     assert not spam_score or spam_score[0] < first
+
+
+def test_ivfpq_recall_monotone_in_nprobe(spark, sf_oracle_dir):
+    """Probing more posting lists can only widen the candidate set:
+    recall@10 at nprobe=16 (full) must be >= nprobe=2 >= ... with the
+    deterministic seeds this is an exact, stable ordering check."""
+    from data_frame_demo_etl_spark.similarity.ann import brute_force_topk
+    from data_frame_demo_etl_spark.similarity.ivfpq import fit_ivfpq, ivfpq_topk
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    truth = {q: set(g["neighbor_id"]) for q, g in exact.groupby("query_id")}
+    enc, cents, cbs = fit_ivfpq(emb, k_coarse=16, m=8, nbits=6)
+    enc = enc.persist()
+
+    def recall(nprobe):
+        got = ivfpq_topk(enc, cents, cbs, queries.toPandas(), k=10, nprobe=nprobe).toPandas()
+        hits = sum(len(set(g["neighbor_id"]) & truth[q]) for q, g in got.groupby("query_id"))
+        return hits / (len(truth) * 10)
+
+    r2, r8, r16 = recall(2), recall(8), recall(16)
+    enc.unpersist()
+    assert r2 <= r8 + 1e-9 and r8 <= r16 + 1e-9, (r2, r8, r16)
+    assert r16 >= 0.3, f"full-probe recall collapsed: {r16}"
