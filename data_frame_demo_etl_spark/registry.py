@@ -229,11 +229,15 @@ register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CS
 register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
 register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
 # New this round: Excel ingest through the dependency-free OOXML
-# reader (S4 no longer env-gated) — needs its first external row.
+# reader (S4 no longer env-gated) and the embedded-Derby JDBC
+# round-trip (S5 no longer env-gated) — both need their first
+# external row.
 register(
     "ingest_excel_template", src_gate.ingest_excel_template, src_gate.INGEST_EXCEL_TEMPLATE_SQL
 )
-register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
+register(
+    "ingest_jdbc_roundtrip", src_gate.ingest_jdbc_roundtrip, src_gate.INGEST_JDBC_ROUNDTRIP_SQL
+)
 
 _TIER1 = len(_REGISTRY)
 assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
@@ -331,6 +335,7 @@ register(
 )
 
 # --- streaming-equivalent event processing ---
+register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
 register(
     "events_props_extract",
     streaming_events.events_props_extract,

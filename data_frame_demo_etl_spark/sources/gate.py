@@ -12,7 +12,7 @@ from pathlib import Path
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..pipeline import run_pipeline
 from ..template_config import TemplateConfig
@@ -144,6 +144,42 @@ def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INGEST_JSONL_ROUNDTRIP_SQL = """
 SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id
+"""
+
+
+def ingest_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: customer → embedded-Derby JDBC sink → PARTITIONED JDBC read
+    back (4 parallel range queries on c_custkey). Same operator pair a
+    warehouse pull uses; Derby's driver ships with Spark so the path
+    runs offline (reference connectors.py parity)."""
+    from .readers import DERBY_DRIVER, read_jdbc, write_jdbc
+
+    db_dir = _tmp_dir(sf_dir, "jdbc") / "derbydb"
+    url = f"jdbc:derby:{db_dir};create=true"
+    props = {"driver": DERBY_DRIVER}
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_jdbc(cust, url, "customer_rt", props)
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    tpl = TemplateConfig(source_type="sql", sql_table="customer_rt")
+    back = read_jdbc(
+        spark,
+        tpl,
+        url=url,
+        properties=props,
+        partition_options={
+            "partitionColumn": "c_custkey",
+            "lowerBound": lo,
+            "upperBound": hi,
+            "numPartitions": 4,
+        },
+    )
+    return back.orderBy("c_custkey")
+
+
+INGEST_JDBC_ROUNDTRIP_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey
 """
 
 

@@ -297,26 +297,57 @@ def _project_spark(df: DataFrame, tpl: TemplateConfig) -> DataFrame:
     return df
 
 
-def read_jdbc(spark: SparkSession, tpl: TemplateConfig, url: str | None = None, properties: dict | None = None) -> DataFrame:
+#: Embedded Derby ships with Spark (hive-metastore dependency), so the
+#: JDBC path is fully testable offline: jdbc:derby:<dir>;create=true
+#: with this driver. Real deployments swap in their warehouse's driver.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def read_jdbc(
+    spark: SparkSession,
+    tpl: TemplateConfig,
+    url: str | None = None,
+    properties: dict | None = None,
+    partition_options: dict | None = None,
+) -> DataFrame:
     """SQL source via spark.read.jdbc (reference connectors.py parity).
 
-    Gated: requires a JDBC driver jar on the Spark classpath and a
-    connection URL (from args or the connections registry)."""
+    Requires a connection URL plus a driver property (embedded Derby
+    is always available — see ``DERBY_DRIVER``). ``partition_options``
+    (partitionColumn/lowerBound/upperBound/numPartitions) turn the
+    read into N parallel range queries — the scale path for pulling a
+    big table out of a warehouse; only valid with ``sql_table``."""
     if url is None:
         raise ValueError(
-            "JDBC source requires a connection URL; no driver jars are bundled in "
-            "this environment. Pass url=jdbc:... and a driver property."
+            "JDBC source requires a connection URL; pass url='jdbc:...' and a "
+            "driver property (embedded Derby works offline: DERBY_DRIVER)."
         )
     reader = spark.read.format("jdbc").option("url", url)
     if tpl.sql_query:
+        if partition_options:
+            raise ValueError("partitioned JDBC reads need sql_table, not sql_query")
         reader = reader.option("query", tpl.sql_query)
     elif tpl.sql_table:
         reader = reader.option("dbtable", tpl.sql_table)
     else:
         raise ValueError("sql source needs sql_table or sql_query")
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    for k, v in {**(properties or {}), **(partition_options or {})}.items():
+        reader = reader.option(k, str(v))
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """JDBC sink counterpart (each partition writes its own batch)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, str(v))
+    writer.mode(mode).save()
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
