@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .analytics import engagement, relational, sketches, timeseries, tpch
+from .analytics import engagement, relational, sketches, timeseries, tpch, tpch_more
 from .analytics.funnel import (
     COHORT_RETENTION_WEEKLY_SQL,
     FUNNEL_VIEW_CLICK_PURCHASE_SQL,
@@ -248,6 +248,39 @@ assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
 TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
 
 # ═══════════ TIER 2: twice driver-green (r1+r2), rotated out ═══════════
+
+# --- TPC-H completion set (r3: full 22-query shape coverage) ---
+register(
+    "q9_product_type_profit", tpch_more.q9_product_type_profit, tpch_more.Q9_PRODUCT_TYPE_PROFIT_SQL
+)
+register("q11_important_stock", tpch_more.q11_important_stock, tpch_more.Q11_IMPORTANT_STOCK_SQL)
+register(
+    "q13_customer_distribution",
+    tpch_more.q13_customer_distribution,
+    tpch_more.Q13_CUSTOMER_DISTRIBUTION_SQL,
+)
+register("q15_top_supplier", tpch_more.q15_top_supplier, tpch_more.Q15_TOP_SUPPLIER_SQL)
+register(
+    "q16_parts_supplier_relationship",
+    tpch_more.q16_parts_supplier_relationship,
+    tpch_more.Q16_PARTS_SUPPLIER_SQL,
+)
+register(
+    "q17_small_quantity_revenue",
+    tpch_more.q17_small_quantity_revenue,
+    tpch_more.Q17_SMALL_QUANTITY_SQL,
+)
+register(
+    "q18_large_volume_customers",
+    tpch_more.q18_large_volume_customers,
+    tpch_more.Q18_LARGE_VOLUME_SQL,
+)
+register(
+    "q20_promo_part_suppliers", tpch_more.q20_promo_part_suppliers, tpch_more.Q20_PROMO_SUPPLIERS_SQL
+)
+register(
+    "q21_waiting_suppliers", tpch_more.q21_waiting_suppliers, tpch_more.Q21_WAITING_SUPPLIERS_SQL
+)
 
 # --- TPC-H-style analytics ---
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
