@@ -210,3 +210,91 @@ s0 AS (
     )
     + "\nORDER BY merge_round"
 )
+
+
+def encode_with_merges(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Apply learned BPE merge rules to a corpus: per-document token
+    counts under the merged vocabulary.
+
+    Encoding happens on the DISTINCT-WORD vocabulary, not on every
+    occurrence: the corpus tokenizes once to (doc, word), the
+    vocabulary encodes driver-free via the same spaced-symbol REPLACE
+    chain the learner uses (rank order = application order, exactly
+    HuggingFace/SentencePiece semantics), and a join maps word →
+    token count back onto occurrences. At 100 TB the REPLACE chain
+    runs over the vocabulary (sublinear in corpus size); the only
+    corpus-sized work is the tokenize + the final aggregation.
+    """
+    words = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    vocab = words.select("w").distinct()
+    s = F.concat(F.lit(" "), F.array_join(F.split("w", r"(?!^)"), "  "), F.lit(" "))
+    for left, right in merges:
+        s = F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+    vocab_tokens = vocab.select(
+        "w", F.size(F.split(F.trim(s), "  ")).alias("nt")
+    )
+    return (
+        words.join(vocab_tokens, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_documents(spark, sf_dir: str) -> DataFrame:
+    """Gate: learn the first 5 merges from the corpus (deterministic —
+    ties broken (count DESC, left, right)), then encode every document
+    with them. Completes the learn→apply tokenizer loop: L10 verifies
+    the learned rules, this verifies their application."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rules = [
+        (r["merge_left"], r["merge_right"])
+        for r in learn_bpe_merges(docs).orderBy("merge_idx").collect()
+    ]
+    return encode_with_merges(docs, rules)
+
+
+BPE_ENCODE_DOCUMENTS_SQL = (
+    """
+WITH words AS (
+  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+s0 AS (
+  SELECT w, c, ' ' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '  ') || ' ' AS s FROM wc
+),
+"""
+    + ",\n".join(_bpe_round_ctes(r) for r in range(1, N_MERGES + 1))
+    + f""",
+vt AS (
+  SELECT w, LEN(STRING_SPLIT(TRIM(s), '  ')) AS nt FROM s{N_MERGES}
+),
+dw AS (
+  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(LEN(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(LEN(w)) AS DOUBLE) / SUM(nt), 6) AS compression
+FROM dw JOIN vt USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)

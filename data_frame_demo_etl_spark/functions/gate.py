@@ -542,3 +542,131 @@ FROM flags
 GROUP BY ROLLUP (source, lang)
 ORDER BY source, lang
 """
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 table A1's
+    "repetitious text" family) per document, word-n-gram variant:
+
+    - ``dup_word_frac``  — fraction of word occurrences that repeat an
+      earlier word (1-gram repetition);
+    - ``top2_frac`` / ``top3_frac`` — fraction of n-gram characters
+      covered by the heaviest 2-/3-gram (MAX of count×len, so ties
+      resolve identically in every engine);
+    - ``dup5_frac`` — fraction of 5-gram characters belonging to
+      5-grams that occur more than once.
+
+    (The corresponding line/paragraph signals exist as the pure-Column
+    ``text.repetition_score``; the synthetic corpus has no newlines,
+    so a line-based gate would be vacuous here.)
+
+    Scale shape: ONE scan — all four n-gram families are built as a
+    single flattened array of (n, gram) structs and exploded once —
+    then two hash aggregations (doc,n,gram → doc,n → doc). No UDFs,
+    no window over the corpus, no joins. At 100 TB the explode factor
+    is ~4× the token count, the same order as the MinHash shingle
+    table.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+
+    def tagged_grams(n: int):
+        if n == 1:
+            grams = ws
+        else:
+            # F.sequence(1, k) counts DOWN when k < 1 — guard short docs.
+            grams = F.when(
+                F.size(ws) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+                ),
+            ).otherwise(F.slice(F.array(F.lit("")), 1, 0))
+        return F.transform(
+            grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        )
+
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[tagged_grams(n) for n in (1, 2, 3, 5)]))
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    gc = (
+        exploded.groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("l", F.length("g"))
+    )
+    per_n = gc.groupBy("doc_id", "n").agg(
+        F.sum(F.col("c") * F.col("l")).alias("tot"),
+        F.max(F.col("c") * F.col("l")).alias("mx"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("l")).otherwise(0)).alias("dup"),
+        F.sum("c").alias("items"),
+        F.count(F.lit(1)).alias("dist"),
+    )
+    pick = lambda n, expr: F.max(F.when(F.col("n") == n, expr))  # noqa: E731
+    return (
+        per_n.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                pick(1, F.round((F.col("items") - F.col("dist")).cast("double") / F.col("items"), 6)),
+                F.lit(0.0),
+            ).alias("dup_word_frac"),
+            F.coalesce(
+                pick(2, F.round(F.col("mx").cast("double") / F.col("tot"), 6)), F.lit(0.0)
+            ).alias("top2_frac"),
+            F.coalesce(
+                pick(3, F.round(F.col("mx").cast("double") / F.col("tot"), 6)), F.lit(0.0)
+            ).alias("top3_frac"),
+            F.coalesce(
+                pick(5, F.round(F.col("dup").cast("double") / F.col("tot"), 6)), F.lit(0.0)
+            ).alias("dup5_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SIGNALS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x != '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, ws[i] AS g
+  FROM w, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i)
+  UNION ALL
+  SELECT doc_id, 2, ARRAY_TO_STRING(ws[i:i+1], ' ')
+  FROM w, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i)
+  UNION ALL
+  SELECT doc_id, 3, ARRAY_TO_STRING(ws[i:i+2], ' ')
+  FROM w, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS i)
+  UNION ALL
+  SELECT doc_id, 5, ARRAY_TO_STRING(ws[i:i+4], ' ')
+  FROM w, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws) - 4)) AS i)
+),
+gc AS (
+  SELECT doc_id, n, g, COUNT(*) AS c, LEN(g) AS l
+  FROM grams GROUP BY doc_id, n, g
+),
+per_n AS (
+  SELECT doc_id, n,
+         SUM(c * l) AS tot,
+         MAX(c * l) AS mx,
+         SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup,
+         SUM(c) AS items,
+         COUNT(*) AS dist
+  FROM gc GROUP BY doc_id, n
+)
+SELECT doc_id,
+  COALESCE(MAX(CASE WHEN n = 1
+    THEN ROUND(CAST(items - dist AS DOUBLE) / items, 6) END), 0.0) AS dup_word_frac,
+  COALESCE(MAX(CASE WHEN n = 2
+    THEN ROUND(CAST(mx AS DOUBLE) / tot, 6) END), 0.0) AS top2_frac,
+  COALESCE(MAX(CASE WHEN n = 3
+    THEN ROUND(CAST(mx AS DOUBLE) / tot, 6) END), 0.0) AS top3_frac,
+  COALESCE(MAX(CASE WHEN n = 5
+    THEN ROUND(CAST(dup AS DOUBLE) / tot, 6) END), 0.0) AS dup5_frac
+FROM per_n
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -49,8 +49,10 @@ from .dedup.spans import DEDUP_SPANS_SQL, dedup_spans
 from .functions import gate as fn_gate
 from .functions.bpe import (
     BPE_COMPRESSION_CURVE_SQL,
+    BPE_ENCODE_DOCUMENTS_SQL,
     BPE_LEARN_MERGES_SQL,
     bpe_compression_curve,
+    bpe_encode_documents,
     bpe_learn_merges,
 )
 from .functions.lm import LM_SCORE_SQL, lm_score_gate
@@ -353,6 +355,12 @@ register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL
 register("text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL)
 register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
 register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
+register(
+    "text_repetition_signals",
+    fn_gate.text_repetition_signals,
+    fn_gate.TEXT_REPETITION_SIGNALS_SQL,
+)
+register("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_DOCUMENTS_SQL)
 register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
 
 # --- dedup ---

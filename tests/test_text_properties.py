@@ -267,3 +267,50 @@ def test_bpe_learns_expected_merges(spark):
     # the lexicographic tie-break picks (e, s) deterministically
     assert (got.merge_left[2], got.merge_right[2]) == ("e", "s")
     assert got.pair_count[2] == 6
+
+
+def test_repetition_signals_planted(spark, tmp_path):
+    """Planted corpora with hand-computable n-gram repetition."""
+    import duckdb
+
+    docs = [
+        # "a a a a a": 5 words, 1 distinct -> dup_word 0.8;
+        # 2-grams: four "a a" (len 3) -> top2 = 12/12 = 1.0;
+        # 5-gram: one "a a a a a" -> dup5 = 0 (count 1).
+        (1, "a a a a a"),
+        # all-distinct words: every signal 0 (no repeated grams).
+        (2, "b c d e f g"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    con.execute(
+        f"COPY (SELECT doc_id, text, 'en' AS lang, 's' AS source, LENGTH(text) AS n_chars FROM t) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    from data_frame_demo_etl_spark.functions.gate import text_repetition_signals
+
+    out = {
+        r.doc_id: r.asDict()
+        for r in text_repetition_signals(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["dup_word_frac"] == 0.8
+    assert out[1]["top2_frac"] == 1.0
+    assert out[1]["dup5_frac"] == 0.0
+    assert out[2] == {
+        "doc_id": 2,
+        "dup_word_frac": 0.0,
+        "top2_frac": round(3 / 15, 6),  # each 2-gram unique, len 3, tot 15
+        "top3_frac": round(5 / 20, 6),
+        "dup5_frac": 0.0,
+    }
+
+
+def test_bpe_encode_compresses(spark, sf_dir):
+    """Applying the learned merges can only shorten token sequences:
+    chars >= tokens >= words, and some doc actually compresses."""
+    from data_frame_demo_etl_spark.functions.bpe import bpe_encode_documents
+
+    rows = bpe_encode_documents(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_chars >= r.n_tokens >= r.n_words for r in rows)
+    assert any(r.n_tokens < r.n_chars for r in rows)
