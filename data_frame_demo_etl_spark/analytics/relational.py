@@ -764,3 +764,75 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 ORDER BY o_orderkey
 """
+
+
+def rolling_30d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer at each order: a RANGE-frame
+    window (value-based, not row-based — peers at the same timestamp
+    aggregate together regardless of physical order, so the result is
+    deterministic under any shuffle order).
+
+    Frame arithmetic runs on epoch seconds with integer cents, so the
+    window sum is engine-exact. One shuffle on the partition key; the
+    in-partition sort is the same sort a ROWS frame would need.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum(cents).over(w) / 100.0, 2).alias("trailing_30d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+ROLLING_30D_CUSTOMER_REVENUE_SQL = """
+SELECT
+  o_custkey, o_orderkey, o_orderdate,
+  ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+    PARTITION BY o_custkey
+    ORDER BY CAST(EPOCH(o_orderdate) AS BIGINT)
+    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+  ) / 100.0, 2) AS trailing_30d
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def lapsed_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, distinct semantics): customers active
+    in 1995 who placed no order in 2001 — the companion to the
+    INTERSECT gate (K2), completing the set-operation surface.
+    Spark's ``subtract`` IS EXCEPT DISTINCT (one aggregate per side +
+    one anti semantics under the hood, no driver work)."""
+    orders = load_table(spark, "orders", sf_dir)
+
+    def active_in(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+        )
+
+    return active_in(1995).subtract(active_in(2001)).orderBy("o_custkey")
+
+
+LAPSED_CUSTOMERS_EXCEPT_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
+ORDER BY o_custkey
+"""

@@ -283,6 +283,16 @@ register(
 register(
     "q21_waiting_suppliers", tpch_more.q21_waiting_suppliers, tpch_more.Q21_WAITING_SUPPLIERS_SQL
 )
+register(
+    "rolling_30d_customer_revenue",
+    relational.rolling_30d_customer_revenue,
+    relational.ROLLING_30D_CUSTOMER_REVENUE_SQL,
+)
+register(
+    "lapsed_customers_except",
+    relational.lapsed_customers_except,
+    relational.LAPSED_CUSTOMERS_EXCEPT_SQL,
+)
 
 # --- TPC-H-style analytics ---
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)

@@ -104,6 +104,8 @@ CARTESIAN_ALLOWED = {
     # subquery shape; bounded by construction, never a data-sized
     # cartesian.
     "q22_idle_rich_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
 }
 
 
