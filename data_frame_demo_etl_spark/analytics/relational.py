@@ -836,3 +836,49 @@ SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
 ORDER BY o_custkey
 """
+
+
+def events_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, year): all four grouping sets — detail,
+    per-type, per-year, grand total — in one pass, with
+    ``grouping_id`` distinguishing subtotal levels (ROLLUP's sibling;
+    completes the grouping-sets family alongside `revenue_rollup` and
+    the quality dashboard's ROLLUP). COALESCE'd labels keep the
+    output NULL-free so the set is hash-comparable everywhere."""
+    from ..sources.catalog import load_table as _lt
+
+    events = _lt(spark, "events", sf_dir)
+    base = events.select(
+        "event_type", F.year("ts").cast("long").alias("yr"), "value"
+    )
+    return (
+        base.cube("event_type", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.round(F.col("value") * 1000000).cast("long")) / 1e6, 6).alias(
+                "total_value"
+            ),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            "n_events",
+            "total_value",
+            "gid",
+        )
+        .orderBy("gid", "event_type", "yr")
+    )
+
+
+EVENTS_CUBE_SUMMARY_SQL = """
+SELECT
+  COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+  COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) / 1e6, 6) AS total_value,
+  CAST(GROUPING(event_type) * 2 + GROUPING(yr) AS BIGINT) AS gid
+FROM (SELECT event_type, CAST(YEAR(ts) AS BIGINT) AS yr, value FROM events)
+GROUP BY CUBE (event_type, yr)
+ORDER BY gid, event_type, yr
+"""

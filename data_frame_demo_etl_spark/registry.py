@@ -293,6 +293,9 @@ register(
     relational.lapsed_customers_except,
     relational.LAPSED_CUSTOMERS_EXCEPT_SQL,
 )
+register(
+    "events_cube_summary", relational.events_cube_summary, relational.EVENTS_CUBE_SUMMARY_SQL
+)
 
 # --- TPC-H-style analytics ---
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
