@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -359,3 +359,55 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path_or_glob: str,
+    schema_ddl: str,
+    delimiter: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingest with physical malformed-row capture: returns
+    (good, quarantine). Rows that fail to parse against the declared
+    schema land in the quarantine frame with the raw line preserved in
+    ``_raw`` — the file-level counterpart of the pipeline's logical
+    contract quarantine (validate/quarantine covers rows that PARSE
+    but violate the contract; this covers rows that don't parse at
+    all).
+
+    Spark only materializes the corrupt-record column when the
+    filtered plan retains it, and filtering on it alone is rejected
+    for un-cached reads (the scan would need to re-parse), so the raw
+    frame is cached for the duration of the split — one pass over the
+    files either way.
+    """
+    files = sorted(globmod.glob(path_or_glob)) or [path_or_glob]
+    raw = (
+        spark.read.schema(schema_ddl + ", _raw string")
+        .option("header", "true" if header else "false")
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_raw")
+        .csv(files)
+    ).cache()
+    good = raw.filter(F.col("_raw").isNull()).drop("_raw")
+    quarantine = raw.filter(F.col("_raw").isNotNull())
+    return good, quarantine
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path_or_glob: str, schema_ddl: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL twin of :func:`read_csv_with_quarantine` (malformed JSON
+    or type-mismatched documents go to quarantine with the raw text)."""
+    files = sorted(globmod.glob(path_or_glob)) or [path_or_glob]
+    raw = (
+        spark.read.schema(schema_ddl + ", _raw string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_raw")
+        .json(files)
+    ).cache()
+    good = raw.filter(F.col("_raw").isNull()).drop("_raw")
+    quarantine = raw.filter(F.col("_raw").isNotNull())
+    return good, quarantine

@@ -309,3 +309,15 @@ FROM replicated
 GROUP BY 1, 2, 3
 ORDER BY window_start, event_type
 """
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming
+    dimension-lookup pattern. The static side is re-read per
+    micro-batch by Structured Streaming (so slowly-changing dims pick
+    up updates) and explicitly broadcast: no state store, no
+    watermark needed for an inner equi-join against a static side,
+    and at cluster scale the stream side never shuffles."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], "inner")

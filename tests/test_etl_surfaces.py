@@ -356,3 +356,34 @@ def test_salted_key_bounds_hot_partition(spark):
     # Worst salted reducer carries ≈ hot/8 + tail; 3× headroom on the
     # deterministic layout keeps this stable across hash changes.
     assert salted_max <= plain_max // 3, (plain_max, salted_max)
+
+
+def test_csv_quarantine_captures_malformed(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,qty\n"
+        "1,10\n"
+        "2,notanumber\n"   # type failure -> quarantine
+        "3,30\n"
+    )
+    from data_frame_demo_etl_spark.sources.readers import read_csv_with_quarantine
+
+    good, quar = read_csv_with_quarantine(spark, str(p), "id long, qty long")
+    assert {(r.id, r.qty) for r in good.collect()} == {(1, 10), (3, 30)}
+    bad = quar.collect()
+    assert len(bad) == 1 and "notanumber" in bad[0]._raw
+
+
+def test_jsonl_quarantine_captures_malformed(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "qty": 10}\n'
+        "{broken json\n"
+        '{"id": 3, "qty": 30}\n'
+    )
+    from data_frame_demo_etl_spark.sources.readers import read_jsonl_with_quarantine
+
+    good, quar = read_jsonl_with_quarantine(spark, str(p), "id long, qty long")
+    assert {(r.id, r.qty) for r in good.collect()} == {(1, 10), (3, 30)}
+    bad = quar.collect()
+    assert len(bad) == 1 and "broken" in bad[0]._raw

@@ -69,3 +69,45 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: per-event segment enrichment from a static
+    dim produces exactly the batch join's rows (availableNow drain),
+    and the physical plan broadcasts the dim (no stream-side shuffle,
+    no state store)."""
+    from data_frame_demo_etl_spark.streaming.events import enrich_with_dim
+
+    src = str(tmp_path / "events")
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "d_user_id long, segment string"
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    enriched = enrich_with_dim(stream, dim, "user_id", "d_user_id").select(
+        "event_id", "segment"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.segment) for r in spark.sql("SELECT * FROM ss_enrich").collect()}
+
+    batch = spark.createDataFrame(_rows(), SCHEMA)
+    want = {
+        (r.event_id, r.segment)
+        for r in enrich_with_dim(batch, dim, "user_id", "d_user_id")
+        .select("event_id", "segment")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # Plan shape: the dim must be broadcast, not shuffled.
+    from data_frame_demo_etl_spark.operators.audit import plan_report
+
+    rep = plan_report(enrich_with_dim(batch, dim, "user_id", "d_user_id"))
+    assert rep.broadcast_joins >= 1 and rep.sort_merge_joins == 0
