@@ -68,3 +68,33 @@ def test_scores_reproducible(spark):
     s1 = {r.doc_id: r.keep_probability for r in score_documents(model, train).collect()}
     s2 = {r.doc_id: r.keep_probability for r in score_documents(model, train).collect()}
     assert s1 == s2
+
+
+def test_classifier_composes_into_curation_flow(spark, sf_dir):
+    """End-to-end composition on the real documents table: train on a
+    planted corpus, score the corpus, keep-filter, exact-dedup the
+    keepers, then pack by budget — each stage a plain DataFrame, one
+    lazy plan until the final action."""
+    from data_frame_demo_etl_spark.operators.dedupe import dedup_exact
+    from data_frame_demo_etl_spark.operators.sampling import pack_by_budget
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    train = spark.createDataFrame(_corpus(120, 7), "doc_id long, text string, label int")
+    model = train_quality_classifier(train)
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = score_documents(model, docs)
+    kept = scored.filter("keep")
+    deduped = dedup_exact(kept, text_col="text", id_col="doc_id")
+    packed = pack_by_budget(
+        deduped.select("doc_id", "source", "n_chars"),
+        group_col="source",
+        order_by=["doc_id"],
+        size_col="n_chars",
+        budget=2000,
+    )
+    n_docs, n_kept, n_dedup = docs.count(), kept.count(), deduped.count()
+    assert 0 < n_dedup <= n_kept <= n_docs
+    rows = packed.collect()
+    assert len(rows) == n_dedup
+    assert all(r.bin >= 0 for r in rows)
