@@ -434,8 +434,10 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape kept: part-filtered semi-join, per-(part,supplier)
     aggregate compared against a per-part correlated total, distinct
-    suppliers out. The second group-by reuses the first shuffle's
-    partitioning prefix.
+    suppliers out. The per-part total is a WINDOW over the
+    (part,supplier) aggregate — a groupBy+self-join formulation would
+    re-scan lineitem and re-aggregate it (verified in the physical
+    plan); the window keeps it to ONE fact scan.
     """
     lineitem = load_table(spark, "lineitem", sf_dir)
     promo_parts = (
@@ -453,9 +455,11 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .agg(F.sum(_qty()).alias("q"))
     )
-    totals = shipped.groupBy("pk").agg(F.sum("q").alias("tq"))
+    from pyspark.sql import Window
+
+    tq = F.sum("q").over(Window.partitionBy("pk"))
     dominant = (
-        shipped.join(totals, "pk")
+        shipped.withColumn("tq", tq)
         .filter(F.col("q") * 4 > F.col("tq"))
         .select("sk")
         .distinct()
