@@ -141,6 +141,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("partkey"), (_cents("l_extendedprice") * _qty()).alias("v"))
         .groupBy("partkey")
         .agg(F.sum("v").alias("value_cents"))
+        # Referenced twice (rows + scalar total): persist the per-part
+        # aggregate or Spark re-computes the whole join subtree (6
+        # scans observed). Bounded: one row per part.
+        .persist()
     )
     total = vals.agg(
         F.sum("value_cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts")
@@ -244,6 +248,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("suppkey"), line_cents.alias("cents"))
         .groupBy("suppkey")
         .agg(F.sum("cents").alias("rev_cents"))
+        # Referenced twice (rows + scalar max): persist the tiny
+        # per-supplier aggregate to avoid a second fact scan.
+        .persist()
     )
     top = rev.agg(F.max("rev_cents").alias("max_cents"))
     return (
@@ -343,17 +350,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``qty * cnt * 5 < Σqty``  ⇔  qty < 0.2·avg). Output is the
     single avg_yearly row, from an exact cents total.
     """
+    from pyspark.sql import Window
+
     lineitem = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
-    per_part = (
-        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("l_partkey").alias("pk"))
-        .agg(F.sum(_qty()).alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+    # The correlated per-part aggregate as a WINDOW over the same
+    # filtered join the probe side needs — one fact scan, one shuffle
+    # on the correlation key (a groupBy+join-back would scan and
+    # aggregate lineitem twice).
+    w = Window.partitionBy("l_partkey")
+    joined = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", _qty().alias("qty"), _cents("l_extendedprice").alias("cents")
     )
     return (
-        lineitem.join(per_part, F.col("l_partkey") == F.col("pk"))
-        .filter(_qty() * F.col("cnt") * 5 < F.col("sum_qty"))
-        .agg(F.sum(_cents("l_extendedprice")).alias("total_cents"))
+        joined.withColumn("sum_qty", F.sum("qty").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty") * F.col("cnt") * 5 < F.col("sum_qty"))
+        .agg(F.sum("cents").alias("total_cents"))
         .select(F.round(F.col("total_cents") / 700.0, 2).alias("avg_yearly"))
     )
 
