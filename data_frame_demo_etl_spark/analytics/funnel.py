@@ -6,8 +6,9 @@ Both are classic warehouse workloads a pandas-era analytics module
 
 - funnel: per user, the ORDERED chain view → click → purchase (each
   stage's first occurrence strictly after the previous stage) — not
-  mere per-type existence; expressed as three bounded min-aggregates,
-  each one shuffle on user_id, no windows over the full stream.
+  mere per-type existence; one scan + one shuffle gathering each
+  user's stage events, then a per-user array walk (the
+  ClickHouse-windowFunnel shape).
 - cohort retention: users bucketed by first-active ISO week, activity
   counted per (cohort, week-offset) — the re-engagement matrix.
   Two shuffles (first-event agg, distinct-activity agg).
@@ -28,24 +29,47 @@ STAGES = ("view", "click", "purchase")
 def funnel_stages(events: DataFrame, stages: tuple[str, ...] = STAGES) -> DataFrame:
     """Per-user ordered funnel: first occurrence of each stage
     strictly after the previous stage's chosen occurrence.
-    Returns (user_id, t_<stage>..., stage_reached)."""
-    out = events.select("user_id").distinct()
-    prev_col = None
-    for stage in stages:
-        ev = events.filter(F.col("event_type") == stage).select(
-            "user_id", F.col("ts").alias("__ts")
-        )
-        if prev_col is not None:
-            ev = ev.join(out.select("user_id", prev_col), "user_id").filter(
-                F.col("__ts") > F.col(prev_col)
+    Returns (user_id, t_<stage>..., stage_reached).
+
+    One-pass formulation (the ClickHouse-windowFunnel shape): ONE
+    scan of events, ONE shuffle gathering each user's stage events,
+    then the ordered chain is a per-user array walk — the earlier
+    per-stage join chain re-computed its growing join tree at every
+    stage (10 events scans in the physical plan for 3 stages).
+    Per-user state is that user's stage events only — the same
+    bounded-activity assumption `user_event_sequences` makes, with
+    `cap_events_per_user` as the whale guard upstream.
+
+    Each t_<stage> is materialized as a real column BEFORE the next
+    stage's lambda references it (HOF lambdas re-evaluate embedded
+    expressions per element).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin(*stages),
+                F.struct(F.col("ts").alias("ts"), F.col("event_type").alias("et")),
             )
-        t = ev.groupBy("user_id").agg(F.min("__ts").alias(f"t_{stage}"))
-        out = out.join(t, "user_id", "left")
-        prev_col = f"t_{stage}"
-    reached = sum(
-        (F.col(f"t_{s}").isNotNull()).cast("int") for s in stages
+        ).alias("evs")
     )
-    return out.withColumn("stage_reached", reached.cast("int"))
+    def _stage_cond(stage: str, prev_col: str | None):
+        # Closure factory — NOT lambda defaults: PySpark derives the
+        # HOF arity from the lambda's parameter count.
+        if prev_col is None:
+            return lambda e: e["et"] == stage
+        pc = F.col(prev_col)
+        return lambda e: (e["et"] == stage) & (e["ts"] > pc)
+
+    prev = None
+    for stage in stages:
+        cond = _stage_cond(stage, prev)
+        per_user = per_user.withColumn(
+            f"t_{stage}",
+            F.array_min(F.transform(F.filter(F.col("evs"), cond), lambda e: e["ts"])),
+        )
+        prev = f"t_{stage}"
+    reached = sum((F.col(f"t_{s}").isNotNull()).cast("int") for s in stages)
+    return per_user.drop("evs").withColumn("stage_reached", reached.cast("int"))
 
 
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,7 +47,10 @@ PUSHED = {
     "q19_disjunctive_revenue": ["Or(", "p_brand"],
     "sql_interface_q1": ["l_shipdate"],
     "q1_pricing_summary": ["l_shipdate"],
-    "funnel_view_click_purchase": ["event_type"],
+    # funnel: the one-pass formulation deliberately scans UNfiltered
+    # (users with no funnel events must appear with nulls), so there
+    # is no event_type pushdown — the contract is the 1-scan ceiling
+    # below instead.
     "loyal_customers_intersect": ["o_orderdate"],
 }
 
@@ -69,6 +72,9 @@ MAX_SCANS = {
     "events_windowed": 1,
     "events_sessionize": 1,
     "text_token_count": 1,
+    # one-pass funnel: one scan, one shuffle, no joins (was 10 scans
+    # as an iterative join chain).
+    "funnel_view_click_purchase": 1,
 }
 
 
