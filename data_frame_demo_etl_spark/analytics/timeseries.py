@@ -35,6 +35,11 @@ def gapfill_buckets(
         F.explode(F.expr(f"sequence(lo, hi, interval {bucket})")).alias("bucket")
     )
     keys = bucketed.select("key").distinct()
+    # The dense (bucket × key) grid IS the output — its size is the
+    # result size, not an intermediate blow-up. Callers gap-filling a
+    # fine spine over high-cardinality keys should bound one side
+    # (coarser bucket, key subset) since |spine|·|keys| rows WILL be
+    # produced, by definition of the operation.
     grid = spine.crossJoin(keys)
     return (
         grid.join(sparse, ["bucket", "key"], "left")
