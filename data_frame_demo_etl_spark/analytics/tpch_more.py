@@ -3,6 +3,15 @@ Q16, Q17, Q18, Q20, Q21) that, together with tpch.py (Q1/Q3/Q5) and
 relational.py (Q2/Q4/Q6/Q7/Q8/Q10/Q12/Q14/Q19/Q22), give the engine
 full 22-query TPC-H shape coverage.
 
+Reference parity: these extend the reference's query surface
+(query-builder filter/aggregate chains, src/api/v1 query endpoints,
+engine.py combine/summary aggregation) to the full relational
+repertoire a warehouse user expects — correlated scalar subqueries,
+EXISTS/NOT-EXISTS double correlation, grouped-HAVING feeding joins,
+two-level aggregation — per SURVEY §2.8's capability-parity-at-scale
+mandate. The TPC-H query set itself is the public benchmark spec
+(TPC-H v3; the shapes, not the official generator/data, are used).
+
 The synthetic star schema has no ``partsupp`` table and no
 commit/receipt dates, phone, or comment columns, so — like the
 existing Q2/Q12/Q22 shapes — each query preserves the *relational
