@@ -321,3 +321,18 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key:
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], "inner")
+
+
+def idempotent_batch_writer(base_path: str):
+    """foreachBatch sink with replay-safe (exactly-once) semantics:
+    each micro-batch overwrites its OWN ``batch_id=N`` directory, so a
+    post-failure replay of the same epoch rewrites identical data
+    instead of appending duplicates — the standard parquet
+    exactly-once recipe when the sink itself is not transactional.
+    Use with ``.writeStream.foreachBatch(idempotent_batch_writer(p))``.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+
+    return write

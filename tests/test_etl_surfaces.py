@@ -387,3 +387,17 @@ def test_jsonl_quarantine_captures_malformed(spark, tmp_path):
     assert {(r.id, r.qty) for r in good.collect()} == {(1, 10), (3, 30)}
     bad = quar.collect()
     assert len(bad) == 1 and "broken" in bad[0]._raw
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Files written under an evolving schema read back as one table
+    with mergeSchema: old files null-fill the new column."""
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, a string").write.parquet(d + "/v=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, a string, score double").write.parquet(
+        d + "/v=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(d + "/v=1", d + "/v=2")
+    rows = {r.id: (r.a, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(df.columns) == {"id", "a", "score"}

@@ -249,3 +249,18 @@ def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
         )
     ]
     assert not mism, f"{len(mism)} users diverge, e.g. {mism[:3]}"
+
+
+def test_foreach_batch_sink_is_replay_idempotent(spark, tmp_path):
+    """Replaying a batch id must not duplicate rows (per-epoch
+    overwrite directories)."""
+    from data_frame_demo_etl_spark.streaming.events import idempotent_batch_writer
+
+    out = str(tmp_path / "sink")
+    writer = idempotent_batch_writer(out)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    writer(df, 0)
+    writer(df, 0)  # replay of the same epoch
+    writer(df.filter("id = 1"), 1)
+    got = spark.read.parquet(out + "/batch_id=*")
+    assert got.count() == 3  # 2 (epoch 0, once) + 1 (epoch 1)
