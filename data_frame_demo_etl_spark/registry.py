@@ -43,6 +43,7 @@ from .analytics.funnel import (
 from .analytics.pagerank import GRAPH_PAGERANK_SQL, graph_pagerank
 from .dedup import gate as dedup_gate
 from .dedup.contamination import CONTAMINATION_CHECK_SQL, contamination_check
+from .dedup.fuzzy import SUPPLIER_FUZZY_MATCHES_SQL, supplier_fuzzy_matches
 from .dedup.incremental import DEDUP_INCREMENTAL_SQL, dedup_incremental
 from .dedup.novelty import DOC_NOVELTY_SQL, doc_novelty_gate
 from .dedup.spans import DEDUP_SPANS_SQL, dedup_spans
@@ -296,6 +297,7 @@ register(
 register(
     "events_cube_summary", relational.events_cube_summary, relational.EVENTS_CUBE_SUMMARY_SQL
 )
+register("supplier_fuzzy_matches", supplier_fuzzy_matches, SUPPLIER_FUZZY_MATCHES_SQL)
 
 # --- TPC-H-style analytics ---
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
