@@ -320,3 +320,27 @@ def test_incremental_dedup_admission(spark):
     assert not got.loc[15, "is_kept"] and got.loc[15, "n_batch_dups"] >= 1
     # the earlier batch doc is not penalized by its later duplicate
     assert got.loc[13, "n_batch_dups"] == 0
+
+
+def test_blocked_fuzzy_pairs_planted_typos(spark):
+    """Soundex blocking + edit-distance verify on realistic names:
+    the typo pair links, unrelated names don't, and cross-block
+    candidates are never even compared."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.dedup.fuzzy import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jonathan smith"),
+            (2, "jonathon smith"),   # 1 edit from #1, same soundex block
+            (3, "jane doe"),
+            (4, "john smith"),       # same block as 1/2 but >2 edits
+        ],
+        "id long, name string",
+    )
+    pairs = blocked_fuzzy_pairs(
+        df, id_col="id", name_col="name", block=F.soundex("name"), max_edit=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].edit_distance == 1
