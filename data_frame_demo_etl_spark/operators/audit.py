@@ -37,12 +37,28 @@ def plan_report(df: DataFrame) -> PlanReport:
     )
     rep.exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     rep.scans = plan.count("FileScan")
-    # Capture to end of line: In(col, [a,b]) filters contain ']' and
-    # Spark truncates long scan lines (dropping the closing bracket),
-    # so both a negated-class and a greedy-to-']' capture lose entries.
-    rep.pushed_filters = [
-        m.rstrip("]") for m in re.findall(r"PushedFilters: \[([^\n]*)", plan)
-    ]
+    # Per-line capture with three constraints: In(col, [a,b]) filters
+    # contain ']' (a greedy-to-']' capture truncates them), Spark
+    # truncates long scan lines (the closing bracket may be missing
+    # entirely), and FileScan renders ', ReadSchema: struct<...>' on
+    # the SAME line (a to-end-of-line capture would swallow every read
+    # column and make pushdown assertions vacuously true). So: take
+    # the text after 'PushedFilters: [', cut before any 'ReadSchema:'
+    # tail, then strip the delimiter trailer.
+    rep.pushed_filters = []
+    for line in plan.splitlines():
+        idx = line.find("PushedFilters: [")
+        if idx == -1:
+            continue
+        frag = line[idx + len("PushedFilters: [") :]
+        cut = frag.find("ReadSchema:")
+        if cut != -1:
+            frag = frag[:cut].rstrip().rstrip(",").rstrip()
+        # The list's own closing ']' (an inner In(...) ends in ')',
+        # which stops the strip before its bracket is touched).
+        frag = frag.rstrip("]")
+        if frag:
+            rep.pushed_filters.append(frag)
     rep.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
     rep.wholestage_codegen = "WholeStageCodegen" in plan
     return rep

@@ -144,3 +144,32 @@ def test_pagerank_properties(spark):
     assert r1[0] > max(r1[s] for s in range(1, 9))
     n = 9
     assert 0.95 * n * SCALE <= r1.sum() <= n * SCALE
+
+
+def test_pushed_filters_not_vacuous_on_unfiltered_scan(spark, sf_oracle_dir):
+    """Regression guard for the pushdown capture: a FileScan line
+    carries ', ReadSchema: struct<...>' on the SAME line as
+    PushedFilters, so a to-end-of-line capture makes every read
+    column 'pushed'. An unfiltered scan must report NO pushed filter
+    mentioning a column it merely reads."""
+    df = spark.read.parquet(f"{sf_oracle_dir}/lineitem.parquet").select(
+        "l_shipdate", "l_quantity"
+    )
+    rep = plan_report(df)
+    assert not any("l_shipdate" in f for f in rep.pushed_filters), rep.pushed_filters
+    with pytest.raises(AssertionError):
+        assert_filters_pushed(df, "l_shipdate")
+
+
+def test_pushed_filters_keeps_in_list_brackets(spark, sf_oracle_dir):
+    """In(col, [a,b]) filters contain ']' — the capture must keep the
+    whole In(...) entry while still dropping the ReadSchema tail."""
+    df = (
+        spark.read.parquet(f"{sf_oracle_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select("l_returnflag", "l_quantity")
+    )
+    rep = plan_report(df)
+    assert any("l_returnflag" in f for f in rep.pushed_filters), rep.pushed_filters
+    assert not any("ReadSchema" in f for f in rep.pushed_filters), rep.pushed_filters
+    assert not any("l_quantity" in f for f in rep.pushed_filters), rep.pushed_filters
