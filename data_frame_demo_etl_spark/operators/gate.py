@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.catalog import load_table
 from . import combine, dedupe, transform
 from .profile import column_stats_df, profile_metrics_df
-from .query_builder import Filter, QuerySpec
+from .query_builder import Filter, OrGroup, QuerySpec
 from .validate import coerce_field_types
 
 # --- T1 unpivot -----------------------------------------------------------
@@ -249,8 +249,18 @@ SELECT * FROM stats ORDER BY column_name
 # --- Q1/Q2 query builder --------------------------------------------------
 
 _QB_SPEC = QuerySpec(
-    columns=("p_partkey", "p_name", "p_type", "p_size"),
-    filters=(Filter("p_type", "contains", "PROMO"), Filter("p_size", ">=", 10)),
+    columns=("p_partkey", "p_name", "p_type", "p_size", "p_brand", "p_retailprice"),
+    filters=(
+        Filter("p_type", "contains", "PROMO"),
+        Filter("p_size", "between", (5, 45)),
+        Filter("p_brand", "in", ("Brand#11", "Brand#23", "Brand#34", "Brand#45", "Brand#55")),
+        OrGroup(
+            (
+                Filter("p_retailprice", "<", 1200.0),
+                Filter("p_size", ">=", 20),
+            )
+        ),
+    ),
     order_by=("p_partkey",),
 )
 

@@ -23,7 +23,7 @@ from data_frame_demo_etl_spark.operators.normalize import (
     schema_diff,
     snake_case,
 )
-from data_frame_demo_etl_spark.operators.query_builder import Filter, QuerySpec
+from data_frame_demo_etl_spark.operators.query_builder import Filter, OrGroup, QuerySpec
 from data_frame_demo_etl_spark.operators.validate import (
     SchemaContractError,
     validate_contract,
@@ -220,6 +220,42 @@ def test_query_builder_sql_text():
         spec.to_sql("t")
         == "SELECT a, b FROM t WHERE a > 5 AND b LIKE '%x%' ORDER BY a LIMIT 3"
     )
+
+
+def test_query_builder_in_between_or_sql_text():
+    spec = QuerySpec(
+        columns=("a", "b"),
+        filters=(
+            Filter("a", "between", (2, 9)),
+            Filter("b", "in", ("x", "it's")),
+            OrGroup((Filter("a", "=", 3), Filter("b", "!=", "z"))),
+        ),
+    )
+    assert spec.to_sql("t") == (
+        "SELECT a, b FROM t WHERE a BETWEEN 2 AND 9"
+        " AND b IN ('x', 'it''s')"
+        " AND (a = 3 OR b != 'z')"
+    )
+
+
+def test_query_builder_in_between_or_apply(spark):
+    """The DataFrame compilation and the generated SQL agree row-for-
+    row (the two render paths share one spec)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (3, "y"), (4, "z"), (8, "x"), (12, "x")], ["a", "b"]
+    )
+    spec = QuerySpec(
+        filters=(
+            Filter("a", "between", (2, 9)),
+            Filter("b", "in", ("x", "y", "z")),
+            OrGroup((Filter("a", "=", 3), Filter("b", "!=", "z"))),
+        ),
+        order_by=("a",),
+    )
+    df.createOrReplaceTempView("qb_t")
+    via_df = [tuple(r) for r in spec.apply(df).collect()]
+    via_sql = [tuple(r) for r in spark.sql(spec.to_sql("qb_t")).collect()]
+    assert via_df == via_sql == [(3, "y"), (8, "x")]
 
 
 def test_group_zscore(spark):
