@@ -28,7 +28,22 @@ class PlanReport:
 
 
 def plan_report(df: DataFrame) -> PlanReport:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # FileScan metadata (PushedFilters, Location, ReadSchema) renders
+    # truncated at spark.sql.maxMetadataStringLength (default 100
+    # chars) — enough to hide a pushed In(...) list entirely. Raise it
+    # for the duration of the render only (scoped save/restore, no
+    # session-wide mutation).
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    saved = conf.get(key, None)
+    conf.set(key, "4096")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if saved is None:
+            conf.unset(key)
+        else:
+            conf.set(key, saved)
     rep = PlanReport(raw=plan)
     rep.broadcast_joins = plan.count("BroadcastHashJoin")
     rep.sort_merge_joins = plan.count("SortMergeJoin")

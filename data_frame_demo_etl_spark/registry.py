@@ -13,17 +13,17 @@ green row get one, while a spine of category-representative keepers
 stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
-Round-3 window composition:
-- 36 queries never inside the r1/r2 windows (TPC-H H5-H10 +
-  sql_interface, ANN/LSH/IVF/PCA/BM25/TF-IDF, SemDeDup/incremental/
-  novelty/embedding dedup, C4/LM/rollup/vocab/BPE text ops,
-  funnel/cohort, pagerank, sliding window, multimodal gate, ORC,
-  skew/intersect/percentiles, weighted+mix sampling, heavy hitters,
-  per-key top-n, covariance, group_zscore).
-- 14 keepers spanning every category (TPC-H, ETL, text, dedup, ANN,
-  streaming, temporal, sources, sampling, the LLM flagship).
-All remaining queries are twice driver-green (r1+r2) and sit in
-tier 2, still fully covered by pytest + local oracle harness.
+Round-4 window composition:
+- the 15 round-3b additions (TPC-H Q9-Q21 completion set, rolling
+  RANGE window, EXCEPT, CUBE, fuzzy matcher, repetition signals,
+  BPE encode-apply) + the redefined events_approx_stats — the only
+  queries without an external green row vs their current definition;
+- query_builder_filter, redefined this round (IN/BETWEEN/OR-groups);
+- a 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
+  streaming, temporal, sources, sampling, the LLM flagship);
+- backfill with the 21 queries whose only external row is r1-era.
+Every other query is driver-green r2 or r3 and sits in tier 2,
+still fully covered by pytest + the local oracle harness.
 """
 
 from __future__ import annotations
@@ -130,129 +130,18 @@ def _group_zscore_gate(spark, sf_dir):
 
 
 # ═══════════════════ TIER 1: driver window (50) ═══════════════════
-# Round-3 rotation: 36 never-externally-verified + 14 keepers.
+# Round-4 rotation: the 15 round-3b additions + the redefined
+# events_approx_stats (its r1 row predates the oracle-backed
+# sketch-vs-bound definition) — after this round every registered
+# query has an external green row against its CURRENT definition —
+# plus query_builder_filter (redefined this round: IN/BETWEEN/
+# OR-group operators), the 12-keeper category spine, and backfill
+# with the queries whose only green row is oldest (r1).
 
-# --- TPC-H H5-H10 + the SQL front door (never verified) --- 7
-register(
-    "q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_MIN_COST_SUPPLIER_SQL
-)
-register("q10_returned_items", relational.q10_returned_items, relational.Q10_RETURNED_ITEMS_SQL)
-register("q12_priority_class", relational.q12_priority_class, relational.Q12_PRIORITY_CLASS_SQL)
-register("q14_promo_revenue", relational.q14_promo_revenue, relational.Q14_PROMO_REVENUE_SQL)
-register(
-    "q19_disjunctive_revenue",
-    relational.q19_disjunctive_revenue,
-    relational.Q19_DISJUNCTIVE_REVENUE_SQL,
-)
-register(
-    "q22_idle_rich_customers",
-    relational.q22_idle_rich_customers,
-    relational.Q22_IDLE_RICH_CUSTOMERS_SQL,
-)
-register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
-
-# --- similarity search X2/X3/X5 + embedding dedup D5 (never verified) --- 11
-register("ann_lsh_topk", sim_gate.ann_lsh_topk, sim_gate.ANN_LSH_TOPK_SQL)
-register("ann_ivf_topk", ann_ivf_topk, sim_gate.ANN_COSINE_TOPK_SQL)
-register("dedup_embedding", sim_gate.dedup_embedding, sim_gate.DEDUP_EMBEDDING_SQL)
-register("embedding_covariance", sim_gate.embedding_covariance, sim_gate.EMBEDDING_COVARIANCE_SQL)
-
-# --- semantic / incremental / novelty dedup D8-D10 (never verified) --- 14
-register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
-register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
-register("doc_novelty", doc_novelty_gate, DOC_NOVELTY_SQL)
-
-# --- text retrieval X7 + TF-IDF (never verified) --- 16
-register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_SQL)
-register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOPK_SQL)
-
-# --- text analysis L6-L10 (never verified) --- 21
-register("text_c4_filters", fn_gate.text_c4_filters, fn_gate.TEXT_C4_FILTERS_SQL)
-register("lm_score_documents", lm_score_gate, LM_SCORE_SQL)
-register("docs_quality_rollup", fn_gate.docs_quality_rollup, fn_gate.DOCS_QUALITY_ROLLUP_SQL)
-register("vocab_coverage", vocab_coverage_gate, VOCAB_COVERAGE_SQL)
-register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_SQL)
-
-# --- sampling / stats P2/P4/P5 + weighted sampling (never verified) --- 25
-register("corpus_mix_sample", ops_gate.corpus_mix_sample, ops_gate.CORPUS_MIX_SAMPLE_SQL)
-register("heavy_hitter_terms", ops_gate.heavy_hitter_terms, ops_gate.HEAVY_HITTER_TERMS_SQL)
-register("topn_events_per_type", ops_gate.topn_events_per_type, ops_gate.TOPN_EVENTS_PER_TYPE_SQL)
-register("sample_documents_weighted", sample_documents_weighted, SAMPLE_DOCUMENTS_WEIGHTED_SQL)
-
-# --- product analytics A7/A8 (never verified) --- 27
-register(
-    "funnel_view_click_purchase", funnel_view_click_purchase, FUNNEL_VIEW_CLICK_PURCHASE_SQL
-)
-register("cohort_retention_weekly", cohort_retention_weekly, COHORT_RETENTION_WEEKLY_SQL)
-
-# --- graph G2, streaming ST5, multimodal M3, ORC S7 (never verified) --- 31
-register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_SQL)
-register(
-    "events_sliding_window",
-    streaming_events.events_sliding_window,
-    streaming_events.EVENTS_SLIDING_WINDOW_SQL,
-)
-register("multimodal_decode_stats", multimodal_decode_stats, MULTIMODAL_DECODE_STATS_SQL)
-register("ingest_orc_roundtrip", src_gate.ingest_orc_roundtrip, src_gate.INGEST_ORC_ROUNDTRIP_SQL)
-
-# --- set ops / percentiles / skew K1-K4 (never verified) --- 35
-register(
-    "loyal_customers_intersect",
-    relational.loyal_customers_intersect,
-    relational.LOYAL_CUSTOMERS_INTERSECT_SQL,
-)
-register(
-    "order_price_percentiles",
-    relational.order_price_percentiles,
-    relational.ORDER_PRICE_PERCENTILES_SQL,
-)
-register("lineitem_key_skew", lineitem_key_skew, LINEITEM_KEY_SKEW_SQL)
-register("bpe_compression_curve", bpe_compression_curve, BPE_COMPRESSION_CURVE_SQL)
-
-# --- grouped-map z-score, now on the 1e-6 integer grid (never verified) --- 36
+# The group_zscore grid oracle import stays module-level for tier-2.
 from .operators.grouped import GROUP_ZSCORE_GRID_SQL  # noqa: E402
 
-register("group_zscore", _group_zscore_gate, GROUP_ZSCORE_GRID_SQL)
-
-# --- KEEPERS: category spine, all twice driver-green (r1+r2) --- 50
-register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
-register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
-register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, dedup_gate.DEDUP_MINHASH_LSH_SQL)
-register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
-register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
-register("events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL)
-register(
-    "asof_view_before_purchase",
-    tmp_gate.asof_view_before_purchase,
-    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
-)
-register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
-register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
-register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
-register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
-# New this round: Excel ingest through the dependency-free OOXML
-# reader (S4 no longer env-gated) and the embedded-Derby JDBC
-# round-trip (S5 no longer env-gated) — both need their first
-# external row.
-register(
-    "ingest_excel_template", src_gate.ingest_excel_template, src_gate.INGEST_EXCEL_TEMPLATE_SQL
-)
-register(
-    "ingest_jdbc_roundtrip", src_gate.ingest_jdbc_roundtrip, src_gate.INGEST_JDBC_ROUNDTRIP_SQL
-)
-
-_TIER1 = len(_REGISTRY)
-assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
-
-#: The driver-window queries, in registration order (consumed by the
-#: plan-contract test, which holds every windowed plan to the scan/
-#: join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
-
-# ═══════════ TIER 2: twice driver-green (r1+r2), rotated out ═══════════
-
-# --- TPC-H completion set (r3: full 22-query shape coverage) ---
+# --- round-3b additions, never externally verified --- 16
 register(
     "q9_product_type_profit", tpch_more.q9_product_type_profit, tpch_more.Q9_PRODUCT_TYPE_PROFIT_SQL
 )
@@ -298,8 +187,36 @@ register(
     "events_cube_summary", relational.events_cube_summary, relational.EVENTS_CUBE_SUMMARY_SQL
 )
 register("supplier_fuzzy_matches", supplier_fuzzy_matches, SUPPLIER_FUZZY_MATCHES_SQL)
+register(
+    "text_repetition_signals",
+    fn_gate.text_repetition_signals,
+    fn_gate.TEXT_REPETITION_SIGNALS_SQL,
+)
+register("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_DOCUMENTS_SQL)
+register("events_approx_stats", sketches.events_approx_stats, sketches.EVENTS_APPROX_STATS_SQL)
 
-# --- TPC-H-style analytics ---
+# --- redefined this round (IN/BETWEEN/OR-group ops) --- 17
+register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
+
+# --- KEEPERS: category spine --- 29
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
+register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
+register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, dedup_gate.DEDUP_MINHASH_LSH_SQL)
+register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
+register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
+register("events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL)
+register(
+    "asof_view_before_purchase",
+    tmp_gate.asof_view_before_purchase,
+    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
+)
+register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
+register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
+register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
+
+# --- backfill: oldest external row is r1 --- 50
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
 register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
@@ -333,15 +250,93 @@ register(
     sketches.EVENTS_HYPERTABLE_ROLLUP_SQL,
 )
 register("revenue_rollup", relational.revenue_rollup, relational.REVENUE_ROLLUP_SQL)
-
-# --- engagement analytics ---
+register("cdc_apply_changes", ops_gate.cdc_apply_changes, ops_gate.CDC_APPLY_CHANGES_SQL)
+register("winsorize_prices", ops_gate.winsorize_prices, ops_gate.WINSORIZE_PRICES_SQL)
+register(
+    "scd2_customer_history", ops_gate.scd2_customer_history, ops_gate.SCD2_CUSTOMER_HISTORY_SQL
+)
 register("events_engagement", engagement.events_engagement, engagement.EVENTS_ENGAGEMENT_SQL)
+
+_TIER1 = len(_REGISTRY)
+assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
+
+#: The driver-window queries, in registration order (consumed by the
+#: plan-contract test, which holds every windowed plan to the scan/
+#: join/shuffle shape we want at 100 TB).
+TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
+
+# ═══════════ TIER 2: externally green vs current definition ═══════════
+
+register(
+    "q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_MIN_COST_SUPPLIER_SQL
+)
+register("q10_returned_items", relational.q10_returned_items, relational.Q10_RETURNED_ITEMS_SQL)
+register("q12_priority_class", relational.q12_priority_class, relational.Q12_PRIORITY_CLASS_SQL)
+register("q14_promo_revenue", relational.q14_promo_revenue, relational.Q14_PROMO_REVENUE_SQL)
+register(
+    "q19_disjunctive_revenue",
+    relational.q19_disjunctive_revenue,
+    relational.Q19_DISJUNCTIVE_REVENUE_SQL,
+)
+register(
+    "q22_idle_rich_customers",
+    relational.q22_idle_rich_customers,
+    relational.Q22_IDLE_RICH_CUSTOMERS_SQL,
+)
+register("sql_interface_q1", _sql_interface_gate, tpch.Q1_SQL)
+register("ann_lsh_topk", sim_gate.ann_lsh_topk, sim_gate.ANN_LSH_TOPK_SQL)
+register("ann_ivf_topk", ann_ivf_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+register("dedup_embedding", sim_gate.dedup_embedding, sim_gate.DEDUP_EMBEDDING_SQL)
+register("embedding_covariance", sim_gate.embedding_covariance, sim_gate.EMBEDDING_COVARIANCE_SQL)
+register("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL)
+register("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL)
+register("doc_novelty", doc_novelty_gate, DOC_NOVELTY_SQL)
+register("text_bm25_topk", text_bm25_topk, TEXT_BM25_TOPK_SQL)
+register("text_retrieval_topk", text_retrieval_topk_portable, TEXT_RETRIEVAL_TOPK_SQL)
+register("text_c4_filters", fn_gate.text_c4_filters, fn_gate.TEXT_C4_FILTERS_SQL)
+register("lm_score_documents", lm_score_gate, LM_SCORE_SQL)
+register("docs_quality_rollup", fn_gate.docs_quality_rollup, fn_gate.DOCS_QUALITY_ROLLUP_SQL)
+register("vocab_coverage", vocab_coverage_gate, VOCAB_COVERAGE_SQL)
+register("bpe_learn_merges", bpe_learn_merges, BPE_LEARN_MERGES_SQL)
+register("corpus_mix_sample", ops_gate.corpus_mix_sample, ops_gate.CORPUS_MIX_SAMPLE_SQL)
+register("heavy_hitter_terms", ops_gate.heavy_hitter_terms, ops_gate.HEAVY_HITTER_TERMS_SQL)
+register("topn_events_per_type", ops_gate.topn_events_per_type, ops_gate.TOPN_EVENTS_PER_TYPE_SQL)
+register("sample_documents_weighted", sample_documents_weighted, SAMPLE_DOCUMENTS_WEIGHTED_SQL)
+register(
+    "funnel_view_click_purchase", funnel_view_click_purchase, FUNNEL_VIEW_CLICK_PURCHASE_SQL
+)
+register("cohort_retention_weekly", cohort_retention_weekly, COHORT_RETENTION_WEEKLY_SQL)
+register("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_SQL)
+register(
+    "events_sliding_window",
+    streaming_events.events_sliding_window,
+    streaming_events.EVENTS_SLIDING_WINDOW_SQL,
+)
+register("multimodal_decode_stats", multimodal_decode_stats, MULTIMODAL_DECODE_STATS_SQL)
+register("ingest_orc_roundtrip", src_gate.ingest_orc_roundtrip, src_gate.INGEST_ORC_ROUNDTRIP_SQL)
+register(
+    "loyal_customers_intersect",
+    relational.loyal_customers_intersect,
+    relational.LOYAL_CUSTOMERS_INTERSECT_SQL,
+)
+register(
+    "order_price_percentiles",
+    relational.order_price_percentiles,
+    relational.ORDER_PRICE_PERCENTILES_SQL,
+)
+register("lineitem_key_skew", lineitem_key_skew, LINEITEM_KEY_SKEW_SQL)
+register("bpe_compression_curve", bpe_compression_curve, BPE_COMPRESSION_CURVE_SQL)
+register("group_zscore", _group_zscore_gate, GROUP_ZSCORE_GRID_SQL)
+register(
+    "ingest_excel_template", src_gate.ingest_excel_template, src_gate.INGEST_EXCEL_TEMPLATE_SQL
+)
+register(
+    "ingest_jdbc_roundtrip", src_gate.ingest_jdbc_roundtrip, src_gate.INGEST_JDBC_ROUNDTRIP_SQL
+)
 register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
 register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
 register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
 register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
-
-# --- ETL operators ---
 register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
 register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
 register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
@@ -349,19 +344,11 @@ register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
 register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
 register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
 register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
-register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
 register(
     "validate_coercion_metrics",
     ops_gate.validate_coercion_metrics,
     ops_gate.VALIDATE_COERCION_METRICS_SQL,
 )
-register("cdc_apply_changes", ops_gate.cdc_apply_changes, ops_gate.CDC_APPLY_CHANGES_SQL)
-register("winsorize_prices", ops_gate.winsorize_prices, ops_gate.WINSORIZE_PRICES_SQL)
-register(
-    "scd2_customer_history", ops_gate.scd2_customer_history, ops_gate.SCD2_CUSTOMER_HISTORY_SQL
-)
-
-# --- text analysis ---
 register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
 register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
 register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
@@ -370,27 +357,15 @@ register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL
 register("text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL)
 register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
 register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
-register(
-    "text_repetition_signals",
-    fn_gate.text_repetition_signals,
-    fn_gate.TEXT_REPETITION_SIGNALS_SQL,
-)
-register("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_DOCUMENTS_SQL)
 register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
-
-# --- dedup ---
 register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
 register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
 register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
 register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
 register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
-
-# --- similarity ---
 register(
     "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
 )
-
-# --- streaming-equivalent event processing ---
 register("events_windowed", streaming_events.events_windowed, streaming_events.EVENTS_WINDOWED_SQL)
 register(
     "events_props_extract",
@@ -402,22 +377,16 @@ register(
     streaming_events.user_event_sequences,
     streaming_events.USER_EVENT_SEQUENCES_SQL,
 )
-
-# --- temporal joins ---
 register(
     "range_join_error_followups",
     tmp_gate.range_join_error_followups,
     tmp_gate.RANGE_JOIN_ERROR_FOLLOWUPS_SQL,
 )
-
-# --- sources / normalize ---
 register("ingest_csv_multifile", src_gate.ingest_csv_multifile, src_gate.INGEST_CSV_MULTIFILE_SQL)
 register(
     "ingest_jsonl_roundtrip", src_gate.ingest_jsonl_roundtrip, src_gate.INGEST_JSONL_ROUNDTRIP_SQL
 )
 register("normalize_rename", src_gate.normalize_rename, src_gate.NORMALIZE_RENAME_SQL)
-
-# --- sampling / packing / stats ---
 register("cap_events_per_user", ops_gate.cap_events_per_user, ops_gate.CAP_EVENTS_PER_USER_SQL)
 register(
     "pack_documents_by_budget",
@@ -425,9 +394,3 @@ register(
     ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
 )
 register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
-
-# Sketch-vs-bound gate: emits exact values + booleans asserting each
-# sketch (HLL++ distinct, approx percentiles) landed inside its
-# published error bound; oracle replays the exact side and expects
-# TRUE. 108/108 registered queries are now oracle-backed.
-register("events_approx_stats", sketches.events_approx_stats, sketches.EVENTS_APPROX_STATS_SQL)

@@ -33,6 +33,12 @@ CARTESIAN_ALLOWED = {
     "ann_ivf_topk",
     "text_retrieval_topk",
     "q22_idle_rich_customers",
+    # q11 broadcasts a 1-row scalar-aggregate (total + n_parts) for
+    # the outsized-share HAVING — same bounded shape as q22.
+    "q11_important_stock",
+    # gapfill's dense time-grid IS a crossJoin by contract
+    # (analytics/timeseries.py — caller must bound the grid).
+    "events_gapfill",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.
@@ -52,6 +58,10 @@ PUSHED = {
     # is no event_type pushdown — the contract is the 1-scan ceiling
     # below instead.
     "loyal_customers_intersect": ["o_orderdate"],
+    # round-4 window additions
+    "q3_shipping_priority": ["o_orderdate", "l_shipdate"],
+    "q6_revenue_forecast": ["l_shipdate"],
+    "query_builder_filter": ["p_brand", "p_size"],
 }
 
 # name -> minimum number of BroadcastHashJoin nodes (constant dims /
