@@ -65,8 +65,13 @@ def main() -> None:
         n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n and n in qs
     ]
 
-    # Warm the JVM/session once so timings reflect steady-state.
-    qs[names[0]](spark, SF_DIR).count()
+    # Full warmup pass: run EVERY query once before any timing, so no
+    # measured run pays JIT/codegen-cache/classloading costs. (r3's
+    # single-query warmup left the first few JVM-heavy TPC-H queries
+    # absorbing whole-stage-codegen compilation for every later plan
+    # shape — they regressed 25-48% from run-order noise alone.)
+    for name in names:
+        qs[name](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in names:
