@@ -158,6 +158,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vals.agg(
         F.sum("value_cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts")
     )
+    # Cache lifecycle: the persist above must outlive this function
+    # (the caller's action reads both branches through it), so release
+    # is the session owner's job — see session.release_all_caches.
     return (
         vals.crossJoin(F.broadcast(total))  # 1-row aggregate: broadcast literal
         .filter(F.col("value_cents") * F.col("n_parts") > F.col("total_cents") * 2)
@@ -262,6 +265,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     top = rev.agg(F.max("rev_cents").alias("max_cents"))
+    # Cache lifecycle: see q11 / session.release_all_caches — the
+    # persist must outlive this function; release is session-owned.
     return (
         rev.crossJoin(F.broadcast(top))  # 1-row aggregate: broadcast literal
         .filter(F.col("rev_cents") == F.col("max_cents"))

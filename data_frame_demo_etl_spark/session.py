@@ -48,3 +48,23 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_all_caches(spark: SparkSession) -> None:
+    """Drop every CacheManager entry in the session.
+
+    Cache lifecycle policy: library operators (minhash, jaccard, BM25,
+    TF-IDF, IVF, novelty, incremental dedup, the LLM pipeline) persist
+    intermediates that feed the LAZY frame they return — the cache
+    must outlive the function for the caller's action to benefit, so
+    they cannot unpersist internally, and eager checkpointing inside a
+    reusable operator would break downstream pushdown/pruning
+    composition. The contract is therefore: the SESSION owner releases
+    caches between logical queries in a long-lived session (the
+    per-round driver restarts its session; services should call this
+    between requests). Bounded one-row-per-key aggregates that are
+    consumed within a single gate (TPC-H Q11/Q15, the quarantine
+    readers) release their own caches via checkpoint-then-unpersist
+    instead.
+    """
+    spark.catalog.clearCache()

@@ -379,8 +379,11 @@ def read_csv_with_quarantine(
     Spark only materializes the corrupt-record column when the
     filtered plan retains it, and filtering on it alone is rejected
     for un-cached reads (the scan would need to re-parse), so the raw
-    frame is cached for the duration of the split — one pass over the
-    files either way.
+    frame is cached for the split — one parse over the files — then
+    released before returning: both outputs are eagerly checkpointed
+    (ContextCleaner frees their blocks when the caller drops them,
+    unlike CacheManager entries, which live until session end and
+    accumulate across a long ingest session).
     """
     files = sorted(globmod.glob(path_or_glob)) or [path_or_glob]
     raw = (
@@ -391,8 +394,9 @@ def read_csv_with_quarantine(
         .option("columnNameOfCorruptRecord", "_raw")
         .csv(files)
     ).cache()
-    good = raw.filter(F.col("_raw").isNull()).drop("_raw")
-    quarantine = raw.filter(F.col("_raw").isNotNull())
+    good = raw.filter(F.col("_raw").isNull()).drop("_raw").localCheckpoint(eager=True)
+    quarantine = raw.filter(F.col("_raw").isNotNull()).localCheckpoint(eager=True)
+    raw.unpersist()
     return good, quarantine
 
 
@@ -400,7 +404,8 @@ def read_jsonl_with_quarantine(
     spark: SparkSession, path_or_glob: str, schema_ddl: str
 ) -> tuple[DataFrame, DataFrame]:
     """JSONL twin of :func:`read_csv_with_quarantine` (malformed JSON
-    or type-mismatched documents go to quarantine with the raw text)."""
+    or type-mismatched documents go to quarantine with the raw text;
+    same parse-once-then-release cache discipline)."""
     files = sorted(globmod.glob(path_or_glob)) or [path_or_glob]
     raw = (
         spark.read.schema(schema_ddl + ", _raw string")
@@ -408,6 +413,7 @@ def read_jsonl_with_quarantine(
         .option("columnNameOfCorruptRecord", "_raw")
         .json(files)
     ).cache()
-    good = raw.filter(F.col("_raw").isNull()).drop("_raw")
-    quarantine = raw.filter(F.col("_raw").isNotNull())
+    good = raw.filter(F.col("_raw").isNull()).drop("_raw").localCheckpoint(eager=True)
+    quarantine = raw.filter(F.col("_raw").isNotNull()).localCheckpoint(eager=True)
+    raw.unpersist()
     return good, quarantine

@@ -19,7 +19,7 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
-from data_frame_demo_etl_spark.session import get_spark  # noqa: E402
+from data_frame_demo_etl_spark.session import get_spark, release_all_caches  # noqa: E402
 from data_frame_demo_etl_spark.sources.catalog import TABLES  # noqa: E402
 
 
@@ -52,6 +52,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Session-owner side of the cache lifecycle contract: operator
+        # persists outlive their gate so the caller's action hits the
+        # cache; the long-lived checker releases them between queries.
+        release_all_caches(spark)
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception:
