@@ -1,4 +1,4 @@
-.PHONY: test bench smoke parity demo
+.PHONY: test bench smoke parity demo docs
 
 test:
 	python -m pytest tests/ -q
@@ -18,3 +18,7 @@ parity:
 
 demo:
 	python -m data_frame_demo_etl_spark.cli profile --path /root/testdata/sf0.001/orders.parquet
+
+docs:
+	python scripts/gen_query_index.py
+	python scripts/check_counts.py
