@@ -2,14 +2,18 @@
 metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schema, partitioning, batch shape, UDF
-signatures) is fully real; only the codec itself is stubbed because
-image/audio libraries are absent in this environment:
+signatures) is fully real, and so is the codec for the formats a
+pure-stdlib decoder can cover:
 
-- ``decode="fake"``: a deterministic stub that parses the 16-byte
+- ``decode="fake"``: a deterministic codec that parses the 16-byte
   header our synthetic assets carry (magic, width, height, channels)
-  — exercising the full path end-to-end.
-- ``decode="real"``: raises NotImplementedError at the decode call
-  with a clear message; swap in PIL/ffmpeg on a cluster that has them.
+  — exercising the full path with engine-replayable bytes.
+- ``decode="real"``: decodes actual image files — BMP (24-bit
+  uncompressed BI_RGB, top-down or bottom-up) and PPM (binary P6,
+  maxval 255) — to RGB pixel buffers with no dependencies. Other
+  formats (PNG/JPEG/audio/video) raise ValueError naming the
+  supported set; swap PIL/ffmpeg into the same UDF on a cluster that
+  has them.
 
 At 100 TB this layout is the standard one: payloads stay in parquet
 binary columns (or are pointers into object storage), metadata is
@@ -56,6 +60,117 @@ def _decode_fake(content: bytes) -> tuple[int, int, int, bytes]:
     return w, h, c, content[HEADER_SIZE:]
 
 
+# ── real codecs (pure stdlib): BMP 24-bit BI_RGB and PPM P6 ──────────
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer (BITMAPINFOHEADER, BI_RGB).
+    ``rgb`` is row-major top-down RGB; rows are flipped and padded to
+    4 bytes as the format requires."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+    row_size = (width * 3 + 3) // 4 * 4
+    pixel_data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        pixel_data += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + bytes(pixel_data)
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    width = struct.unpack_from("<i", data, 18)[0]
+    raw_h = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed (BI_RGB) BMP supported")
+    bottom_up, height = raw_h > 0, abs(raw_h)
+    row_size = (width * 3 + 3) // 4 * 4
+    body = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = data[pixel_off + src_y * row_size : pixel_off + src_y * row_size + width * 3]
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            i = (y * width + x) * 3
+            body[i], body[i + 1], body[i + 2] = r, g, b
+    return width, height, 3, bytes(body)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary P6 PPM writer (maxval 255); payload is already RGB."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) file")
+    # Header: three whitespace-separated tokens (width, height,
+    # maxval) with '#' comments allowed, then ONE whitespace byte,
+    # then the raw RGB payload.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval-255 PPM supported")
+    body = data[pos : pos + width * height * 3]
+    if len(body) != width * height * 3:
+        raise ValueError("truncated PPM payload")
+    return width, height, 3, bytes(body)
+
+
+def decode_real(content: bytes) -> tuple[int, int, int, bytes]:
+    """Sniff-and-decode a real image payload to (w, h, channels, RGB).
+    Dependency-free formats only; anything else raises with the
+    supported set named (drop PIL/ffmpeg into the same UDF for more)."""
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    raise ValueError(
+        "unsupported image format (stdlib codecs cover BMP 24-bit and "
+        "PPM P6); install PIL/ffmpeg and extend decode_real for others"
+    )
+
+
+def make_real_assets(spark: SparkSession, n: int = 32, fmt: str = "bmp", seed: int = 7) -> DataFrame:
+    """Actual BMP/PPM files as binary-column assets (deterministic
+    pixel pattern, alternating sizes — including widths that exercise
+    BMP row padding)."""
+    rows = []
+    for i in range(n):
+        w, h = 3 + (i % 5), 2 + (i % 4)  # w=3,5,7 hit BMP 4-byte pad
+        rgb = bytes(((i * 37 + j * 11 + seed) % 256) for j in range(w * h * 3))
+        content = encode_bmp(w, h, rgb) if fmt == "bmp" else encode_ppm(w, h, rgb)
+        media = "image/bmp" if fmt == "bmp" else "image/x-portable-pixmap"
+        rows.append((i, media, content, (w, h, 3, f"real{i % 3}")))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 def decode_assets(assets: DataFrame, decode: str = "fake") -> DataFrame:
     """Decode binary payloads to pixel stats via mapInPandas.
 
@@ -67,13 +182,9 @@ def decode_assets(assets: DataFrame, decode: str = "fake") -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
+            codec = decode_real if decode == "real" else _decode_fake
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real image decoding requires PIL/ffmpeg, unavailable in "
-                        "this environment; use decode='fake' or install codecs"
-                    )
-                w, h, c, body = _decode_fake(bytes(content))
+                w, h, c, body = codec(bytes(content))
                 out.append(
                     {
                         "asset_id": asset_id,
@@ -89,16 +200,17 @@ def decode_assets(assets: DataFrame, decode: str = "fake") -> DataFrame:
     return assets.select("asset_id", "content").mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
-def resize_stub(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: emits the post-resize metadata and a payload
-    whose size matches the target dimensions (nearest-neighbor index
-    math on the fake codec — a real impl swaps the kernel only)."""
+def resize_stub(assets: DataFrame, target_w: int, target_h: int, decode: str = "fake") -> DataFrame:
+    """Resize: emits the post-resize metadata and a payload whose size
+    matches the target dimensions — nearest-neighbor index math over
+    whichever codec decoded the pixels (fake header or real BMP/PPM)."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = decode_real if decode == "real" else _decode_fake
         for pdf in batches:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
-                w, h, c, body = _decode_fake(bytes(content))
+                w, h, c, body = codec(bytes(content))
                 pixels = bytearray()
                 for y in range(target_h):
                     sy = min(int(y * h / target_h), h - 1)
@@ -122,16 +234,17 @@ def resize_stub(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
-def frame_sample(assets: DataFrame, every_k: int = 2) -> DataFrame:
+def frame_sample(assets: DataFrame, every_k: int = 2, decode: str = "fake") -> DataFrame:
     """'Video' frame sampling plumbing: treat the payload as a
     sequence of fixed-size frames (rows of the fake image) and keep
     every k-th, exploding one row per kept frame."""
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = decode_real if decode == "real" else _decode_fake
         for pdf in batches:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
-                w, h, c, body = _decode_fake(bytes(content))
+                w, h, c, body = codec(bytes(content))
                 frame_size = w * c
                 for frame_idx in range(0, h, every_k):
                     frame = body[frame_idx * frame_size : (frame_idx + 1) * frame_size]
@@ -215,5 +328,61 @@ WITH feats AS (
 )
 SELECT asset_id, n_bytes, checksum, checksum % 256 AS brightness
 FROM feats
+ORDER BY asset_id
+"""
+
+
+def docs_as_bmp_assets(docs: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
+    """Encode each document's leading text bytes as a REAL 24-bit BMP
+    (truncated/zero-padded to exactly w*h*3 bytes) via mapInPandas —
+    deterministic image bytes an external engine can reason about."""
+    n_rgb = width * height * 3
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:n_rgb]
+                rgb = raw + b"\x00" * (n_rgb - len(raw))
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "media_type": "image/bmp",
+                        "content": encode_bmp(width, height, rgb),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "channels": 3,
+                            "source": "docs",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "media_type", "content", "meta"])
+
+    return docs.select("doc_id", "text").mapInPandas(encode_batches, ASSET_SCHEMA)
+
+
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: documents → REAL BMP encode → distributed REAL decode →
+    pixel stats. Proves the stdlib BMP codec (BGR ordering, bottom-up
+    rows, 4-byte padding) end-to-end on actual image bytes: the
+    decoded checksum must equal the text-byte sum the oracle computes
+    straight from the documents table (zero padding adds nothing)."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_assets(docs_as_bmp_assets(docs), decode="real").orderBy("asset_id")
+
+
+# ASCII corpus: codepoints == UTF-8 bytes; BMP payload is the first
+# 48 text bytes zero-padded, so the decoded-pixel checksum equals the
+# truncated text-byte sum.
+MULTIMODAL_DECODE_REAL_SQL = """
+SELECT doc_id AS asset_id,
+       4 AS width, 4 AS height, 3 AS channels,
+       CAST(48 AS BIGINT) AS n_bytes,
+       CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(SPLIT(SUBSTR(text, 1, 48), ''), c -> ORD(c))), 0) AS BIGINT)
+         % 2147483648 AS checksum
+FROM documents
 ORDER BY asset_id
 """

@@ -59,7 +59,9 @@ from .functions.bpe import (
 from .functions.lm import LM_SCORE_SQL, lm_score_gate
 from .functions.vocab import VOCAB_COVERAGE_SQL, vocab_coverage_gate
 from .multimodal.binary_ops import (
+    MULTIMODAL_DECODE_REAL_SQL,
     MULTIMODAL_DECODE_STATS_SQL,
+    multimodal_decode_real,
     multimodal_decode_stats,
 )
 from .operators import gate as ops_gate
@@ -266,6 +268,10 @@ assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
 TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
 
 # ═══════════ TIER 2: externally green vs current definition ═══════════
+
+# Added in r4 (real BMP codec gate) — first candidate for the r5
+# window rotation.
+register("multimodal_decode_real", multimodal_decode_real, MULTIMODAL_DECODE_REAL_SQL)
 
 register(
     "q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_MIN_COST_SUPPLIER_SQL
