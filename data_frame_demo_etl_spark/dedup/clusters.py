@@ -146,9 +146,13 @@ def _distributed_components(
         if cur == prev_chk:
             break
         prev_chk = cur
+        # No .distinct() here: both star ops dedup their own output,
+        # and each begins with an agg/orient that absorbs duplicate
+        # input edges — the explicit distinct was a wasted full
+        # shuffle per round.
         edges = contracted.unionByName(
             contracted.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
     else:
         nodes.unpersist()
         raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")

@@ -124,6 +124,88 @@ def dedup_minhash_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cluster path: sketch pairs (MinHash+LSH, portable
+    md5 family) → connected components → (doc_id, cluster).
+
+    `dedup_clusters` above clusters EXACT-Jaccard pairs, so its
+    scaling inherits the exact pair join's ~3.6× ratio at 10× docs
+    (SCALING.md); this variant feeds the components step from the
+    flat-scaling sketch pairs instead — the composition a cluster
+    would actually run — while staying fully DuckDB-oracle-backed
+    (sketch pipeline + recursive transitive closure)."""
+    from .clusters import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=THRESHOLD, hash_fn="md5", max_bucket_size=200
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    ).orderBy("doc_id")
+
+
+# The shared sketch-pair pipeline (identical to DEDUP_MINHASH_LSH_SQL
+# up to `est`), composed with the same recursive closure as
+# DEDUP_CLUSTERS_SQL.
+_MINHASH_PAIR_CTES = r"""
+words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+perms AS (
+  SELECT doc, k, MIN(MD5(CAST(k AS VARCHAR) || '|' || shingle)) AS m
+  FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS k)
+  GROUP BY doc, k
+),
+sig AS (SELECT doc, LIST(m ORDER BY k) AS sig FROM perms GROUP BY doc),
+bands AS (
+  SELECT doc, b AS band, MD5(ARRAY_TO_STRING(sig[b*4+1:b*4+4], '')) AS bucket
+  FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS b)
+),
+ok_buckets AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING COUNT(*) <= 200
+),
+capped AS (
+  SELECT bands.* FROM bands JOIN ok_buckets USING (band, bucket)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+est AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, 32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc = id_a JOIN sig sb ON sb.doc = id_b
+)
+"""
+
+DEDUP_CLUSTERS_MINHASH_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_PAIR_CTES.strip().rstrip()
+    + r""",
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.8),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster
+FROM reach
+GROUP BY u
+ORDER BY doc_id
+"""
+)
+
 DEDUP_MINHASH_LSH_SQL = r"""
 WITH words AS (
   SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents

@@ -593,3 +593,48 @@ FROM (
 WHERE rank <= 3
 ORDER BY event_type, rank
 """
+
+
+# --- skew-mitigating salted join -----------------------------------------
+
+def skew_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue computed through `salted_join`
+    (operators/skew.py): lineitem scattered over 8 deterministic
+    salts, part replicated 8×, joined on (partkey, salt). The salted
+    plan is row-identical to the plain join — which is exactly what
+    the plain-join oracle asserts — while spreading any hot partkey
+    across 8 reducers instead of one.
+
+    (At this table ratio a broadcast would win; the gate pins the
+    SEMANTICS of the mitigation you'd reach for when both sides are
+    too big to broadcast and one key dominates.)"""
+    from ..analytics.tpch import _disc_price, _money
+    from .skew import salted_join
+
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(lineitem, part, on="l_partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            _money(F.sum(_disc_price()), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SKEW_SALTED_BRAND_REVENUE_SQL = """
+SELECT
+  p_brand,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))), 2) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""

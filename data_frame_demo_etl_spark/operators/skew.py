@@ -101,3 +101,44 @@ SELECT t1.n_rows, t1.n_keys, t1.max_count,
   FLOOR(topn.t / CAST(t1.n_rows AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top_share
 FROM tot t1 CROSS JOIN topn
 """
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for BIG ⋈ BIG shapes where one key is
+    hot (the mitigation `key_skew_profile` above tells you to apply —
+    and the one AQE's skew-split can't do when the skew is inside a
+    single key's hash partition on BOTH sides).
+
+    The `small` side is replicated ``n_salts``× (explode over the salt
+    range); the `big` side scatters each row onto ONE deterministic
+    salt (xxhash64 of the full row, mod n_salts), so a key holding
+    10⁹ rows lands on n_salts reducers instead of one. Joining on
+    (key, salt) then yields EXACTLY the rows of the unsalted join:
+    every big row still sees every matching small row, once.
+
+    Supported: ``inner`` and ``left`` (each big row carries exactly
+    one salt, so multiplicity is preserved). ``right``/``full`` would
+    duplicate unmatched small rows n_salts× and are rejected.
+
+    Scale notes: replication costs n_salts × |small| shuffle volume —
+    choose n_salts ≈ (hot-key rows / target-partition rows), and keep
+    `small` the genuinely smaller side. If `small` fits in memory,
+    broadcast it instead; salting is for the band where neither side
+    broadcasts but one key dominates.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    small_rep = small.withColumn("__salt", F.explode(salts))
+    big_salted = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
+    )
+    return big_salted.join(small_rep, on=keys + ["__salt"], how=how).drop("__salt")

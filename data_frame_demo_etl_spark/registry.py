@@ -400,3 +400,13 @@ register(
     ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
 )
 register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
+register(
+    "dedup_clusters_minhash",
+    dedup_gate.dedup_clusters_minhash,
+    dedup_gate.DEDUP_CLUSTERS_MINHASH_SQL,
+)
+register(
+    "skew_salted_brand_revenue",
+    ops_gate.skew_salted_brand_revenue,
+    ops_gate.SKEW_SALTED_BRAND_REVENUE_SQL,
+)

@@ -33,8 +33,17 @@ def test_oracle_parity(spark, sf_oracle_dir, con, name):
     assert df.count() > 0, f"{name}: oracle query returns 0 rows at sf0.01 — gate is vacuous"
 
 
-@pytest.mark.parametrize("name", [k for k in ALL_KEYS if k not in ORACLE_KEYS])
+# Every query currently has a full oracle, so the rows-only list is
+# empty; the sentinel keeps this from surfacing as a perpetual SKIP
+# and instead asserts the stronger property outright.
+_ROWS_ONLY = [k for k in ALL_KEYS if k not in ORACLE_KEYS]
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY or ["__all_queries_oracle_backed__"])
 def test_rows_only_queries_run(spark, sf_dir, name):
+    if name == "__all_queries_oracle_backed__":
+        assert set(ALL_KEYS) == set(ORACLE_KEYS)
+        return
     df = registry.queries()[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
