@@ -638,3 +638,45 @@ JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+# --- fixed-length sequence packing ---------------------------------------
+
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-batch packing: documents laid end-to-end in
+    doc_id order, cut into 512-token sequences, docs spanning
+    boundaries. The Spark side computes the global token offset with
+    the distributed two-pass prefix sum (operators/packing.py — no
+    single-partition window anywhere); the oracle states the same
+    semantics with the naive global window, which DuckDB can afford
+    at sf0.01."""
+    from .packing import pack_token_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_token_sequences(docs, seq_len=512).orderBy("doc_id", "seq_id")
+
+
+DOCS_SEQUENCE_PACKING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT doc_id, n_tokens, start,
+         UNNEST(GENERATE_SERIES(CAST(FLOOR(start / 512.0) AS BIGINT),
+                                CAST(FLOOR((start + n_tokens - 1) / 512.0) AS BIGINT))) AS seq_id
+  FROM placed
+)
+SELECT doc_id, seq_id,
+       GREATEST(CAST(0 AS BIGINT), seq_id * 512 - start) AS tok_start,
+       LEAST(n_tokens, (seq_id + 1) * 512 - start) AS tok_end,
+       n_tokens
+FROM spans
+ORDER BY doc_id, seq_id
+"""

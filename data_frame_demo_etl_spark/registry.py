@@ -410,3 +410,8 @@ register(
     ops_gate.skew_salted_brand_revenue,
     ops_gate.SKEW_SALTED_BRAND_REVENUE_SQL,
 )
+register(
+    "docs_sequence_packing",
+    ops_gate.docs_sequence_packing,
+    ops_gate.DOCS_SEQUENCE_PACKING_SQL,
+)
