@@ -415,3 +415,8 @@ register(
     ops_gate.docs_sequence_packing,
     ops_gate.DOCS_SEQUENCE_PACKING_SQL,
 )
+register(
+    "ingest_excel_datasource",
+    src_gate.ingest_excel_datasource,
+    src_gate.INGEST_EXCEL_DATASOURCE_SQL,
+)

@@ -248,3 +248,46 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 INGEST_ORC_ROUNDTRIP_SQL = """
 SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id
 """
+
+
+def ingest_excel_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 via the PySpark 4 Python DataSource API: part split into 3
+    xlsx shards, read back with spark.read.format("xlsx_lite") — one
+    input partition per workbook, schema inferred from the first
+    file's header on the driver — then typed downstream exactly like
+    the CSV raw path."""
+    from pyspark.sql import functions as F
+
+    from .xlsx_datasource import XlsxLiteDataSource
+    from .xlsx_lite import write_xlsx
+
+    shard_dir = _tmp_dir(sf_dir, "ingest_xlsx_ds")
+    marker = shard_dir / ".done"
+    pdf = pd.read_parquet(f"{sf_dir}/part.parquet").sort_values("p_partkey")
+    if not marker.exists():
+        cols = list(pdf.columns)
+        n = len(pdf)
+        for i in range(3):
+            chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+            rows: list[list] = [cols]
+            for rec in chunk.itertuples(index=False):
+                rows.append([v.item() if hasattr(v, "item") else v for v in rec])
+            write_xlsx(str(shard_dir / f"part_{i}.xlsx"), {"parts": rows})
+        marker.touch()
+    spark.dataSource.register(XlsxLiteDataSource)
+    raw = spark.read.format("xlsx_lite").load(str(shard_dir / "*.xlsx"))
+    return (
+        raw.select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+INGEST_EXCEL_DATASOURCE_SQL = """
+SELECT p_partkey, p_name AS part_name, p_retailprice
+FROM part
+ORDER BY p_partkey
+"""

@@ -1,0 +1,68 @@
+"""The xlsx_lite Python DataSource (PySpark 4 DataSource API):
+spark.read.format("xlsx_lite") over stdlib-written workbooks, one
+input partition per file."""
+
+from __future__ import annotations
+
+from data_frame_demo_etl_spark.sources.xlsx_datasource import XlsxLiteDataSource
+from data_frame_demo_etl_spark.sources.xlsx_lite import write_xlsx
+
+
+def _write(path, rows):
+    write_xlsx(str(path), {"Data": rows})
+
+
+def test_xlsx_datasource_reads_single_file(spark, tmp_path):
+    _write(tmp_path / "a.xlsx", [["sku", "qty"], ["A-1", 3], ["A-2", 5.5]])
+    spark.dataSource.register(XlsxLiteDataSource)
+    df = spark.read.format("xlsx_lite").load(str(tmp_path / "a.xlsx"))
+    assert df.columns == ["sku", "qty"]
+    assert [tuple(r) for r in df.orderBy("sku").collect()] == [
+        ("A-1", "3"),
+        ("A-2", "5.5"),
+    ]
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_xlsx_datasource_directory_is_one_partition_per_file(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(3):
+        _write(d / f"part{i}.xlsx", [["sku", "qty"], [f"S-{i}", i]])
+    spark.dataSource.register(XlsxLiteDataSource)
+    df = spark.read.format("xlsx_lite").load(str(d))
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("S-0", "0"),
+        ("S-1", "1"),
+        ("S-2", "2"),
+    ]
+
+
+def test_xlsx_datasource_header_row_and_sheet_options(spark, tmp_path):
+    write_xlsx(
+        str(tmp_path / "b.xlsx"),
+        {
+            "Ignore": [["x"], [1]],
+            "Data": [["Report 2024", None], ["sku", "qty"], ["B-1", 7]],
+        },
+    )
+    spark.dataSource.register(XlsxLiteDataSource)
+    df = (
+        spark.read.format("xlsx_lite")
+        .option("sheet", "Data")
+        .option("header_row", "1")
+        .load(str(tmp_path / "b.xlsx"))
+    )
+    assert df.columns == ["sku", "qty"]
+    assert [tuple(r) for r in df.collect()] == [("B-1", "7")]
+
+
+def test_xlsx_datasource_ragged_rows_padded(spark, tmp_path):
+    _write(tmp_path / "c.xlsx", [["a", "b", "c"], [1, 2, 3], [4]])
+    spark.dataSource.register(XlsxLiteDataSource)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("xlsx_lite").load(str(tmp_path / "c.xlsx")).collect()
+    )
+    assert got == [("1", "2", "3"), ("4", None, None)]
