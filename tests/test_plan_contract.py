@@ -119,3 +119,39 @@ def test_plan_contract(spark, sf_dir, name):
         assert rep.scans <= max_scans, (
             f"{name}: {rep.scans} file scans (max {max_scans}) — accidental re-scan?"
         )
+
+
+# --- round-4 additions (registered outside the rotated window) -----------
+
+def test_packing_plan_prunes_and_single_scan(spark, sf_dir):
+    """docs_sequence_packing: one documents scan, pruned to the two
+    columns the packing actually needs (a scan reading lang/source/
+    n_chars for a doc_id+text computation would be wrong at 100 TB)."""
+    rep = plan_report(registry.queries()["docs_sequence_packing"](spark, sf_dir))
+    # The final plan reads the persisted (doc_id, n_tokens) pass-1
+    # intermediate; the FileScan nodes in view are the InMemoryRelation
+    # rendering its cached build plan. The contract is PRUNING: every
+    # scan of documents reads exactly [doc_id, text], never the unused
+    # lang/source/n_chars columns.
+    scan_lines = [l for l in rep.raw.splitlines() if "FileScan" in l]
+    assert scan_lines, rep.raw[:2000]
+    for line in scan_lines:
+        assert "doc_id" in line and "text" in line, line
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in line, f"packing scan reads {unused}: {line[:200]}"
+    assert rep.nested_loop_joins == 0
+
+
+def test_salted_join_plan_no_cartesian_and_pruned(spark, sf_dir):
+    rep = plan_report(registry.queries()["skew_salted_brand_revenue"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    # lineitem scan pruned to the 3 used columns
+    assert any(
+        "l_partkey" in s and "l_extendedprice" in s and "l_shipdate" not in s
+        for s in rep.read_schemas
+    ), rep.read_schemas
+
+
+def test_cluster_minhash_plan_no_cartesian(spark, sf_dir):
+    rep = plan_report(registry.queries()["dedup_clusters_minhash"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0, rep.raw[:2000]
