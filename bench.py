@@ -48,6 +48,10 @@ HEADLINE = [
     "unpivot_part",
     "combine_on_agg",
     "dedupe_keep_first",
+    # round-4 additions (appended — earlier entries stay comparable
+    # round-over-round; totals compare like-for-like on shared keys)
+    "skew_salted_brand_revenue",
+    "docs_sequence_packing",
 ]
 
 

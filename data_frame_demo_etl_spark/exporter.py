@@ -28,7 +28,18 @@ def export_dataset(
     meta: dict | None = None,
     partition_by: tuple[str, ...] = (),
     compression: str | None = None,
+    metrics_mode: str = "scan",
 ) -> dict[str, Path]:
+    """``metrics_mode``:
+
+    - ``"scan"`` (default, reference parity): full metrics including
+      the duplicate count — one dedicated aggregation pass before the
+      writes.
+    - ``"observe"`` — the 100 TB path: rows + per-column null% ride
+      along with the FIRST format's write action via ``df.observe``
+      (zero extra scans); ``duplicates`` is reported as None because
+      observe() disallows the distinct aggregate it needs.
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -39,7 +50,13 @@ def export_dataset(
     }
     if meta:
         manifest.update(meta)
-    manifest["metrics"] = profile_metrics(df)
+    observation = None
+    if metrics_mode == "observe" and manifest["formats"]:
+        from .operators.profile import observed_metrics
+
+        df, observation = observed_metrics(df)
+    else:
+        manifest["metrics"] = profile_metrics(df)
 
     written: dict[str, Path] = {}
     for fmt in manifest["formats"]:
@@ -70,6 +87,20 @@ def export_dataset(
         else:
             continue
         written[fmt] = target
+
+    if observation is not None:
+        if not written:
+            # every requested format was unknown: no action ran, so
+            # trigger one — observation.get would block forever.
+            df.count()
+        got = observation.get  # blocks on the first write's action
+        manifest["metrics"] = {
+            "rows": int(got["rows"]),
+            "columns": len(df.columns),
+            "dtypes": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+            "null_pct": {c: float(got[f"null_pct_{c}"]) for c in df.columns},
+            "duplicates": None,
+        }
 
     manifest["run_completed_at"] = datetime.now(timezone.utc).isoformat()
     manifest_path = out / "manifest.json"

@@ -181,6 +181,19 @@ def test_exporter_manifest(spark, tmp_path):
     assert back.count() == 3
 
 
+def test_exporter_manifest_observe_mode(spark, tmp_path):
+    """metrics_mode='observe': rows + null% collected by the write
+    action itself (no extra scan); duplicates explicitly None."""
+    df = spark.createDataFrame([(1, "a"), (2, None), (2, None)], ["id", "val"])
+    export_dataset(df, tmp_path / "obs", formats=("parquet",), metrics_mode="observe")
+    manifest = json.loads((tmp_path / "obs" / "manifest.json").read_text())
+    m = manifest["metrics"]
+    assert m["rows"] == 3 and m["duplicates"] is None
+    assert m["null_pct"]["val"] == pytest.approx(66.67)
+    assert m["null_pct"]["id"] == 0.0
+    assert m["dtypes"]["id"] == "bigint"
+
+
 def test_engagement_metrics_zero_safe(spark):
     df = spark.createDataFrame(
         [("v1", 10, 2, 100), ("v2", 5, 1, 0)],
