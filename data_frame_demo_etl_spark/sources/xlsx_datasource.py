@@ -77,6 +77,9 @@ class XlsxLiteDataSource(DataSource):
         hdr = _header(grid, int(self.options.get("header_row", 0)))
         return StructType([StructField(h, StringType(), True) for h in hdr])
 
+    def writer(self, schema: StructType, overwrite: bool) -> "XlsxLiteWriter":
+        return XlsxLiteWriter(self.options["path"], schema, overwrite)
+
     def reader(self, schema: StructType) -> "XlsxLiteReader":
         return XlsxLiteReader(
             paths=_expand_paths(self.options["path"]),
@@ -106,3 +109,63 @@ class XlsxLiteReader(DataSourceReader):
         for row in grid[self.header_row + 1 :]:
             padded = row[: self.n_cols] + [None] * (self.n_cols - len(row))
             yield tuple(_cell_str(v) for v in padded)
+
+
+# ───────────────────────────── writer ─────────────────────────────
+# df.write.format("xlsx_lite").mode("overwrite").save(dir): one
+# workbook per partition written straight from each task (the
+# spreadsheet analog of a distributed part-file sink — unlike the
+# driver-side toPandas xlsx tail in exporter.py, nothing funnels
+# through the driver), a commit manifest on success, written files
+# removed on abort.
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _XlsxCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class XlsxLiteWriter(DataSourceWriter):
+    def __init__(self, path: str, schema, overwrite: bool):
+        if overwrite and os.path.isdir(path):
+            for old in glob.glob(os.path.join(path, "part-*.xlsx")):
+                os.remove(old)
+        os.makedirs(path, exist_ok=True)
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _XlsxCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        from .xlsx_lite import write_xlsx
+
+        pid = TaskContext.get().partitionId()
+        target = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx")
+        rows: list[list] = [list(self.columns)]
+        for row in iterator:
+            rows.append(
+                [v if isinstance(v, (int, float, str)) or v is None else str(v) for v in row]
+            )
+        write_xlsx(target, {"data": rows})
+        return _XlsxCommit(path=target, rows=len(rows) - 1)
+
+    def commit(self, messages) -> None:
+        manifest = os.path.join(self.path, "_SUCCESS")
+        with open(manifest, "w", encoding="utf-8") as f:
+            for m in messages:
+                f.write(f"{os.path.basename(m.path)}\t{m.rows}\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

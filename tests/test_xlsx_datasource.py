@@ -66,3 +66,37 @@ def test_xlsx_datasource_ragged_rows_padded(spark, tmp_path):
         for r in spark.read.format("xlsx_lite").load(str(tmp_path / "c.xlsx")).collect()
     )
     assert got == [("1", "2", "3"), ("4", None, None)]
+
+
+def test_xlsx_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format('xlsx_lite'): one workbook per partition +
+    _SUCCESS manifest; read back through the same source."""
+    spark.dataSource.register(XlsxLiteDataSource)
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(10)], "id long, name string"
+    ).repartition(2)
+    out = tmp_path / "sink"
+    df.write.format("xlsx_lite").mode("overwrite").save(str(out))
+    files = sorted(out.glob("part-*.xlsx"))
+    assert len(files) == 2 and (out / "_SUCCESS").exists()
+    manifest = (out / "_SUCCESS").read_text().strip().splitlines()
+    assert sum(int(l.split("\t")[1]) for l in manifest) == 10
+
+    back = spark.read.format("xlsx_lite").load(str(out))
+    assert back.columns == ["id", "name"]
+    assert sorted((r.id, r.name) for r in back.collect()) == [
+        (str(i), f"name-{i}") for i in range(10)
+    ]
+
+
+def test_xlsx_datasource_write_overwrite_replaces(spark, tmp_path):
+    spark.dataSource.register(XlsxLiteDataSource)
+    out = tmp_path / "sink2"
+    spark.createDataFrame([(1,)], "a long").coalesce(1).write.format(
+        "xlsx_lite"
+    ).mode("overwrite").save(str(out))
+    spark.createDataFrame([(2,), (3,)], "a long").coalesce(1).write.format(
+        "xlsx_lite"
+    ).mode("overwrite").save(str(out))
+    back = spark.read.format("xlsx_lite").load(str(out))
+    assert sorted(r.a for r in back.collect()) == ["2", "3"]
