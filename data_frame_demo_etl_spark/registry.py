@@ -420,3 +420,8 @@ register(
     src_gate.ingest_excel_datasource,
     src_gate.INGEST_EXCEL_DATASOURCE_SQL,
 )
+register(
+    "events_variant_extract",
+    streaming_events.events_variant_extract,
+    streaming_events.EVENTS_VARIANT_EXTRACT_SQL,
+)

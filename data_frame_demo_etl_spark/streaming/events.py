@@ -186,6 +186,42 @@ ORDER BY event_id
 """
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type:
+    build a nested JSON document per event, `parse_json` it into a
+    variant, then `variant_get` typed paths back out — a nested
+    object field, an array index, and a top-level string. The oracle
+    states the same identities relationally, proving the whole
+    construct → parse → shred loop lossless. (VARIANT is the
+    at-scale answer for ragged event payloads: parsed once, shredded
+    columnar, no per-query JSON string re-parsing.)"""
+    events = load_table(spark, "events", sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(F.col("user_id").alias("user_id")).alias("meta"),
+            F.array(F.col("event_id"), F.col("event_id") * 2).alias("ids"),
+        )
+    )
+    v = F.parse_json(doc)
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.meta.user_id", "bigint").alias("meta_user"),
+        F.variant_get(v, "$.ids[1]", "bigint").alias("second_id"),
+        F.variant_get(v, "$.type", "string").alias("type"),
+    ).orderBy("event_id")
+
+
+EVENTS_VARIANT_EXTRACT_SQL = """
+SELECT event_id,
+       user_id AS meta_user,
+       event_id * 2 AS second_id,
+       event_type AS type
+FROM events
+ORDER BY event_id
+"""
+
+
 # --- gate queries ---------------------------------------------------------
 
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
