@@ -63,3 +63,16 @@ def test_sessionize_empty(spark):
         [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     assert sessionize(df).count() == 0
+
+
+def test_packing_and_salted_join_on_empty(spark):
+    from data_frame_demo_etl_spark.operators.packing import pack_token_sequences
+    from data_frame_demo_etl_spark.operators.skew import salted_join
+
+    assert pack_token_sequences(_empty_docs(spark), seq_len=16).count() == 0
+
+    empty = spark.createDataFrame([], "k long, v string")
+    one = spark.createDataFrame([(1, "x")], "k long, t string")
+    assert salted_join(empty, one, "k").count() == 0
+    assert salted_join(one, empty.select("k", F.col("v").alias("t2")), "k").count() == 0
+    assert salted_join(one, empty.select("k", F.col("v").alias("t2")), "k", how="left").count() == 1

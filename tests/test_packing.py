@@ -100,3 +100,33 @@ def test_packing_skips_empty_docs(spark):
     )
     out = pack_token_sequences(docs, seq_len=4).collect()
     assert sorted({r.doc_id for r in out}) == [0, 4]
+
+
+def test_packing_one_giant_doc_spans_many_sequences(spark):
+    # a single 1000-token doc at seq_len=64 → ceil(1000/64)=16 spans
+    docs = _mk(spark, [1000])
+    out = sorted(
+        (r.seq_id, r.tok_start, r.tok_end)
+        for r in pack_token_sequences(docs, seq_len=64).collect()
+    )
+    assert len(out) == 16
+    assert out[0] == (0, 0, 64) and out[-1] == (15, 960, 1000)
+    assert sum(e - s for _, s, e in out) == 1000
+
+
+def test_packing_hypothesis_random_sizes(spark):
+    """Random doc-size mixes (incl. zeros and giants) conserve tokens
+    and cut exact seq_len boundaries."""
+    import random
+
+    rng = random.Random(20240814)
+    for trial in range(3):
+        sizes = [rng.choice([0, 1, 2, 7, 63, 64, 65, 500]) for _ in range(40)]
+        docs = _mk(spark, sizes)
+        packed = pack_token_sequences(docs, seq_len=64).collect()
+        assert sum(r.tok_end - r.tok_start for r in packed) == sum(sizes)
+        per_seq = {}
+        for r in packed:
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + (r.tok_end - r.tok_start)
+        last = max(per_seq)
+        assert all(n == 64 for s, n in per_seq.items() if s != last)
