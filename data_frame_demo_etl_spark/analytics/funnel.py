@@ -73,6 +73,7 @@ def funnel_stages(events: DataFrame, stages: tuple[str, ...] = STAGES) -> DataFr
 
 
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel per user in one scan (windowFunnel shape)."""
     events = load_table(spark, "events", sf_dir)
     return funnel_stages(events).orderBy("user_id")
 
@@ -131,6 +132,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
 
 
 def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix (cohort week x weeks-since, distinct users)."""
     events = load_table(spark, "events", sf_dir)
     return cohort_retention(events)
 

@@ -48,6 +48,7 @@ def gapfill_buckets(
 
 
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user hourly time grid with zero-filled gaps (bounded-grid contract)."""
     events = load_table(spark, "events", sf_dir)
     out = gapfill_buckets(events, "ts", "event_type", "1 hour")
     return out.select(

@@ -19,6 +19,7 @@ THRESHOLD = 0.8
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via prefix-filtered AllPairs join (no all-pairs blowup)."""
     docs = load_table(spark, "documents", sf_dir)
     return jaccard_pairs(docs, threshold=THRESHOLD).orderBy("id_a", "id_b")
 

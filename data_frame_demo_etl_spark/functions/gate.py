@@ -13,6 +13,7 @@ from . import text as T
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts per document (the corpus token-budget primitive)."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id",
@@ -32,6 +33,7 @@ ORDER BY doc_id
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality scoring per document."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
 
@@ -60,6 +62,7 @@ ORDER BY doc_id
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID over documents (Column expressions only)."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
@@ -98,6 +101,7 @@ ORDER BY doc_id
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit rolling-hash document fingerprints (portable md5 family for the oracle)."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
@@ -271,6 +275,7 @@ ORDER BY d.doc_id
 
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: hash-groupBy keeps each duplicate group's minimum doc_id."""
     docs = load_table(spark, "documents", sf_dir)
     return dedup_exact(docs, text_col="text", id_col="doc_id").orderBy("doc_id")
 

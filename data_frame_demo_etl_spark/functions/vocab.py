@@ -78,6 +78,7 @@ def vocab_coverage(
 
 
 def vocab_coverage_gate(spark, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate of documents against the corpus top-K vocab."""
     from ..sources.catalog import load_table
 
     return vocab_coverage(load_table(spark, "documents", sf_dir)).orderBy("doc_id")

@@ -16,6 +16,7 @@ from .validate import coerce_field_types
 # --- T1 unpivot -----------------------------------------------------------
 
 def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot/melt of part attributes (native DataFrame.unpivot)."""
     part = load_table(spark, "part", sf_dir)
     return transform.unpivot(
         part.select("p_partkey", "p_name", "p_size", "p_retailprice"),
@@ -80,6 +81,8 @@ ORDER BY p_partkey
 # --- C1 concat ------------------------------------------------------------
 
 def combine_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-join merge of two column subsets with suffix handling (combine_runner merge parity)."""
+    """Strict-schema concat of two order slices (unionByName parity with combine_runner concat)."""
     l = load_table(spark, "lineitem", sf_dir)
     a = l.filter(F.col("l_returnflag") == "A").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
@@ -102,6 +105,7 @@ ORDER BY l_orderkey, l_linenumber
 # --- C2 merge -------------------------------------------------------------
 
 def combine_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine_on groupby-sum over lineitem (engine.py:199-221 parity at analytical scale)."""
     orders = load_table(spark, "orders", sf_dir).select(
         F.col("o_custkey").alias("custkey"),
         "o_orderkey",
@@ -134,6 +138,7 @@ ORDER BY o_orderkey
 # --- T9 combine_on aggregate ---------------------------------------------
 
 def combine_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupe_on keep=first with an explicit order key (deterministic distributed 'first')."""
     l = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey",
         "l_returnflag",
@@ -164,6 +169,7 @@ ORDER BY l_orderkey, l_returnflag
 # --- T10 dedupe keep-first ------------------------------------------------
 
 def dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest metrics: rows, duplicate rows, per-column null% in a single aggregation."""
     l = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
@@ -185,6 +191,7 @@ ORDER BY l_orderkey
 # --- V2 profile metrics ---------------------------------------------------
 
 def profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column schema-candidate stats (numeric ratio, year-like ratio, avg length) in one agg pass."""
     orders = load_table(spark, "orders", sf_dir)
     return profile_metrics_df(orders)
 
@@ -206,6 +213,7 @@ FROM orders
 # --- N5 column stats ------------------------------------------------------
 
 def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuerySpec select+filter ops (= != > >= < <= contains, IN, BETWEEN, OR-groups) -> Catalyst filters; the generated SQL is the oracle."""
     docs = load_table(spark, "documents", sf_dir)
     return column_stats_df(docs).orderBy("column_name")
 
@@ -447,6 +455,7 @@ ORDER BY source, doc_id
 
 
 def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract validation with typed-coercion failure counts in one pass."""
     """Deterministic 20% content-hash sample of documents via the
     engine-portable md5-prefix key, so DuckDB reproduces the exact row
     set (the xxhash64 `deterministic_sample` stays the in-Spark fast

@@ -225,6 +225,7 @@ ORDER BY event_id
 # --- gate queries ---------------------------------------------------------
 
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type (streaming-equivalent batch oracle)."""
     events = load_table(spark, "events", sf_dir)
     return windowed_event_stats(events).orderBy("window_start", "event_type")
 
@@ -243,6 +244,7 @@ ORDER BY window_start, event_type
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) with per-session aggregates."""
     events = load_table(spark, "events", sf_dir)
     return sessionize(events).orderBy("user_id", "session_id")
 
@@ -298,6 +300,7 @@ def sliding_event_stats(
     window: str = "1 hour",
     slide: str = "15 minutes",
 ) -> DataFrame:
+    """Sliding/hopping window (1h window, 15m hop) event aggregates; each event lands in 4 windows."""
     """Sliding (hopping) window aggregate: each event lands in
     window/slide overlapping windows (4 here). `F.window` with a
     slide duration is the Structured-Streaming-compatible form — the
