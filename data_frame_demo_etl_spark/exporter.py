@@ -32,13 +32,19 @@ def export_dataset(
 ) -> dict[str, Path]:
     """``metrics_mode``:
 
-    - ``"scan"`` (default, reference parity): full metrics including
-      the duplicate count — one dedicated aggregation pass before the
-      writes.
-    - ``"observe"`` — the 100 TB path: rows + per-column null% ride
-      along with the FIRST format's write action via ``df.observe``
-      (zero extra scans); ``duplicates`` is reported as None because
-      observe() disallows the distinct aggregate it needs.
+    - ``"scan"`` (default, reference parity): full metrics via one
+      dedicated aggregation pass over the INPUT plan, before writes.
+    - ``"output"`` — the at-scale path when the input plan is an
+      expensive multi-stage DAG: metrics are aggregated over the
+      just-written parquet/ORC output instead, so the input plan
+      executes exactly once (the write). Cost is one cheap scan of
+      fresh columnar files, proportional to output size. Falls back
+      to scan mode when no columnar format is among ``formats``.
+
+    (``df.observe`` would make metrics literally free, but see the
+    note in operators/profile.py: Spark 4.1's ObservationManager has
+    no unregister and any Observation poisons later MLlib actions in
+    the session — so this exporter never touches that API.)
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -50,12 +56,9 @@ def export_dataset(
     }
     if meta:
         manifest.update(meta)
-    observation = None
-    if metrics_mode == "observe" and manifest["formats"]:
-        from .operators.profile import observed_metrics
-
-        df, observation = observed_metrics(df)
-    else:
+    columnar = [f for f in ("parquet", "orc") if f in manifest["formats"]]
+    defer_metrics = metrics_mode == "output" and bool(columnar)
+    if not defer_metrics:
         manifest["metrics"] = profile_metrics(df)
 
     written: dict[str, Path] = {}
@@ -88,19 +91,12 @@ def export_dataset(
             continue
         written[fmt] = target
 
-    if observation is not None:
-        if not written:
-            # every requested format was unknown: no action ran, so
-            # trigger one — observation.get would block forever.
-            df.count()
-        got = observation.get  # blocks on the first write's action
-        manifest["metrics"] = {
-            "rows": int(got["rows"]),
-            "columns": len(df.columns),
-            "dtypes": {f.name: f.dataType.simpleString() for f in df.schema.fields},
-            "null_pct": {c: float(got[f"null_pct_{c}"]) for c in df.columns},
-            "duplicates": None,
-        }
+    if defer_metrics:
+        spark = df.sparkSession
+        target = str(written[columnar[0]])
+        back = spark.read.orc(target) if columnar[0] == "orc" else spark.read.parquet(target)
+        manifest["metrics"] = profile_metrics(back)
+        manifest["metrics"]["source"] = f"{columnar[0]} output"
 
     manifest["run_completed_at"] = datetime.now(timezone.utc).isoformat()
     manifest_path = out / "manifest.json"

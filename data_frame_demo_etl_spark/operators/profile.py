@@ -87,27 +87,13 @@ def is_texty_col(stats_row: dict) -> bool:
     return stats_row["avg_len"] > 12 and stats_row["numeric_ratio"] < 0.3
 
 
-def observed_metrics(df: DataFrame, name: str = "export_metrics"):
-    """(df_with_observation, observation): rows + per-column null%
-    attached as a `df.observe` Observation — collected by the SAME
-    action that materializes the frame (e.g. the export write), so
-    manifest metrics cost ZERO extra scans. At 100 TB the difference
-    vs `profile_metrics` is one full pass over the dataset.
-
-    Duplicate counting is deliberately absent: observe() disallows
-    distinct aggregates, and rows-minus-distinct is a full-width
-    shuffle you should opt into knowingly (`profile_metrics`).
-    Read results AFTER an action with ``observation.get``."""
-    from pyspark.sql import Observation
-
-    n = F.count(F.lit(1))
-    aggs = [n.alias("rows")]
-    for c in df.columns:
-        aggs.append(
-            F.coalesce(
-                F.round(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) * 100.0 / n, 2),
-                F.lit(0.0),
-            ).alias(f"null_pct_{c}")
-        )
-    obs = Observation(name)
-    return df.observe(obs, *aggs), obs
+# NOTE on pyspark.sql.Observation: deliberately NOT used anywhere in
+# this package. In Spark 4.1 classic, SparkSession's ObservationManager
+# has register/tryComplete but NO unregister — once any Observation has
+# been attached, the manager's non-empty registry rides along in later
+# task closures and every MLlib action in the same session dies with
+# `NotSerializableException: ObservationManager` (reproduced against
+# functions/quality_model.py; plain DataFrame actions are unaffected).
+# Export metrics instead come from either a dedicated input-plan pass
+# ("scan") or an aggregation over the just-written columnar output
+# ("output") — see exporter.export_dataset.

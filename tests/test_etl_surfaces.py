@@ -181,17 +181,25 @@ def test_exporter_manifest(spark, tmp_path):
     assert back.count() == 3
 
 
-def test_exporter_manifest_observe_mode(spark, tmp_path):
-    """metrics_mode='observe': rows + null% collected by the write
-    action itself (no extra scan); duplicates explicitly None."""
+def test_exporter_manifest_output_mode(spark, tmp_path):
+    """metrics_mode='output': full metrics aggregated over the written
+    parquet — the input plan runs exactly once (the write); values
+    identical to scan mode. (Observation-based metrics are banned:
+    see the ObservationManager note in operators/profile.py.)"""
     df = spark.createDataFrame([(1, "a"), (2, None), (2, None)], ["id", "val"])
-    export_dataset(df, tmp_path / "obs", formats=("parquet",), metrics_mode="observe")
+    export_dataset(df, tmp_path / "obs", formats=("parquet",), metrics_mode="output")
     manifest = json.loads((tmp_path / "obs" / "manifest.json").read_text())
     m = manifest["metrics"]
-    assert m["rows"] == 3 and m["duplicates"] is None
+    assert m["rows"] == 3 and m["duplicates"] == 1
     assert m["null_pct"]["val"] == pytest.approx(66.67)
     assert m["null_pct"]["id"] == 0.0
     assert m["dtypes"]["id"] == "bigint"
+    assert m["source"] == "parquet output"
+
+    # no columnar format -> falls back to the input-scan pass
+    export_dataset(df, tmp_path / "obs2", formats=("jsonl",), metrics_mode="output")
+    m2 = json.loads((tmp_path / "obs2" / "manifest.json").read_text())["metrics"]
+    assert m2["rows"] == 3 and m2["duplicates"] == 1 and "source" not in m2
 
 
 def test_engagement_metrics_zero_safe(spark):
