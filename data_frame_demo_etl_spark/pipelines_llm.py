@@ -70,15 +70,28 @@ def prepare_training_set(
     fractions: dict[str, float] | None = None,
     budget: int = 2000,
     eval_set: DataFrame | None = None,
+    packing: str = "budget",
+    seq_len: int = 2048,
 ) -> dict[str, DataFrame]:
     """Full pipeline: corpus prep (+ optional benchmark
-    decontamination) + hash split + per-split packing."""
+    decontamination) + hash split + per-split packing.
+
+    ``packing="budget"`` bins documents per source to ~``budget``
+    chars (RAG/chunk shape); ``packing="sequence"`` lays each split
+    end-to-end and cuts exact ``seq_len``-token training sequences
+    (operators/packing.py — GPT-style, docs span boundaries)."""
     corpus = prepare_corpus(docs)
     if eval_set is not None:
         from .dedup.contamination import decontaminate
 
         corpus = decontaminate(corpus, eval_set)
     splits = split_by_hash(corpus, ["doc_id"], fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if packing == "sequence":
+        from .operators.packing import pack_token_sequences
+
+        return {
+            name: pack_token_sequences(df, seq_len=seq_len) for name, df in splits.items()
+        }
     return {
         name: pack_by_budget(df, group_col="source", order_by=["doc_id"], size_col="n_chars", budget=budget)
         for name, df in splits.items()

