@@ -34,6 +34,18 @@ from .xlsx_lite import read_grid
 
 def _expand_paths(path: str) -> list[str]:
     if os.path.isdir(path):
+        # A _SUCCESS manifest (written by XlsxLiteWriter.commit) is
+        # authoritative: a retried task leaves an orphan part file on
+        # disk that never reached commit — globbing would double-read
+        # its rows. Only fall back to the glob for plain directories.
+        manifest = os.path.join(path, "_SUCCESS")
+        if os.path.exists(manifest):
+            names = [
+                line.split("\t", 1)[0]
+                for line in open(manifest, encoding="utf-8").read().splitlines()
+                if line.strip()
+            ]
+            return sorted(os.path.join(path, n) for n in names)
         return sorted(glob.glob(os.path.join(path, "*.xlsx")))
     hits = sorted(glob.glob(path))
     if not hits:

@@ -100,3 +100,17 @@ def test_xlsx_datasource_write_overwrite_replaces(spark, tmp_path):
     ).mode("overwrite").save(str(out))
     back = spark.read.format("xlsx_lite").load(str(out))
     assert sorted(r.a for r in back.collect()) == ["2", "3"]
+
+
+def test_xlsx_datasource_reader_honors_success_manifest(spark, tmp_path):
+    """An orphan part file from a retried (uncommitted) task must not
+    be double-read: with _SUCCESS present, only listed files load."""
+    spark.dataSource.register(XlsxLiteDataSource)
+    out = tmp_path / "sink3"
+    spark.createDataFrame([(1,), (2,)], "a long").coalesce(1).write.format(
+        "xlsx_lite"
+    ).mode("overwrite").save(str(out))
+    # simulate a failed attempt's leftover
+    _write(out / "part-99999-deadbeef.xlsx", [["a"], [777]])
+    got = sorted(r.a for r in spark.read.format("xlsx_lite").load(str(out)).collect())
+    assert got == ["1", "2"]
