@@ -136,18 +136,11 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join `big ⋈ small` on `key` with salt-scattered hot keys.
+    """Moved: the canonical implementation lives in operators/skew.py
+    next to the profiler that tells you when to reach for it (and it
+    rejects right/full joins, which this earlier version would have
+    silently answered with n_salts× duplicated unmatched small rows).
+    This alias keeps the old import path working."""
+    from .skew import salted_join as _impl
 
-    The big side gets a deterministic salt from a row hash; the small
-    side is exploded n_salts×. Use when one key dominates the
-    distribution (e.g. a null-ish default key) and a single reducer
-    would otherwise receive the whole key's rows.
-    """
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
-    )
-    salted_small = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    out = salted_big.join(salted_small, [key, "__salt"], how)
-    return out.drop("__salt")
+    return _impl(big, small, key, n_salts=n_salts, how=how)

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from data_frame_demo_etl_spark.operators.grouped import salted_join  # noqa: E402
+from data_frame_demo_etl_spark.operators.skew import salted_join  # noqa: E402
 from data_frame_demo_etl_spark.operators.skew import key_skew_profile  # noqa: E402
 from data_frame_demo_etl_spark.session import get_spark  # noqa: E402
 from data_frame_demo_etl_spark.sources.catalog import load_table  # noqa: E402
