@@ -40,6 +40,9 @@ def export_dataset(
       executes exactly once (the write). Cost is one cheap scan of
       fresh columnar files, proportional to output size. Falls back
       to scan mode when no columnar format is among ``formats``.
+      Caveat: with ``partition_by``, output-mode metrics describe the
+      written representation — nulls in a partition column become
+      Hive's default-partition value on disk, so their null% reads 0.
 
     (``df.observe`` would make metrics literally free, but see the
     note in operators/profile.py: Spark 4.1's ObservationManager has
