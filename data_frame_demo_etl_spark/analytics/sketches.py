@@ -235,3 +235,61 @@ SELECT 'day', bucket_day, event_type,
 FROM b GROUP BY bucket_day, event_type
 ORDER BY granularity, bucket, event_type
 """
+
+
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch pattern that makes distinct counting
+    incremental at 100 TB: build per-(day, event_type) HLL partial
+    sketches once (`hll_sketch_agg` — storable in a rollup table),
+    then answer per-event_type distinct-user questions by MERGING the
+    partials (`hll_union_agg`) instead of rescanning raw events.
+
+    The gate pins two properties per event_type:
+    - `merge_eq_direct`: the merged-partials estimate equals the
+      direct whole-data sketch estimate EXACTLY (the same Datasketches
+      HLL is associative — the rollup loses nothing);
+    - `merged_ok`: the estimate sits within 3σ of exact distinct
+      (σ ≈ 1.04/√2^12 for the default lgConfigK=12).
+    The oracle replays exact distinct counts and expects both TRUE.
+    """
+    from ..sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    with_day = events.select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    partials = with_day.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = with_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("distinct_users"),
+    )
+    rsd = 1.04 / (2**12) ** 0.5
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "distinct_users",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_eq_direct"),
+            (
+                F.abs(F.col("est_merged") - F.col("distinct_users"))
+                <= F.lit(3 * rsd) * F.col("distinct_users")
+            ).alias("merged_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HLL_ROLLUP_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       TRUE AS merge_eq_direct,
+       TRUE AS merged_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -425,3 +425,8 @@ register(
     streaming_events.events_variant_extract,
     streaming_events.EVENTS_VARIANT_EXTRACT_SQL,
 )
+register(
+    "events_hll_rollup",
+    sketches.events_hll_rollup,
+    sketches.EVENTS_HLL_ROLLUP_SQL,
+)
