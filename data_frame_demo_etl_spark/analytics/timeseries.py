@@ -5,7 +5,7 @@ series (timescale-style ``time_bucket_gapfill``), built from
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.catalog import load_table
 
@@ -145,4 +145,111 @@ SELECT source, term, n, CAST(rank AS INTEGER) AS rank FROM (
 )
 WHERE rank <= 5
 ORDER BY source, rank
+"""
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Per-key linear interpolation of null values between the nearest
+    non-null neighbors in ``ts_col`` order; leading/trailing nulls stay
+    null (no extrapolation). The sensor/metrics resample primitive.
+
+    Two window passes per key partition (running last-non-null
+    backward and first-non-null forward) — one shuffle on the key,
+    no self-joins, frames are running (not full-partition
+    materialization). Determinism: interpolation arithmetic runs on
+    exact integer operands (epoch seconds, integer series values) in
+    one fixed double expression, then rounds to the 1e-6 grid, so any
+    engine reproduces the doubles bit-for-bit."""
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(val_col)
+    w_back = (
+        Window.partitionBy(k).orderBy(t)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(k).orderBy(t)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ep = F.unix_timestamp(t).cast("double")
+    prev_v = F.last(v, ignorenulls=True).over(w_back).cast("double")
+    prev_t = F.last(F.when(v.isNotNull(), ep), ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd).cast("double")
+    next_t = F.first(F.when(v.isNotNull(), ep), ignorenulls=True).over(w_fwd)
+    interp = prev_v + (next_v - prev_v) * (ep - prev_t) / (next_t - prev_t)
+    grid = F.floor(interp * 1_000_000 + F.lit(0.5)) / 1_000_000
+    filled = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None).cast("double"))
+        .when(next_t == prev_t, prev_v)
+        .otherwise(grid)
+    )
+    return df.withColumn(f"{val_col}_filled", filled)
+
+
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: hourly per-type event-value series (exact micro-unit
+    integer sums) with deterministically-punched null holes (every
+    3rd bucket by row position), linearly re-interpolated. Exercises
+    the dense-spine + interpolation composition end-to-end."""
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("v_micro")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    holed = hourly.withColumn("rn", F.row_number().over(w)).withColumn(
+        "v_holed", F.when(F.pmod(F.col("rn"), 3) == 0, F.lit(None)).otherwise(F.col("v_micro"))
+    )
+    out = interpolate_linear(holed, "event_type", "bucket", "v_holed")
+    return out.select(
+        "bucket", "event_type", "v_micro", "v_holed", "v_holed_filled"
+    ).orderBy("event_type", "bucket")
+
+
+EVENTS_INTERPOLATE_SQL = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+holed AS (
+  SELECT bucket, event_type, v_micro,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) % 3 = 0
+              THEN NULL ELSE v_micro END AS v_holed
+  FROM hourly
+),
+ctx AS (
+  SELECT bucket, event_type, v_micro, v_holed,
+    CAST(EPOCH(bucket) AS DOUBLE) AS ep,
+    CAST(LAST_VALUE(v_holed IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS prev_v,
+    LAST_VALUE(CASE WHEN v_holed IS NOT NULL THEN CAST(EPOCH(bucket) AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    CAST(FIRST_VALUE(v_holed IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS next_v,
+    FIRST_VALUE(CASE WHEN v_holed IS NOT NULL THEN CAST(EPOCH(bucket) AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM holed
+)
+SELECT bucket, event_type, v_micro, v_holed,
+  CASE
+    WHEN v_holed IS NOT NULL THEN CAST(v_holed AS DOUBLE)
+    WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+    WHEN next_t = prev_t THEN prev_v
+    ELSE FLOOR((prev_v + (next_v - prev_v) * (ep - prev_t) / (next_t - prev_t)) * 1000000 + 0.5) / 1000000
+  END AS v_holed_filled
+FROM ctx
+ORDER BY event_type, bucket
 """

@@ -430,3 +430,8 @@ register(
     sketches.events_hll_rollup,
     sketches.EVENTS_HLL_ROLLUP_SQL,
 )
+register(
+    "events_interpolate",
+    timeseries.events_interpolate,
+    timeseries.EVENTS_INTERPOLATE_SQL,
+)

@@ -116,3 +116,32 @@ def test_funnel_ordering_is_strict(spark):
     assert got.loc[1, "stage_reached"] == 3
     assert got.loc[2, "stage_reached"] == 2
     assert got.loc[3, "stage_reached"] == 1
+
+
+def test_interpolate_linear_known_series(spark):
+    """Known series per key: interior nulls lerp between neighbors,
+    leading/trailing nulls stay null, non-null rows pass through."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, None),                                # leading null
+        ("a", t0 + dt.timedelta(hours=1), 10.0),
+        ("a", t0 + dt.timedelta(hours=2), None),        # lerp: 10 -> 40 at 1/3
+        ("a", t0 + dt.timedelta(hours=4), 40.0),
+        ("a", t0 + dt.timedelta(hours=5), None),        # trailing null
+        ("b", t0, 5.0),
+        ("b", t0 + dt.timedelta(hours=2), None),        # lerp midpoint 5 -> 6
+        ("b", t0 + dt.timedelta(hours=4), 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.ts.hour): r.v_filled
+        for r in interpolate_linear(df, "k", "ts", "v").collect()
+    }
+    assert out[("a", 0)] is None and out[("a", 5)] is None
+    assert out[("a", 1)] == 10.0 and out[("a", 4)] == 40.0
+    assert out[("a", 2)] == 20.0  # 10 + (40-10) * 1/3
+    assert out[("b", 2)] == 5.5
