@@ -1,0 +1,149 @@
+"""Triangle counting via degree-ordered edge orientation — the third
+graph primitive (after connected components and PageRank), and the
+canonical example of taming a quadratic wedge join at scale.
+
+Algorithm (Suri & Vassilvitskii's MapReduce formulation): orient each
+undirected edge from its lower-(degree, id) endpoint to the higher
+one. The oriented graph is a DAG where every node's OUT-degree is
+O(√E), so the wedge self-join (u→v, u→w) — the step that explodes if
+joined on raw adjacency, where one celebrity node yields deg² wedge
+rows — is bounded by Σ outdeg² = O(E^1.5) total. A final semi-join of
+wedges against oriented edges closes the triangles; each triangle is
+counted exactly once (from its minimum-ordered vertex).
+
+Graph here: supplier co-purchase — two suppliers are adjacent if some
+order contains lineitems from both. Built with a per-order self-join
+(suppliers-per-order is bounded by lines-per-order, so the pair
+explosion is capped by construction).
+
+No reference analog (`/root/reference` has no graph ops);
+brief-mandated beyond-reference analytics alongside pagerank.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong supplier co-purchase pairs (u < v): the top decile of
+    pairs by shared-order count (co-occurrence ≥ the exact p90 order
+    statistic), so the graph keeps real structure at ANY scale factor
+    (a fixed absolute threshold is complete at small SF and empty at
+    large SF — measured both ways before choosing this).
+
+    The pair-count table is Σ_orders C(lines_per_order, 2) rows —
+    orders-of-magnitude smaller than lineitem — and the exact
+    percentile is a discrete order statistic at an integer position
+    (same idiom as operators/skew.py), chosen over approx_percentile
+    for oracle-exactness."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count_distinct("l_orderkey").alias("c"))
+        .persist()
+    )
+    w = Window.orderBy(F.col("c").asc(), F.col("u").asc(), F.col("v").asc())
+    ranked = pairs.select("c", F.row_number().over(w).alias("rn"))
+    n = ranked.agg(F.max("rn")).collect()[0][0] or 0
+    if n == 0:
+        return pairs.select("u", "v")
+    pos = max(1, -(-90 * n // 100))
+    thresh = ranked.filter(F.col("rn") == pos).collect()[0]["c"]
+    return pairs.filter(F.col("c") >= thresh).select("u", "v")
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_triangles) for undirected distinct
+    edges (u < v)."""
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    # orient by (deg, id): lower endpoint keeps the out-edge
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    withdeg = edges.join(du, "u").join(dv, "v")
+    oriented = withdeg.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+        .alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.d").alias("d")).persist()
+
+    w1 = oriented.select(F.col("s"), F.col("d").alias("x"))
+    w2 = oriented.select(F.col("s"), F.col("d").alias("y"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x"), F.col("y"))
+    )
+    # a wedge (x, y) closes iff the oriented edge x→y or y→x exists;
+    # with a total order both directions are possible (the closing
+    # edge's orientation depends on degrees), so join against the
+    # canonical undirected form.
+    closing = oriented.select(
+        F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).count()
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    oriented.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(n_nodes), int(n_edges), int(tri))],
+        "n_nodes long, n_edges long, n_triangles long",
+    )
+
+
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: triangle census of the supplier co-purchase graph."""
+    return count_triangles(copurchase_edges(spark, sf_dir))
+
+
+SUPPLIER_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(DISTINCT a.l_orderkey) AS c
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, u ASC, v ASC) AS rn FROM pairs
+),
+thresh AS (
+  SELECT c AS t FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(90 * (SELECT MAX(rn) FROM ranked) / 100.0) AS BIGINT))
+),
+edges AS (
+  SELECT u, v FROM pairs WHERE c >= (SELECT t FROM thresh)
+),
+nodes AS (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges),
+stats AS (
+  SELECT (SELECT COUNT(DISTINCT n) FROM nodes) AS n_nodes,
+         (SELECT COUNT(*) FROM edges) AS n_edges
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM stats CROSS JOIN tri
+"""

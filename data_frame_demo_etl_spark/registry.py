@@ -435,3 +435,6 @@ register(
     timeseries.events_interpolate,
     timeseries.EVENTS_INTERPOLATE_SQL,
 )
+from .analytics.triangles import SUPPLIER_TRIANGLES_SQL, supplier_triangles  # noqa: E402
+
+register("supplier_triangles", supplier_triangles, SUPPLIER_TRIANGLES_SQL)

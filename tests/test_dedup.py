@@ -344,3 +344,17 @@ def test_blocked_fuzzy_pairs_planted_typos(spark):
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert pairs[0].edit_distance == 1
+
+
+def test_count_triangles_known_graphs(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge changes
+    nothing; a square (C4) has none."""
+    from data_frame_demo_etl_spark.analytics.triangles import count_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4 + [(3, 9)], ["u", "v"])
+    row = count_triangles(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+    square = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], ["u", "v"])
+    assert count_triangles(square).collect()[0].n_triangles == 0
