@@ -438,3 +438,8 @@ register(
 from .analytics.triangles import SUPPLIER_TRIANGLES_SQL, supplier_triangles  # noqa: E402
 
 register("supplier_triangles", supplier_triangles, SUPPLIER_TRIANGLES_SQL)
+register(
+    "events_session_window",
+    streaming_events.events_session_window_native,
+    streaming_events.EVENTS_SESSION_WINDOW_SQL,
+)

@@ -375,3 +375,60 @@ def idempotent_batch_writer(base_path: str):
         batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
 
     return write
+
+
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE `session_window` — the
+    built-in counterpart to the lag/cumsum formulation above (and the
+    structure `applyInPandasWithState` replaces in streams). Boundary
+    semantics differ from `sessionize` by design: a session window is
+    [first_ts, last_ts + gap), and windows that TOUCH merge: an event
+    landing exactly at a prior window's close continues the session,
+    so the split condition is gap > 30 min — measured (test_streaming
+    pins the boundary) and identical to the lag formulation; the two
+    implementations agree on every input."""
+    events = load_table(spark, "events", sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy("user_id", sw.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_close"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_close,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""

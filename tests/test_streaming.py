@@ -264,3 +264,41 @@ def test_foreach_batch_sink_is_replay_idempotent(spark, tmp_path):
     writer(df.filter("id = 1"), 1)
     got = spark.read.parquet(out + "/batch_id=*")
     assert got.count() == 3  # 2 (epoch 0, once) + 1 (epoch 1)
+
+
+def test_native_session_window_vs_lag_formulation(spark):
+    """Native session_window and the lag/cumsum sessionize agree on
+    every input INCLUDING the exact-gap boundary: touching windows
+    merge, the split condition is strictly greater-than."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.streaming.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: gaps 10min, 31min -> 2 sessions under BOTH semantics
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(minutes=10), 1.0),
+        (3, 1, t0 + dt.timedelta(minutes=41), 1.0),
+        # user 2: gap of exactly 30min -> touching windows MERGE in
+        # both formulations (split is strictly >)
+        (4, 2, t0, 1.0),
+        (5, 2, t0 + dt.timedelta(minutes=30), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+
+    lag_sessions = {
+        r.user_id: r.n
+        for r in sessionize(df).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    native_sessions = {r.user_id: r.n for r in native.collect()}
+    assert lag_sessions[1] == native_sessions[1] == 2
+    assert lag_sessions[2] == 1 and native_sessions[2] == 1
