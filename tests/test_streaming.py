@@ -302,3 +302,48 @@ def test_native_session_window_vs_lag_formulation(spark):
     native_sessions = {r.user_id: r.n for r in native.collect()}
     assert lag_sessions[1] == native_sessions[1] == 2
     assert lag_sessions[2] == 1 and native_sessions[2] == 1
+
+
+def test_session_window_works_in_stream(spark, tmp_path):
+    """The native session_window aggregates in a watermarked STREAM
+    (update-mode memory sink, availableNow) and the final session set
+    matches the batch computation on the same files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, 1 + i % 2, t0 + dt.timedelta(minutes=i * 7), float(i)) for i in range(20)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_native")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.s, r.n) for r in spark.sql("SELECT * FROM sess_native").collect()
+    }
+
+    batch = (
+        spark.createDataFrame(rows, schema)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+    )
+    want = {(r.user_id, r.s, r.n) for r in batch.collect()}
+    assert got == want and len(got) > 0
