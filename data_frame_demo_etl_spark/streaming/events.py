@@ -410,7 +410,7 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SESSION_WINDOW_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
     CASE WHEN LAG(ts) OVER w IS NULL
            OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
          THEN 1 ELSE 0 END AS is_new
@@ -419,7 +419,7 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
