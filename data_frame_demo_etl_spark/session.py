@@ -32,6 +32,9 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python DataSource filter pushdown (xlsx_lite reader) is
+        # opt-in as of Spark 4.1.
+        "spark.sql.python.filterPushdown.enabled": "true",
         # Keep broadcast threshold generous: all dim tables in the star
         # schema (region/nation/supplier/part) stay broadcastable.
         "spark.sql.autoBroadcastJoinThreshold": "64m",

@@ -97,7 +97,7 @@ class XlsxLiteDataSource(DataSource):
             paths=_expand_paths(self.options["path"]),
             sheet=self._sheet(),
             header_row=int(self.options.get("header_row", 0)),
-            n_cols=len(schema.fields),
+            columns=[f.name for f in schema.fields],
         )
 
 
@@ -107,20 +107,117 @@ class _FilePartition(InputPartition):
 
 
 class XlsxLiteReader(DataSourceReader):
-    def __init__(self, paths: list[str], sheet, header_row: int, n_cols: int):
+    def __init__(self, paths: list[str], sheet, header_row: int, columns: list[str]):
         self.paths = paths
         self.sheet = sheet
         self.header_row = header_row
-        self.n_cols = n_cols
+        self.columns = columns
+        self.n_cols = len(columns)
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Row-level filter pushdown (PySpark 4.1 DataSource API):
+        string-typed comparisons, membership, null tests, and LIKE
+        anchors are applied INSIDE the reader, before rows cross the
+        Python→JVM Arrow boundary. Spark does not re-evaluate pushed
+        filters, so only exactly-reproducible string predicates are
+        accepted; everything else is handed back."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        str_ops = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col_ok = attr is not None and len(attr) == 1 and attr[0] in self.columns
+            if not col_ok:
+                yield f
+            elif isinstance(f, (IsNull, IsNotNull)):
+                self.pushed.append(f)
+            elif isinstance(f, In) and all(isinstance(v, str) for v in f.value):
+                self.pushed.append(f)
+            elif isinstance(f, str_ops) and isinstance(f.value, str):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _predicate(self):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        idx = {c: i for i, c in enumerate(self.columns)}
+        checks = []
+        for f in self.pushed:
+            i = idx[f.attribute[0]]
+            if isinstance(f, IsNull):
+                checks.append(lambda r, i=i: r[i] is None)
+            elif isinstance(f, IsNotNull):
+                checks.append(lambda r, i=i: r[i] is not None)
+            elif isinstance(f, In):
+                checks.append(lambda r, i=i, s=set(f.value): r[i] in s)
+            elif isinstance(f, EqualTo):
+                checks.append(lambda r, i=i, v=f.value: r[i] == v)
+            elif isinstance(f, GreaterThan):
+                checks.append(lambda r, i=i, v=f.value: r[i] is not None and r[i] > v)
+            elif isinstance(f, GreaterThanOrEqual):
+                checks.append(lambda r, i=i, v=f.value: r[i] is not None and r[i] >= v)
+            elif isinstance(f, LessThan):
+                checks.append(lambda r, i=i, v=f.value: r[i] is not None and r[i] < v)
+            elif isinstance(f, LessThanOrEqual):
+                checks.append(lambda r, i=i, v=f.value: r[i] is not None and r[i] <= v)
+            elif isinstance(f, StringStartsWith):
+                checks.append(
+                    lambda r, i=i, v=f.value: r[i] is not None and r[i].startswith(v)
+                )
+            elif isinstance(f, StringEndsWith):
+                checks.append(
+                    lambda r, i=i, v=f.value: r[i] is not None and r[i].endswith(v)
+                )
+            elif isinstance(f, StringContains):
+                checks.append(lambda r, i=i, v=f.value: r[i] is not None and v in r[i])
+        return lambda row: all(c(row) for c in checks)
 
     def partitions(self) -> list[InputPartition]:
         return [_FilePartition(p) for p in self.paths]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        keep = self._predicate()
         grid, _ = read_grid(partition.path, self.sheet)
         for row in grid[self.header_row + 1 :]:
             padded = row[: self.n_cols] + [None] * (self.n_cols - len(row))
-            yield tuple(_cell_str(v) for v in padded)
+            out = tuple(_cell_str(v) for v in padded)
+            if keep(out):
+                yield out
 
 
 # ───────────────────────────── writer ─────────────────────────────

@@ -114,3 +114,55 @@ def test_xlsx_datasource_reader_honors_success_manifest(spark, tmp_path):
     _write(out / "part-99999-deadbeef.xlsx", [["a"], [777]])
     got = sorted(r.a for r in spark.read.format("xlsx_lite").load(str(out)).collect())
     assert got == ["1", "2"]
+
+
+def test_xlsx_datasource_filter_pushdown(spark, tmp_path):
+    """PySpark 4.1 pushFilters: string predicates are applied inside
+    the Python reader (before the Arrow boundary) and produce exactly
+    the rows Spark would have kept."""
+    rows = [["sku", "qty", "note"]] + [
+        [f"S-{i:02d}", i, None if i % 3 == 0 else f"n{i}"] for i in range(12)
+    ]
+    _write(tmp_path / "f.xlsx", rows)
+    spark.dataSource.register(XlsxLiteDataSource)
+    df = spark.read.format("xlsx_lite").load(str(tmp_path / "f.xlsx"))
+
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        r.sku
+        for r in df.filter(
+            (F.col("sku") >= "S-03")
+            & F.col("sku").startswith("S-0")
+            & F.col("note").isNotNull()
+        ).collect()
+    )
+    assert got == ["S-04", "S-05", "S-07", "S-08"]
+
+    # IN + contains + equality
+    assert sorted(
+        r.sku
+        for r in df.filter(F.col("qty").isin("2", "5", "7") & F.col("note").contains("n")).collect()
+    ) == ["S-02", "S-05", "S-07"]
+
+    # pushdown visible in the physical plan: the Filter node is GONE
+    # (Spark trusts the pushed predicate and does not re-evaluate it;
+    # the Python BatchScan renders no PushedFilters label)
+    plan = (
+        df.filter(F.col("sku") == "S-01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchScan xlsx_lite" in plan and "Filter " not in plan, plan[:1500]
+    # ...while an UNpushable filter stays in the plan
+    plan2 = (
+        df.filter(F.col("sku") > F.col("note"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Filter " in plan2, plan2[:1500]
+
+    # an unsupported filter (column-to-column) still answers correctly
+    assert df.filter(F.col("sku") > F.col("note")).count() == 0
