@@ -52,6 +52,10 @@ HEADLINE = [
     # round-over-round; totals compare like-for-like on shared keys)
     "skew_salted_brand_revenue",
     "docs_sequence_packing",
+    "events_session_window",
+    "events_hll_rollup",
+    "events_interpolate",
+    "supplier_triangles",
 ]
 
 

@@ -34,13 +34,14 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a fixed absolute threshold is complete at small SF and empty at
     large SF — measured both ways before choosing this).
 
-    The pair-count table is Σ_orders C(lines_per_order, 2) rows —
-    orders-of-magnitude smaller than lineitem — and the exact
-    percentile is a discrete order statistic at an integer position
-    (same idiom as operators/skew.py), chosen over approx_percentile
-    for oracle-exactness."""
-    from pyspark.sql import Window
-
+    The exact p90 comes from the co-occurrence HISTOGRAM — a
+    #distinct-count-values-sized table (dozens of rows at any scale),
+    cumulated on the driver — never a global row_number over the full
+    pair table (the single-partition window this replaced cost 3× the
+    rest of the query combined). Value-identical to the oracle's
+    ROW_NUMBER formulation: the order statistic at position
+    ceil(0.9·n) lies inside the block of equal counts the cumulative
+    histogram identifies."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -52,13 +53,19 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_orderkey").alias("c"))
         .persist()
     )
-    w = Window.orderBy(F.col("c").asc(), F.col("u").asc(), F.col("v").asc())
-    ranked = pairs.select("c", F.row_number().over(w).alias("rn"))
-    n = ranked.agg(F.max("rn")).collect()[0][0] or 0
+    hist = sorted(
+        (r["c"], r["n"]) for r in pairs.groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n = sum(cnt for _, cnt in hist)
     if n == 0:
         return pairs.select("u", "v")
     pos = max(1, -(-90 * n // 100))
-    thresh = ranked.filter(F.col("rn") == pos).collect()[0]["c"]
+    cum, thresh = 0, hist[-1][0]
+    for c_val, cnt in hist:
+        cum += cnt
+        if cum >= pos:
+            thresh = c_val
+            break
     return pairs.filter(F.col("c") >= thresh).select("u", "v")
 
 
