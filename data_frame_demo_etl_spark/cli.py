@@ -132,6 +132,41 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_plan_audit(args) -> int:
+    """Print the physical-plan audit report (operators/audit.py) for a
+    registered query: scans, exchanges, join strategies, pushed
+    filters, read schemas — the `.explain` you can grep and assert
+    on. The same report the plan-contract tests consume."""
+    from . import registry
+    from .operators.audit import plan_report
+
+    qs = registry.queries()
+    if args.name not in qs:
+        logging.error("unknown query %r (try `query list`)", args.name)
+        return 1
+    spark = get_spark(app_name=f"etl-plan-audit-{args.name}")
+    rep = plan_report(qs[args.name](spark, args.sf_dir))
+    print(
+        json.dumps(
+            {
+                "query": args.name,
+                "scans": rep.scans,
+                "exchanges": rep.exchanges,
+                "broadcast_joins": rep.broadcast_joins,
+                "sort_merge_joins": rep.sort_merge_joins,
+                "nested_loop_joins": rep.nested_loop_joins,
+                "wholestage_codegen": rep.wholestage_codegen,
+                "pushed_filters": rep.pushed_filters,
+                "read_schemas": rep.read_schemas,
+            },
+            indent=2,
+        )
+    )
+    if args.full:
+        print(rep.raw)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_frame_demo_etl_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -170,6 +205,14 @@ def build_parser() -> argparse.ArgumentParser:
     query.add_argument("--limit", type=int, default=20)
     query.add_argument("--oracle", action="store_true", help="also print the DuckDB oracle SQL")
     query.set_defaults(fn=_cmd_query)
+
+    audit = sub.add_parser(
+        "plan-audit", help="physical-plan audit report for a registered query"
+    )
+    audit.add_argument("name")
+    audit.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    audit.add_argument("--full", action="store_true", help="also print the raw plan")
+    audit.set_defaults(fn=_cmd_plan_audit)
 
     yt = sub.add_parser("youtube", help="YouTube ETL: fetch videos + engagement summaries")
     yt.add_argument("--playlist-id", action="append")

@@ -133,3 +133,15 @@ def test_cli_youtube_with_fake_transport(spark, tmp_path, monkeypatch, capsys):
     detail = spark.read.parquet(str(tmp_path / "yt" / "data.parquet"))
     assert "engagement_rate" in detail.columns
     assert (tmp_path / "yt" / "summary" / "per_year").exists()
+
+
+def test_cli_plan_audit(spark, capsys):
+    rc = main(["plan-audit", "q1_pricing_summary"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["query"] == "q1_pricing_summary"
+    assert out["scans"] == 1 and out["nested_loop_joins"] == 0
+    assert any("l_shipdate" in f for f in out["pushed_filters"])
+
+    rc = main(["plan-audit", "no_such_query"])
+    assert rc == 1
