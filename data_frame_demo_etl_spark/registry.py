@@ -443,3 +443,9 @@ register(
     streaming_events.events_session_window_native,
     streaming_events.EVENTS_SESSION_WINDOW_SQL,
 )
+from .multimodal.audio_ops import (  # noqa: E402
+    MULTIMODAL_AUDIO_STATS_SQL,
+    multimodal_audio_stats,
+)
+
+register("multimodal_audio_stats", multimodal_audio_stats, MULTIMODAL_AUDIO_STATS_SQL)

@@ -143,3 +143,28 @@ def test_sessionize_stateful_stream(spark, tmp_path):
     assert len(got) == 1
     s = got[0]
     assert s.user_id == 10 and s.n_events == 2 and s.value_sum == 3.0
+
+
+def test_wav_roundtrip_and_features(spark):
+    """Stdlib WAV codec: encode→decode is sample-exact, and the
+    distributed feature pass matches a local recomputation."""
+    from data_frame_demo_etl_spark.multimodal.audio_ops import (
+        _synth_samples,
+        audio_features,
+        decode_wav,
+        encode_wav,
+        make_audio_assets,
+    )
+
+    samples = _synth_samples(3)
+    rate, ch, back = decode_wav(encode_wav(samples))
+    assert (rate, ch) == (8000, 1) and back == samples
+
+    assets = make_audio_assets(spark, n=6)
+    feats = {r.asset_id: r for r in audio_features(assets).collect()}
+    for i in range(6):
+        s = _synth_samples(i)
+        assert feats[i].n_samples == len(s)
+        assert feats[i].sum_abs == sum(abs(x) for x in s)
+        assert feats[i].peak == max(abs(x) for x in s)
+        assert feats[i].duration_ms == len(s) * 1000 // 8000
