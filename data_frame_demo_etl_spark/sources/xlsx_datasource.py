@@ -210,14 +210,26 @@ class XlsxLiteReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [_FilePartition(p) for p in self.paths]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition):
+        """Yields ONE pyarrow.RecordBatch per workbook — the columnar
+        fast path of the DataSource API (no per-row pickling between
+        the reader and the JVM). Pushed filters are applied on the
+        materialized rows before the batch is built."""
+        import pyarrow as pa
+
         keep = self._predicate()
         grid, _ = read_grid(partition.path, self.sheet)
+        rows = []
         for row in grid[self.header_row + 1 :]:
             padded = row[: self.n_cols] + [None] * (self.n_cols - len(row))
             out = tuple(_cell_str(v) for v in padded)
             if keep(out):
-                yield out
+                rows.append(out)
+        arrays = [
+            pa.array([r[i] for r in rows], type=pa.string())
+            for i in range(self.n_cols)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=self.columns)
 
 
 # ───────────────────────────── writer ─────────────────────────────
