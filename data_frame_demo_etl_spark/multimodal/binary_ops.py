@@ -386,3 +386,121 @@ SELECT doc_id AS asset_id,
 FROM documents
 ORDER BY asset_id
 """
+
+
+# ───────────────────── real video container ─────────────────────
+# A motion-BMP container parseable with stdlib only: b"VID0", u32
+# frame count, then length-prefixed REAL BMP frames. Completes the
+# modality set (image BMP/PPM, audio WAV) with actual frame-level
+# parsing in the frame-sampling path instead of the fixed-stride
+# fake-frame model above.
+
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def decode_video(content: bytes) -> list[bytes]:
+    if content[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack_from("<I", content, 4)
+    off, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", content, off)
+        off += 4
+        frames.append(content[off : off + ln])
+        off += ln
+    return frames
+
+
+def _video_frame_rgb(asset_id: int, frame_idx: int, w: int, h: int) -> bytes:
+    return bytes(
+        ((asset_id * 37 + frame_idx * 53 + j * 11) % 256) for j in range(w * h * 3)
+    )
+
+
+def make_video_assets(spark: SparkSession, n: int = 32) -> DataFrame:
+    """n real VID0 containers of real BMP frames, deterministic
+    per-frame pixels (the formula is the oracle's contract)."""
+    rows = []
+    for i in range(n):
+        w, h = 3 + (i % 3), 2 + (i % 2)
+        n_frames = 4 + i % 3
+        frames = [
+            encode_bmp(w, h, _video_frame_rgb(i, f, w, h)) for f in range(n_frames)
+        ]
+        rows.append((i, "video/x-vid0", encode_video(frames), (w, h, 3, f"v{i % 2}")))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def video_frame_features(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Distributed REAL frame sampling: parse the container, keep
+    every k-th frame, BMP-decode it, emit integer-exact per-frame
+    features."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                frames = decode_video(bytes(content))
+                for f_idx in range(0, len(frames), every_k):
+                    w, h, c, body = _decode_bmp(frames[f_idx])
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": f_idx,
+                            "width": w,
+                            "height": h,
+                            "checksum": sum(body) % (1 << 31),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "width", "height", "checksum"]
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        sample_batches,
+        "asset_id long, frame_idx int, width int, height int, checksum long",
+    )
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: 32 real VID0 containers → distributed parse → sample
+    every 2nd frame → real BMP decode → per-frame checksums. Oracle
+    recomputes from the pixel formula (sf_dir unused — synthesized
+    input, same convention as the audio gate)."""
+    return video_frame_features(make_video_assets(spark), every_k=2).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+MULTIMODAL_VIDEO_FRAMES_SQL = """
+WITH ids AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS asset_id),
+geom AS (
+  SELECT asset_id, 3 + (asset_id % 3) AS w, 2 + (asset_id % 2) AS h,
+         4 + (asset_id % 3) AS n_frames
+  FROM ids
+),
+sampled AS (
+  SELECT asset_id, w, h, f AS frame_idx
+  FROM geom, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, n_frames - 1, 2)) AS f)
+),
+px AS (
+  SELECT asset_id, frame_idx, w, h,
+         SUM((asset_id * 37 + frame_idx * 53 + j * 11) % 256) AS body_sum
+  FROM sampled, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w * h * 3 - 1)) AS j)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(body_sum % 2147483648 AS BIGINT) AS checksum
+FROM px
+ORDER BY asset_id, frame_idx
+"""

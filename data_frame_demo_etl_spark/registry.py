@@ -449,3 +449,9 @@ from .multimodal.audio_ops import (  # noqa: E402
 )
 
 register("multimodal_audio_stats", multimodal_audio_stats, MULTIMODAL_AUDIO_STATS_SQL)
+from .multimodal.binary_ops import (  # noqa: E402
+    MULTIMODAL_VIDEO_FRAMES_SQL,
+    multimodal_video_frames,
+)
+
+register("multimodal_video_frames", multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL)

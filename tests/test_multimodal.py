@@ -168,3 +168,29 @@ def test_wav_roundtrip_and_features(spark):
         assert feats[i].sum_abs == sum(abs(x) for x in s)
         assert feats[i].peak == max(abs(x) for x in s)
         assert feats[i].duration_ms == len(s) * 1000 // 8000
+
+
+def test_video_container_roundtrip_and_sampling(spark):
+    from data_frame_demo_etl_spark.multimodal.binary_ops import (
+        _video_frame_rgb,
+        decode_video,
+        encode_bmp,
+        encode_video,
+        make_video_assets,
+        video_frame_features,
+    )
+
+    frames = [encode_bmp(3, 2, _video_frame_rgb(0, f, 3, 2)) for f in range(5)]
+    assert decode_video(encode_video(frames)) == frames
+
+    assets = make_video_assets(spark, n=4)
+    feats = video_frame_features(assets, every_k=2).collect()
+    # asset 0: 4 frames -> sampled 0,2; asset 1: 5 -> 0,2,4; etc.
+    by_asset = {}
+    for r in feats:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+    assert by_asset[0] == [0, 2] and by_asset[1] == [0, 2, 4]
+    # checksum matches a local recompute for one sampled frame
+    r = next(x for x in feats if x.asset_id == 1 and x.frame_idx == 2)
+    body = _video_frame_rgb(1, 2, 3 + 1 % 3, 2 + 1 % 2)
+    assert r.checksum == sum(body) % (1 << 31)
