@@ -1,0 +1,109 @@
+"""Single-node throughput: this engine vs the reference's pandas
+execution model, on the SAME parquet inputs and operator semantics.
+
+The reference (Alleyfoo/Data-frame-demo-ETL) executes every operator
+as an in-memory pandas transform (engine.py transform_data /
+combine_on / dedupe_on; combine_runner concat). This script times
+faithful pandas equivalents of four reference operators next to this
+repo's Spark implementations, end-to-end per run (file read included
+on both sides — the reference re-reads its uploads too), best of 2
+after a warmup.
+
+Usage: python scripts/pandas_baseline.py [sf_dir] — prints one JSON
+line {op: {pandas_s, spark_s}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+
+from data_frame_demo_etl_spark import registry  # noqa: E402
+from data_frame_demo_etl_spark.session import get_spark  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+# --- pandas equivalents (reference engine semantics) ---------------------
+
+def pd_combine_on_agg():
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    out = (
+        li.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            ["l_quantity", "l_extendedprice"]
+        ].sum(min_count=1)
+    )
+    return len(out)
+
+
+def pd_dedupe_keep_first():
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    out = li.sort_values(["l_orderkey", "l_linenumber"]).drop_duplicates(
+        subset=["l_partkey", "l_suppkey"], keep="first"
+    )
+    return len(out)
+
+
+def pd_unpivot_part():
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    out = part.melt(
+        id_vars=["p_partkey", "p_name"],
+        value_vars=["p_size", "p_retailprice"],
+        var_name="attribute",
+        value_name="value",
+    )
+    return len(out)
+
+
+def pd_dedup_exact():
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    out = docs.sort_values("doc_id").drop_duplicates(subset=["text"], keep="first")
+    return len(out)
+
+
+PANDAS = {
+    "combine_on_agg": pd_combine_on_agg,
+    "dedupe_keep_first": pd_dedupe_keep_first,
+    "unpivot_part": pd_unpivot_part,
+    "dedup_exact": pd_dedup_exact,
+}
+
+
+def _best_of(fn, n=2):
+    fn()  # warmup
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="pandas-baseline")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    results = {}
+    for name, pfn in PANDAS.items():
+        # partial datasets (e.g. a lineitem-only 100× build) run the
+        # ops whose input tables exist and skip the rest
+        table = {"unpivot_part": "part", "dedup_exact": "documents"}.get(name, "lineitem")
+        if not os.path.exists(f"{SF}/{table}.parquet"):
+            continue
+        sfn = qs[name]
+        results[name] = {
+            "pandas_s": _best_of(pfn),
+            "spark_s": _best_of(lambda: sfn(spark, SF).count()),
+        }
+    print(json.dumps({"sf_dir": SF, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
