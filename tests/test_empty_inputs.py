@@ -76,3 +76,15 @@ def test_packing_and_salted_join_on_empty(spark):
     assert salted_join(empty, one, "k").count() == 0
     assert salted_join(one, empty.select("k", F.col("v").alias("t2")), "k").count() == 0
     assert salted_join(one, empty.select("k", F.col("v").alias("t2")), "k", how="left").count() == 1
+
+
+def test_round4_ops_on_empty(spark):
+    from data_frame_demo_etl_spark.analytics.timeseries import interpolate_linear
+    from data_frame_demo_etl_spark.analytics.triangles import count_triangles
+
+    empty_edges = spark.createDataFrame([], "u long, v long")
+    row = count_triangles(empty_edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+
+    empty_series = spark.createDataFrame([], "k string, ts timestamp, v double")
+    assert interpolate_linear(empty_series, "k", "ts", "v").count() == 0
