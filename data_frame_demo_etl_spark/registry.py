@@ -13,17 +13,20 @@ green row get one, while a spine of category-representative keepers
 stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
-Round-4 window composition:
-- the 15 round-3b additions (TPC-H Q9-Q21 completion set, rolling
-  RANGE window, EXCEPT, CUBE, fuzzy matcher, repetition signals,
-  BPE encode-apply) + the redefined events_approx_stats — the only
-  queries without an external green row vs their current definition;
-- query_builder_filter, redefined this round (IN/BETWEEN/OR-groups);
-- a 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
+Round-5 window composition:
+- the 12 r4-era additions with no external green row yet (sketch-pair
+  clustering, salted skew join, sequence packing, Excel DataSource,
+  VARIANT extraction, HLL rollup, interpolation, triangles, native
+  session_window, and the three real-codec multimodal gates) — after
+  this round every registered query has an external green row against
+  its current definition;
+- the 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
   streaming, temporal, sources, sampling, the LLM flagship);
-- backfill with the 21 queries whose only external row is r1-era.
-Every other query is driver-green r2 or r3 and sits in tier 2,
-still fully covered by pytest + the local oracle harness.
+- backfill with the 26 queries whose NEWEST external row is oldest
+  (3 r1-era + the first 23 r2-era in registration order).
+Every other query is driver-green r3 or r4 against its current
+definition and sits in tier 2, still fully covered by pytest + the
+local oracle harness.
 """
 
 from __future__ import annotations
@@ -130,20 +133,134 @@ def _group_zscore_gate(spark, sf_dir):
         "l_orderkey", "l_returnflag", "l_quantity"
     )
 
-
 # ═══════════════════ TIER 1: driver window (50) ═══════════════════
-# Round-4 rotation: the 15 round-3b additions + the redefined
-# events_approx_stats (its r1 row predates the oracle-backed
-# sketch-vs-bound definition) — after this round every registered
-# query has an external green row against its CURRENT definition —
-# plus query_builder_filter (redefined this round: IN/BETWEEN/
-# OR-group operators), the 12-keeper category spine, and backfill
-# with the queries whose only green row is oldest (r1).
+# Round-5 rotation: the 12 r4-era additions that have never received
+# an external green row (TIER_ROTATION.md "Round-5 window draft") —
+# after this round EVERY registered query has an external green row
+# against its current definition — plus the 12-keeper category spine
+# and backfill with the queries whose NEWEST green row is oldest
+# (3 r1-era + the first 23 r2-era in registration order).
 
-# The group_zscore grid oracle import stays module-level for tier-2.
+# Late imports used by tier-1 rows (kept next to their rows in the
+# pre-rotation layout; hoisted here so the window block is pure
+# register() calls).
 from .operators.grouped import GROUP_ZSCORE_GRID_SQL  # noqa: E402
+from .analytics.triangles import SUPPLIER_TRIANGLES_SQL, supplier_triangles  # noqa: E402
+from .multimodal.audio_ops import (  # noqa: E402
+    MULTIMODAL_AUDIO_STATS_SQL,
+    multimodal_audio_stats,
+)
+from .multimodal.binary_ops import (  # noqa: E402
+    MULTIMODAL_VIDEO_FRAMES_SQL,
+    multimodal_video_frames,
+)
 
-# --- round-3b additions, never externally verified --- 16
+# --- r4-era additions, never externally verified --- 12
+register(
+    "dedup_clusters_minhash",
+    dedup_gate.dedup_clusters_minhash,
+    dedup_gate.DEDUP_CLUSTERS_MINHASH_SQL,
+)
+register(
+    "skew_salted_brand_revenue",
+    ops_gate.skew_salted_brand_revenue,
+    ops_gate.SKEW_SALTED_BRAND_REVENUE_SQL,
+)
+register(
+    "docs_sequence_packing",
+    ops_gate.docs_sequence_packing,
+    ops_gate.DOCS_SEQUENCE_PACKING_SQL,
+)
+register(
+    "ingest_excel_datasource",
+    src_gate.ingest_excel_datasource,
+    src_gate.INGEST_EXCEL_DATASOURCE_SQL,
+)
+register(
+    "events_variant_extract",
+    streaming_events.events_variant_extract,
+    streaming_events.EVENTS_VARIANT_EXTRACT_SQL,
+)
+register(
+    "events_hll_rollup",
+    sketches.events_hll_rollup,
+    sketches.EVENTS_HLL_ROLLUP_SQL,
+)
+register(
+    "events_interpolate",
+    timeseries.events_interpolate,
+    timeseries.EVENTS_INTERPOLATE_SQL,
+)
+register("supplier_triangles", supplier_triangles, SUPPLIER_TRIANGLES_SQL)
+register(
+    "events_session_window",
+    streaming_events.events_session_window_native,
+    streaming_events.EVENTS_SESSION_WINDOW_SQL,
+)
+register("multimodal_decode_real", multimodal_decode_real, MULTIMODAL_DECODE_REAL_SQL)
+register("multimodal_audio_stats", multimodal_audio_stats, MULTIMODAL_AUDIO_STATS_SQL)
+register("multimodal_video_frames", multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL)
+
+# --- KEEPERS: category spine --- 24
+register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
+register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
+register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
+register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, dedup_gate.DEDUP_MINHASH_LSH_SQL)
+register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
+register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
+register("events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL)
+register(
+    "asof_view_before_purchase",
+    tmp_gate.asof_view_before_purchase,
+    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
+)
+register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
+register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
+register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
+register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
+
+# --- backfill: newest external row is oldest (r1/r2-era) --- 50
+register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
+register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
+register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
+register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
+register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
+register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
+register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
+register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
+register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
+register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
+register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
+register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
+register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
+register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
+register(
+    "validate_coercion_metrics",
+    ops_gate.validate_coercion_metrics,
+    ops_gate.VALIDATE_COERCION_METRICS_SQL,
+)
+register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
+register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
+register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
+register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
+register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
+register("text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL)
+register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
+register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
+register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
+register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
+register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
+
+_TIER1 = len(_REGISTRY)
+assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
+
+#: The driver-window queries, in registration order (consumed by the
+#: plan-contract test, which holds every windowed plan to the scan/
+#: join/shuffle shape we want at 100 TB).
+TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
+
+# ═══════════ TIER 2: externally green vs current definition ═══════════
+
 register(
     "q9_product_type_profit", tpch_more.q9_product_type_profit, tpch_more.Q9_PRODUCT_TYPE_PROFIT_SQL
 )
@@ -196,29 +313,7 @@ register(
 )
 register("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_DOCUMENTS_SQL)
 register("events_approx_stats", sketches.events_approx_stats, sketches.EVENTS_APPROX_STATS_SQL)
-
-# --- redefined this round (IN/BETWEEN/OR-group ops) --- 17
 register("query_builder_filter", ops_gate.query_builder_filter, ops_gate.QUERY_BUILDER_FILTER_SQL)
-
-# --- KEEPERS: category spine --- 29
-register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL)
-register("revenue_by_region", tpch.revenue_by_region, tpch.REVENUE_BY_REGION_SQL)
-register("llm_prep_pipeline", pipelines_llm.llm_prep_pipeline, pipelines_llm.LLM_PREP_PIPELINE_SQL)
-register("dedup_minhash_lsh", dedup_gate.dedup_minhash_lsh, dedup_gate.DEDUP_MINHASH_LSH_SQL)
-register("dedup_ngram_jaccard", dedup_gate.dedup_ngram_jaccard, dedup_gate.DEDUP_NGRAM_JACCARD_SQL)
-register("clean_transform", ops_gate.clean_transform, ops_gate.CLEAN_TRANSFORM_SQL)
-register("events_sessionize", streaming_events.events_sessionize, streaming_events.EVENTS_SESSIONIZE_SQL)
-register(
-    "asof_view_before_purchase",
-    tmp_gate.asof_view_before_purchase,
-    tmp_gate.ASOF_VIEW_BEFORE_PURCHASE_SQL,
-)
-register("ann_cosine_topk", sim_gate.ann_cosine_topk, sim_gate.ANN_COSINE_TOPK_SQL)
-register("ingest_csv_template", src_gate.ingest_csv_template, src_gate.INGEST_CSV_TEMPLATE_SQL)
-register("pipeline_e2e", src_gate.pipeline_e2e, src_gate.PIPELINE_E2E_SQL)
-register("sample_documents", ops_gate.sample_documents, ops_gate.SAMPLE_DOCUMENTS_SQL)
-
-# --- backfill: oldest external row is r1 --- 50
 register("q3_shipping_priority", tpch.q3_shipping_priority, tpch.Q3_SQL)
 register("q5_local_supplier_volume", tpch.q5_local_supplier_volume, tpch.Q5_SQL)
 register("q4_order_priority", relational.q4_order_priority, relational.Q4_ORDER_PRIORITY_SQL)
@@ -258,21 +353,6 @@ register(
     "scd2_customer_history", ops_gate.scd2_customer_history, ops_gate.SCD2_CUSTOMER_HISTORY_SQL
 )
 register("events_engagement", engagement.events_engagement, engagement.EVENTS_ENGAGEMENT_SQL)
-
-_TIER1 = len(_REGISTRY)
-assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
-
-#: The driver-window queries, in registration order (consumed by the
-#: plan-contract test, which holds every windowed plan to the scan/
-#: join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
-
-# ═══════════ TIER 2: externally green vs current definition ═══════════
-
-# Added in r4 (real BMP codec gate) — first candidate for the r5
-# window rotation.
-register("multimodal_decode_real", multimodal_decode_real, MULTIMODAL_DECODE_REAL_SQL)
-
 register(
     "q2_min_cost_supplier", relational.q2_min_cost_supplier, relational.Q2_MIN_COST_SUPPLIER_SQL
 )
@@ -339,36 +419,6 @@ register(
 register(
     "ingest_jdbc_roundtrip", src_gate.ingest_jdbc_roundtrip, src_gate.INGEST_JDBC_ROUNDTRIP_SQL
 )
-register("top_n_orders", engagement.top_n_orders, engagement.TOP_N_ORDERS_SQL)
-register("per_segment_summary", engagement.per_segment_summary, engagement.PER_SEGMENT_SUMMARY_SQL)
-register("orders_per_year", engagement.orders_per_year, engagement.ORDERS_PER_YEAR_SQL)
-register("iso8601_duration", engagement.iso8601_duration, engagement.ISO8601_DURATION_SQL)
-register("unpivot_part", ops_gate.unpivot_part, ops_gate.UNPIVOT_PART_SQL)
-register("combine_concat", ops_gate.combine_concat, ops_gate.COMBINE_CONCAT_SQL)
-register("combine_merge", ops_gate.combine_merge, ops_gate.COMBINE_MERGE_SQL)
-register("combine_on_agg", ops_gate.combine_on_agg, ops_gate.COMBINE_ON_AGG_SQL)
-register("dedupe_keep_first", ops_gate.dedupe_keep_first, ops_gate.DEDUPE_KEEP_FIRST_SQL)
-register("profile_metrics", ops_gate.profile_metrics, ops_gate.PROFILE_METRICS_SQL)
-register("profile_column_stats", ops_gate.profile_column_stats, ops_gate.PROFILE_COLUMN_STATS_SQL)
-register(
-    "validate_coercion_metrics",
-    ops_gate.validate_coercion_metrics,
-    ops_gate.VALIDATE_COERCION_METRICS_SQL,
-)
-register("text_token_count", fn_gate.text_token_count, fn_gate.TEXT_TOKEN_COUNT_SQL)
-register("text_quality_score", fn_gate.text_quality_score, fn_gate.TEXT_QUALITY_SCORE_SQL)
-register("text_lang_id", fn_gate.text_lang_id, fn_gate.TEXT_LANG_ID_SQL)
-register("text_fingerprint", fn_gate.text_fingerprint, fn_gate.TEXT_FINGERPRINT_SQL)
-register("text_pii_redact", fn_gate.text_pii_redact, fn_gate.TEXT_PII_REDACT_SQL)
-register("text_gopher_quality", fn_gate.text_gopher_quality, fn_gate.TEXT_GOPHER_QUALITY_SQL)
-register("text_repetition_score", fn_gate.text_repetition_score, fn_gate.TEXT_REPETITION_SCORE_SQL)
-register("text_chunking", fn_gate.text_chunking, fn_gate.TEXT_CHUNKING_SQL)
-register("docs_with_embeddings", fn_gate.docs_with_embeddings, fn_gate.DOCS_WITH_EMBEDDINGS_SQL)
-register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
-register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
-register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
-register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
-register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 register(
     "embeddings_label_stats", sim_gate.embeddings_label_stats, sim_gate.EMBEDDINGS_LABEL_STATS_SQL
 )
@@ -400,58 +450,3 @@ register(
     ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
 )
 register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
-register(
-    "dedup_clusters_minhash",
-    dedup_gate.dedup_clusters_minhash,
-    dedup_gate.DEDUP_CLUSTERS_MINHASH_SQL,
-)
-register(
-    "skew_salted_brand_revenue",
-    ops_gate.skew_salted_brand_revenue,
-    ops_gate.SKEW_SALTED_BRAND_REVENUE_SQL,
-)
-register(
-    "docs_sequence_packing",
-    ops_gate.docs_sequence_packing,
-    ops_gate.DOCS_SEQUENCE_PACKING_SQL,
-)
-register(
-    "ingest_excel_datasource",
-    src_gate.ingest_excel_datasource,
-    src_gate.INGEST_EXCEL_DATASOURCE_SQL,
-)
-register(
-    "events_variant_extract",
-    streaming_events.events_variant_extract,
-    streaming_events.EVENTS_VARIANT_EXTRACT_SQL,
-)
-register(
-    "events_hll_rollup",
-    sketches.events_hll_rollup,
-    sketches.EVENTS_HLL_ROLLUP_SQL,
-)
-register(
-    "events_interpolate",
-    timeseries.events_interpolate,
-    timeseries.EVENTS_INTERPOLATE_SQL,
-)
-from .analytics.triangles import SUPPLIER_TRIANGLES_SQL, supplier_triangles  # noqa: E402
-
-register("supplier_triangles", supplier_triangles, SUPPLIER_TRIANGLES_SQL)
-register(
-    "events_session_window",
-    streaming_events.events_session_window_native,
-    streaming_events.EVENTS_SESSION_WINDOW_SQL,
-)
-from .multimodal.audio_ops import (  # noqa: E402
-    MULTIMODAL_AUDIO_STATS_SQL,
-    multimodal_audio_stats,
-)
-
-register("multimodal_audio_stats", multimodal_audio_stats, MULTIMODAL_AUDIO_STATS_SQL)
-from .multimodal.binary_ops import (  # noqa: E402
-    MULTIMODAL_VIDEO_FRAMES_SQL,
-    multimodal_video_frames,
-)
-
-register("multimodal_video_frames", multimodal_video_frames, MULTIMODAL_VIDEO_FRAMES_SQL)

@@ -29,12 +29,27 @@ from ..dedup.incremental import build_lsh_index, incremental_dedup_batch
 _EMPTY_DOCS = "doc_id long, text string"
 
 
-def _load_index(spark: SparkSession, index_dir: str):
+def _load_index(spark: SparkSession, index_dir: str, before_batch_id: int | None = None):
     """(signatures, buckets) for the accepted corpus; empty-but-typed
-    frames when no batch has committed yet."""
+    frames when no batch has committed yet.
+
+    ``before_batch_id`` bounds the read to index deltas from STRICTLY
+    EARLIER epochs. This is what makes replay idempotent: a retried
+    epoch N (crash after the ``batch_id=N`` delta dirs were written
+    but before the streaming checkpoint committed) must NOT see its
+    own failed attempt's deltas — otherwise every previously-admitted
+    doc collides with its own signature (est_jaccard = 1.0), the whole
+    batch is rejected, and the replay overwrites corpus and index with
+    empty data. The filter is on the ``batch_id`` partition column, so
+    it is pure partition pruning (no data read from excluded epochs).
+    """
     sig_dir, bucket_dir = f"{index_dir}/signatures", f"{index_dir}/buckets"
     if os.path.isdir(sig_dir):
-        return spark.read.parquet(sig_dir), spark.read.parquet(bucket_dir)
+        sig, bb = spark.read.parquet(sig_dir), spark.read.parquet(bucket_dir)
+        if before_batch_id is not None:
+            sig = sig.filter(sig["batch_id"] < before_batch_id)
+            bb = bb.filter(bb["batch_id"] < before_batch_id)
+        return sig.drop("batch_id"), bb.drop("batch_id")
     empty = spark.createDataFrame([], _EMPTY_DOCS)
     sig, bb = build_lsh_index(empty)
     return sig, bb
@@ -47,7 +62,7 @@ def make_dedup_ingest_batch_fn(index_dir: str, out_dir: str, threshold: float = 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
-        sig, buckets = _load_index(spark, index_dir)
+        sig, buckets = _load_index(spark, index_dir, before_batch_id=batch_id)
         decisions = incremental_dedup_batch(
             batch_df, sig, buckets, threshold=threshold
         )

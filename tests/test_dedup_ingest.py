@@ -65,3 +65,38 @@ def test_streaming_dedup_ingest_two_batches(spark, tmp_path):
     # epoch directories exist (the replay-idempotence layout)
     assert (tmp_path / "corpus" / "batch_id=0").is_dir()
     assert (tmp_path / "corpus" / "batch_id=1").is_dir()
+
+
+def test_replayed_epoch_reproduces_admission(spark, tmp_path):
+    """Crash-replay semantics: epoch N's index deltas land on disk but
+    the checkpoint never commits, so the engine re-runs epoch N with
+    the SAME batch_id. The probe must not see the failed attempt's own
+    deltas (else every admitted doc collides with its own signature
+    and the replay silently wipes the batch)."""
+    from data_frame_demo_etl_spark.streaming.dedup_ingest import (
+        make_dedup_ingest_batch_fn,
+    )
+
+    fn = make_dedup_ingest_batch_fn(
+        index_dir=str(tmp_path / "index"), out_dir=str(tmp_path / "corpus")
+    )
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    fn(b1, 0)
+    first = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus" / "batch_id=0")).collect()
+    )
+    assert first == [1, 2]
+
+    # replay epoch 0: index deltas for batch_id=0 already exist on disk
+    fn(b1, 0)
+    replayed = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus" / "batch_id=0")).collect()
+    )
+    assert replayed == first
+
+    # a LATER epoch still sees epoch 0's index (near-dup of doc 1 dropped)
+    fn(spark.createDataFrame(B2, SCHEMA), 1)
+    admitted2 = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus" / "batch_id=1")).collect()
+    )
+    assert admitted2 == [11, 12]
