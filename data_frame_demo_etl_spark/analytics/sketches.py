@@ -245,11 +245,16 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials (`hll_union_agg`) instead of rescanning raw events.
 
     The gate pins two properties per event_type:
-    - `merge_eq_direct`: the merged-partials estimate equals the
-      direct whole-data sketch estimate EXACTLY (the same Datasketches
-      HLL is associative — the rollup loses nothing);
-    - `merged_ok`: the estimate sits within 3σ of exact distinct
-      (σ ≈ 1.04/√2^12 for the default lgConfigK=12).
+    - `merge_eq_direct`: the merged-partials estimate agrees with the
+      direct whole-data sketch estimate to within 0.5% relative. In
+      practice the two are EXACTLY equal on this data (Datasketches
+      HLL union is associative), but exact equality depends on union
+      internals — coupon-mode promotion, the union target's lgK/HLL
+      type — so a Spark or datasketches upgrade could legitimately
+      perturb the last ulp; the gate pins the statistical agreement,
+      not the library internals.
+    - `merged_ok` (the correctness gate): the estimate sits within 3σ
+      of exact distinct (σ ≈ 1.04/√2^12 for the default lgConfigK=12).
     The oracle replays exact distinct counts and expects both TRUE.
     """
     from ..sources.catalog import load_table
@@ -274,7 +279,10 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "distinct_users",
-            (F.col("est_merged") == F.col("est_direct")).alias("merge_eq_direct"),
+            (
+                F.abs(F.col("est_merged") - F.col("est_direct"))
+                <= F.lit(0.005) * F.col("est_direct")
+            ).alias("merge_eq_direct"),
             (
                 F.abs(F.col("est_merged") - F.col("distinct_users"))
                 <= F.lit(3 * rsd) * F.col("distinct_users")

@@ -28,6 +28,20 @@ from ..sources.catalog import load_table
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong supplier co-purchase pairs (u < v); see `_copurchase_edges`.
+
+    Releases the internal pair cache before returning, so the caller
+    gets an uncached plan (one recompute of the pair table on first
+    downstream action). `supplier_triangles` uses the cached variant
+    and unpersists after its counts materialize."""
+    edges, pairs = _copurchase_edges(spark, sf_dir)
+    pairs.unpersist()
+    return edges
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Strong supplier co-purchase pairs (u < v): the top decile of
     pairs by shared-order count (co-occurrence ≥ the exact p90 order
     statistic), so the graph keeps real structure at ANY scale factor
@@ -41,7 +55,13 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest of the query combined). Value-identical to the oracle's
     ROW_NUMBER formulation: the order statistic at position
     ceil(0.9·n) lies inside the block of equal counts the cumulative
-    histogram identifies."""
+    histogram identifies.
+
+    Returns (edges, cached_pairs). The pair table stays persisted
+    (it feeds both the driver-side histogram and the edge filter);
+    the CALLER must unpersist `cached_pairs` once the edges have been
+    consumed — leaving it cached accumulates the largest intermediate
+    of the query across runs."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -58,7 +78,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = sum(cnt for _, cnt in hist)
     if n == 0:
-        return pairs.select("u", "v")
+        return pairs.select("u", "v"), pairs
     pos = max(1, -(-90 * n // 100))
     cum, thresh = 0, hist[-1][0]
     for c_val, cnt in hist:
@@ -66,7 +86,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cum >= pos:
             thresh = c_val
             break
-    return pairs.filter(F.col("c") >= thresh).select("u", "v")
+    return pairs.filter(F.col("c") >= thresh).select("u", "v"), pairs
 
 
 def count_triangles(edges: DataFrame) -> DataFrame:
@@ -118,7 +138,13 @@ def count_triangles(edges: DataFrame) -> DataFrame:
 
 def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: triangle census of the supplier co-purchase graph."""
-    return count_triangles(copurchase_edges(spark, sf_dir))
+    edges, pairs = _copurchase_edges(spark, sf_dir)
+    result = count_triangles(edges)
+    # count_triangles materialized every count; release the pair cache
+    # (the largest intermediate) instead of letting it accumulate
+    # across bench/test runs.
+    pairs.unpersist()
+    return result
 
 
 SUPPLIER_TRIANGLES_SQL = """

@@ -303,3 +303,100 @@ SELECT DISTINCT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, i
 
 
 DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
+
+
+def dedup_clusters_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-winner selection (the Dolma/CCNet rule):
+    near-dup clusters keep their BEST-quality member, not the lowest
+    doc_id. Composes the 100 TB sketch-pair cluster path
+    (`dedup_clusters_minhash`) with the document quality heuristic
+    (functions/text.py:quality_score) — one extra broadcast-free join
+    on doc_id plus one per-cluster window.
+
+    Determinism across engines: the winner comparison runs on the
+    quality score snapped to a 1e-6 INTEGER grid (the score is already
+    rounded to 6 decimals, so the grid is exact), with doc_id ASC as
+    the tie-break — a 1-ulp double difference between Spark and the
+    oracle can never flip the ranking.
+
+    Scale note: the window partitions by cluster, whose size is
+    bounded by the near-dup semantics (a cluster is a set of mutual
+    ~80%-similar docs, not a power-law key), so no salting is needed.
+    """
+    from ..functions.text import quality_score
+    from .clusters import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=THRESHOLD, hash_fn="md5", max_bucket_size=200
+    )
+    comps = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    scored = comps.join(
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality")), "doc_id"
+    ).withColumn(
+        "qi", F.round(F.col("quality") * 1_000_000).cast("long")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.desc("qi"), F.asc("doc_id"))
+    return (
+        scored.withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster", "quality", "is_kept")
+        .orderBy("doc_id")
+    )
+
+
+def _keep_best_oracle_sql() -> str:
+    from ..functions.text import STOPWORDS
+
+    sw = "', '".join(STOPWORDS)
+    return (
+        "WITH RECURSIVE "
+        + _MINHASH_PAIR_CTES.strip()
+        + rf""",
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.8),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+),
+clusters AS (SELECT u AS doc_id, MIN(r) AS cluster FROM reach GROUP BY u),
+qf AS (
+  SELECT
+    doc_id,
+    CAST(LENGTH(text) AS DOUBLE) AS n,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '')) AS DOUBLE) AS wc,
+    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w IN ('{sw}'))) AS DOUBLE) AS sw,
+    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\w\s]')) AS DOUBLE) AS punct
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    ROUND(
+      0.5 * LEAST(n / 500.0, 1.0)
+      + 0.5 * LEAST((CASE WHEN wc > 0 THEN sw / wc ELSE 0.0 END) * 5, 1.0)
+      - 0.25 * LEAST((CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4, 1.0),
+    6) AS quality
+  FROM qf
+),
+scored AS (
+  SELECT c.doc_id, c.cluster, q.quality,
+         CAST(ROUND(q.quality * 1000000) AS BIGINT) AS qi
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster, quality,
+       (ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY qi DESC, doc_id ASC) = 1) AS is_kept
+FROM scored
+ORDER BY doc_id
+"""
+    )
+
+
+DEDUP_CLUSTERS_KEEP_BEST_SQL = _keep_best_oracle_sql()

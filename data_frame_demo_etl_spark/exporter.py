@@ -93,13 +93,17 @@ def export_dataset(
         else:
             continue
         written[fmt] = target
-
-    if defer_metrics:
-        spark = df.sparkSession
-        target = str(written[columnar[0]])
-        back = spark.read.orc(target) if columnar[0] == "orc" else spark.read.parquet(target)
-        manifest["metrics"] = profile_metrics(back)
-        manifest["metrics"]["source"] = f"{columnar[0]} output"
+        # Fill deferred output-mode metrics as soon as the first
+        # columnar format lands, not after the loop: formats are
+        # sorted, so "xlsx" serializes the manifest meta sheet LAST —
+        # but only if the metrics already exist by then. Computing
+        # here keeps the workbook's meta sheet consistent with
+        # manifest.json.
+        if defer_metrics and fmt == columnar[0]:
+            spark = df.sparkSession
+            back = spark.read.orc(str(target)) if fmt == "orc" else spark.read.parquet(str(target))
+            manifest["metrics"] = profile_metrics(back)
+            manifest["metrics"]["source"] = f"{fmt} output"
 
     manifest["run_completed_at"] = datetime.now(timezone.utc).isoformat()
     manifest_path = out / "manifest.json"

@@ -9,11 +9,13 @@ pure-stdlib decoder can cover:
   header our synthetic assets carry (magic, width, height, channels)
   — exercising the full path with engine-replayable bytes.
 - ``decode="real"``: decodes actual image files — BMP (24-bit
-  uncompressed BI_RGB, top-down or bottom-up) and PPM (binary P6,
-  maxval 255) — to RGB pixel buffers with no dependencies. Other
-  formats (PNG/JPEG/audio/video) raise ValueError naming the
+  uncompressed BI_RGB, top-down or bottom-up), PPM (binary P6,
+  maxval 255), and PNG (non-interlaced 8-bit RGB: zlib inflate +
+  all five row unfilters) — to RGB pixel buffers with no
+  dependencies. Other formats (JPEG) raise ValueError naming the
   supported set; swap PIL/ffmpeg into the same UDF on a cluster that
-  has them.
+  has them. Audio (WAV) and video (VID0) live in audio_ops.py and
+  the video section below.
 
 At 100 TB this layout is the standard one: payloads stay in parquet
 binary columns (or are pointers into object storage), metadata is
@@ -143,6 +145,127 @@ def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, bytes(body)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Stdlib PNG writer: 8-bit truecolor (color type 2), non-
+    interlaced. Rows CYCLE through all five filter types (None/Sub/
+    Up/Average/Paeth) so a round-trip exercises every unfilter branch
+    of the decoder, not just the trivial one."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(stride):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                raw.append(row[x])
+            elif ftype == 1:
+                raw.append((row[x] - a) & 0xFF)
+            elif ftype == 2:
+                raw.append((row[x] - b) & 0xFF)
+            elif ftype == 3:
+                raw.append((row[x] - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((row[x] - _paeth(a, b, c)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Stdlib PNG decoder: zlib inflate + per-row unfilter. Supports
+    8-bit truecolor (color type 2), non-interlaced — the shape
+    `encode_png` writes and the overwhelmingly common web/PIL default
+    for RGB; anything else raises naming the constraint."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit truecolor (RGB) PNG supported")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    out = bytearray(width * height * 3)
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for x in range(stride):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pass
+            elif ftype == 1:
+                row[x] = (row[x] + a) & 0xFF
+            elif ftype == 2:
+                row[x] = (row[x] + b) & 0xFF
+            elif ftype == 3:
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                row[x] = (row[x] + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    return width, height, 3, bytes(out)
+
+
 def decode_real(content: bytes) -> tuple[int, int, int, bytes]:
     """Sniff-and-decode a real image payload to (w, h, channels, RGB).
     Dependency-free formats only; anything else raises with the
@@ -151,9 +274,12 @@ def decode_real(content: bytes) -> tuple[int, int, int, bytes]:
         return _decode_bmp(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
+    if content[:8] == PNG_SIG:
+        return _decode_png(content)
     raise ValueError(
-        "unsupported image format (stdlib codecs cover BMP 24-bit and "
-        "PPM P6); install PIL/ffmpeg and extend decode_real for others"
+        "unsupported image format (stdlib codecs cover BMP 24-bit, "
+        "PPM P6, and non-interlaced 8-bit RGB PNG); install PIL/ffmpeg "
+        "and extend decode_real for others"
     )
 
 
@@ -332,11 +458,16 @@ ORDER BY asset_id
 """
 
 
-def docs_as_bmp_assets(docs: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
-    """Encode each document's leading text bytes as a REAL 24-bit BMP
-    (truncated/zero-padded to exactly w*h*3 bytes) via mapInPandas —
+def docs_as_bmp_assets(
+    docs: DataFrame, width: int = 4, height: int = 4, fmt: str = "bmp"
+) -> DataFrame:
+    """Encode each document's leading text bytes as a REAL image file
+    (24-bit BMP by default, ``fmt="png"`` for non-interlaced RGB PNG;
+    truncated/zero-padded to exactly w*h*3 bytes) via mapInPandas —
     deterministic image bytes an external engine can reason about."""
     n_rgb = width * height * 3
+    encoder = encode_png if fmt == "png" else encode_bmp
+    media = "image/png" if fmt == "png" else "image/bmp"
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -347,8 +478,8 @@ def docs_as_bmp_assets(docs: DataFrame, width: int = 4, height: int = 4) -> Data
                 rows.append(
                     {
                         "asset_id": doc_id,
-                        "media_type": "image/bmp",
-                        "content": encode_bmp(width, height, rgb),
+                        "media_type": media,
+                        "content": encoder(width, height, rgb),
                         "meta": {
                             "width": width,
                             "height": height,
@@ -372,6 +503,20 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_assets(docs_as_bmp_assets(docs), decode="real").orderBy("asset_id")
+
+
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: documents → REAL PNG encode (zlib deflate, filter types
+    cycling 0-4) → distributed REAL decode (inflate + unfilter) →
+    pixel stats. Same pixel-formula oracle as the BMP gate: the
+    decoded RGB buffer must byte-equal the document's leading text
+    bytes regardless of which container carried them."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_assets(docs_as_bmp_assets(docs, fmt="png"), decode="real").orderBy(
+        "asset_id"
+    )
 
 
 # ASCII corpus: codepoints == UTF-8 bytes; BMP payload is the first

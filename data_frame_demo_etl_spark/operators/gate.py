@@ -81,7 +81,6 @@ ORDER BY p_partkey
 # --- C1 concat ------------------------------------------------------------
 
 def combine_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-join merge of two column subsets with suffix handling (combine_runner merge parity)."""
     """Strict-schema concat of two order slices (unionByName parity with combine_runner concat)."""
     l = load_table(spark, "lineitem", sf_dir)
     a = l.filter(F.col("l_returnflag") == "A").select(
@@ -105,7 +104,7 @@ ORDER BY l_orderkey, l_linenumber
 # --- C2 merge -------------------------------------------------------------
 
 def combine_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """combine_on groupby-sum over lineitem (engine.py:199-221 parity at analytical scale)."""
+    """Key-join merge of two column subsets with suffix handling (combine_runner merge parity)."""
     orders = load_table(spark, "orders", sf_dir).select(
         F.col("o_custkey").alias("custkey"),
         "o_orderkey",
@@ -138,7 +137,7 @@ ORDER BY o_orderkey
 # --- T9 combine_on aggregate ---------------------------------------------
 
 def combine_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedupe_on keep=first with an explicit order key (deterministic distributed 'first')."""
+    """combine_on groupby-sum over lineitem (engine.py:199-221 parity at analytical scale)."""
     l = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey",
         "l_returnflag",
@@ -169,7 +168,7 @@ ORDER BY l_orderkey, l_returnflag
 # --- T10 dedupe keep-first ------------------------------------------------
 
 def dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manifest metrics: rows, duplicate rows, per-column null% in a single aggregation."""
+    """dedupe_on keep=first with an explicit order key (deterministic distributed 'first')."""
     l = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
@@ -191,7 +190,7 @@ ORDER BY l_orderkey
 # --- V2 profile metrics ---------------------------------------------------
 
 def profile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column schema-candidate stats (numeric ratio, year-like ratio, avg length) in one agg pass."""
+    """Manifest metrics: rows, duplicate rows, per-column null% in a single aggregation."""
     orders = load_table(spark, "orders", sf_dir)
     return profile_metrics_df(orders)
 
@@ -213,7 +212,7 @@ FROM orders
 # --- N5 column stats ------------------------------------------------------
 
 def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QuerySpec select+filter ops (= != > >= < <= contains, IN, BETWEEN, OR-groups) -> Catalyst filters; the generated SQL is the oracle."""
+    """Per-column schema-candidate stats (numeric ratio, year-like ratio, avg length) in one agg pass."""
     docs = load_table(spark, "documents", sf_dir)
     return column_stats_df(docs).orderBy("column_name")
 
@@ -274,6 +273,7 @@ _QB_SPEC = QuerySpec(
 
 
 def query_builder_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuerySpec select+filter ops (= != > >= < <= contains, IN, BETWEEN, OR-groups) -> Catalyst filters; the generated SQL is the oracle."""
     part = load_table(spark, "part", sf_dir)
     return _QB_SPEC.apply(part)
 
@@ -455,7 +455,6 @@ ORDER BY source, doc_id
 
 
 def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract validation with typed-coercion failure counts in one pass."""
     """Deterministic 20% content-hash sample of documents via the
     engine-portable md5-prefix key, so DuckDB reproduces the exact row
     set (the xxhash64 `deterministic_sample` stays the in-Spark fast
@@ -477,6 +476,7 @@ ORDER BY doc_id
 # --- V1 validation coercion metrics --------------------------------------
 
 def validate_coercion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract validation with typed-coercion failure counts in one pass."""
     docs = load_table(spark, "documents", sf_dir)
     mixed = docs.select(
         "doc_id",
@@ -689,3 +689,75 @@ SELECT doc_id, seq_id,
 FROM spans
 ORDER BY doc_id, seq_id
 """
+
+
+def docs_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL tokenizer counts: learn the corpus BPE
+    merges (functions/bpe.py, 5 deterministic rounds), count each
+    document's tokens under the merged vocabulary, and cut the token
+    stream into 512-token sequences with the same distributed two-pass
+    prefix sum as `docs_sequence_packing` — the actual training-batch
+    contract (whitespace counts over- or under-fill sequences the
+    moment a tokenizer exists).
+
+    The learn step collects 5 (left, right) rules to the driver
+    (bounded by N_MERGES, not data); encoding runs over the DISTINCT
+    WORD vocabulary and joins counts back (sublinear in corpus size);
+    packing adds one range partitioning and a #partitions-row collect.
+    """
+    from ..functions.bpe import encode_with_merges, learn_bpe_merges
+    from .packing import pack_counted_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    rules = [
+        (r["merge_left"], r["merge_right"])
+        for r in learn_bpe_merges(docs).orderBy("merge_idx").collect()
+    ]
+    counted = encode_with_merges(docs, rules).select("doc_id", "n_tokens")
+    return pack_counted_sequences(counted, seq_len=512).orderBy("doc_id", "seq_id")
+
+
+# Oracle: the unrolled-CTE BPE encode (same generator the L12 gate
+# uses) feeding the packing CTEs of DOCS_SEQUENCE_PACKING_SQL.
+from ..functions.bpe import N_MERGES as _BPE_N, _bpe_round_ctes as _bpe_ctes  # noqa: E402
+
+DOCS_SEQUENCE_PACKING_BPE_SQL = (
+    """
+WITH words AS (
+  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+s0 AS (
+  SELECT w, c, ' ' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), '  ') || ' ' AS s FROM wc
+),
+"""
+    + ",\n".join(_bpe_ctes(r) for r in range(1, _BPE_N + 1))
+    + f""",
+vt AS (SELECT w, LEN(STRING_SPLIT(TRIM(s), '  ')) AS nt FROM s{_BPE_N}),
+dw AS (
+  SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM dw JOIN vt USING (w) GROUP BY doc_id
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT doc_id, n_tokens, start,
+         UNNEST(GENERATE_SERIES(CAST(FLOOR(start / 512.0) AS BIGINT),
+                                CAST(FLOOR((start + n_tokens - 1) / 512.0) AS BIGINT))) AS seq_id
+  FROM placed
+)
+SELECT doc_id, seq_id,
+       GREATEST(CAST(0 AS BIGINT), seq_id * 512 - start) AS tok_start,
+       LEAST(n_tokens, (seq_id + 1) * 512 - start) AS tok_end,
+       n_tokens
+FROM spans
+ORDER BY doc_id, seq_id
+"""
+)

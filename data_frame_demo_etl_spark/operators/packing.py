@@ -100,7 +100,24 @@ def pack_token_sequences(
     total corpus tokens, every sequence except the last holds exactly
     ``seq_len`` tokens — both properties pinned in tests."""
     counted = with_token_counts(docs, text_col).select(id_col, "n_tokens")
-    placed = _global_offsets(counted.filter(F.col("n_tokens") > 0), id_col, "n_tokens")
+    return pack_counted_sequences(counted, seq_len, id_col=id_col)
+
+
+def pack_counted_sequences(
+    counted: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """The packing core over PRE-COMPUTED per-document token counts
+    ``(id_col, n_col)`` — the seam that lets any tokenizer (whitespace
+    above, learned BPE in operators/gate.py:docs_sequence_packing_bpe)
+    feed the same two-pass prefix-sum layout."""
+    placed = _global_offsets(
+        counted.filter(F.col(n_col) > 0).select(id_col, F.col(n_col).alias("n_tokens")),
+        id_col,
+        "n_tokens",
+    )
     first_seq = F.floor(F.col("start") / seq_len)
     last_seq = F.floor((F.col("start") + F.col("n_tokens") - 1) / seq_len)
     return (

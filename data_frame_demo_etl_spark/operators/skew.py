@@ -109,6 +109,7 @@ def salted_join(
     on: str | list[str],
     n_salts: int = 8,
     how: str = "inner",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-mitigating equi-join for BIG ⋈ BIG shapes where one key is
     hot (the mitigation `key_skew_profile` above tells you to apply —
@@ -131,14 +132,24 @@ def salted_join(
     `small` the genuinely smaller side. If `small` fits in memory,
     broadcast it instead; salting is for the band where neither side
     broadcasts but one key dominates.
+
+    Salt-derivation corner: the salt is ``xxhash64`` over the FULL
+    big-side row, so BYTE-IDENTICAL duplicate rows all hash to the
+    same salt — a degenerate corpus made of one repeated row defeats
+    the split (all copies land on one reducer). That shape doesn't
+    occur in the fact tables this targets (some column — order key,
+    line number, timestamp — always varies); if yours differs, pass
+    ``salt_col`` naming a big-side column with distinct-ish values
+    (a row id, an offset) and the salt hashes that column alone.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     small_rep = small.withColumn("__salt", F.explode(salts))
+    salt_src = [F.col(salt_col)] if salt_col else [F.col(c) for c in big.columns]
     big_salted = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
+        F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int"),
     )
     return big_salted.join(small_rep, on=keys + ["__salt"], how=how).drop("__salt")

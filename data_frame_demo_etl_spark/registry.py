@@ -450,3 +450,16 @@ register(
     ops_gate.PACK_DOCUMENTS_BY_BUDGET_SQL,
 )
 register("events_exact_stats", sketches.events_exact_stats, sketches.EVENTS_EXACT_STATS_SQL)
+register(
+    "dedup_clusters_keep_best",
+    dedup_gate.dedup_clusters_keep_best,
+    dedup_gate.DEDUP_CLUSTERS_KEEP_BEST_SQL,
+)
+register(
+    "docs_sequence_packing_bpe",
+    ops_gate.docs_sequence_packing_bpe,
+    ops_gate.DOCS_SEQUENCE_PACKING_BPE_SQL,
+)
+from .multimodal.binary_ops import multimodal_decode_png  # noqa: E402
+
+register("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_REAL_SQL)

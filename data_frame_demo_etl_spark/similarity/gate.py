@@ -30,7 +30,6 @@ def _queries(emb: DataFrame) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-k; deterministic plane constants shared with the generated oracle."""
     """Brute-force exact cosine top-5 for the first 10 query vectors (broadcast query set, JVM-side dot products)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return brute_force_topk(emb, _queries(emb), k=K).orderBy("query_id", "rank")
@@ -57,6 +56,7 @@ ORDER BY query_id, rank
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-k; deterministic plane constants shared with the generated oracle."""
     emb = load_table(spark, "embeddings", sf_dir)
     return lsh_topk(emb, _queries(emb), dim=DIM, k=K).orderBy("query_id", "rank")
 

@@ -300,7 +300,6 @@ def sliding_event_stats(
     window: str = "1 hour",
     slide: str = "15 minutes",
 ) -> DataFrame:
-    """Sliding/hopping window (1h window, 15m hop) event aggregates; each event lands in 4 windows."""
     """Sliding (hopping) window aggregate: each event lands in
     window/slide overlapping windows (4 here). `F.window` with a
     slide duration is the Structured-Streaming-compatible form — the

@@ -358,3 +358,39 @@ def test_count_triangles_known_graphs(spark):
 
     square = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], ["u", "v"])
     assert count_triangles(square).collect()[0].n_triangles == 0
+
+
+def test_keep_best_prefers_quality_over_lowest_id(spark, tmp_path):
+    """Planted cluster for dedup_clusters_keep_best: three near-dup
+    docs where the HIGHEST doc_id has the best quality score — the
+    Dolma/CCNet winner rule must keep it and drop the others (the
+    lowest-id rule the plain cluster gates use would pick doc 1)."""
+    from data_frame_demo_etl_spark.dedup.gate import dedup_clusters_keep_best
+
+    base = " ".join(
+        "the quick brown fox and the lazy dog are walking with some other animals "
+        "over the old wooden bridge near the river where they often rest".split()
+    )
+    rows = [
+        # near-dups: same text; doc 30 doubled -> same shingles + two
+        # boundary shingles (jaccard stays ~0.95) but twice the length
+        # -> strictly higher quality score.
+        (10, base),
+        (20, base),
+        (30, base + " " + base),
+        # unrelated singleton (no pair -> not in the cluster output)
+        (99, "completely different content about distributed shuffle hash joins"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup_clusters_keep_best(spark, str(tmp_path)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {10, 20, 30}  # the singleton has no pairs
+    assert all(r.cluster == 10 for r in out)  # one component, min-id label
+    kept = [r.doc_id for r in out if r.is_kept]
+    assert kept == [30]  # best quality wins, NOT lowest id
+    assert by_id[30].quality > by_id[10].quality

@@ -194,3 +194,34 @@ def test_video_container_roundtrip_and_sampling(spark):
     r = next(x for x in feats if x.asset_id == 1 and x.frame_idx == 2)
     body = _video_frame_rgb(1, 2, 3 + 1 % 3, 2 + 1 % 2)
     assert r.checksum == sum(body) % (1 << 31)
+
+
+def test_png_round_trip_exercises_all_filters():
+    """encode_png cycles row filters 0-4, so a >=5-row image proves
+    every unfilter branch reconstructs the exact pixel bytes."""
+    from data_frame_demo_etl_spark.multimodal.binary_ops import (
+        _decode_png,
+        encode_png,
+    )
+
+    w, h = 7, 6  # 6 rows -> filters 0,1,2,3,4,0
+    rgb = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    png = encode_png(w, h, rgb)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    gw, gh, gc, got = _decode_png(png)
+    assert (gw, gh, gc) == (w, h, 3)
+    assert got == rgb
+
+
+def test_decode_real_sniffs_png_and_names_unsupported():
+    import pytest as _pytest
+
+    from data_frame_demo_etl_spark.multimodal.binary_ops import (
+        decode_real,
+        encode_png,
+    )
+
+    rgb = bytes(range(48))
+    assert decode_real(encode_png(4, 4, rgb))[3] == rgb
+    with _pytest.raises(ValueError, match="PNG"):
+        decode_real(b"\xff\xd8\xff\xe0 fake jpeg bytes")

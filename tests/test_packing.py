@@ -130,3 +130,41 @@ def test_packing_hypothesis_random_sizes(spark):
             per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + (r.tok_end - r.tok_start)
         last = max(per_seq)
         assert all(n == 64 for s, n in per_seq.items() if s != last)
+
+
+def test_pack_counted_sequences_bpe_counts_conservation(spark, sf_dir):
+    """The BPE-count composition (docs_sequence_packing_bpe): packing
+    over learned-tokenizer counts preserves the two invariants —
+    token conservation and exactly-seq_len interior sequences — and
+    its totals differ from the whitespace variant (proving the BPE
+    counts actually flowed through)."""
+    from data_frame_demo_etl_spark.functions.bpe import (
+        encode_with_merges,
+        learn_bpe_merges,
+    )
+    from data_frame_demo_etl_spark.operators.packing import pack_counted_sequences
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rules = [
+        (r["merge_left"], r["merge_right"])
+        for r in learn_bpe_merges(docs).orderBy("merge_idx").collect()
+    ]
+    counted = encode_with_merges(docs, rules).select("doc_id", "n_tokens")
+    total_bpe = counted.agg(F.sum("n_tokens")).collect()[0][0]
+
+    out = pack_counted_sequences(counted, seq_len=512)
+    packed_total = out.agg(F.sum(F.col("tok_end") - F.col("tok_start"))).collect()[0][0]
+    assert packed_total == total_bpe  # conservation
+
+    per_seq = out.groupBy("seq_id").agg(
+        F.sum(F.col("tok_end") - F.col("tok_start")).alias("n")
+    )
+    max_seq = per_seq.agg(F.max("seq_id")).collect()[0][0]
+    bad = per_seq.filter((F.col("seq_id") < max_seq) & (F.col("n") != 512)).count()
+    assert bad == 0  # every interior sequence holds exactly 512
+
+    ws_total = (
+        with_token_counts(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert total_bpe != ws_total  # a real tokenizer changed the stream

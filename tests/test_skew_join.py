@@ -104,3 +104,90 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS customer_bucketed")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_salt_col_spreads_byte_identical_duplicate_rows(spark):
+    """The documented salt-derivation corner: a big side made of one
+    repeated row defeats the full-row hash (all copies -> one salt),
+    while `salt_col` over a distinct row id restores the spread —
+    and the join result is identical either way."""
+    dup = spark.createDataFrame([(0, "same") for _ in range(200)], ["k", "v"])
+    withid = dup.withColumn("rid", F.monotonically_increasing_id())
+    small = spark.createDataFrame([(0, "hot")], ["k", "tag"])
+
+    full_row_salts = (
+        dup.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in dup.columns]), F.lit(8)).cast("int")
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert full_row_salts == 1  # the degenerate shape
+
+    salted = salted_join(withid, small, "k", n_salts=8, salt_col="rid")
+    spread = (
+        withid.withColumn("__salt", F.pmod(F.xxhash64(F.col("rid")), F.lit(8)).cast("int"))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread >= 6  # rid hash scatters the copies
+    got = sorted(tuple(r) for r in salted.drop("rid").collect())
+    want = sorted(tuple(r) for r in withid.join(small, "k").drop("rid").collect())
+    assert got == want
+
+
+def test_salting_bounds_max_task_under_agg_fed_skew(spark):
+    """Pins the documented policy 'prefer AQE's skew split; salt when
+    AQE can't see it': the big side is ITSELF an aggregation output
+    with one hot join key. AQE's OptimizeSkewedJoin only fires when a
+    sort-merge-join partition exceeds the skew thresholds
+    (skewedPartitionThresholdInBytes, 256MB default) — a hot key of a
+    few thousand rows never crosses them, so without salting its rows
+    all hash into ONE task. Salting must bound the max task at
+    ~hot/n_salts regardless of AQE. Partition coalescing is disabled
+    for the measurement (it merges small partitions and would hide
+    the per-task distribution)."""
+    n_hot, n_salts = 4000, 32
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # salting targets the band where NEITHER side broadcasts; at
+        # this toy scale Spark would happily broadcast either side and
+        # skip the shuffle whose distribution we're measuring.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        raw = spark.range(n_hot + 400).select(
+            F.when(F.col("id") < n_hot, F.lit(0)).otherwise(F.col("id")).alias("user_id"),
+            F.col("id").alias("event_id"),
+        )
+        # aggregation-fed big side: rows arrive already grouped
+        big = raw.groupBy("user_id", "event_id").agg(F.count(F.lit(1)).alias("n"))
+        small = spark.createDataFrame(
+            [(0, "hot-dim")] + [(k, f"d{k}") for k in range(n_hot, n_hot + 400, 40)],
+            ["user_id", "tag"],
+        )
+
+        def max_task_rows(joined):
+            sizes = (
+                joined.groupBy(F.spark_partition_id().alias("p"))
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+            )
+            return sizes
+
+        plain_max = max_task_rows(big.join(small.hint("merge"), "user_id"))
+        salted_max = max_task_rows(
+            salted_join(big, small, "user_id", n_salts=n_salts, salt_col="event_id")
+        )
+        assert plain_max >= n_hot  # the hot key collapsed into one task
+        # The exact split depends on how the salts bin-pack into the
+        # session's shuffle partitions (4 in tests), so pin the
+        # guarantee that matters: the max task shrank by the number of
+        # occupied reducers, i.e. at least halved.
+        assert salted_max <= plain_max // 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
