@@ -33,9 +33,15 @@ JACCARD_THRESHOLD = 0.8
 KEEP_LANGS = ("en", "und")
 
 
-def prepare_corpus(docs: DataFrame) -> DataFrame:
+def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
     """The deterministic (oracle-able) portion: hygiene → filters →
-    exact dedup → near-dup cluster resolution."""
+    exact dedup → near-dup cluster resolution.
+
+    ``winner`` picks the cluster-resolution rule: ``"min_id"`` keeps
+    the lowest doc_id (stable, cheap); ``"best_quality"`` keeps the
+    highest-quality member (the Dolma/CCNet production rule), compared
+    on the 1e-6 integer quality grid with doc_id ASC tie-break so the
+    choice is engine-exact."""
     # Redact FIRST, then score the redacted text (matches the oracle's
     # `feats FROM redacted` CTE). A single select would score the
     # ORIGINAL column — sibling aliases don't resolve within a select —
@@ -59,9 +65,23 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
 
     pairs = jaccard_pairs(exact, threshold=JACCARD_THRESHOLD)
     comps = connected_components(pairs)
-    losers = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
-    )
+    if winner == "best_quality":
+        from pyspark.sql import Window
+
+        members = comps.select(F.col("id").alias("doc_id"), "component")
+        scored_m = members.join(exact.select("doc_id", "quality"), "doc_id").withColumn(
+            "qi", F.round(F.col("quality") * 1_000_000).cast("long")
+        )
+        w = Window.partitionBy("component").orderBy(F.desc("qi"), F.asc("doc_id"))
+        losers = (
+            scored_m.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") != 1)
+            .select("doc_id")
+        )
+    else:
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
     return exact.join(losers, "doc_id", "left_anti")
 
 
@@ -200,3 +220,40 @@ LEFT JOIN clusters c ON c.doc_id = e.doc_id
 WHERE c.doc_id IS NULL OR c.component = e.doc_id
 ORDER BY e.doc_id
 """
+
+
+def llm_prep_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the same pipeline with the production winner rule —
+    near-dup clusters keep their BEST-quality member instead of the
+    lowest doc_id (threads operators/gate.py's D11 selection into the
+    flagship composition)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        prepare_corpus(docs, winner="best_quality")
+        .select("doc_id", "source", "n_chars", "quality", "lang_pred")
+        .orderBy("doc_id")
+    )
+
+
+# Shares every CTE with LLM_PREP_PIPELINE_SQL up to `clusters`; only
+# the winner rule in the final projection differs.
+_PIPE_PREFIX = LLM_PREP_PIPELINE_SQL[: LLM_PREP_PIPELINE_SQL.rindex("SELECT e.doc_id")]
+
+LLM_PREP_KEEP_BEST_SQL = (
+    _PIPE_PREFIX
+    + """SELECT e.doc_id, e.source, e.n_chars, e.quality, e.lang_pred
+FROM exact e
+LEFT JOIN clusters c ON c.doc_id = e.doc_id
+WHERE c.doc_id IS NULL OR e.doc_id IN (
+  SELECT doc_id FROM (
+    SELECT m.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.component
+             ORDER BY CAST(ROUND(x.quality * 1000000) AS BIGINT) DESC, m.doc_id ASC
+           ) AS rn
+    FROM clusters m JOIN exact x ON x.doc_id = m.doc_id
+  ) WHERE rn = 1
+)
+ORDER BY e.doc_id
+"""
+)

@@ -463,3 +463,8 @@ register(
 from .multimodal.binary_ops import multimodal_decode_png  # noqa: E402
 
 register("multimodal_decode_png", multimodal_decode_png, MULTIMODAL_DECODE_REAL_SQL)
+register(
+    "llm_prep_keep_best",
+    pipelines_llm.llm_prep_keep_best,
+    pipelines_llm.LLM_PREP_KEEP_BEST_SQL,
+)

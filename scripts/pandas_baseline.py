@@ -67,11 +67,54 @@ def pd_dedup_exact():
     return len(out)
 
 
+def pd_text_gopher():
+    """Gopher quality flags (functions/text.py:gopher_quality_flags) in
+    the reference's pandas model: vectorized str ops where pandas has
+    them, a per-row apply for the line-level rules (exactly how the
+    reference's engine.py applies row-wise heuristics)."""
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    t = docs["text"].fillna("")
+    n_words = t.str.count(r"\S+")
+    word_chars = t.str.len() - t.str.count(r"\s")
+    mean_len = (word_chars / n_words).where(n_words > 0, 0.0)
+    symbols = t.str.count(r"(#|\.\.\.|…)")
+    alpha_words = t.str.count(r"(?:^|\s)(?=\S*[A-Za-z])\S+")
+
+    bullet_re = re.compile(r"^([*\-•]|[0-9]+[.)])")
+    ellipsis_re = re.compile(r"(\.\.\.|…)$")
+
+    def line_ratios(s: str):
+        lines = [l.strip() for l in s.split("\n") if l.strip()]
+        n = max(len(lines), 1)
+        bullets = sum(1 for l in lines if bullet_re.match(l))
+        ell = sum(1 for l in lines if ellipsis_re.search(l))
+        return bullets / n, ell / n
+
+    ratios = t.apply(line_ratios)
+    bullet_ratio = ratios.str[0]
+    ellipsis_ratio = ratios.str[1]
+
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & ((symbols / n_words).where(n_words > 0, 1.0) <= 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & ((alpha_words / n_words).where(n_words > 0, 0.0) >= 0.8)
+    )
+    return int(keep.sum())
+
+
 PANDAS = {
     "combine_on_agg": pd_combine_on_agg,
     "dedupe_keep_first": pd_dedupe_keep_first,
     "unpivot_part": pd_unpivot_part,
     "dedup_exact": pd_dedup_exact,
+    "text_gopher_quality": pd_text_gopher,
 }
 
 
@@ -93,7 +136,11 @@ def main() -> None:
     for name, pfn in PANDAS.items():
         # partial datasets (e.g. a lineitem-only 100× build) run the
         # ops whose input tables exist and skip the rest
-        table = {"unpivot_part": "part", "dedup_exact": "documents"}.get(name, "lineitem")
+        table = {
+            "unpivot_part": "part",
+            "dedup_exact": "documents",
+            "text_gopher_quality": "documents",
+        }.get(name, "lineitem")
         if not os.path.exists(f"{SF}/{table}.parquet"):
             continue
         sfn = qs[name]

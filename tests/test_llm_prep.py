@@ -87,3 +87,33 @@ def test_prepare_training_set_with_decontamination(spark, sf_oracle_dir):
     for df in splits.values():
         all_ids |= {r.doc_id for r in df.collect()}
     assert not (all_ids & {0, 1, 2, 3, 4})
+
+
+def test_llm_prep_keep_best_winner_differs_from_min_id(spark, tmp_path):
+    """Planted corpus where the near-dup cluster's best-quality member
+    has the HIGHEST doc_id: prepare_corpus(winner="best_quality") must
+    keep it, while the default min_id rule keeps the lowest — proving
+    the pipeline actually threads the quality-aware rule (the sf0.01
+    corpus has quality-tied clusters, where both rules coincide)."""
+    from data_frame_demo_etl_spark.pipelines_llm import prepare_corpus
+
+    base = (
+        "the quick brown fox and the lazy dog are walking with some other "
+        "animals over the old wooden bridge near the river where they rest"
+    )
+    rows = [
+        (10, base),
+        (20, base),
+        (30, base + " " + base),  # same shingle set, double length => higher quality
+        (99, "the completely different corpus text talks about shuffle "
+             "joins and the broadcast strategy that the optimizer picks"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    best = sorted(r.doc_id for r in prepare_corpus(docs, winner="best_quality").collect())
+    min_id = sorted(r.doc_id for r in prepare_corpus(docs).collect())
+    assert best == [30, 99]
+    assert min_id == [10, 99]
