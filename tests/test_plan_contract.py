@@ -155,3 +155,47 @@ def test_salted_join_plan_no_cartesian_and_pruned(spark, sf_dir):
 def test_cluster_minhash_plan_no_cartesian(spark, sf_dir):
     rep = plan_report(registry.queries()["dedup_clusters_minhash"](spark, sf_dir))
     assert rep.nested_loop_joins == 0, rep.raw[:2000]
+
+
+# --- round-5 additions (registered outside the rotated window) -----------
+
+def test_keep_best_plan_prunes_and_no_cartesian(spark, sf_dir):
+    """dedup_clusters_keep_best: the quality join must not widen the
+    documents scan — [doc_id, text] only, no cartesian anywhere in the
+    sketch→components→window composition."""
+    rep = plan_report(registry.queries()["dedup_clusters_keep_best"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0, rep.raw[:2000]
+    doc_lines = [l for l in rep.raw.splitlines() if "FileScan" in l and "documents" in l]
+    assert doc_lines, rep.raw[:2000]
+    for line in doc_lines:
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in line, f"keep_best scan reads {unused}: {line[:200]}"
+
+
+def test_bpe_packing_plan_prunes(spark, sf_dir):
+    """docs_sequence_packing_bpe: both the learn and encode scans of
+    documents read only [doc_id, text]."""
+    rep = plan_report(registry.queries()["docs_sequence_packing_bpe"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0, rep.raw[:2000]
+    doc_lines = [l for l in rep.raw.splitlines() if "FileScan" in l and "documents" in l]
+    assert doc_lines
+    for line in doc_lines:
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in line, f"bpe packing scan reads {unused}: {line[:200]}"
+
+
+def test_png_gate_plan_prunes(spark, sf_dir):
+    """multimodal_decode_png: the encode mapInPandas consumes only
+    [doc_id, text] — column pruning must reach the scan through the
+    Arrow boundary."""
+    rep = plan_report(registry.queries()["multimodal_decode_png"](spark, sf_dir))
+    doc_lines = [l for l in rep.raw.splitlines() if "FileScan" in l and "documents" in l]
+    assert doc_lines
+    for line in doc_lines:
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in line, f"png scan reads {unused}: {line[:200]}"
+
+
+def test_llm_keep_best_plan_no_cartesian(spark, sf_dir):
+    rep = plan_report(registry.queries()["llm_prep_keep_best"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0, rep.raw[:2000]
