@@ -253,3 +253,189 @@ SELECT bucket, event_type, v_micro, v_holed,
 FROM ctx
 ORDER BY event_type, bucket
 """
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC bar resampling: per (time bucket, key) open / high / low /
+    close / count / sum — the financial-candle / metrics-downsample
+    primitive (reference has no analog; beyond-reference time-series
+    surface alongside gapfill/interpolate).
+
+    Open/close are the FIRST/LAST value in (ts, tiebreak) order —
+    picked with row_number marks folded into the same groupBy, not a
+    separate self-join. The window and the aggregation share the
+    (bucket, key) partitioning, so the whole operator is ONE shuffle:
+    Catalyst reuses the window's hash partitioning for the groupBy.
+    Determinism: the tiebreak column makes first/last total orders,
+    so any engine picks the same rows.
+    """
+    base = df.select(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(val_col).alias("_v"),
+    )
+    w_a = Window.partitionBy("bucket", "key").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    w_d = Window.partitionBy("bucket", "key").orderBy(
+        F.col("_ts").desc(), F.col("_tb").desc()
+    )
+    marked = base.withColumn("_rn_a", F.row_number().over(w_a)).withColumn(
+        "_rn_d", F.row_number().over(w_d)
+    )
+    return marked.groupBy("bucket", "key").agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col("_v"))).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col("_v"))).alias("close"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_v").alias("total"),
+    )
+
+
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: hourly OHLC bars of event value per event_type, on the
+    exact micro-unit integer grid (value × 1e6 as BIGINT) so every
+    column — including the summed volume — compares bit-exact against
+    the oracle."""
+    events = load_table(spark, "events", sf_dir)
+    base = events.filter(F.col("value").isNotNull()).select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    out = ohlc_resample(base, "event_type", "ts", "v_micro", "event_id", "hour")
+    return out.select(
+        "bucket",
+        F.col("key").alias("event_type"),
+        F.col("open").alias("open_micro"),
+        F.col("high").alias("high_micro"),
+        F.col("low").alias("low_micro"),
+        F.col("close").alias("close_micro"),
+        "n_points",
+        F.col("total").alias("sum_micro"),
+    ).orderBy("bucket", "event_type")
+
+
+EVENTS_OHLC_HOURLY_SQL = """
+WITH base AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+  WHERE value IS NOT NULL
+),
+marked AS (
+  SELECT bucket, event_type, v_micro,
+    ROW_NUMBER() OVER (PARTITION BY bucket, event_type ORDER BY ts ASC, event_id ASC) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY bucket, event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT bucket, event_type,
+  MAX(CASE WHEN rn_a = 1 THEN v_micro END) AS open_micro,
+  MAX(v_micro) AS high_micro,
+  MIN(v_micro) AS low_micro,
+  MAX(CASE WHEN rn_d = 1 THEN v_micro END) AS close_micro,
+  COUNT(*) AS n_points,
+  CAST(SUM(v_micro) AS BIGINT) AS sum_micro
+FROM marked
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+"""
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+    span: int = 16,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (adjusted form,
+    pandas `ewm(alpha).mean()` semantics truncated to the last `span`
+    observations): y_t = Σ_{i<span} w_i·x_{t-i} / Σ w_i with
+    w_i = α(1-α)^i over the non-null lags present in the partition.
+
+    Expressed as `span` explicit LAG terms over ONE (key, ts) window —
+    a single shuffle, no self-join, no UDF, and a frame that any SQL
+    engine reproduces bit-for-bit because the weighted sum is written
+    as one fixed left-to-right chain (with α = 0.5 every weight is a
+    power of two, so each product is exact in IEEE-754). The truncation
+    at `span` is what keeps the expression width constant — the weight
+    tail below (1-α)^span is ≤ 2^-16 of the signal, and an unbounded
+    recursive form would either need an iterative fixpoint or a full
+    running window; neither survives a 100× partition.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    v = F.col(val_col).cast("double")
+    num = None
+    den = None
+    for i in range(span):
+        wt = alpha * (1.0 - alpha) ** i
+        term = F.lag(v, i).over(w) if i else v
+        t = F.when(term.isNotNull(), term * F.lit(wt)).otherwise(F.lit(0.0))
+        d = F.when(term.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    out = F.floor(num / den * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return df.withColumn(f"{val_col}_ewma", out)
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: EWMA (α=0.5, span 16) over the hourly per-type event-value
+    series — same exact integer-micro series as `events_interpolate`,
+    so the smoothing arithmetic is the only floating-point step and it
+    rounds to the 1e-6 grid."""
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("v_micro"))
+    )
+    out = ewma(hourly, "event_type", "bucket", "v_micro", alpha=0.5, span=16)
+    return out.select(
+        "bucket", "event_type", "v_micro", F.col("v_micro_ewma").alias("v_ewma")
+    ).orderBy("event_type", "bucket")
+
+
+def _ewma_sql(alpha: float = 0.5, span: int = 16) -> str:
+    num = []
+    den = []
+    for i in range(span):
+        wt = repr(alpha * (1.0 - alpha) ** i)
+        term = (
+            "CAST(v_micro AS DOUBLE)"
+            if i == 0
+            else f"LAG(CAST(v_micro AS DOUBLE), {i}) OVER w"
+        )
+        num.append(f"CASE WHEN {term} IS NOT NULL THEN ({term}) * {wt} ELSE 0.0 END")
+        den.append(f"CASE WHEN {term} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num_sql = " + ".join(num)
+    den_sql = " + ".join(den)
+    return f"""
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT bucket, event_type, v_micro,
+  FLOOR(({num_sql}) / ({den_sql}) * 1000000 + 0.5) / 1000000 AS v_ewma
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+ORDER BY event_type, bucket
+"""
+
+
+EVENTS_EWMA_SQL = _ewma_sql()

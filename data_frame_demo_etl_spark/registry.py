@@ -468,3 +468,8 @@ register(
     pipelines_llm.llm_prep_keep_best,
     pipelines_llm.LLM_PREP_KEEP_BEST_SQL,
 )
+
+# ---- round-5 additions (registered AFTER the frozen 50-query driver
+# window; externally verifiable in the round-6 rotation) ----
+register("events_ohlc_hourly", timeseries.events_ohlc_hourly, timeseries.EVENTS_OHLC_HOURLY_SQL)
+register("events_ewma", timeseries.events_ewma, timeseries.EVENTS_EWMA_SQL)

@@ -145,3 +145,61 @@ def test_interpolate_linear_known_series(spark):
     assert out[("a", 1)] == 10.0 and out[("a", 4)] == 40.0
     assert out[("a", 2)] == 20.0  # 10 + (40-10) * 1/3
     assert out[("b", 2)] == 5.5
+
+
+def test_ohlc_resample_known_bars(spark):
+    """Planted hourly bars: open/close follow (ts, tiebreak) order
+    including a duplicate-timestamp tie broken by the id column."""
+    from data_frame_demo_etl_spark.analytics.timeseries import ohlc_resample
+
+    rows = [
+        # key "a", hour 0: values 5 (t=1), 9 (t=2), 1 (t=3), 7 (t=59)
+        ("a", _ts(1), 1, 5),
+        ("a", _ts(2), 2, 9),
+        ("a", _ts(3), 3, 1),
+        ("a", _ts(59), 4, 7),
+        # key "a", hour 1: duplicate ts → tiebreak id decides open AND close
+        ("a", _ts(61), 6, 30),
+        ("a", _ts(61), 5, 20),
+        # key "b", hour 0: single point — open=close=high=low
+        ("b", _ts(10), 7, 42),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, tb long, v long")
+    got = {
+        (r.key, r.bucket.hour): (r.open, r.high, r.low, r.close, r.n_points, r.total)
+        for r in ohlc_resample(df, "k", "ts", "v", "tb", "hour").collect()
+    }
+    assert got[("a", 0)] == (5, 9, 1, 7, 4, 22)
+    assert got[("a", 1)] == (20, 30, 20, 30, 2, 50)  # id 5 opens, id 6 closes
+    assert got[("b", 0)] == (42, 42, 42, 42, 1, 42)
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    """EWMA (α=.5, span wide enough to be untruncated) equals pandas'
+    adjusted ewm mean on a planted series, on the 1e-6 grid."""
+    import pandas as pd
+
+    from data_frame_demo_etl_spark.analytics.timeseries import ewma
+
+    vals = [100, 200, 50, 400, 0, 300]
+    rows = [("k", _ts(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    got = [
+        r.v_ewma
+        for r in ewma(df, "k", "ts", "v", alpha=0.5, span=16).orderBy("ts").collect()
+    ]
+    want = pd.Series(vals, dtype="float64").ewm(alpha=0.5, adjust=True).mean()
+    for g, w in zip(got, want):
+        assert abs(g - w) < 2e-6, (g, w)
+
+
+def test_ewma_truncation_and_null_start(spark):
+    """span=2 keeps only the last two observations: y_t = (x_t + .5·x_{t-1})/1.5."""
+    from data_frame_demo_etl_spark.analytics.timeseries import ewma
+
+    rows = [("k", _ts(0), 3.0), ("k", _ts(1), 6.0), ("k", _ts(2), 12.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = [r["v_ewma"] for r in ewma(df, "k", "ts", "v", span=2).orderBy("ts").collect()]
+    assert got[0] == 3.0
+    assert abs(got[1] - (6.0 + 0.5 * 3.0) / 1.5) < 1e-6
+    assert abs(got[2] - (12.0 + 0.5 * 6.0) / 1.5) < 1e-6
