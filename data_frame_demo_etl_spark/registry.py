@@ -473,3 +473,14 @@ register(
 # window; externally verifiable in the round-6 rotation) ----
 register("events_ohlc_hourly", timeseries.events_ohlc_hourly, timeseries.EVENTS_OHLC_HOURLY_SQL)
 register("events_ewma", timeseries.events_ewma, timeseries.EVENTS_EWMA_SQL)
+
+from .operators.bloom import (  # noqa: E402
+    BLOOM_PRUNED_BRAND_REVENUE_SQL,
+    bloom_pruned_brand_revenue,
+)
+
+register(
+    "bloom_pruned_brand_revenue",
+    bloom_pruned_brand_revenue,
+    BLOOM_PRUNED_BRAND_REVENUE_SQL,
+)
