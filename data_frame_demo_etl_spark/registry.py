@@ -484,3 +484,7 @@ register(
     bloom_pruned_brand_revenue,
     BLOOM_PRUNED_BRAND_REVENUE_SQL,
 )
+
+from .analytics.kcore import SUPPLIER_KCORE_SQL, supplier_kcore  # noqa: E402
+
+register("supplier_kcore", supplier_kcore, SUPPLIER_KCORE_SQL)
