@@ -301,3 +301,85 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile pattern: per-event_type p50/p90/p99 via
+    `approx_percentile` — Spark's GK/QuantileSummaries sketch, whose
+    partial aggregates ARE the mergeable rollup (map-side partials
+    merge on the reduce, the same property that lets a 100 TB scan
+    keep per-partition summaries instead of sorting values).
+
+    The gate pins the sketch's published rank guarantee instead of its
+    internals: for accuracy A the returned value's rank must lie within
+    n/A of the target rank. Verified with one conditional-count pass —
+    `cnt_le` (values ≤ returned) must reach the lower rank bound and
+    `cnt_lt` (values < returned) must not exceed the upper. Exact
+    percentiles (linear interpolation on the integer-micro grid) ride
+    along as the value columns both engines compute bit-equal.
+
+    Follows `events_hll_rollup` (above) — same oracle stance: the
+    oracle replays the exact side and expects the guarantee flags TRUE.
+    """
+    from ..sources.catalog import load_table
+
+    qs = [0.5, 0.9, 0.99]
+    acc = 10_000
+    events = load_table(spark, "events", sf_dir)
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+    )
+    summary = base.groupBy("event_type").agg(
+        F.percentile_approx("v", F.array(*[F.lit(q) for q in qs]), F.lit(acc)).alias("apx"),
+        F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("exact"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    probe = base.join(F.broadcast(summary), "event_type")
+    checks = []
+    for i, q in enumerate(qs):
+        a = F.element_at(F.col("apx"), i + 1)
+        cnt_le = F.sum(F.when(F.col("v") <= a, 1).otherwise(0))
+        cnt_lt = F.sum(F.when(F.col("v") < a, 1).otherwise(0))
+        n = F.first("n_values")
+        lo = F.ceil(F.lit(q) * n) - F.floor(n / F.lit(acc)) - F.lit(1)
+        hi = F.ceil(F.lit(q) * n) + F.floor(n / F.lit(acc)) + F.lit(1)
+        checks.append(((cnt_le >= lo) & (cnt_lt <= hi)).alias(f"p{int(q * 100)}_ok"))
+    out = probe.groupBy("event_type").agg(
+        F.first("n_values").alias("n_values"),
+        *[
+            F.element_at(F.first("exact"), i + 1).alias(f"p{int(q * 100)}_micro")
+            for i, q in enumerate(qs)
+        ],
+        *checks,
+    )
+    return out.select(
+        "event_type",
+        "n_values",
+        "p50_micro",
+        "p90_micro",
+        "p99_micro",
+        "p50_ok",
+        "p90_ok",
+        "p99_ok",
+    ).orderBy("event_type")
+
+
+EVENTS_QUANTILE_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_values,
+       QUANTILE_CONT(v, 0.5) AS p50_micro,
+       QUANTILE_CONT(v, 0.9) AS p90_micro,
+       QUANTILE_CONT(v, 0.99) AS p99_micro,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok,
+       TRUE AS p99_ok
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -488,3 +488,9 @@ register(
 from .analytics.kcore import SUPPLIER_KCORE_SQL, supplier_kcore  # noqa: E402
 
 register("supplier_kcore", supplier_kcore, SUPPLIER_KCORE_SQL)
+
+register(
+    "events_quantile_rollup",
+    sketches.events_quantile_rollup,
+    sketches.EVENTS_QUANTILE_ROLLUP_SQL,
+)
