@@ -494,3 +494,7 @@ register(
     sketches.events_quantile_rollup,
     sketches.EVENTS_QUANTILE_ROLLUP_SQL,
 )
+
+from .operators.layout import EVENTS_ZORDER_STATS_SQL, events_zorder_stats  # noqa: E402
+
+register("events_zorder_stats", events_zorder_stats, EVENTS_ZORDER_STATS_SQL)
