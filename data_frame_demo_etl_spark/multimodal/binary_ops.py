@@ -10,12 +10,13 @@ pure-stdlib decoder can cover:
   — exercising the full path with engine-replayable bytes.
 - ``decode="real"``: decodes actual image files — BMP (24-bit
   uncompressed BI_RGB, top-down or bottom-up), PPM (binary P6,
-  maxval 255), and PNG (non-interlaced 8-bit RGB: zlib inflate +
-  all five row unfilters) — to RGB pixel buffers with no
-  dependencies. Other formats (JPEG) raise ValueError naming the
-  supported set; swap PIL/ffmpeg into the same UDF on a cluster that
-  has them. Audio (WAV) and video (VID0) live in audio_ops.py and
-  the video section below.
+  maxval 255), PNG (non-interlaced 8-bit RGB: zlib inflate + all
+  five row unfilters), and baseline JPEG (SOF0, 4:4:4/4:2:2/4:2:0,
+  restart markers — multimodal/jpeg.py) — to RGB pixel buffers with
+  no dependencies beyond numpy. Anything else raises ValueError
+  naming the supported set; swap PIL/ffmpeg into the same UDF on a
+  cluster that has them. Audio (WAV) and video (VID0) live in
+  audio_ops.py and the video section below.
 
 At 100 TB this layout is the standard one: payloads stay in parquet
 binary columns (or are pointers into object storage), metadata is
@@ -276,10 +277,14 @@ def decode_real(content: bytes) -> tuple[int, int, int, bytes]:
         return _decode_ppm(content)
     if content[:8] == PNG_SIG:
         return _decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise ValueError(
-        "unsupported image format (stdlib codecs cover BMP 24-bit, "
-        "PPM P6, and non-interlaced 8-bit RGB PNG); install PIL/ffmpeg "
-        "and extend decode_real for others"
+        "unsupported image format (codecs cover BMP 24-bit, PPM P6, "
+        "non-interlaced 8-bit RGB PNG, and baseline JPEG); install "
+        "PIL/ffmpeg and extend decode_real for others"
     )
 
 
@@ -648,4 +653,70 @@ SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
        CAST(body_sum % 2147483648 AS BIGINT) AS checksum
 FROM px
 ORDER BY asset_id, frame_idx
+"""
+
+
+# ───────────────────── baseline JPEG gate ─────────────────────
+
+
+def _jpeg_fixture_rgb(asset_id: int, w: int = 8, h: int = 8) -> bytes:
+    """Deterministic SMOOTH gradient (no 0↔255 wraps): JPEG is lossy,
+    so the gate checks a PSNR floor, not byte equality — a smooth ramp
+    keeps quantization error tiny and the floor meaningful."""
+    import numpy as np
+
+    base = int(asset_id) % 128
+    x = np.arange(w)[None, :, None] * 4
+    y = np.arange(h)[:, None, None] * 4
+    c = np.arange(3)[None, None, :] * 8
+    return (base + x + y + c).astype(np.uint8).tobytes()
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per document, synthesize the formula gradient, encode it
+    as REAL baseline JPEG (4:4:4 for even ids, 4:2:0 for odd — both
+    decoder MCU paths run), decode through `decode_real`'s format
+    sniff, and report dims + a 30 dB PSNR floor. Unlike the lossless
+    BMP/PNG gates the oracle pins dimensions and the quality flag, not
+    byte identity — that's the honest contract for a lossy codec."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.catalog import load_table
+    from .jpeg import encode_jpeg
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rgb = _jpeg_fixture_rgb(doc_id)
+                sub = "420" if doc_id % 2 else "444"
+                enc = encode_jpeg(8, 8, rgb, quality=90, subsample=sub)
+                w, h, ch, out = decode_real(enc)
+                a = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+                b = np.frombuffer(out, dtype=np.uint8).astype(np.float64)
+                mse = float(((a - b) ** 2).mean())
+                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                rows.append((int(doc_id), w, h, ch, sub, bool(psnr >= 30.0)))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "channels", "subsample", "psnr_ok"],
+            )
+
+    schema = (
+        "asset_id long, width int, height int, channels int, "
+        "subsample string, psnr_ok boolean"
+    )
+    return docs.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+MULTIMODAL_DECODE_JPEG_SQL = """
+SELECT doc_id AS asset_id,
+       8 AS width, 8 AS height, 3 AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS subsample,
+       TRUE AS psnr_ok
+FROM documents
+ORDER BY asset_id
 """

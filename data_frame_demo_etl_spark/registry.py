@@ -498,3 +498,10 @@ register(
 from .operators.layout import EVENTS_ZORDER_STATS_SQL, events_zorder_stats  # noqa: E402
 
 register("events_zorder_stats", events_zorder_stats, EVENTS_ZORDER_STATS_SQL)
+
+from .multimodal.binary_ops import (  # noqa: E402
+    MULTIMODAL_DECODE_JPEG_SQL,
+    multimodal_decode_jpeg,
+)
+
+register("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL)

@@ -1,0 +1,73 @@
+"""Baseline JPEG codec: round-trip PSNR floors for both MCU layouts,
+odd sizes, grayscale passthrough in decode_real dispatch, and the
+named-constraint errors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_frame_demo_etl_spark.multimodal.binary_ops import decode_real
+from data_frame_demo_etl_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a: bytes, b: bytes) -> float:
+    x = np.frombuffer(a, dtype=np.uint8).astype(np.float64)
+    y = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+    mse = ((x - y) ** 2).mean()
+    return 99.0 if mse == 0 else float(10 * np.log10(255.0**2 / mse))
+
+
+def _gradient(w: int, h: int) -> bytes:
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes([(x * 12) % 256, (y * 19) % 256, ((x + y) * 7) % 256])
+    return bytes(out)
+
+
+@pytest.mark.parametrize("sub,floor", [("444", 34.0), ("420", 24.0)])
+@pytest.mark.parametrize("dims", [(16, 16), (21, 13), (33, 17)])
+def test_jpeg_roundtrip_psnr(sub, floor, dims):
+    w, h = dims
+    rgb = _gradient(w, h)
+    enc = encode_jpeg(w, h, rgb, quality=90, subsample=sub)
+    W, H, C, out = decode_jpeg(enc)
+    assert (W, H, C) == (w, h, 3)
+    assert _psnr(rgb, out) >= floor
+
+
+def test_jpeg_flat_color_is_near_exact():
+    rgb = bytes([120, 60, 200]) * (16 * 16)
+    _, _, _, out = decode_jpeg(encode_jpeg(16, 16, rgb, quality=85))
+    assert _psnr(rgb, out) >= 45.0  # only color-convert rounding remains
+
+
+def test_decode_real_sniffs_jpeg():
+    rgb = _gradient(8, 8)
+    w, h, c, out = decode_real(encode_jpeg(8, 8, rgb, quality=90))
+    assert (w, h, c) == (8, 8, 3)
+    assert _psnr(rgb, out) >= 30.0
+
+
+def test_jpeg_rejects_progressive():
+    enc = bytearray(encode_jpeg(8, 8, _gradient(8, 8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_rejects_non_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_quality_monotone():
+    rgb = _gradient(24, 24)
+    lo = encode_jpeg(24, 24, rgb, quality=30)
+    hi = encode_jpeg(24, 24, rgb, quality=95)
+    assert len(lo) < len(hi)
+    _, _, _, out_lo = decode_jpeg(lo)
+    _, _, _, out_hi = decode_jpeg(hi)
+    assert _psnr(rgb, out_hi) > _psnr(rgb, out_lo)
