@@ -223,5 +223,9 @@ def test_decode_real_sniffs_png_and_names_unsupported():
 
     rgb = bytes(range(48))
     assert decode_real(encode_png(4, 4, rgb))[3] == rgb
-    with _pytest.raises(ValueError, match="PNG"):
+    # JPEG now dispatches to the real baseline decoder; garbage after
+    # the SOI marker fails inside it, not as "unsupported format".
+    with _pytest.raises(ValueError):
         decode_real(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    with _pytest.raises(ValueError, match="JPEG"):
+        decode_real(b"GIF89a not a supported format")
