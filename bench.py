@@ -56,6 +56,13 @@ HEADLINE = [
     "events_hll_rollup",
     "events_interpolate",
     "supplier_triangles",
+    # round-5 additions (appended, same comparability rule)
+    "events_ohlc_hourly",
+    "events_ewma",
+    "bloom_pruned_brand_revenue",
+    "supplier_kcore",
+    "events_quantile_rollup",
+    "events_zorder_stats",
 ]
 
 
