@@ -199,3 +199,73 @@ def test_png_gate_plan_prunes(spark, sf_dir):
 def test_llm_keep_best_plan_no_cartesian(spark, sf_dir):
     rep = plan_report(registry.queries()["llm_prep_keep_best"](spark, sf_dir))
     assert rep.nested_loop_joins == 0, rep.raw[:2000]
+
+
+# --- round-5 additions (registered outside the rotated window) -----------
+
+def test_ohlc_plan_single_shuffle_and_pruned(spark, sf_dir):
+    """events_ohlc_hourly: the window and the groupBy share the
+    (bucket, event_type) partitioning — exactly ONE hash exchange; the
+    events scan must not read user_id/props."""
+    rep = plan_report(registry.queries()["events_ohlc_hourly"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges == 1, f"expected 1 hash exchange, got {rep.exchanges}\n{rep.raw[:3000]}"
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("user_id", "props"):
+                assert unused not in line, f"ohlc scan reads {unused}: {line[:200]}"
+
+
+def test_ewma_plan_single_shuffle(spark, sf_dir):
+    """events_ewma: 16 lag terms must come from ONE window pass over
+    one (event_type) exchange after the hourly agg — a plan with one
+    exchange per lag would be wrong."""
+    rep = plan_report(registry.queries()["events_ewma"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 2, f"hourly agg + window = 2 exchanges max\n{rep.raw[:3000]}"
+    assert rep.raw.count("Window") <= 2  # one logical window (+AQE rendering)
+
+
+def test_bloom_probe_stays_in_scan_stage(spark, sf_dir):
+    """bloom_pruned_brand_revenue: the probe is a codegen Filter over
+    the lineitem scan (no UDF, no extra exchange for the prune), and
+    the part side broadcasts."""
+    rep = plan_report(registry.queries()["bloom_pruned_brand_revenue"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert "BatchEvalPython" not in rep.raw and "ArrowEvalPython" not in rep.raw, (
+        "bloom probe left codegen for a Python eval node"
+    )
+    assert rep.broadcast_joins >= 1
+    assert any("p_brand" in f for f in rep.pushed_filters), rep.pushed_filters
+
+
+def test_zorder_gate_plan_pruned(spark, sf_dir):
+    """events_zorder_stats: pure scan+agg — no joins, and the scan
+    reads only user_id/event_id."""
+    rep = plan_report(registry.queries()["events_zorder_stats"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins == 0 and rep.sort_merge_joins == 0
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("props", "value", "event_type"):
+                assert unused not in line, f"zorder scan reads {unused}: {line[:200]}"
+
+
+def test_quantile_rollup_broadcasts_summary(spark, sf_dir):
+    """events_quantile_rollup: the per-type summary joins back to the
+    base as a broadcast (5 rows), never a shuffle join."""
+    rep = plan_report(registry.queries()["events_quantile_rollup"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins >= 1, rep.raw[:3000]
+
+
+def test_jpeg_gate_plan_pruned(spark, sf_dir):
+    """multimodal_decode_jpeg: the documents scan feeds mapInPandas
+    with ONLY doc_id — reading text for a formula-generated fixture
+    would ship the whole corpus through Arrow for nothing."""
+    rep = plan_report(registry.queries()["multimodal_decode_jpeg"](spark, sf_dir))
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            assert "doc_id" in line, line[:200]
+            for unused in ("text", "lang", "source", "n_chars"):
+                assert unused not in line, f"jpeg scan reads {unused}: {line[:200]}"
