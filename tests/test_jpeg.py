@@ -71,3 +71,58 @@ def test_jpeg_quality_monotone():
     _, _, _, out_lo = decode_jpeg(lo)
     _, _, _, out_hi = decode_jpeg(hi)
     assert _psnr(rgb, out_hi) > _psnr(rgb, out_lo)
+
+
+# ---- property tests (pure-python codec: no Spark session needed) ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sub=st.sampled_from(["444", "420"]),
+)
+def test_jpeg_roundtrip_never_corrupts_structure(w, h, seed, sub):
+    """ANY size (including 1×1 and non-multiples of the MCU) and any
+    pixel content round-trips to the exact dimensions with a bounded
+    worst-case error: quantized DCT error cannot exceed half the sum
+    of quantization steps — use the loose but universal 255-max bound
+    via mean error instead (noise images at q=95 stay under it)."""
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    enc = encode_jpeg(w, h, rgb, quality=95, subsample=sub)
+    W, H, C, out = decode_jpeg(enc)
+    assert (W, H, C) == (w, h, 3)
+    assert len(out) == w * h * 3
+    floor = 28.0 if sub == "444" else 9.0  # 4:2:0 chroma on noise is brutal
+    assert _psnr(rgb, out) >= floor
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=40),
+)
+def test_ewma_weights_sum_and_bounds(vals):
+    """EWMA output is always inside [min, max] of the inputs (convex
+    combination) and equals pandas' adjusted ewm within the rounding
+    grid while the window is untruncated."""
+    import pandas as pd
+
+    want = pd.Series(vals, dtype="float64").ewm(alpha=0.5, adjust=True).mean()
+    lo, hi = min(vals), max(vals)
+    for i, wv in enumerate(want):
+        assert lo - 1e-6 <= wv <= hi + 1e-6
+        if i < 16:
+            # mirror the Spark expression in pure python: same chain order
+            num = den = 0.0
+            for j in range(min(16, i + 1)):
+                wt = 0.5 * 0.5**j
+                num += vals[i - j] * wt
+                den += wt
+            import math
+
+            grid = math.floor(num / den * 1_000_000 + 0.5) / 1_000_000
+            assert abs(grid - wv) < 2e-6
