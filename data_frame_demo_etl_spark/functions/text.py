@@ -258,3 +258,69 @@ def gopher_quality_pass(text: Column) -> Column:
     for c in flags.values():
         out = out & c
     return out
+
+
+def nfc_normalize_column(df, text_col: str, out_col: str | None = None):
+    """Unicode NFC normalization of a string column — the first step of
+    any serious LLM text pipeline (decomposed sequences like
+    'a'+U+0300 vs the precomposed 'à' defeat exact dedup, hashing,
+    and tokenizer merges unless canonicalized first).
+
+    Spark has no built-in normalizer, so this is the documented
+    Arrow-batched slow path: `mapInPandas` applying the vectorized
+    pandas `.str.normalize("NFC")` per batch — never row-at-a-time
+    Python. Schema passes through unchanged plus the output column.
+    DuckDB's `nfc_normalize` implements the same UAX #15 form, which
+    is what makes the gate below fully oracle-checkable.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas batch type)
+
+    out_col = out_col or f"{text_col}_nfc"
+    fields = df.schema.fields
+
+    def batches(it):
+        for pdf in it:
+            pdf[out_col] = pdf[text_col].astype("string").str.normalize("NFC")
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    return df.mapInPandas(batches, schema=f"{schema}, {out_col} string")
+
+
+def text_nfc_normalize(spark, sf_dir: str):
+    """Gate: plant canonically-decomposed sequences into the (ASCII)
+    corpus JVM-side — every 'a' becomes 'a'+COMBINING GRAVE — then
+    NFC-normalize back through the Arrow path. Output pins the
+    codepoint-length contraction and the md5 of the normalized text,
+    both reproducible in DuckDB (`nfc_normalize`). An identity run on
+    ASCII would be a vacuous gate; the planted combining marks make
+    the normalization load-bearing."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    decomposed = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "a", "a\u0300").alias("text"),
+    )
+    out = nfc_normalize_column(decomposed, "text")
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_decomposed"),
+        F.length("text_nfc").cast("long").alias("len_nfc"),
+        F.md5(F.col("text_nfc")).alias("nfc_md5"),
+    ).orderBy("doc_id")
+
+
+TEXT_NFC_NORMALIZE_SQL = """
+WITH planted AS (
+  SELECT doc_id, REPLACE(text, 'a', 'a' || CHR(768)) AS text FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS len_decomposed,
+       LENGTH(nfc_normalize(text)) AS len_nfc,
+       MD5(nfc_normalize(text)) AS nfc_md5
+FROM planted
+ORDER BY doc_id
+"""

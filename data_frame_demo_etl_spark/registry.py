@@ -505,3 +505,7 @@ from .multimodal.binary_ops import (  # noqa: E402
 )
 
 register("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPEG_SQL)
+
+from .functions.text import TEXT_NFC_NORMALIZE_SQL, text_nfc_normalize  # noqa: E402
+
+register("text_nfc_normalize", text_nfc_normalize, TEXT_NFC_NORMALIZE_SQL)

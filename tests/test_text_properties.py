@@ -314,3 +314,18 @@ def test_bpe_encode_compresses(spark, sf_dir):
     assert rows
     assert all(r.n_chars >= r.n_tokens >= r.n_words for r in rows)
     assert any(r.n_tokens < r.n_chars for r in rows)
+
+
+def test_nfc_normalize_contracts_decomposed_sequences(spark):
+    from data_frame_demo_etl_spark.functions.text import nfc_normalize_column
+
+    rows = [
+        (1, "cafe\u0301"),            # e + combining acute (decomposed)
+        (2, "plain ascii"),
+        (3, "a\u0300 mixed \u00e0"),  # decomposed and precomposed graves
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_nfc for r in nfc_normalize_column(df, "text").collect()}
+    assert got[1] == "caf\u00e9" and len(got[1]) == 4   # contracted by one
+    assert got[2] == "plain ascii"                        # identity on ASCII
+    assert got[3] == "\u00e0 mixed \u00e0"              # both forms converge
