@@ -400,3 +400,67 @@ ORDER BY doc_id
 
 
 DEDUP_CLUSTERS_KEEP_BEST_SQL = _keep_best_oracle_sql()
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit — the step every training
+    pipeline needs between dedup and export: assign a deterministic
+    80/10/10 split (engine-portable md5-prefix key, same family as
+    `sample_documents`), find near-duplicate pairs with the md5
+    MinHash+LSH pipeline, and count the pairs whose endpoints land in
+    DIFFERENT splits. Any `n_pairs` on an off-diagonal row is leakage:
+    an eval document with a near-copy in train.
+
+    Composition, not new machinery: the split is one column
+    expression, the pairs are `minhash_near_dup_pairs` (bucketed, hot-
+    bucket-capped — never all-pairs), and the audit is a broadcast
+    join of the tiny pair set against the split labels."""
+    docs = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 8) < "cccccccc", "train"
+    ).when(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 8) < "e6666666", "val"
+    ).otherwise("test")
+    labels = docs.select(F.col("doc_id"), split.alias("split"))
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=THRESHOLD, hash_fn="md5", max_bucket_size=200
+    )
+    la = labels.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    lb = labels.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            (F.col("sa") != F.col("sb")).alias("is_leak"),
+        )
+        .groupBy("split_a", "split_b", "is_leak")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("split_a", "split_b", "is_leak")
+    )
+
+
+SPLIT_LEAKAGE_CHECK_SQL = (
+    "WITH "
+    + _MINHASH_PAIR_CTES.strip()
+    + r""",
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.8),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+              WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT LEAST(la.split, lb.split) AS split_a,
+       GREATEST(la.split, lb.split) AS split_b,
+       la.split != lb.split AS is_leak,
+       COUNT(*) AS n_pairs
+FROM pairs
+JOIN labels la ON la.doc_id = id_a
+JOIN labels lb ON lb.doc_id = id_b
+GROUP BY 1, 2, 3
+ORDER BY split_a, split_b, is_leak
+"""
+)

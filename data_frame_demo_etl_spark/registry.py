@@ -509,3 +509,9 @@ register("multimodal_decode_jpeg", multimodal_decode_jpeg, MULTIMODAL_DECODE_JPE
 from .functions.text import TEXT_NFC_NORMALIZE_SQL, text_nfc_normalize  # noqa: E402
 
 register("text_nfc_normalize", text_nfc_normalize, TEXT_NFC_NORMALIZE_SQL)
+
+register(
+    "split_leakage_check",
+    dedup_gate.split_leakage_check,
+    dedup_gate.SPLIT_LEAKAGE_CHECK_SQL,
+)

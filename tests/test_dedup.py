@@ -394,3 +394,52 @@ def test_keep_best_prefers_quality_over_lowest_id(spark, tmp_path):
     kept = [r.doc_id for r in out if r.is_kept]
     assert kept == [30]  # best quality wins, NOT lowest id
     assert by_id[30].quality > by_id[10].quality
+
+
+def test_split_leakage_detects_planted_cross_split_dup(spark, tmp_path):
+    """Two near-identical docs whose md5-split labels differ must show
+    up as an is_leak row; identical split pairs must not."""
+    from data_frame_demo_etl_spark.dedup.gate import split_leakage_check
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old wooden "
+        "bridge while other animals watch from the river bank in the rain"
+    )
+    # find two doc ids in different splits and two in the same split
+    import hashlib
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        return "train" if h < "cccccccc" else ("val" if h < "e6666666" else "test")
+
+    ids = list(range(1, 200))
+    cross = next(
+        (a, b) for a in ids for b in ids if a < b and split_of(a) != split_of(b)
+    )
+    same = next(
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b
+        and split_of(a) == split_of(b)
+        and not {a, b} & set(cross)  # disjoint ids — doc_ids must be unique
+    )
+    # Identical texts: est_jaccard is exactly 1.0 and the LSH buckets
+    # match by construction — the test pins the SPLIT accounting, not
+    # the sketch's variance at the threshold.
+    rows = [
+        (cross[0], base), (cross[1], base),
+        (same[0], base.upper()), (same[1], base.upper()),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = split_leakage_check(spark, str(tmp_path)).collect()
+    leaks = [r for r in out if r.is_leak]
+    clean = [r for r in out if not r.is_leak]
+    assert sum(r.n_pairs for r in leaks) == 1
+    assert sum(r.n_pairs for r in clean) == 1
+    assert all(r.split_a == r.split_b for r in clean)
+    assert all(r.split_a != r.split_b for r in leaks)
