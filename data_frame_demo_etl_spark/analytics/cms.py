@@ -1,0 +1,207 @@
+"""Mergeable frequency / distinct sketches built from first
+principles as plain aggregations — count-min sketch (Cormode &
+Muthukrishnan 2005) and KMV bottom-k distinct sketch (Bar-Yossef et
+al. 2002) — engine-portable via the repo's md5-prefix integer hash
+(operators/sampling.py idiom), so the DuckDB oracle reproduces every
+bucket, every estimate, bit-for-bit (no hardcoded-TRUE assertions).
+
+Why these two when exact counts exist (operators/heavy.py) and HLL
+exists (sketches.py): both are MERGEABLE summaries whose size is
+independent of key cardinality —
+
+- a CMS is a (depth × width) integer grid; the sketch of a union is
+  the cell-wise SUM of the parts, so per-partition / per-day partial
+  sketches roll up with no re-scan. At 100 TB the sketch (a few KB)
+  travels; the keys never shuffle.
+- a KMV sketch is the k smallest hash values of the key set; the
+  sketch of a union is the k smallest of the concatenation, so it
+  merges the same way. Estimate: (k−1) · 2^32 / h_k (the k-th
+  smallest 32-bit hash), floored — pure integer arithmetic.
+
+Implementation notes: the CMS grid is built with ONE pass —
+posexplode of the per-row depth-bucket array, then a groupBy whose
+map-side partial aggregation shrinks the shuffle to ≤ depth·width
+rows regardless of input size. Estimates for the probe keys join the
+(broadcast, tiny) grid. The estimate-vs-exact comparison is emitted
+as data (overcount = est − exact ≥ 0 is a CMS theorem; the oracle
+recomputes both sides rather than asserting it).
+
+No reference analog; brief-mandated beyond-reference sketch surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+KMV_K = 32
+_TWO32 = 4294967296  # 2^32
+
+
+def _h32(s: Column, salt: str = "") -> Column:
+    """Portable 32-bit non-negative integer hash: first 8 hex chars of
+    md5, exactly reproducible as
+    CAST(CONCAT('0x', SUBSTR(MD5(x), 1, 8)) AS BIGINT) in DuckDB."""
+    prefixed = F.concat(F.lit(salt), s) if salt else s
+    return F.conv(F.substring(F.md5(prefixed), 1, 8), 16, 10).cast("long")
+
+
+def cms_grid(keys: DataFrame, key_col: str = "k") -> DataFrame:
+    """The count-min grid: (d, bucket, c) with c = number of input
+    rows whose depth-d hash lands in the bucket. One scan, one
+    partially-aggregated shuffle of ≤ CMS_DEPTH·CMS_WIDTH groups."""
+    s = F.col(key_col).cast("string")
+    buckets = F.array(
+        *[F.pmod(_h32(s, f"{d}|"), F.lit(CMS_WIDTH)) for d in range(CMS_DEPTH)]
+    )
+    return (
+        keys.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(grid: DataFrame, probes: DataFrame, key_col: str = "k") -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: min over
+    depths of the probed cell. The grid is broadcast (≤ depth·width
+    rows); probes never shuffle."""
+    s = F.col(key_col).cast("string")
+    buckets = F.array(
+        *[F.pmod(_h32(s, f"{d}|"), F.lit(CMS_WIDTH)) for d in range(CMS_DEPTH)]
+    )
+    exploded = probes.select(key_col, F.posexplode(buckets).alias("d", "bucket"))
+    return (
+        exploded.join(F.broadcast(grid), ["d", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est_n"))
+    )
+
+
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: CMS frequency estimates for the 10 most-active users,
+    side-by-side with exact counts. ``overcount`` (est − exact) is
+    ≥ 0 by the CMS one-sided-error theorem; the oracle recomputes the
+    identical grid and estimates rather than pinning the bound."""
+    events = load_table(spark, "events", sf_dir)
+    keyed = events.select(F.col("user_id").alias("k"))
+    grid = cms_grid(keyed)
+    top = (
+        keyed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("k").asc())
+        .limit(10)
+    )
+    est = cms_estimate(grid, top.select("k"))
+    return (
+        top.join(est, "k")
+        .select(
+            F.col("k").alias("user_id"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    )
+
+
+EVENTS_CMS_HEAVY_HITTERS_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS ks, user_id AS k FROM events
+),
+cells AS (
+  SELECT d.d,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(d.d, '|', ks)), 1, 8)) AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM keyed, (SELECT UNNEST(RANGE({CMS_DEPTH})) AS d) d
+),
+grid AS (
+  SELECT d, bucket, COUNT(*) AS c FROM cells GROUP BY d, bucket
+),
+top AS (
+  SELECT k, ks, COUNT(*) AS exact_n
+  FROM keyed GROUP BY k, ks
+  ORDER BY exact_n DESC, k ASC LIMIT 10
+),
+probe AS (
+  SELECT t.k, t.exact_n, d.d,
+         CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(d.d, '|', t.ks)), 1, 8)) AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM top t, (SELECT UNNEST(RANGE({CMS_DEPTH})) AS d) d
+),
+est AS (
+  SELECT p.k, p.exact_n, MIN(g.c) AS est_n
+  FROM probe p JOIN grid g USING (d, bucket)
+  GROUP BY p.k, p.exact_n
+)
+SELECT k AS user_id, exact_n, est_n, est_n - exact_n AS overcount
+FROM est
+ORDER BY exact_n DESC, user_id ASC
+"""
+
+
+def kmv_distinct(keys: DataFrame, group_col: str, key_col: str, k: int = KMV_K) -> DataFrame:
+    """Per-group KMV distinct-count estimate: keep the k smallest
+    32-bit hashes of the DISTINCT keys; estimate (k−1)·2^32/h_k.
+    Groups holding < k distinct keys report their exact count (the
+    sketch IS the key set there). Pure integer arithmetic throughout.
+    """
+    from pyspark.sql import Window
+
+    d = keys.select(group_col, key_col).distinct()
+    hashed = d.select(
+        group_col, _h32(F.col(key_col).cast("string")).alias("h")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    per_group = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    # GREATEST(hk, 1): h = 0 is a 2^-32 corner, but bare division
+    # would split the engines (Spark null vs DuckDB inf) — pin it.
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.floor(F.lit((k - 1) * _TWO32) / F.greatest(F.col("hk"), F.lit(1))).cast("long"),
+    ).otherwise(F.col("n_distinct"))
+    return per_group.select(
+        group_col,
+        F.col("n_distinct").alias("exact_distinct"),
+        est.alias("kmv_est"),
+    )
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-event-type distinct-user estimate via the KMV
+    bottom-k sketch, next to the exact distinct count."""
+    events = load_table(spark, "events", sf_dir)
+    return kmv_distinct(events, "event_type", "user_id").orderBy("event_type")
+
+
+EVENTS_KMV_DISTINCT_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM d
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM hashed
+),
+per_group AS (
+  SELECT event_type, COUNT(*) AS n_distinct,
+         MIN(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       n_distinct AS exact_distinct,
+       CASE WHEN hk IS NOT NULL
+            THEN CAST(FLOOR({(KMV_K - 1) * _TWO32} / GREATEST(hk, 1)) AS BIGINT)
+            ELSE n_distinct END AS kmv_est
+FROM per_group
+ORDER BY event_type
+"""

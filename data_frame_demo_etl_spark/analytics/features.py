@@ -1,0 +1,101 @@
+"""Per-key sequence feature engineering — the standard "make a
+training row out of an event stream" transform (lag/lead values,
+rolling sums, inter-arrival gaps, per-key sequence index).
+
+This is the feature-extraction step a behavioural-model pipeline runs
+right before training: one window shuffle keyed by the entity,
+everything else computed inside the sorted partition with running
+frames (no full-partition materialization, no self-joins).
+
+Scale shape: ONE shuffle on ``user_id`` serves every feature — all
+window specs share the same (partition, order) so Catalyst plans a
+single Sort+Window over a single Exchange. Rolling frames are
+rows-bounded (3 rows), so state per key is O(1) regardless of how
+long a user's history grows. At 100 TB the plan is scan → exchange
+(by key) → sort-within-partition → one Window operator.
+
+Determinism: values ride a 1e-6 integer micro-grid (the repo-wide
+convention, see analytics/timeseries.py) and the window order has a
+total tie-break (ts, event_id), so every engine reproduces identical
+rows bit-for-bit.
+
+No reference analog (`/root/reference` has no sequence-feature ops);
+brief-mandated beyond-reference training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.catalog import load_table
+
+
+def sequence_features(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Append per-key sequence features to an event frame:
+
+    - ``seq``          1-based index of the event in its key's history
+    - ``v_micro``      value on the exact 1e-6 integer grid
+    - ``prev_v_micro`` previous event's value (null at history start)
+    - ``gap_us``       exact microseconds since the previous event (null at start)
+    - ``roll3_sum_micro`` sum of the last 3 values including current
+    - ``run_max_micro``   running max of the value so far
+
+    All features share one (key, order) window → one shuffle total.
+    """
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v_micro = F.round(F.col(val_col) * 1_000_000).cast("long")
+    ep = F.unix_micros(F.col(ts_col))
+    return (
+        df.withColumn("v_micro", v_micro)
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("prev_v_micro", F.lag("v_micro").over(w))
+        .withColumn("gap_us", ep - F.lag(ep).over(w))
+        .withColumn("roll3_sum_micro", F.sum("v_micro").over(w3))
+        .withColumn("run_max_micro", F.max("v_micro").over(wrun))
+    )
+
+
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the full sequence-feature row for every event, keyed by
+    user — the exact frame a next-event / churn model trains on."""
+    events = load_table(spark, "events", sf_dir)
+    out = sequence_features(events.filter(F.col("value").isNotNull()))
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("seq").cast("int").alias("seq"),
+        "v_micro",
+        "prev_v_micro",
+        "gap_us",
+        "roll3_sum_micro",
+        "run_max_micro",
+    ).orderBy("user_id", "seq")
+
+
+EVENTS_LAG_FEATURES_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
+       v_micro,
+       LAG(v_micro) OVER w AS prev_v_micro,
+       EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w AS gap_us,
+       CAST(SUM(v_micro) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_sum_micro,
+       MAX(v_micro) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max_micro
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, seq
+"""

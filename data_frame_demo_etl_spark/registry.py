@@ -515,3 +515,25 @@ register(
     dedup_gate.split_leakage_check,
     dedup_gate.SPLIT_LEAKAGE_CHECK_SQL,
 )
+
+from .analytics.features import EVENTS_LAG_FEATURES_SQL, events_lag_features  # noqa: E402
+
+register("events_lag_features", events_lag_features, EVENTS_LAG_FEATURES_SQL)
+
+from .analytics.robust import EVENTS_MAD_OUTLIERS_SQL, events_mad_outliers  # noqa: E402
+
+register("events_mad_outliers", events_mad_outliers, EVENTS_MAD_OUTLIERS_SQL)
+
+from .analytics.cms import (  # noqa: E402
+    EVENTS_CMS_HEAVY_HITTERS_SQL,
+    EVENTS_KMV_DISTINCT_SQL,
+    events_cms_heavy_hitters,
+    events_kmv_distinct,
+)
+
+register("events_cms_heavy_hitters", events_cms_heavy_hitters, EVENTS_CMS_HEAVY_HITTERS_SQL)
+register("events_kmv_distinct", events_kmv_distinct, EVENTS_KMV_DISTINCT_SQL)
+
+from .similarity.fusion import RETRIEVAL_RRF_FUSION_SQL, retrieval_rrf_fusion  # noqa: E402
+
+register("retrieval_rrf_fusion", retrieval_rrf_fusion, RETRIEVAL_RRF_FUSION_SQL)

@@ -1,0 +1,141 @@
+"""Unit tests for the round-5 additions: sequence features, MAD
+robust outliers, CMS / KMV sketches (including their merge laws), and
+RRF hybrid fusion. Oracle parity for all five gates is covered by
+test_oracle_parity; these pin the algebraic properties the oracle
+can't express (mergeability, one-sided error, planted anomalies)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.analytics.cms import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_estimate,
+    cms_grid,
+    kmv_distinct,
+)
+from data_frame_demo_etl_spark.analytics.features import sequence_features
+from data_frame_demo_etl_spark.analytics.robust import mad_outliers
+from data_frame_demo_etl_spark.similarity.fusion import rrf_fuse
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+
+def test_sequence_features_basic(spark):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 0, 10)
+    t2 = datetime(2024, 1, 1, 0, 1, 0)
+    df = _events(spark, [(1, 10, t0, 1.0), (1, 11, t1, 2.0), (1, 12, t2, 4.0)])
+    rows = {
+        r.seq: r
+        for r in sequence_features(df).orderBy("seq").collect()
+    }
+    assert rows[1].prev_v_micro is None and rows[1].gap_us is None
+    assert rows[2].prev_v_micro == 1_000_000 and rows[2].gap_us == 10_000_000
+    assert rows[3].roll3_sum_micro == 7_000_000
+    assert rows[3].run_max_micro == 4_000_000
+
+
+def test_sequence_features_tie_break_is_total(spark):
+    # Two events at the SAME timestamp: event_id breaks the tie, so
+    # seq and lag are deterministic.
+    t = datetime(2024, 1, 1)
+    df = _events(spark, [(1, 20, t, 5.0), (1, 19, t, 3.0)])
+    rows = sequence_features(df).orderBy("seq").collect()
+    assert [r.event_id for r in rows] == [19, 20]
+    assert rows[1].prev_v_micro == 3_000_000 and rows[1].gap_us == 0
+
+
+def test_mad_planted_outlier(spark):
+    # 20 values near 10, one at 1000: classic mean/stddev masking
+    # case — MAD flags exactly the planted point.
+    rows = [(1, i, datetime(2024, 1, 1), 10.0 + (i % 3) * 0.1) for i in range(20)]
+    rows.append((1, 99, datetime(2024, 1, 1), 1000.0))
+    df = _events(spark, rows).withColumn("event_type", F.lit("a"))
+    out = mad_outliers(df).collect()
+    assert len(out) == 1
+    assert out[0].n == 21 and out[0].n_outliers == 1
+
+
+def test_mad_zero_mad_group(spark):
+    # All-identical values: MAD = 0 → any deviation is an outlier,
+    # identical values are not (0 > 0 is false).
+    rows = [(1, i, datetime(2024, 1, 1), 7.0) for i in range(5)]
+    df = _events(spark, rows).withColumn("event_type", F.lit("a"))
+    out = mad_outliers(df).collect()
+    assert out[0].n_outliers == 0
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    keyed = load_table(spark, "events", sf_dir).select(F.col("user_id").alias("k"))
+    grid = cms_grid(keyed)
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    joined = cms_estimate(grid, exact.select("k")).join(exact, "k").collect()
+    assert len(joined) > 0
+    assert all(r.est_n >= r.exact_n for r in joined), "CMS one-sided error violated"
+
+
+def test_cms_grid_merge_is_cellwise_sum(spark):
+    # Sketch(A ∪ B) == cellwise-sum of Sketch(A) and Sketch(B): the
+    # property that makes per-partition/per-day rollup free.
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    b = spark.range(300, 900).select(F.col("id").alias("k"))
+    merged = (
+        cms_grid(a).union(cms_grid(b)).groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    )
+    direct = cms_grid(a.union(b))
+    sym_diff = merged.exceptAll(direct).count() + direct.exceptAll(merged).count()
+    assert sym_diff == 0
+    assert direct.count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_kmv_merge_law(spark):
+    # KMV(A ∪ B) == KMV of the union of the two key sets — estimating
+    # from per-shard sketches gives the same answer as one pass.
+    a = spark.range(0, 400).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    b = spark.range(200, 700).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    direct = kmv_distinct(a.union(b), "g", "k").collect()[0]
+    assert direct.exact_distinct == 700
+    # 32-bucket KMV: standard error ~ 1/sqrt(k-2) ≈ 18%; assert a
+    # generous 3-sigma band so the test pins sanity, not luck.
+    assert 0.45 * 700 <= direct.kmv_est <= 1.55 * 700
+
+
+def test_kmv_small_group_is_exact(spark):
+    small = spark.range(0, 10).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    row = kmv_distinct(small, "g", "k").collect()[0]
+    assert row.exact_distinct == 10 and row.kmv_est == 10
+
+
+def _ranks(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, rank int, neighbor_id long")
+
+
+def test_rrf_fusion_prefers_doubly_ranked(spark):
+    # Candidate 7 is mid-rank in BOTH lists; 1 and 2 top ONE list
+    # each. RRF puts the consistently-good candidate first:
+    # 2/(60+3) > 1/(60+1) + 1/(60+20).
+    lex = _ranks(spark, [(0, 1, 1), (0, 3, 7), (0, 20, 2)])
+    sem = _ranks(spark, [(0, 1, 2), (0, 3, 7), (0, 20, 1)])
+    out = rrf_fuse(lex, sem, k_out=3).orderBy("rank").collect()
+    assert out[0].neighbor_id == 7
+    assert {r.neighbor_id for r in out} == {1, 2, 7}
+    # 1 and 2 end up with IDENTICAL symmetric scores → neighbor_id
+    # breaks the tie deterministically.
+    assert [r.neighbor_id for r in out[1:]] == [1, 2]
+
+
+def test_rrf_single_list_candidate_survives(spark):
+    lex = _ranks(spark, [(0, 1, 5)])
+    sem = _ranks(spark, [])
+    out = rrf_fuse(lex, sem, k_out=3).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 5 and out[0].sem_rank is None
