@@ -63,6 +63,11 @@ HEADLINE = [
     "supplier_kcore",
     "events_quantile_rollup",
     "events_zorder_stats",
+    "events_lag_features",
+    "events_mad_outliers",
+    "events_cms_heavy_hitters",
+    "events_kmv_distinct",
+    "retrieval_rrf_fusion",
 ]
 
 

@@ -1,0 +1,171 @@
+"""Distribution drift monitoring: Population Stability Index (PSI)
+between a reference and a current slice of a numeric column — the
+standard deployed-model drift check (PSI < 0.1 stable, 0.1-0.25
+moderate shift, > 0.25 action), here per group so one pass audits
+every event type at once.
+
+    PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+Spark-first shape: ONE aggregation computes both histograms — each
+row contributes to (group, bin, slice) counts; the PSI fold then runs
+over a bins×groups-sized table (constant, tiny). No per-slice rescan,
+no driver-side histogramming; at 100 TB this is a single map-side-
+combined shuffle of ≤ groups·bins·2 rows.
+
+Determinism: binning is pure integer arithmetic on the 1e-6 micro
+grid against FIXED bounds (min/max of the union, computed exactly —
+two integer aggregates), bin proportions are Laplace-smoothed
+rationals (n_i+1)/(N+bins) so empty bins stay finite, and the PSI
+sum is evaluated with one fixed parenthesization on
+exactly-representable operands before a final 1e-6 quantization —
+the bm25/ewma convention for engine-bit-identical doubles.
+
+Reference/current split here is by event-id parity — a deterministic
+stand-in for the time-window split a production monitor would use
+(the operator takes any two pre-filtered frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+
+N_BINS = 10
+SCALE = 1_000_000
+
+
+def psi_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    val_col: str,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """(group, n_ref, n_cur, psi_micro) — PSI of ``val_col`` between
+    the two frames, computed per group with shared global bin bounds.
+    """
+    v = F.round(F.col(val_col) * SCALE).cast("long")
+    both = (
+        ref.select(F.col(group_col).alias("grp"), v.alias("v"), F.lit(0).alias("slice"))
+        .unionByName(
+            cur.select(
+                F.col(group_col).alias("grp"), v.alias("v"), F.lit(1).alias("slice")
+            )
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    bounds = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(hi - lo + 1, 1)
+    # Integer equal-width binning: bin = floor((v-lo)·n_bins/span),
+    # clamped implicitly (v ≤ hi ⇒ bin ≤ n_bins−1).
+    # floor(double division) in BOTH engines (not cast/truncate: DuckDB
+    # CAST(double AS BIGINT) rounds, Spark cast truncates — floor is
+    # the one spelling with identical semantics).
+    binned = both.withColumn(
+        "bin", F.floor((F.col("v") - F.lit(lo)) * n_bins / F.lit(span)).cast("long")
+    )
+    counts = binned.groupBy("grp", "slice", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = binned.groupBy("grp", "slice").agg(F.count(F.lit(1)).alias("n"))
+    # Dense (grp × slice × bin) spine so empty bins contribute their
+    # smoothed mass: groups × 2 × n_bins rows — trivially broadcastable.
+    grps = both.select("grp").distinct()
+    spine = (
+        grps.crossJoin(spark_range_df(both, n_bins))
+        .crossJoin(both.sparkSession.createDataFrame([(0,), (1,)], "slice int"))
+    )
+    dense = (
+        spine.join(counts, ["grp", "slice", "bin"], "left")
+        .join(totals, ["grp", "slice"])
+        .select(
+            "grp",
+            "slice",
+            "bin",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "n",
+        )
+    )
+    # Laplace-smoothed proportion as ONE double division of exact ints.
+    p = (F.col("c") + 1.0) / (F.col("n") + F.lit(float(n_bins)))
+    per_bin = dense.select("grp", "slice", "bin", p.alias("p"), "n")
+    refp = per_bin.filter(F.col("slice") == 0).select(
+        "grp", "bin", F.col("p").alias("p_ref"), F.col("n").alias("n_ref")
+    )
+    curp = per_bin.filter(F.col("slice") == 1).select(
+        "grp", "bin", F.col("p").alias("p_cur"), F.col("n").alias("n_cur")
+    )
+    term = (F.col("p_ref") - F.col("p_cur")) * F.log(F.col("p_ref") / F.col("p_cur"))
+    return (
+        refp.join(curp, ["grp", "bin"])
+        .groupBy("grp", "n_ref", "n_cur")
+        .agg(F.floor(F.sum(term) * SCALE + 0.5).cast("long").alias("psi_micro"))
+        .select(F.col("grp"), "n_ref", "n_cur", "psi_micro")
+    )
+
+
+def spark_range_df(like: DataFrame, n: int) -> DataFrame:
+    return like.sparkSession.range(n).select(F.col("id").cast("long").alias("bin"))
+
+
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: PSI of event value per event type between the even- and
+    odd-event-id halves of the stream (a deterministic A/B split; a
+    stable corpus should sit well under the 0.1 alert line, and the
+    gate emits the number, not a verdict)."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    ref = events.filter(F.col("event_id") % 2 == 0)
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    out = psi_by_group(ref, cur, "event_type", "value")
+    return out.select(
+        F.col("grp").alias("event_type"), "n_ref", "n_cur", "psi_micro"
+    ).orderBy("event_type")
+
+
+EVENTS_VALUE_DRIFT_PSI_SQL = f"""
+WITH both_slices AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * {SCALE}) AS BIGINT) AS v,
+         CAST(event_id % 2 AS INTEGER) AS slice
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT MIN(v) AS lo, GREATEST(MAX(v) - MIN(v) + 1, 1) AS span FROM both_slices
+),
+binned AS (
+  SELECT grp, slice,
+         CAST(FLOOR((v - b.lo) * {N_BINS} / b.span) AS BIGINT) AS bin
+  FROM both_slices, bounds b
+),
+counts AS (
+  SELECT grp, slice, bin, COUNT(*) AS c FROM binned GROUP BY grp, slice, bin
+),
+totals AS (
+  SELECT grp, slice, COUNT(*) AS n FROM binned GROUP BY grp, slice
+),
+spine AS (
+  SELECT g.grp, s.slice, b.bin
+  FROM (SELECT DISTINCT grp FROM both_slices) g,
+       (SELECT UNNEST(RANGE({N_BINS})) AS bin) b,
+       (SELECT UNNEST([0, 1]) AS slice) s
+),
+dense AS (
+  SELECT sp.grp, sp.slice, sp.bin,
+         (COALESCE(c.c, 0) + 1.0) / (t.n + {N_BINS}.0) AS p,
+         t.n
+  FROM spine sp
+  LEFT JOIN counts c ON c.grp = sp.grp AND c.slice = sp.slice AND c.bin = sp.bin
+  JOIN totals t ON t.grp = sp.grp AND t.slice = sp.slice
+)
+SELECT r.grp AS event_type,
+       r.n AS n_ref,
+       c.n AS n_cur,
+       CAST(FLOOR(SUM((r.p - c.p) * LN(r.p / c.p)) * {SCALE} + 0.5) AS BIGINT) AS psi_micro
+FROM dense r
+JOIN dense c ON c.grp = r.grp AND c.bin = r.bin AND c.slice = 1
+WHERE r.slice = 0
+GROUP BY r.grp, r.n, c.n
+ORDER BY event_type
+"""

@@ -1,0 +1,163 @@
+"""Perceptual image dedup: average-hash (aHash) fingerprints over the
+decoded pixel grid + banded Hamming pair search — the image-modality
+analog of SimHash text dedup (dedup/simhash.py), closing the loop
+between the real codecs (binary_ops.py) and the dedup family.
+
+aHash (the classic thumbnail fingerprint): per pixel, a gray level;
+bit i set iff pixel i is brighter than the image mean. Two images
+whose hashes sit within a small Hamming distance are near-duplicates
+under brightness/compression jitter.
+
+Everything is exact integer arithmetic:
+
+- gray_i = r+g+b (the unscaled luminance sum — no /3, no float)
+- bit_i  = [gray_i · n_px > Σ gray]   (cross-multiplied mean test)
+- pairs: hash split into HASH_BITS/BAND_BITS bands; by pigeonhole,
+  Hamming ≤ H pairs share a clean band whenever bands > H, so the
+  band-bucket equi-join has EXACT recall at the verify threshold —
+  the verify step (bit_count(xor) ≤ H) makes precision exact too.
+  Candidate volume is bounded by bucket sizes, never all-pairs; at
+  corpus scale, widen the hash (more pixels) and the bands with it
+  (the dedup/simhash.py 64-bit/4-band configuration).
+
+Decode runs inside one Arrow-batched mapInPandas (the codec UDF the
+real-decode gates already prove); the pair search is plain DataFrame
+joins. The DuckDB oracle recomputes hashes straight from the
+document text bytes (the BMP payload contract: leading text bytes,
+zero-padded — see MULTIMODAL_DECODE_REAL_SQL) and brute-forces the
+tiny verification join, so the gate proves codec + hash + pair
+pipeline end-to-end with zero hardcoded expectations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .binary_ops import decode_real, docs_as_bmp_assets
+
+THUMB_W = 4
+THUMB_H = 4
+HASH_BITS = THUMB_W * THUMB_H  # one bit per pixel
+BAND_BITS = 4
+N_BANDS = HASH_BITS // BAND_BITS
+HAMMING_MAX = 2  # bands(4) > H(2) ⇒ band join has exact recall
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """(asset_id, ahash): average-hash of each decodable asset.
+    Bit i (LSB-first over row-major pixels) = pixel brighter than the
+    (cross-multiplied, integer-exact) image mean."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, c, px = decode_real(bytes(content))
+                grays = [
+                    sum(px[i * c : i * c + c]) for i in range(w * h)
+                ]
+                total, n_px = sum(grays), len(grays)
+                bits = 0
+                for i, g in enumerate(grays):
+                    if g * n_px > total:
+                        bits |= 1 << i
+                ids.append(asset_id)
+                hashes.append(bits)
+            yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        hash_batches, "asset_id long, ahash long"
+    )
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """(u, v, hamming) with u < v and Hamming(ahash_u, ahash_v) ≤
+    ``hamming_max`` — banded candidate join + exact verify."""
+    bands = F.array(
+        *[
+            F.shiftright(F.col("ahash"), b * BAND_BITS).bitwiseAND(
+                F.lit((1 << BAND_BITS) - 1)
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    tagged = hashes.select(
+        "asset_id", "ahash", F.posexplode(bands).alias("band", "bval")
+    )
+    left = tagged.select(
+        F.col("asset_id").alias("u"), F.col("ahash").alias("hu"), "band", "bval"
+    )
+    right = tagged.select(
+        F.col("asset_id").alias("v"), F.col("ahash").alias("hv"), "band", "bval"
+    )
+    cand = (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v", "hu", "hv")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("hu").bitwiseXOR(F.col("hv")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("u", "v", "hamming")
+    )
+
+
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: documents → real BMP thumbnails → distributed decode →
+    aHash → banded Hamming-≤2 near-dup pairs. Proves the full image
+    dedup pipeline (codec, fingerprint, pair search) end-to-end."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashes = image_ahash(docs_as_bmp_assets(docs, width=THUMB_W, height=THUMB_H))
+    return ahash_near_dup_pairs(hashes).orderBy("u", "v")
+
+
+def _gray_sql(i: int) -> str:
+    """Gray level of pixel i straight from the document text: the BMP
+    payload is the first 48 UTF-8 bytes zero-padded (ASCII corpus ⇒
+    byte == codepoint), so gray_i = Σ_{j<3} byte(3i+j)."""
+    parts = []
+    for j in range(3):
+        pos = 3 * i + j + 1  # 1-based SUBSTR position
+        parts.append(
+            f"CASE WHEN LENGTH(text) >= {pos} THEN ORD(SUBSTR(text, {pos}, 1)) ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def _ahash_sql() -> str:
+    grays = ", ".join(_gray_sql(i) for i in range(HASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN g[{i + 1}] * {HASH_BITS} > t THEN {1 << i} ELSE 0 END)"
+        for i in range(HASH_BITS)
+    )
+    return f"""
+WITH g0 AS (
+  SELECT doc_id, [{grays}] AS g FROM documents
+),
+g1 AS (
+  SELECT doc_id, g, LIST_SUM(g) AS t FROM g0
+),
+hashes AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS ahash FROM g1
+)"""
+
+
+MULTIMODAL_IMAGE_DEDUP_SQL = (
+    _ahash_sql()
+    + f"""
+SELECT a.doc_id AS u, b.doc_id AS v,
+       CAST(BIT_COUNT(XOR(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= {HAMMING_MAX}
+ORDER BY u, v
+"""
+)

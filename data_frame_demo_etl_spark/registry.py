@@ -537,3 +537,18 @@ register("events_kmv_distinct", events_kmv_distinct, EVENTS_KMV_DISTINCT_SQL)
 from .similarity.fusion import RETRIEVAL_RRF_FUSION_SQL, retrieval_rrf_fusion  # noqa: E402
 
 register("retrieval_rrf_fusion", retrieval_rrf_fusion, RETRIEVAL_RRF_FUSION_SQL)
+
+from .analytics.market_basket import (  # noqa: E402
+    BRAND_ASSOCIATION_RULES_SQL,
+    brand_association_rules,
+)
+
+register("brand_association_rules", brand_association_rules, BRAND_ASSOCIATION_RULES_SQL)
+
+from .analytics.drift import EVENTS_VALUE_DRIFT_PSI_SQL, events_value_drift_psi  # noqa: E402
+
+register("events_value_drift_psi", events_value_drift_psi, EVENTS_VALUE_DRIFT_PSI_SQL)
+
+from .multimodal.phash import MULTIMODAL_IMAGE_DEDUP_SQL, multimodal_image_dedup  # noqa: E402
+
+register("multimodal_image_dedup", multimodal_image_dedup, MULTIMODAL_IMAGE_DEDUP_SQL)
