@@ -80,20 +80,45 @@ def cms_estimate(grid: DataFrame, probes: DataFrame, key_col: str = "k") -> Data
     )
 
 
+def cms_grid_weighted(
+    key_counts: DataFrame, key_col: str = "k", weight_col: str = "exact_n"
+) -> DataFrame:
+    """CMS grid from a pre-aggregated (key, count) table — identical
+    to ``cms_grid`` over the raw rows (each key contributes its count
+    to the same cells), but the explode runs over #distinct-keys rows
+    instead of N. The one-scan formulation for when a per-key count
+    already exists."""
+    s = F.col(key_col).cast("string")
+    buckets = F.array(
+        *[F.pmod(_h32(s, f"{d}|"), F.lit(CMS_WIDTH)) for d in range(CMS_DEPTH)]
+    )
+    return (
+        key_counts.select(F.col(weight_col), F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.sum(weight_col).alias("c"))
+    )
+
+
 def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: CMS frequency estimates for the 10 most-active users,
     side-by-side with exact counts. ``overcount`` (est − exact) is
     ≥ 0 by the CMS one-sided-error theorem; the oracle recomputes the
-    identical grid and estimates rather than pinning the bound."""
+    identical grid and estimates rather than pinning the bound.
+
+    ONE scan of the fact table: the per-key count aggregate (persisted
+    — it is key-cardinality-sized; the session owner releases caches,
+    see operators/packing.py contract) feeds BOTH the weighted grid
+    build and the exact top-10, so the grid explode runs over
+    #distinct-keys rows, not N."""
     events = load_table(spark, "events", sf_dir)
-    keyed = events.select(F.col("user_id").alias("k"))
-    grid = cms_grid(keyed)
-    top = (
-        keyed.groupBy("k")
+    per_key = (
+        events.select(F.col("user_id").alias("k"))
+        .groupBy("k")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("k").asc())
-        .limit(10)
+        .persist()
     )
+    grid = cms_grid_weighted(per_key)
+    top = per_key.orderBy(F.col("exact_n").desc(), F.col("k").asc()).limit(10)
     est = cms_estimate(grid, top.select("k"))
     return (
         top.join(est, "k")

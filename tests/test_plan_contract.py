@@ -269,3 +269,107 @@ def test_jpeg_gate_plan_pruned(spark, sf_dir):
             assert "doc_id" in line, line[:200]
             for unused in ("text", "lang", "source", "n_chars"):
                 assert unused not in line, f"jpeg scan reads {unused}: {line[:200]}"
+
+
+# --- round-5 late additions (sequence features, sketches, fusion, ---------
+# --- basket rules, drift, image dedup) ------------------------------------
+
+def test_lag_features_single_exchange_and_pruned(spark, sf_dir):
+    """events_lag_features: every feature shares one (user_id, order)
+    window — exactly ONE hash exchange; the scan must not read
+    props/event_type (unused by the feature row)."""
+    rep = plan_report(registry.queries()["events_lag_features"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges == 1, f"expected 1 hash exchange\n{rep.raw[:3000]}"
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("props", "event_type"):
+                assert unused not in line, f"lag-features scan reads {unused}: {line[:200]}"
+
+
+def test_mad_outliers_broadcasts_medians(spark, sf_dir):
+    """events_mad_outliers: per-group median and MAD tables are
+    group-cardinality-sized — they must come back as broadcast joins,
+    and the scan must not read user_id/props."""
+    rep = plan_report(registry.queries()["events_mad_outliers"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins >= 2, rep.raw[:3000]
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("user_id", "props"):
+                assert unused not in line, f"mad scan reads {unused}: {line[:200]}"
+
+
+def test_cms_grid_broadcast_probe_and_pruned(spark, sf_dir):
+    """events_cms_heavy_hitters: the ≤ depth·width grid joins the
+    probes as a broadcast; the events scan reads only user_id."""
+    rep = plan_report(registry.queries()["events_cms_heavy_hitters"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins >= 1, rep.raw[:3000]
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            # NB: "ts" can't be substring-checked (matches "testdata"
+            # in the scan path) — user_id-only is implied by the rest.
+            for unused in ("props", "value", "event_type"):
+                assert unused not in line, f"cms scan reads {unused}: {line[:200]}"
+
+
+def test_kmv_no_joins_and_pruned(spark, sf_dir):
+    """events_kmv_distinct: distinct → window → agg, no joins at all;
+    scan reads only (event_type, user_id)."""
+    rep = plan_report(registry.queries()["events_kmv_distinct"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins == 0 and rep.sort_merge_joins == 0
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("props", "value"):
+                assert unused not in line, f"kmv scan reads {unused}: {line[:200]}"
+
+
+def test_rrf_fusion_prunes_documents(spark, sf_dir):
+    """retrieval_rrf_fusion: the BM25 leg reads only [doc_id, text]
+    (the cosine leg's broadcast-query cross shape is the documented
+    ann pattern)."""
+    rep = plan_report(registry.queries()["retrieval_rrf_fusion"](spark, sf_dir))
+    doc_lines = [l for l in rep.raw.splitlines() if "FileScan" in l and "documents" in l]
+    assert doc_lines, rep.raw[:2000]
+    for line in doc_lines:
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in line, f"rrf doc scan reads {unused}: {line[:200]}"
+
+
+def test_basket_rules_broadcasts_part_and_supports(spark, sf_dir):
+    """brand_association_rules: part joins lineitem as a broadcast and
+    both support lookups broadcast; the lineitem scan reads only
+    (l_orderkey, l_partkey)."""
+    rep = plan_report(registry.queries()["brand_association_rules"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins >= 3, rep.raw[:3000]
+    li_lines = [l for l in rep.raw.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert li_lines
+    for line in li_lines:
+        for unused in ("l_extendedprice", "l_shipdate", "l_quantity"):
+            assert unused not in line, f"basket scan reads {unused}: {line[:200]}"
+
+
+def test_psi_scan_pruned(spark, sf_dir):
+    """events_value_drift_psi: the dense-spine cross joins are
+    constant-size by construction (groups × bins × 2); the contract
+    here is pruning — the events scan must not read props/user_id."""
+    rep = plan_report(registry.queries()["events_value_drift_psi"](spark, sf_dir))
+    for line in rep.raw.splitlines():
+        if "FileScan" in line and "events" in line:
+            for unused in ("props", "user_id"):
+                assert unused not in line, f"psi scan reads {unused}: {line[:200]}"
+
+
+def test_image_dedup_scan_pruned(spark, sf_dir):
+    """multimodal_image_dedup: the thumbnail encode consumes only
+    [doc_id, text] through the Arrow boundary."""
+    rep = plan_report(registry.queries()["multimodal_image_dedup"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    doc_lines = [l for l in rep.raw.splitlines() if "FileScan" in l and "documents" in l]
+    assert doc_lines
+    for line in doc_lines:
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in line, f"image-dedup scan reads {unused}: {line[:200]}"
