@@ -99,3 +99,70 @@ FROM base
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, seq
 """
+
+
+def type_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix of ``type_col`` within each
+    key's ordered history: (prev_type, next_type, n, prob_micro) with
+    prob row-normalized over the outgoing type.
+
+    One window shuffle on the key (the sequence_features spec), one
+    vocabulary²-bounded aggregation, and a broadcast-size row-total
+    join — the user-journey "what follows what" summary that feeds
+    next-event models and funnel design. prob rides the 1e-6 grid via
+    FLOOR(n·1e6/row_total + 0.5) (one double division of exact ints,
+    the repo convention)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    steps = df.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.floor(F.col("n") * F.lit(1_000_000.0) / F.col("row_total") + 0.5)
+            .cast("long")
+            .alias("prob_micro"),
+        )
+    )
+
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the event-type transition matrix over per-user ordered
+    histories — the Markov summary of user journeys."""
+    events = load_table(spark, "events", sf_dir)
+    return type_transitions(events).orderBy("prev_type", "next_type")
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+totals AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST(FLOOR(c.n * 1000000.0 / t.row_total + 0.5) AS BIGINT) AS prob_micro
+FROM counts c JOIN totals t USING (prev_type)
+ORDER BY prev_type, next_type
+"""

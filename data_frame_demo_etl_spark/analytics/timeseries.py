@@ -439,3 +439,77 @@ ORDER BY event_type, bucket
 
 
 EVENTS_EWMA_SQL = _ewma_sql()
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-N-day distinct keys per day: (day, n_distinct) —
+    the DAU/WAU-style rolling-reach metric.
+
+    A windowed COUNT(DISTINCT) can't partial-aggregate and a per-day
+    self-join rescans the fact N× — instead each observed (key, day)
+    pair CONTRIBUTES itself to the `window_days` days it is visible
+    from: distinct (key, day) first (one map-side-combined shuffle
+    that collapses the fact table to active-pairs), then an in-row
+    sequence explode (×N on the already-collapsed pairs), then one
+    count-distinct per day. Work is O(active_pairs · N), independent
+    of raw event count — the formulation that survives 100 TB of
+    events, and the exact complement to the mergeable HLL rollup
+    (events_hll_rollup) when the answer must be exact.
+
+    Trailing windows only start reporting from the first full window?
+    No — early days report the partial window (the standard metric
+    definition); day keys are dates, arithmetic is integer day
+    sequences, so the oracle is trivially portable."""
+    # date_trunc (timestamp), not to_date: DATE round-trips as python
+    # objects through pandas while TIMESTAMP stays a typed column on
+    # both engines — the repo-wide day-bucket convention.
+    pairs = df.select(
+        F.col(key_col).alias("k"), F.date_trunc("day", F.col(ts_col)).alias("d")
+    ).distinct()
+    contrib = pairs.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr(f"interval {window_days - 1} days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    # Days beyond the observed range would report phantom partial
+    # windows — clip to the true day span (two scalar aggregates).
+    bounds = pairs.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+    return (
+        contrib.filter(F.col("day") <= F.lit(bounds["hi"]))
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("k")).alias("n_distinct"))
+    )
+
+
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: exact trailing-7-day distinct users per day (rolling
+    weekly reach)."""
+    events = load_table(spark, "events", sf_dir)
+    return rolling_distinct(events).orderBy("day")
+
+
+EVENTS_ROLLING_DISTINCT_USERS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS k, DATE_TRUNC('day', ts) AS d FROM events
+),
+bounds AS (SELECT MAX(d) AS hi FROM pairs),
+contrib AS (
+  SELECT k, UNNEST(GENERATE_SERIES(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+  FROM pairs
+)
+SELECT day, COUNT(DISTINCT k) AS n_distinct
+FROM contrib, bounds
+WHERE day <= bounds.hi
+GROUP BY day
+ORDER BY day
+"""

@@ -552,3 +552,21 @@ register("events_value_drift_psi", events_value_drift_psi, EVENTS_VALUE_DRIFT_PS
 from .multimodal.phash import MULTIMODAL_IMAGE_DEDUP_SQL, multimodal_image_dedup  # noqa: E402
 
 register("multimodal_image_dedup", multimodal_image_dedup, MULTIMODAL_IMAGE_DEDUP_SQL)
+
+from .analytics.features import (  # noqa: E402
+    EVENTS_TYPE_TRANSITIONS_SQL,
+    events_type_transitions,
+)
+
+register("events_type_transitions", events_type_transitions, EVENTS_TYPE_TRANSITIONS_SQL)
+
+from .analytics.timeseries import (  # noqa: E402
+    EVENTS_ROLLING_DISTINCT_USERS_SQL,
+    events_rolling_distinct_users,
+)
+
+register(
+    "events_rolling_distinct_users",
+    events_rolling_distinct_users,
+    EVENTS_ROLLING_DISTINCT_USERS_SQL,
+)

@@ -139,3 +139,45 @@ def test_rrf_single_list_candidate_survives(spark):
     sem = _ranks(spark, [])
     out = rrf_fuse(lex, sem, k_out=3).collect()
     assert len(out) == 1 and out[0].neighbor_id == 5 and out[0].sem_rank is None
+
+
+def test_type_transitions_planted_chain(spark):
+    from data_frame_demo_etl_spark.analytics.features import type_transitions
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t, "view"), (1, 2, datetime(2024, 1, 1, 1), "click"),
+        (1, 3, datetime(2024, 1, 1, 2), "view"),
+        (2, 4, t, "view"), (2, 5, datetime(2024, 1, 1, 1), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.prob_micro)
+        for r in type_transitions(df).collect()
+    }
+    # view→click twice, click→view once; view row-total 2, click 1.
+    assert got[("view", "click")] == (2, 1_000_000)
+    assert got[("click", "view")] == (1, 1_000_000)
+    assert ("view", "view") not in got
+
+
+def test_rolling_distinct_trailing_window(spark):
+    from data_frame_demo_etl_spark.analytics.timeseries import rolling_distinct
+
+    rows = [
+        # user 1 active day 1; user 2 active day 1 and day 9.
+        (1, datetime(2024, 1, 1, 5)),
+        (2, datetime(2024, 1, 1, 6)),
+        (2, datetime(2024, 1, 9, 6)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.day.day: r.n_distinct for r in rolling_distinct(df).collect()}
+    assert got[1] == 2          # both active on day 1
+    assert got[7] == 2          # day-1 activity still visible (7-day trail)
+    # Day 8's trailing window [2..8] holds no activity: the day is
+    # simply absent (day-1 pairs contribute days 1-7, day-9 pairs 9+).
+    assert 8 not in got
+    assert got[9] == 1          # user 2's day-9 visit
+    assert max(got) == 9        # clipped to the last observed day
