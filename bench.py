@@ -68,6 +68,14 @@ HEADLINE = [
     "events_cms_heavy_hitters",
     "events_kmv_distinct",
     "retrieval_rrf_fusion",
+    "brand_association_rules",
+    "events_value_drift_psi",
+    "events_type_transitions",
+    "events_rolling_distinct_users",
+    # multimodal_image_dedup intentionally NOT headline: its output is
+    # a pair listing that grows quadratically with corpus duplication
+    # (SCALING.md round-5 late-additions note) — benching it tracks
+    # the answer size, not the engine.
 ]
 
 

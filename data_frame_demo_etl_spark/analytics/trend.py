@@ -1,0 +1,130 @@
+"""Per-group linear trend estimation: closed-form OLS over each
+group's hourly value series — the "is this metric drifting up or
+down, and how fast" summary that monitoring and feature pipelines
+compute per key.
+
+Spark-first shape: NO regression library and NO per-group Python —
+the normal equations need only five sufficient statistics
+(n, Σx, Σy, Σxy, Σx²), all plain integer aggregations with map-side
+partials; one hourly rollup shuffle, one per-group origin lookup
+(broadcast — group-cardinality-sized, the robust.py pattern), one
+stats aggregation.
+
+Determinism: x is the hour offset from the GROUP's first bucket
+(slope is shift-invariant; the shift keeps every product inside
+exact int64 — raw epoch hours would push Σxy past 2^63 at scale),
+y is the exact micro-grid hourly sum, so all five sums are exact
+integers. The final slope/intercept divisions run on those integers
+with ONE fixed parenthesization (int→double conversion rounds
+identically everywhere), quantized to the 1e-6 grid.
+
+Headroom: Σxy < 2^63 holds through ~year-long series with hourly
+sums < ~10¹⁰ micro-units; for coarser/longer series, bucket wider or
+drop y to a 1e-3 grid (the formulation is unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+
+SCALE = 1_000_000
+
+
+def trend_ols(
+    series: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(group, n, slope_micro, intercept_micro) — OLS fit of exact-
+    integer (x, y) points per group. Groups with < 2 distinct x (no
+    identifiable slope) report nulls."""
+    g = F.col(group_col)
+    stats = series.groupBy(g.alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    return stats.select(
+        "grp",
+        "n",
+        F.when(den > 0, F.floor(slope * SCALE + 0.5).cast("long")).alias(
+            "slope_micro"
+        ),
+        F.when(den > 0, F.floor(intercept * SCALE + 0.5).cast("long")).alias(
+            "intercept_micro"
+        ),
+    )
+
+
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-event-type OLS trend of the hourly value series —
+    slope in micro-units per hour, intercept at the type's first
+    bucket."""
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+        )
+        .agg(F.sum(F.round(F.col("value") * SCALE).cast("long")).alias("y"))
+    )
+    origin = hourly.groupBy("grp").agg(F.min("bucket").alias("origin"))
+    series = hourly.join(F.broadcast(origin), "grp").select(
+        "grp",
+        (
+            (F.unix_timestamp("bucket") - F.unix_timestamp("origin")) / 3600
+        ).cast("long").alias("x"),
+        "y",
+    )
+    out = trend_ols(series)
+    return out.select(
+        F.col("grp").alias("event_type"), "n", "slope_micro", "intercept_micro"
+    ).orderBy("event_type")
+
+
+EVENTS_TREND_SLOPE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type AS grp, DATE_TRUNC('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * {SCALE}) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+origin AS (
+  SELECT grp, MIN(bucket) AS origin FROM hourly GROUP BY grp
+),
+series AS (
+  SELECT h.grp,
+         CAST((EPOCH(h.bucket) - EPOCH(o.origin)) / 3600 AS BIGINT) AS x,
+         h.y
+  FROM hourly h JOIN origin o USING (grp)
+),
+stats AS (
+  SELECT grp, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM series GROUP BY grp
+)
+SELECT grp AS event_type, n,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+         CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * {SCALE} + 0.5) AS BIGINT)
+       END AS slope_micro,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+         CAST(FLOOR((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                    / CAST(n AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)
+       END AS intercept_micro
+FROM stats
+ORDER BY event_type
+"""

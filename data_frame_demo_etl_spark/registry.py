@@ -570,3 +570,7 @@ register(
     events_rolling_distinct_users,
     EVENTS_ROLLING_DISTINCT_USERS_SQL,
 )
+
+from .analytics.trend import EVENTS_TREND_SLOPE_SQL, events_trend_slope  # noqa: E402
+
+register("events_trend_slope", events_trend_slope, EVENTS_TREND_SLOPE_SQL)

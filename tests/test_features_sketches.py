@@ -181,3 +181,42 @@ def test_rolling_distinct_trailing_window(spark):
     assert 8 not in got
     assert got[9] == 1          # user 2's day-9 visit
     assert max(got) == 9        # clipped to the last observed day
+
+
+def test_trend_ols_exact_line(spark):
+    from data_frame_demo_etl_spark.analytics.trend import trend_ols
+
+    # y = 3x + 7 exactly: slope/intercept recovered to the micro digit.
+    pts = [("a", x, 3 * x + 7) for x in range(10)]
+    df = spark.createDataFrame(pts, "grp string, x long, y long")
+    row = trend_ols(df).collect()[0]
+    assert row.slope_micro == 3_000_000
+    assert row.intercept_micro == 7_000_000
+
+
+def test_trend_ols_degenerate_group_is_null(spark):
+    from data_frame_demo_etl_spark.analytics.trend import trend_ols
+
+    df = spark.createDataFrame([("a", 5, 10)], "grp string, x long, y long")
+    row = trend_ols(df).collect()[0]
+    assert row.slope_micro is None and row.intercept_micro is None
+
+
+def test_trend_ols_matches_closed_form(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.trend import trend_ols
+
+    pts = [("a", x, 2 * x + (5 if x % 2 == 0 else -5)) for x in range(10)]
+    row = trend_ols(
+        spark.createDataFrame(pts, "grp string, x long, y long")
+    ).collect()[0]
+    n = len(pts)
+    sx = sum(x for _, x, _ in pts)
+    sy = sum(y for _, _, y in pts)
+    sxy = sum(x * y for _, x, y in pts)
+    sxx = sum(x * x for _, x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert row.slope_micro == math.floor(slope * 1_000_000 + 0.5)
+    assert row.intercept_micro == math.floor(intercept * 1_000_000 + 0.5)
