@@ -72,6 +72,7 @@ HEADLINE = [
     "events_value_drift_psi",
     "events_type_transitions",
     "events_rolling_distinct_users",
+    "events_trend_slope",
     # multimodal_image_dedup intentionally NOT headline: its output is
     # a pair listing that grows quadratically with corpus duplication
     # (SCALING.md round-5 late-additions note) — benching it tracks

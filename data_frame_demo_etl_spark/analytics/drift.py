@@ -56,7 +56,10 @@ def psi_by_group(
         .filter(F.col("v").isNotNull())
     )
     bounds = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    # Empty input: any bounds yield the correct (empty, same-schema)
+    # result because every downstream table derives from `both`.
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
     span = max(hi - lo + 1, 1)
     # Integer equal-width binning: bin = floor((v-lo)·n_bins/span),
     # clamped implicitly (v ≤ hi ⇒ bin ≤ n_bins−1).

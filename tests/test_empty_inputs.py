@@ -88,3 +88,56 @@ def test_round4_ops_on_empty(spark):
 
     empty_series = spark.createDataFrame([], "k string, ts timestamp, v double")
     assert interpolate_linear(empty_series, "k", "ts", "v").count() == 0
+
+
+def test_psi_empty_inputs(spark):
+    from data_frame_demo_etl_spark.analytics.drift import psi_by_group
+
+    empty = spark.createDataFrame([], "g string, value double")
+    out = psi_by_group(empty, empty, "g", "value")
+    assert out.count() == 0
+    assert set(out.columns) == {"grp", "n_ref", "n_cur", "psi_micro"}
+
+
+def test_rolling_distinct_empty(spark):
+    from data_frame_demo_etl_spark.analytics.timeseries import rolling_distinct
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert rolling_distinct(empty).count() == 0
+
+
+def test_association_rules_empty(spark):
+    from data_frame_demo_etl_spark.analytics.market_basket import association_rules
+
+    empty = spark.createDataFrame([], "basket_id long, item string")
+    assert association_rules(empty).count() == 0
+
+
+def test_mad_outliers_empty(spark):
+    from data_frame_demo_etl_spark.analytics.robust import mad_outliers
+
+    empty = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, value double, event_type string"
+    )
+    assert mad_outliers(empty).count() == 0
+
+
+def test_trend_ols_empty(spark):
+    from data_frame_demo_etl_spark.analytics.trend import trend_ols
+
+    empty = spark.createDataFrame([], "grp string, x long, y long")
+    assert trend_ols(empty).count() == 0
+
+
+def test_kmv_empty(spark):
+    from data_frame_demo_etl_spark.analytics.cms import kmv_distinct
+
+    empty = spark.createDataFrame([], "g string, k long")
+    assert kmv_distinct(empty, "g", "k").count() == 0
+
+
+def test_ahash_pairs_empty(spark):
+    from data_frame_demo_etl_spark.multimodal.phash import ahash_near_dup_pairs
+
+    empty = spark.createDataFrame([], "asset_id long, ahash long")
+    assert ahash_near_dup_pairs(empty).count() == 0
