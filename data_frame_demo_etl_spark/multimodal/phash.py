@@ -140,7 +140,7 @@ def _ahash_sql() -> str:
         for i in range(HASH_BITS)
     )
     return f"""
-WITH g0 AS (
+WITH RECURSIVE g0 AS (
   SELECT doc_id, [{grays}] AS g FROM documents
 ),
 g1 AS (
@@ -159,5 +159,53 @@ SELECT a.doc_id AS u, b.doc_id AS v,
 FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= {HAMMING_MAX}
 ORDER BY u, v
+"""
+)
+
+
+def multimodal_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the cluster form of image dedup — aHash near-dup pairs
+    (Hamming ≤ 2) contracted to connected components, labeling each
+    clustered image with its component's minimum doc_id. This is the
+    production posture at corpus scale (SCALING.md round-5 note): the
+    quadratic pair LISTING never materializes as output — the banded
+    join's candidates flow straight into O(log n) star contraction
+    (dedup/clusters.py), and the result is one row per image in a
+    duplicate group, linear in corpus size."""
+    from ..dedup.clusters import connected_components
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashes = image_ahash(docs_as_bmp_assets(docs, width=THUMB_W, height=THUMB_H))
+    pairs = ahash_near_dup_pairs(hashes).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_IMAGE_CLUSTERS_SQL = (
+    _ahash_sql()
+    + f""",
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= {HAMMING_MAX}
+),
+edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster
+FROM reach
+GROUP BY u
+ORDER BY doc_id
 """
 )

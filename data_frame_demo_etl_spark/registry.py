@@ -574,3 +574,10 @@ register(
 from .analytics.trend import EVENTS_TREND_SLOPE_SQL, events_trend_slope  # noqa: E402
 
 register("events_trend_slope", events_trend_slope, EVENTS_TREND_SLOPE_SQL)
+
+from .multimodal.phash import (  # noqa: E402
+    MULTIMODAL_IMAGE_CLUSTERS_SQL,
+    multimodal_image_clusters,
+)
+
+register("multimodal_image_clusters", multimodal_image_clusters, MULTIMODAL_IMAGE_CLUSTERS_SQL)

@@ -98,3 +98,21 @@ def test_ahash_uniform_image_hashes_zero(spark):
     flat = [7] * 48
     row = image_ahash(_asset_df(spark, [flat])).collect()[0]
     assert row.ahash == 0
+
+
+def test_image_clusters_transitive(spark):
+    # 0-1 within hamming 1, 1-2 within hamming 1, but 0-2 at hamming 2:
+    # all three must land in ONE cluster labeled by doc 0 (transitive
+    # closure beyond the pairwise threshold is the point of clustering).
+    from data_frame_demo_etl_spark.dedup.clusters import connected_components
+    from data_frame_demo_etl_spark.multimodal.phash import ahash_near_dup_pairs
+
+    hashes = spark.createDataFrame(
+        [(0, 0b0000000011111111), (1, 0b0000000011111110), (2, 0b0000000011111100)],
+        "asset_id long, ahash long",
+    )
+    pairs = ahash_near_dup_pairs(hashes).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0}
