@@ -106,6 +106,12 @@ CARTESIAN_ALLOWED = {
     "q22_idle_rich_customers",
     "q11_important_stock",
     "q15_top_supplier",
+    # broadcast-query-set ANN shape inside the fused semantic leg
+    # (similarity/fusion.py — the documented ann_cosine_topk pattern).
+    "retrieval_rrf_fusion",
+    # dense (groups × bins × 2) spine — constant-size cross join by
+    # construction (analytics/drift.py).
+    "events_value_drift_psi",
 }
 
 
