@@ -48,6 +48,10 @@ def association_rules(
     b = baskets.select(
         F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
     )
+    # per_basket feeds both the count action and the pair explode; a
+    # persist was measured at sf1 and bought nothing (the agg is cheap
+    # next to the scan, and AQE reuses the exchange), so it stays
+    # uncached.
     per_basket = b.groupBy("bid").agg(F.collect_set("item").alias("items"))
     n_baskets = per_basket.count()
     item_supp = (
