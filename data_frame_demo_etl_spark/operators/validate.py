@@ -119,3 +119,53 @@ def validate_contract(
     return ValidationResult(
         is_valid=not missing, errors=errors, row_count=coerced.count(), coerced=coerced
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): every combination of
+    quasi-identifier values must be shared by ≥ k rows, or those rows
+    are re-identifiable and must be suppressed/generalized before the
+    dataset ships — the standard privacy gate a training-data release
+    runs over demographic-ish columns.
+
+    One aggregation: (QI..., n, meets_k). The equivalence-class table
+    is bounded by the QI domain product, not the row count, so the
+    audit output stays broadcastable no matter how large the input —
+    and the single groupBy partial-aggregates map-side at any scale.
+    Null QI values form their own equivalence class (they are still a
+    linkable signature).
+    """
+    from pyspark.sql import functions as F
+
+    qi = [F.col(c) for c in quasi_identifiers]
+    return (
+        df.groupBy(*qi)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("meets_k", F.col("n") >= k)
+    )
+
+
+def customer_k_anonymity(spark, sf_dir: str) -> DataFrame:
+    """Gate: k=5 anonymity audit of customers over the
+    (market segment, nation) quasi-identifier pair, with each
+    equivalence class's size and pass flag."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=5).orderBy(
+        "c_mktsegment", "c_nationkey"
+    )
+
+
+CUSTOMER_K_ANONYMITY_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, COUNT(*) >= 5 AS meets_k
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""

@@ -581,3 +581,7 @@ from .multimodal.phash import (  # noqa: E402
 )
 
 register("multimodal_image_clusters", multimodal_image_clusters, MULTIMODAL_IMAGE_CLUSTERS_SQL)
+
+from .operators.validate import CUSTOMER_K_ANONYMITY_SQL, customer_k_anonymity  # noqa: E402
+
+register("customer_k_anonymity", customer_k_anonymity, CUSTOMER_K_ANONYMITY_SQL)

@@ -220,3 +220,18 @@ def test_trend_ols_matches_closed_form(spark):
     intercept = (sy - slope * sx) / n
     assert row.slope_micro == math.floor(slope * 1_000_000 + 0.5)
     assert row.intercept_micro == math.floor(intercept * 1_000_000 + 0.5)
+
+
+def test_k_anonymity_planted_violation(spark):
+    from data_frame_demo_etl_spark.operators.validate import k_anonymity
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [(None, 1)] * 1
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    got = {
+        (r.seg, r.nat): (r.n, r.meets_k)
+        for r in k_anonymity(df, ["seg", "nat"], k=5).collect()
+    }
+    assert got[("a", 1)] == (5, True)
+    assert got[("a", 2)] == (2, False)
+    # nulls form their own (still linkable) equivalence class
+    assert got[(None, 1)] == (1, False)
