@@ -230,3 +230,166 @@ SELECT event_type,
 FROM per_group
 ORDER BY event_type
 """
+
+
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: audience-overlap estimation between event types via KMV
+    set algebra — est(A∩B) = est(A) + est(B) − est(A∪B), where the
+    union estimate comes from the MERGED sketch (k smallest hashes of
+    the concatenation). This is the set operation HLL cannot do
+    directly, and the reason bottom-k sketches earn their place next
+    to it: intersection/difference cardinalities of segment audiences
+    from KB-sized summaries, no raw-data rescans.
+
+    Shape: one distinct + hash pass over (type, user); the per-pair
+    union sketch re-ranks the two types' hash streams TOGETHER (rows
+    explode by the type-pair vocabulary C(T,2) — bounded by the type
+    domain, never by users); exact overlaps ride along from a
+    user-keyed self-join of the same distinct table. Estimates clamp
+    at 0 (inclusion-exclusion on sketches can go slightly negative).
+    Everything is the same portable integer arithmetic as
+    ``kmv_distinct``, so the oracle rebuilds it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    d = events.select("event_type", "user_id").distinct()
+    hashed = d.select(
+        "event_type",
+        "user_id",
+        _h32(F.col("user_id").cast("string")).alias("h"),
+    )
+    per_type = kmv_distinct(events, "event_type", "user_id")
+
+    # Type-pair spine (vocabulary-sized), then each (type, user, h)
+    # row joins into every pair its type belongs to.
+    types = d.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    members = hashed.join(
+        pairs, (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb"))
+    ).select("ta", "tb", "user_id", "h")
+    # Union sketch per pair: distinct users first (a user active in
+    # BOTH types must count once), then the k-th smallest hash.
+    unioned = members.select("ta", "tb", "user_id", "h").distinct()
+    w = Window.partitionBy("ta", "tb").orderBy(F.col("h").asc())
+    union_stats = (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.min(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+        )
+        .select(
+            "ta",
+            "tb",
+            F.when(
+                F.col("hk").isNotNull(),
+                F.floor(
+                    F.lit((KMV_K - 1) * _TWO32) / F.greatest(F.col("hk"), F.lit(1))
+                ).cast("long"),
+            )
+            .otherwise(F.col("n_union"))
+            .alias("est_union"),
+        )
+    )
+    exact = (
+        d.alias("x")
+        .join(d.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = per_type.select(
+        F.col("event_type").alias("ta"), F.col("kmv_est").alias("est_a")
+    )
+    eb = per_type.select(
+        F.col("event_type").alias("tb"), F.col("kmv_est").alias("est_b")
+    )
+    return (
+        exact.join(union_stats, ["ta", "tb"])
+        .join(F.broadcast(ea), "ta")
+        .join(F.broadcast(eb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "exact_overlap",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+            ).alias("kmv_est_overlap"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENTS_KMV_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, user_id,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM d
+),
+per_type AS (
+  SELECT event_type,
+         COUNT(*) AS n_distinct,
+         MIN(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+    FROM hashed
+  ) GROUP BY event_type
+),
+est_type AS (
+  SELECT event_type,
+         CASE WHEN hk IS NOT NULL
+              THEN CAST(FLOOR({(KMV_K - 1) * _TWO32} / GREATEST(hk, 1)) AS BIGINT)
+              ELSE n_distinct END AS est
+  FROM per_type
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM d) a,
+       (SELECT DISTINCT event_type FROM d) b
+  WHERE a.event_type < b.event_type
+),
+members AS (
+  SELECT DISTINCT p.ta, p.tb, h.user_id, h.h
+  FROM hashed h JOIN pairs p ON h.event_type = p.ta OR h.event_type = p.tb
+),
+union_stats AS (
+  SELECT ta, tb,
+         COUNT(*) AS n_union,
+         MIN(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM (
+    SELECT ta, tb, h,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h ASC) AS rn
+    FROM members
+  ) GROUP BY ta, tb
+),
+est_union AS (
+  SELECT ta, tb,
+         CASE WHEN hk IS NOT NULL
+              THEN CAST(FLOOR({(KMV_K - 1) * _TWO32} / GREATEST(hk, 1)) AS BIGINT)
+              ELSE n_union END AS est_union
+  FROM union_stats
+),
+exact AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS exact_overlap
+  FROM d x JOIN d y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT e.ta AS type_a, e.tb AS type_b, e.exact_overlap,
+       GREATEST(ea.est + eb.est - u.est_union, 0) AS kmv_est_overlap
+FROM exact e
+JOIN est_union u USING (ta, tb)
+JOIN est_type ea ON ea.event_type = e.ta
+JOIN est_type eb ON eb.event_type = e.tb
+ORDER BY type_a, type_b
+"""

@@ -585,3 +585,7 @@ register("multimodal_image_clusters", multimodal_image_clusters, MULTIMODAL_IMAG
 from .operators.validate import CUSTOMER_K_ANONYMITY_SQL, customer_k_anonymity  # noqa: E402
 
 register("customer_k_anonymity", customer_k_anonymity, CUSTOMER_K_ANONYMITY_SQL)
+
+from .analytics.cms import EVENTS_KMV_OVERLAP_SQL, events_kmv_overlap  # noqa: E402
+
+register("events_kmv_overlap", events_kmv_overlap, EVENTS_KMV_OVERLAP_SQL)

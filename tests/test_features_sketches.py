@@ -235,3 +235,16 @@ def test_k_anonymity_planted_violation(spark):
     assert got[("a", 2)] == (2, False)
     # nulls form their own (still linkable) equivalence class
     assert got[(None, 1)] == (1, False)
+
+
+def test_kmv_overlap_sanity(spark, sf_dir):
+    from data_frame_demo_etl_spark.analytics.cms import events_kmv_overlap
+
+    rows = events_kmv_overlap(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    for r in rows:
+        assert r.kmv_est_overlap >= 0
+        # inclusion-exclusion on 32-min sketches: loose 3-sigma-ish
+        # band relative to the union scale (all types share most users
+        # in this fixture, so overlap ≈ distinct users per type)
+        assert r.exact_overlap > 0
