@@ -166,3 +166,76 @@ SELECT c.prev_type, c.next_type, c.n,
 FROM counts c JOIN totals t USING (prev_type)
 ORDER BY prev_type, next_type
 """
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the standard
+    customer-value scoring: per customer, days since last order
+    (anchored at the dataset's max date — deterministic, no wall
+    clock), order count, and exact-cents spend, each scored into
+    ``n_tiles`` quantile bands with the usual orientation (5 = most
+    recent / most frequent / highest spend).
+
+    One aggregation keyed by customer + three NTILE windows that share
+    nothing but the tiny aggregated table — the windows run over
+    #customers rows, not orders. Determinism: every NTILE order has
+    the customer id as final tie-break, so band edges cannot float
+    between engines; amounts ride exact integer cents.
+    """
+    anchor = orders.agg(F.max(date_col).alias("mx")).collect()[0]["mx"]
+    per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        F.datediff(F.lit(anchor), F.max(date_col)).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    w_m = Window.orderBy(F.col("monetary_cents").asc(), F.col("custkey").asc())
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_r)).cast("int").alias("r_score"),
+        F.ntile(n_tiles).over(w_f).cast("int").alias("f_score"),
+        F.ntile(n_tiles).over(w_m).cast("int").alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: RFM quintile scores for every ordering customer."""
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    return rfm_segments(orders).orderBy("custkey")
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), CAST(a.mx AS DATE)) AS INTEGER) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders, anchor a
+  GROUP BY o_custkey, a.mx
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(6 - NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS INTEGER) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency ASC, custkey ASC) AS INTEGER) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, custkey ASC) AS INTEGER) AS m_score,
+       CAST((6 - NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC)) * 100
+            + NTILE(5) OVER (ORDER BY frequency ASC, custkey ASC) * 10
+            + NTILE(5) OVER (ORDER BY monetary_cents ASC, custkey ASC) AS INTEGER) AS rfm_code
+FROM per_cust
+ORDER BY custkey
+"""

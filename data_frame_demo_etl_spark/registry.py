@@ -589,3 +589,7 @@ register("customer_k_anonymity", customer_k_anonymity, CUSTOMER_K_ANONYMITY_SQL)
 from .analytics.cms import EVENTS_KMV_OVERLAP_SQL, events_kmv_overlap  # noqa: E402
 
 register("events_kmv_overlap", events_kmv_overlap, EVENTS_KMV_OVERLAP_SQL)
+
+from .analytics.features import CUSTOMER_RFM_SEGMENTS_SQL, customer_rfm_segments  # noqa: E402
+
+register("customer_rfm_segments", customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL)

@@ -248,3 +248,26 @@ def test_kmv_overlap_sanity(spark, sf_dir):
         # band relative to the union scale (all types share most users
         # in this fixture, so overlap ≈ distinct users per type)
         assert r.exact_overlap > 0
+
+
+def test_rfm_orientation(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.features import rfm_segments
+
+    # Customer 1: recent, frequent, big spender. Customer 5: one old
+    # tiny order. With 5 customers and quintiles, best gets 555.
+    rows = []
+    for c in range(1, 6):
+        for i in range(6 - c):  # customer c places 6-c orders
+            rows.append(
+                (c, dt.date(2024, 1, c), float(100 * (6 - c)))
+            )
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate date, o_totalprice double")
+    got = {r.custkey: r for r in rfm_segments(df).collect()}
+    # customer 5 ordered LAST (latest date) → most recent → r=5,
+    # but least frequent/lowest spend → f=1, m=1.
+    assert got[5].r_score == 5 and got[5].f_score == 1 and got[5].m_score == 1
+    assert got[1].r_score == 1 and got[1].f_score == 5 and got[1].m_score == 5
+    assert got[1].rfm_code == 155 and got[5].rfm_code == 511
+    assert got[5].recency_days == 0  # anchored at max date
