@@ -182,11 +182,17 @@ def rfm_segments(
     ``n_tiles`` quantile bands with the usual orientation (5 = most
     recent / most frequent / highest spend).
 
-    One aggregation keyed by customer + three NTILE windows that share
-    nothing but the tiny aggregated table — the windows run over
-    #customers rows, not orders. Determinism: every NTILE order has
-    the customer id as final tie-break, so band edges cannot float
-    between engines; amounts ride exact integer cents.
+    One aggregation keyed by customer, then each score comes from a
+    DISTRIBUTED exact global rank (the packing.py two-pass prefix-sum
+    shape: range-partition + per-partition offsets, never a global
+    single-partition NTILE window — a billion customers rank in
+    parallel) folded through the closed-form NTILE formula, which is
+    value-identical to SQL NTILE: with q = n // tiles and
+    rem = n % tiles, ranks ≤ (q+1)·rem land in tile
+    ⌊(r−1)/(q+1)⌋+1, the rest in rem + ⌊(r−1−(q+1)·rem)/q⌋ + 1.
+    Determinism: every rank order has the customer id as final
+    tie-break, so band edges cannot float between engines; amounts
+    ride exact integer cents.
     """
     anchor = orders.agg(F.max(date_col).alias("mx")).collect()[0]["mx"]
     per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
@@ -194,21 +200,84 @@ def rfm_segments(
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("monetary_cents"),
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
-    w_m = Window.orderBy(F.col("monetary_cents").asc(), F.col("custkey").asc())
-    return per_cust.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(w_r)).cast("int").alias("r_score"),
-        F.ntile(n_tiles).over(w_f).cast("int").alias("f_score"),
-        F.ntile(n_tiles).over(w_m).cast("int").alias("m_score"),
-    ).withColumn(
-        "rfm_code",
-        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    ranked, n = per_cust, None
+    for metric, out in (
+        ("recency_days", "__rank_r"),
+        ("frequency", "__rank_f"),
+        ("monetary_cents", "__rank_m"),
+    ):
+        ranked, n = _global_rank(ranked, metric, "custkey", out)
+    r_tile = _ntile_from_rank("__rank_r", n, n_tiles)
+    f_tile = _ntile_from_rank("__rank_f", n, n_tiles)
+    m_tile = _ntile_from_rank("__rank_m", n, n_tiles)
+    return per_cust.sparkSession.createDataFrame([], "x int") if n == 0 else (
+        ranked.select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            (F.lit(n_tiles + 1) - r_tile).cast("int").alias("r_score"),
+            f_tile.cast("int").alias("f_score"),
+            m_tile.cast("int").alias("m_score"),
+        ).withColumn(
+            "rfm_code",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+        )
     )
+
+
+def _global_rank(df, metric: str, id_col: str, out: str):
+    """Exact 1-based global rank by (metric, id) WITHOUT a global
+    single-partition window: range-partition on the order key, count
+    rows per partition (bounded collect), cumulate offsets driver-side
+    and add them to per-partition row_numbers — the two-pass
+    prefix-sum shape of operators/packing.py. Returns (df+rank, n).
+
+    The range layout is persisted before pass 1 for the same
+    correctness reason packing.py documents: repartitionByRange
+    samples its boundaries, and a recompute in pass 2 could re-draw
+    them. The session owner releases caches."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    laid = (
+        df.repartitionByRange(n_parts, F.col(metric).asc(), F.col(id_col).asc())
+        .sortWithinPartitions(metric, id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in laid.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    running, rows = 0, []
+    for pid in sorted(counts):
+        rows.append((pid, running))
+        running += counts[pid]
+    if not rows:
+        return laid.withColumn(out, F.lit(None).cast("long")), 0
+    offsets = spark.createDataFrame(rows, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(F.col(metric).asc(), F.col(id_col).asc())
+    ranked = (
+        laid.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+    return ranked, running
+
+
+def _ntile_from_rank(rank_col: str, n: int, tiles: int):
+    """SQL NTILE(tiles) as a closed-form expression over an exact
+    1-based rank: the first n % tiles bands hold ⌈n/tiles⌉ rows, the
+    rest ⌊n/tiles⌋ — the standard (Spark == DuckDB) distribution."""
+    q, rem = divmod(n, tiles)
+    r = F.col(rank_col)
+    big = (q + 1) * rem
+    if q == 0:  # fewer rows than tiles: tile == rank
+        return r
+    return F.when(
+        r <= F.lit(big), F.floor((r - 1) / F.lit(q + 1)) + 1
+    ).otherwise(F.lit(rem) + F.floor((r - 1 - big) / F.lit(q)) + 1)
 
 
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
