@@ -165,23 +165,51 @@ ORDER BY exact_n DESC, user_id ASC
 """
 
 
+N_SALTS = 64
+
+
+def _kth_smallest(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Per-group k-th smallest ``h`` WITHOUT sorting a whole group in
+    one task: stage 1 keeps each (group, h % N_SALTS) sub-partition's
+    k smallest (the sketch's own merge law — the true k minima all
+    survive, since each salt retains its local k minima), stage 2
+    ranks the ≤ k·N_SALTS survivors per group. A group with a billion
+    distinct keys sorts N_SALTS ways in parallel; the second window
+    touches a bounded candidate set. Returns (group…, hk) with hk
+    null when the group holds < k values."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.col("h"), F.lit(N_SALTS))
+    w1 = Window.partitionBy(*group_cols, salt).orderBy(F.col("h").asc())
+    cand = (
+        hashed.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        cand.withColumn("__rn2", F.row_number().over(w2))
+        .groupBy(*group_cols)
+        .agg(F.min(F.when(F.col("__rn2") == k, F.col("h"))).alias("hk"))
+    )
+
+
 def kmv_distinct(keys: DataFrame, group_col: str, key_col: str, k: int = KMV_K) -> DataFrame:
     """Per-group KMV distinct-count estimate: keep the k smallest
     32-bit hashes of the DISTINCT keys; estimate (k−1)·2^32/h_k.
     Groups holding < k distinct keys report their exact count (the
     sketch IS the key set there). Pure integer arithmetic throughout.
-    """
-    from pyspark.sql import Window
-
+    The k-th-smallest search is the salted two-stage form
+    (`_kth_smallest`) — no per-group single-task sort at any
+    cardinality."""
     d = keys.select(group_col, key_col).distinct()
     hashed = d.select(
         group_col, _h32(F.col(key_col).cast("string")).alias("h")
     )
-    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
-    per_group = ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.min(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    per_group = (
+        d.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .join(_kth_smallest(hashed, [group_col], k), group_col, "left")
     )
     # GREATEST(hk, 1): h = 0 is a 2^-32 corner, but bare division
     # would split the engines (Spark null vs DuckDB inf) — pin it.
@@ -273,16 +301,13 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb"))
     ).select("ta", "tb", "user_id", "h")
     # Union sketch per pair: distinct users first (a user active in
-    # BOTH types must count once), then the k-th smallest hash.
+    # BOTH types must count once), then the k-th smallest hash via the
+    # salted two-stage search (no per-pair single-task sort).
     unioned = members.select("ta", "tb", "user_id", "h").distinct()
-    w = Window.partitionBy("ta", "tb").orderBy(F.col("h").asc())
     union_stats = (
-        unioned.withColumn("rn", F.row_number().over(w))
-        .groupBy("ta", "tb")
-        .agg(
-            F.count(F.lit(1)).alias("n_union"),
-            F.min(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
-        )
+        unioned.groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_union"))
+        .join(_kth_smallest(unioned, ["ta", "tb"], KMV_K), ["ta", "tb"], "left")
         .select(
             "ta",
             "tb",
