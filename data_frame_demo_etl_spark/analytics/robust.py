@@ -109,3 +109,93 @@ FROM dev d JOIN mad m USING (grp)
 GROUP BY d.grp, d.med2, m.mad2
 ORDER BY event_type
 """
+
+
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: seasonality-adjusted robust anomaly audit — deseasonalize
+    each event value against its (event_type, hour-of-day) profile
+    mean, then run the same integer-exact MAD test on the residuals.
+    The composition matters: a nightly batch spike that is NORMAL for
+    3 a.m. stops tripping the plain value-level detector, and a
+    mid-day value that is ordinary globally but wild for noon is
+    caught. Seasonal means stay on the integer grid as
+    floor(sum/cnt); the profile table is (types × 24) rows and joins
+    back broadcast."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    base = events.select(
+        F.col("event_type").alias("grp"),
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+    )
+    profile = base.groupBy("grp", "hod").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("seasonal_mean")
+    )
+    resid = base.join(F.broadcast(profile), ["grp", "hod"]).select(
+        "grp", (F.col("v") - F.col("seasonal_mean")).alias("v")
+    )
+    med = resid.groupBy("grp").agg(
+        F.round(F.percentile(F.col("v"), F.lit(0.5)) * 2).cast("long").alias("med2")
+    )
+    dev = resid.join(F.broadcast(med), "grp").withColumn(
+        "dev2", F.abs(2 * F.col("v") - F.col("med2"))
+    )
+    mad = dev.groupBy("grp").agg(
+        F.round(F.percentile(F.col("dev2"), F.lit(0.5))).cast("long").alias("mad2")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "med2", "mad2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.lit(_C_NUM) * F.col("dev2") > F.lit(_C_DEN) * F.col("mad2"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+        .select(
+            F.col("grp").alias("event_type"),
+            "n",
+            F.col("med2").alias("resid_med2_micro"),
+            F.col("mad2").alias("resid_mad2_micro"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SEASONAL_ANOMALY_SQL = f"""
+WITH base AS (
+  SELECT event_type AS grp, EXTRACT(HOUR FROM ts) AS hod,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+profile AS (
+  SELECT grp, hod, CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS seasonal_mean
+  FROM base GROUP BY grp, hod
+),
+resid AS (
+  SELECT b.grp, b.v - p.seasonal_mean AS v
+  FROM base b JOIN profile p USING (grp, hod)
+),
+med AS (
+  SELECT grp, CAST(ROUND(QUANTILE_CONT(v, 0.5) * 2) AS BIGINT) AS med2
+  FROM resid GROUP BY grp
+),
+dev AS (
+  SELECT r.grp, r.v, m.med2, ABS(2 * r.v - m.med2) AS dev2
+  FROM resid r JOIN med m USING (grp)
+),
+mad AS (
+  SELECT grp, CAST(ROUND(QUANTILE_CONT(dev2, 0.5)) AS BIGINT) AS mad2
+  FROM dev GROUP BY grp
+)
+SELECT d.grp AS event_type,
+       COUNT(*) AS n,
+       d.med2 AS resid_med2_micro,
+       m.mad2 AS resid_mad2_micro,
+       CAST(SUM(CASE WHEN {_C_NUM} * d.dev2 > {_C_DEN} * m.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad m USING (grp)
+GROUP BY d.grp, d.med2, m.mad2
+ORDER BY event_type
+"""

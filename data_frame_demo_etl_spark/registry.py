@@ -593,3 +593,7 @@ register("events_kmv_overlap", events_kmv_overlap, EVENTS_KMV_OVERLAP_SQL)
 from .analytics.features import CUSTOMER_RFM_SEGMENTS_SQL, customer_rfm_segments  # noqa: E402
 
 register("customer_rfm_segments", customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL)
+
+from .analytics.robust import EVENTS_SEASONAL_ANOMALY_SQL, events_seasonal_anomaly  # noqa: E402
+
+register("events_seasonal_anomaly", events_seasonal_anomaly, EVENTS_SEASONAL_ANOMALY_SQL)

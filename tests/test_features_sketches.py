@@ -271,3 +271,19 @@ def test_rfm_orientation(spark):
     assert got[1].r_score == 1 and got[1].f_score == 5 and got[1].m_score == 5
     assert got[1].rfm_code == 155 and got[5].rfm_code == 511
     assert got[5].recency_days == 0  # anchored at max date
+
+
+def test_seasonal_anomaly_vs_plain_mad(spark, sf_dir):
+    # The seasonally-adjusted detector must be internally consistent
+    # (residual median near 0) and produce a sane anomaly count.
+    from data_frame_demo_etl_spark.analytics.robust import (
+        events_seasonal_anomaly,
+    )
+
+    rows = {r.event_type: r for r in events_seasonal_anomaly(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert 0 <= r.n_anomalies <= r.n
+        # deseasonalized residuals center near zero: |median| well
+        # under the raw value scale (values are O(1e8) micro)
+        assert abs(r.resid_med2_micro) < 50_000_000
