@@ -16,10 +16,15 @@ outlier test is cross-multiplied into pure integer form:
 so no floating division ever happens and any engine reproduces the
 same flags bit-for-bit.
 
-Scale shape: two exact-percentile aggregations per group (Spark's
-``percentile`` is a partial-aggregable sketchless exact implementation)
-plus one broadcast-size join of per-group medians back onto the fact
-table — group cardinality is tiny (event types), fact side streams.
+Scale shape: two exact-percentile aggregations per group plus one
+broadcast-size join of per-group medians back onto the fact table —
+group cardinality is tiny (event types), fact side streams. NOTE:
+Spark's ``percentile`` buffers each group's values executor-side;
+that is fine up to ~10⁶ values per group. Past that, swap in
+operators/selection.grouped_median2 — exact histogram-narrowing
+selection in ≤ 4 counting passes with O(groups·65536) driver state
+and ZERO per-group buffering; pytest pins it bit-equal to
+``percentile`` on integer inputs (test_selection.py).
 
 No reference analog; brief-mandated beyond-reference data-quality
 surface (robust stats are the outlier-audit step of corpus QA).
