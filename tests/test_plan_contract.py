@@ -373,3 +373,71 @@ def test_image_dedup_scan_pruned(spark, sf_dir):
     for line in doc_lines:
         for unused in ("lang", "source", "n_chars"):
             assert unused not in line, f"image-dedup scan reads {unused}: {line[:200]}"
+
+
+def test_transitions_single_window_exchange(spark, sf_dir):
+    """events_type_transitions: lag runs off ONE (user_id) exchange;
+    the vocabulary² count agg and broadcast total join add no fact
+    rescans; scan must not read props/value."""
+    rep = plan_report(registry.queries()["events_type_transitions"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins >= 1, rep.raw[:3000]
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("props", "value"):
+                assert unused not in line, f"transitions scan reads {unused}: {line[:200]}"
+
+
+def test_rolling_distinct_no_joins(spark, sf_dir):
+    """events_rolling_distinct_users: distinct → explode → count
+    distinct; no joins anywhere, scan reads only (user_id, ts)."""
+    rep = plan_report(registry.queries()["events_rolling_distinct_users"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins == 0 and rep.sort_merge_joins == 0
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("props", "value", "event_type"):
+                assert unused not in line, f"rolling scan reads {unused}: {line[:200]}"
+
+
+def test_trend_broadcast_origin_and_pruned(spark, sf_dir):
+    """events_trend_slope: the per-group origin joins back broadcast;
+    scan must not read props/user_id."""
+    rep = plan_report(registry.queries()["events_trend_slope"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins >= 1, rep.raw[:3000]
+    for line in rep.raw.splitlines():
+        if "FileScan" in line:
+            for unused in ("props", "user_id"):
+                assert unused not in line, f"trend scan reads {unused}: {line[:200]}"
+
+
+def test_seasonal_anomaly_broadcasts_profile(spark, sf_dir):
+    """events_seasonal_anomaly: the (types × 24) profile and the
+    median/MAD tables all join back broadcast — three broadcast joins,
+    no shuffled join of the fact side."""
+    rep = plan_report(registry.queries()["events_seasonal_anomaly"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins >= 3, rep.raw[:3000]
+    assert rep.sort_merge_joins == 0
+
+
+def test_k_anonymity_single_agg(spark, sf_dir):
+    """customer_k_anonymity: one scan, one aggregation, no joins."""
+    rep = plan_report(registry.queries()["customer_k_anonymity"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_joins == 0 and rep.sort_merge_joins == 0
+    assert rep.scans <= 1, rep.raw[:2000]
+
+
+def test_rfm_no_single_partition_window(spark, sf_dir):
+    """customer_rfm_segments: quantile bands come from the two-pass
+    prefix-sum rank — the plan must contain NO empty-partition-spec
+    Window (the single-partition NTILE shape this replaced)."""
+    rep = plan_report(registry.queries()["customer_rfm_segments"](spark, sf_dir))
+    assert rep.nested_loop_joins == 0
+    # A global NTILE/window would plan an Exchange SinglePartition —
+    # the shape the two-pass prefix-sum rank exists to avoid.
+    assert "Exchange SinglePartition" not in rep.raw, (
+        "RFM plan re-grew a single-partition exchange\n" + rep.raw[:3000]
+    )
