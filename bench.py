@@ -73,10 +73,15 @@ HEADLINE = [
     "events_type_transitions",
     "events_rolling_distinct_users",
     "events_trend_slope",
-    # multimodal_image_dedup intentionally NOT headline: its output is
-    # a pair listing that grows quadratically with corpus duplication
-    # (SCALING.md round-5 late-additions note) — benching it tracks
-    # the answer size, not the engine.
+    "customer_rfm_segments",
+    "events_kmv_overlap",
+    "events_seasonal_anomaly",
+    "customer_k_anonymity",
+    # multimodal_image_dedup / _clusters intentionally NOT headline:
+    # their candidate pair space grows quadratically with corpus
+    # duplication (SCALING.md round-5 late-additions note) — benching
+    # them on the 10×-copied sf1 tracks the answer size, not the
+    # engine.
 ]
 
 
