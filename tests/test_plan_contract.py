@@ -314,12 +314,15 @@ def test_cms_grid_broadcast_probe_and_pruned(spark, sf_dir):
                 assert unused not in line, f"cms scan reads {unused}: {line[:200]}"
 
 
-def test_kmv_no_joins_and_pruned(spark, sf_dir):
-    """events_kmv_distinct: distinct → window → agg, no joins at all;
-    scan reads only (event_type, user_id)."""
+def test_kmv_salted_search_shape(spark, sf_dir):
+    """events_kmv_distinct: the salted two-stage k-th-smallest search
+    joins the (group-cardinality-sized) n_distinct and hk tables as a
+    BROADCAST — never a shuffled join — and the scan reads only
+    (event_type, user_id)."""
     rep = plan_report(registry.queries()["events_kmv_distinct"](spark, sf_dir))
     assert rep.nested_loop_joins == 0
-    assert rep.broadcast_joins == 0 and rep.sort_merge_joins == 0
+    assert rep.sort_merge_joins == 0
+    assert rep.broadcast_joins >= 1, rep.raw[:3000]
     for line in rep.raw.splitlines():
         if "FileScan" in line:
             for unused in ("props", "value"):
