@@ -112,6 +112,10 @@ CARTESIAN_ALLOWED = {
     # dense (groups × bins × 2) spine — constant-size cross join by
     # construction (analytics/drift.py).
     "events_value_drift_psi",
+    # type-pair spine (C(T,2) over the type vocabulary) and the
+    # OR-membership join of hashes into their pairs — both bounded by
+    # the type domain, never by users (analytics/cms.py overlap gate).
+    "events_kmv_overlap",
 }
 
 
