@@ -142,3 +142,85 @@ FROM samples
 GROUP BY asset_id
 ORDER BY asset_id
 """
+
+
+N_FRAMES = 16
+
+
+def audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """(asset_id, ahash): 16-bit energy fingerprint of each PCM16
+    asset — samples framed into N_FRAMES integer-boundary frames
+    (frame of sample j = j·N_FRAMES // n), bit i set iff frame i's
+    |sample| energy beats the cross-multiplied mean
+    (energy_i · N_FRAMES > Σ energy) — the audio analog of the image
+    aHash (multimodal/phash.py), pure integer arithmetic end to end.
+    Column names match phash.ahash_near_dup_pairs so the banded
+    Hamming pair join is shared across modalities."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                _rate, _ch, samples = decode_wav(bytes(content))
+                n = len(samples)
+                energy = [0] * N_FRAMES
+                for j, s in enumerate(samples):
+                    energy[j * N_FRAMES // n] += abs(s)
+                total = sum(energy)
+                bits = 0
+                for i, e in enumerate(energy):
+                    if e * N_FRAMES > total:
+                        bits |= 1 << i
+                ids.append(asset_id)
+                hashes.append(bits)
+            yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        fp_batches, "asset_id long, ahash long"
+    )
+
+
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: synthesized WAV corpus → real decode → energy
+    fingerprints → banded Hamming-≤2 near-dup pairs (the shared
+    phash pair join). The oracle rebuilds every fingerprint from the
+    synthesis formula and brute-forces the pairs — codec, framing,
+    fingerprint, and pair search proven end to end."""
+    from .phash import ahash_near_dup_pairs
+
+    assets = make_audio_assets(spark)
+    return ahash_near_dup_pairs(audio_fingerprints(assets)).orderBy("u", "v")
+
+
+MULTIMODAL_AUDIO_DEDUP_SQL = f"""
+WITH ids AS (
+  SELECT UNNEST(GENERATE_SERIES(0, 47)) AS asset_id
+),
+samples AS (
+  SELECT asset_id,
+         (800 + (asset_id % 5) * 80) AS n,
+         j,
+         ABS(((asset_id * 31 + j * 17) % 2048) - 1024) AS a
+  FROM ids, LATERAL (
+    SELECT UNNEST(GENERATE_SERIES(0, 800 + (asset_id % 5) * 80 - 1)) AS j
+  )
+),
+energies AS (
+  SELECT asset_id, (j * {N_FRAMES}) // n AS frame, SUM(a) AS e
+  FROM samples GROUP BY asset_id, (j * {N_FRAMES}) // n
+),
+totals AS (
+  SELECT asset_id, SUM(e) AS t FROM energies GROUP BY asset_id
+),
+hashes AS (
+  SELECT e.asset_id,
+         CAST(SUM(CASE WHEN e.e * {N_FRAMES} > t.t THEN POWER(2, e.frame) ELSE 0 END) AS BIGINT) AS ahash
+  FROM energies e JOIN totals t USING (asset_id)
+  GROUP BY e.asset_id
+)
+SELECT a.asset_id AS u, b.asset_id AS v,
+       CAST(BIT_COUNT(XOR(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
+WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= 2
+ORDER BY u, v
+"""

@@ -597,3 +597,7 @@ register("customer_rfm_segments", customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_S
 from .analytics.robust import EVENTS_SEASONAL_ANOMALY_SQL, events_seasonal_anomaly  # noqa: E402
 
 register("events_seasonal_anomaly", events_seasonal_anomaly, EVENTS_SEASONAL_ANOMALY_SQL)
+
+from .multimodal.audio_ops import MULTIMODAL_AUDIO_DEDUP_SQL, multimodal_audio_dedup  # noqa: E402
+
+register("multimodal_audio_dedup", multimodal_audio_dedup, MULTIMODAL_AUDIO_DEDUP_SQL)

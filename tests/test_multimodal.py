@@ -229,3 +229,26 @@ def test_decode_real_sniffs_png_and_names_unsupported():
         decode_real(b"\xff\xd8\xff\xe0 fake jpeg bytes")
     with _pytest.raises(ValueError, match="JPEG"):
         decode_real(b"GIF89a not a supported format")
+
+
+def test_audio_fingerprint_identical_and_scaled(spark):
+    # Identical waveforms → identical fingerprints; a 2×-amplified
+    # copy keeps the SAME fingerprint (energy ratios are scale-
+    # invariant under the cross-multiplied mean test).
+    from data_frame_demo_etl_spark.multimodal.audio_ops import (
+        AUDIO_SCHEMA,
+        audio_fingerprints,
+        encode_wav,
+    )
+
+    base = [((j * 37) % 512) - 256 for j in range(800)]
+    loud = [max(min(2 * s, 32767), -32768) for s in base]
+    rows = [
+        (0, "audio/wav", encode_wav(base), (8000, 1, "a")),
+        (1, "audio/wav", encode_wav(base), (8000, 1, "a")),
+        (2, "audio/wav", encode_wav(loud), (8000, 1, "a")),
+    ]
+    df = spark.createDataFrame(rows, AUDIO_SCHEMA)
+    fps = {r.asset_id: r.ahash for r in audio_fingerprints(df).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] == fps[2]  # amplitude-invariant
