@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MAGIC = b"FIMG"
 HEADER_FMT = ">4sHHH"  # magic, width, height, channels
@@ -719,4 +719,108 @@ SELECT doc_id AS asset_id,
        TRUE AS psnr_ok
 FROM documents
 ORDER BY asset_id
+"""
+
+
+def video_keyframe_hashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, width, height, vhash): packed spatial aHash of the
+    first two SAMPLED keyframes (indices 0 and 2 — the every_k=2
+    sampling contract) — vhash = ahash(frame0)·4096 + ahash(frame2),
+    12-bit slots sized for the fixture thumbnails. The per-frame
+    aHash is the phash.py cross-multiplied-mean bit rule on r+g+b
+    gray sums: pure integer arithmetic, formula-reproducible."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                frames = decode_video(bytes(content))
+                fhashes = []
+                for f_idx in (0, 2):
+                    w, h, c, body = _decode_bmp(frames[f_idx])
+                    n = w * h
+                    grays = [sum(body[i * c : i * c + c]) for i in range(n)]
+                    total = sum(grays)
+                    bits = 0
+                    for i, g in enumerate(grays):
+                        if g * n > total:
+                            bits |= 1 << i
+                    fhashes.append(bits)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": w,
+                        "height": h,
+                        "vhash": fhashes[0] * 4096 + fhashes[1],
+                    }
+                )
+        yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "vhash"])
+
+    return assets.select("asset_id", "content").mapInPandas(
+        hash_batches, "asset_id long, width int, height int, vhash long"
+    )
+
+
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: VID0 corpus → real frame decode → keyframe aHash pack →
+    near-dup pairs (same frame shape, Hamming ≤ 2 across both
+    keyframes). The equi-join key is the frame shape here (32-asset
+    fixture); at corpus scale the band-bucket split of phash.py
+    applies to vhash unchanged. Oracle rebuilds every hash from the
+    frame pixel formula and brute-forces the pairs."""
+    assets = make_video_assets(spark)
+    hashes = video_keyframe_hashes(assets)
+    a = hashes.select(
+        F.col("asset_id").alias("u"), "width", "height", F.col("vhash").alias("hu")
+    )
+    b = hashes.select(
+        F.col("asset_id").alias("v"), "width", "height", F.col("vhash").alias("hv")
+    )
+    ham = F.bit_count(F.col("hu").bitwiseXOR(F.col("hv")))
+    return (
+        a.join(b, ["width", "height"])
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 2)
+        .select("u", "v", "hamming")
+        .orderBy("u", "v")
+    )
+
+
+MULTIMODAL_VIDEO_DEDUP_SQL = """
+WITH ids AS (
+  SELECT UNNEST(GENERATE_SERIES(0, 31)) AS a
+),
+shapes AS (
+  SELECT a, 3 + (a % 3) AS w, 2 + (a % 2) AS h FROM ids
+),
+grays AS (
+  SELECT s.a, s.w, s.h, f.f, i.i,
+         (((s.a * 37 + f.f * 53 + (3 * i.i + 0) * 11) % 256)
+        + ((s.a * 37 + f.f * 53 + (3 * i.i + 1) * 11) % 256)
+        + ((s.a * 37 + f.f * 53 + (3 * i.i + 2) * 11) % 256)) AS g
+  FROM shapes s,
+       (SELECT UNNEST([0, 2]) AS f) f,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(0, s.w * s.h - 1)) AS i) i
+),
+totals AS (
+  SELECT a, f, SUM(g) AS t, COUNT(*) AS n FROM grays GROUP BY a, f
+),
+fhash AS (
+  SELECT g.a, g.f,
+         CAST(SUM(CASE WHEN g.g * t.n > t.t THEN POWER(2, g.i) ELSE 0 END) AS BIGINT) AS fh
+  FROM grays g JOIN totals t ON t.a = g.a AND t.f = g.f
+  GROUP BY g.a, g.f
+),
+vhash AS (
+  SELECT s.a, s.w, s.h,
+         (SELECT fh FROM fhash WHERE fhash.a = s.a AND f = 0) * 4096
+       + (SELECT fh FROM fhash WHERE fhash.a = s.a AND f = 2) AS vh
+  FROM shapes s
+)
+SELECT x.a AS u, y.a AS v,
+       CAST(BIT_COUNT(XOR(x.vh, y.vh)) AS INTEGER) AS hamming
+FROM vhash x JOIN vhash y ON x.w = y.w AND x.h = y.h AND x.a < y.a
+WHERE BIT_COUNT(XOR(x.vh, y.vh)) <= 2
+ORDER BY u, v
 """

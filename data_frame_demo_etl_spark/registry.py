@@ -601,3 +601,7 @@ register("events_seasonal_anomaly", events_seasonal_anomaly, EVENTS_SEASONAL_ANO
 from .multimodal.audio_ops import MULTIMODAL_AUDIO_DEDUP_SQL, multimodal_audio_dedup  # noqa: E402
 
 register("multimodal_audio_dedup", multimodal_audio_dedup, MULTIMODAL_AUDIO_DEDUP_SQL)
+
+from .multimodal.binary_ops import MULTIMODAL_VIDEO_DEDUP_SQL, multimodal_video_dedup  # noqa: E402
+
+register("multimodal_video_dedup", multimodal_video_dedup, MULTIMODAL_VIDEO_DEDUP_SQL)

@@ -252,3 +252,35 @@ def test_audio_fingerprint_identical_and_scaled(spark):
     fps = {r.asset_id: r.ahash for r in audio_fingerprints(df).collect()}
     assert fps[0] == fps[1]
     assert fps[0] == fps[2]  # amplitude-invariant
+
+
+def test_video_keyframe_hash_planted_duplicate(spark):
+    # Encode the SAME frames into two assets: identical vhash; a third
+    # asset with different pixels must differ.
+    from data_frame_demo_etl_spark.multimodal.binary_ops import (
+        ASSET_SCHEMA,
+        encode_bmp,
+        encode_video,
+        video_keyframe_hashes,
+    )
+
+    def vid(seed, stride=1):
+        frames = [
+            encode_bmp(
+                3, 2, bytes(((seed + f * 7 + j * stride) % 256) for j in range(18))
+            )
+            for f in range(4)
+        ]
+        return encode_video(frames)
+
+    rows = [
+        (0, "video/x-vid0", vid(1), (3, 2, 3, "v")),
+        (1, "video/x-vid0", vid(1), (3, 2, 3, "v")),
+        # stride flips the gray GRADIENT, not just brightness — aHash
+        # is deliberately invariant to uniform brightness shifts.
+        (2, "video/x-vid0", vid(1, stride=91), (3, 2, 3, "v")),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.asset_id: r.vhash for r in video_keyframe_hashes(df).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
