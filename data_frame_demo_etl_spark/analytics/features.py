@@ -210,7 +210,14 @@ def rfm_segments(
     r_tile = _ntile_from_rank("__rank_r", n, n_tiles)
     f_tile = _ntile_from_rank("__rank_f", n, n_tiles)
     m_tile = _ntile_from_rank("__rank_m", n, n_tiles)
-    return per_cust.sparkSession.createDataFrame([], "x int") if n == 0 else (
+    if n == 0:
+        return per_cust.sparkSession.createDataFrame(
+            [],
+            "custkey long, recency_days int, frequency long, "
+            "monetary_cents long, r_score int, f_score int, m_score int, "
+            "rfm_code int",
+        )
+    return (
         ranked.select(
             "custkey",
             "recency_days",

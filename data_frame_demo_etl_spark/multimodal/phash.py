@@ -183,6 +183,10 @@ def multimodal_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir)
+    # Persisted: the hash table feeds the distinct-value graph AND the
+    # final labeling join; per the session cache policy
+    # (session.release_all_caches, the operators/packing.py contract)
+    # the session owner releases it after the gate's action.
     hashes = image_ahash(
         docs_as_bmp_assets(docs, width=THUMB_W, height=THUMB_H)
     ).persist()

@@ -69,7 +69,11 @@ def grouped_kth(df: DataFrame, group_col: str, val_col: str, ranks: dict) -> dic
                     & (F.col(val_col) <= F.lit(hi)),
                     F.struct(
                         F.lit(i).alias("t"),
-                        F.floor((F.col(val_col) - F.lit(lo)) / F.lit(width)).alias("b"),
+                        # integer `div`, not float floor-division: values
+                        # past 2^53 would round in double space and could
+                        # land a row in the wrong bucket (vals ≥ lo here,
+                        # so div == floor-division).
+                        F.expr(f"({val_col} - ({lo})) div {width}").alias("b"),
                     ),
                 )
             )
@@ -98,8 +102,11 @@ def grouped_kth(df: DataFrame, group_col: str, val_col: str, ranks: dict) -> dic
                     tasks[tkey] = [new_lo, new_hi, rk - cum]
                     break
                 cum += c
-            else:  # no rows (shouldn't happen for valid ranks)
-                tasks.pop(tkey)
+            else:
+                raise ValueError(
+                    f"rank {tkey[1]} exceeds the rows available in group "
+                    f"{tkey[0]!r} — ranks must be 1..group_size"
+                )
     return out
 
 

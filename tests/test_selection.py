@@ -68,3 +68,22 @@ VALS = st.lists(
 def test_median2_matches_percentile_property(spark, a, b):
     df = _df(spark, {"a": a, "b": b})
     assert grouped_median2(df, "g", "v") == _reference_median2(spark, df)
+
+
+def test_invalid_rank_raises(spark):
+    import pytest
+
+    df = _df(spark, {"g": [1, 2, 3]})
+    with pytest.raises(ValueError, match="exceeds the rows"):
+        grouped_kth(df, "g", "v", {"g": [4]})
+
+
+def test_rfm_empty_orders(spark):
+    from data_frame_demo_etl_spark.analytics.features import rfm_segments
+
+    empty = spark.createDataFrame(
+        [], "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = rfm_segments(empty)
+    assert out.count() == 0
+    assert "rfm_code" in out.columns and "custkey" in out.columns
