@@ -87,3 +87,16 @@ def test_rfm_empty_orders(spark):
     out = rfm_segments(empty)
     assert out.count() == 0
     assert "rfm_code" in out.columns and "custkey" in out.columns
+
+
+def test_kth_beyond_double_precision(spark):
+    # Values past 2^53: float bucket math could misroute; the integer
+    # `div` path must still select exactly (reference: driver sort).
+    base = 2**60
+    vals = [base + 3, base - 7, base + 12345678901, base, base - 2**40]
+    df = _df(spark, {"g": vals})
+    want = sorted(vals)
+    got = grouped_kth(df, "g", "v", {"g": [1, 3, 5]})
+    assert got[("g", 1)] == want[0]
+    assert got[("g", 3)] == want[2]
+    assert got[("g", 5)] == want[4]
