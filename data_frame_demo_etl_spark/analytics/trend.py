@@ -128,3 +128,96 @@ SELECT grp AS event_type, n,
 FROM stats
 ORDER BY event_type
 """
+
+
+MAX_LAG = 12
+
+
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: windowed Theil–Sen robust trend per event type — the
+    median of pairwise slopes over the hourly series, restricted to
+    pairs within MAX_LAG buckets of each other. The full Theil–Sen
+    pair set is quadratic; the lag-windowed variant is the standard
+    linear-cost form (n·MAX_LAG slopes from MAX_LAG lag expressions
+    over ONE (group, bucket) window shuffle) and keeps the estimator's
+    outlier robustness: a single wild bucket corrupts at most
+    2·MAX_LAG of the ~n·MAX_LAG slopes, nowhere near the median.
+
+    Determinism: each slope is quantized to the 1e-6 grid FIRST
+    (FLOOR(dy·1e6/dx + 0.5) — dy, dx exact integers, one double
+    division) and the median of those integers is carried DOUBLED
+    (robust.py convention), so any engine reproduces the estimate
+    bit-for-bit.
+
+    Contrast with `events_trend_slope` (OLS): OLS minimizes squared
+    error and follows outliers; the slope MEDIAN ignores them — the
+    pair a monitoring pipeline wants side by side."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("hour", "ts").alias("bucket"),
+        )
+        .agg(F.sum(F.round(F.col("value") * SCALE).cast("long")).alias("y"))
+        .withColumn("x", (F.unix_timestamp("bucket") / 3600).cast("long"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("x").asc())
+    # Window expressions can't sit inside a generator: materialize the
+    # MAX_LAG slope columns first (one Window operator — all lags share
+    # the spec), then explode the plain columns.
+    lag_exprs = []
+    for lag in range(1, MAX_LAG + 1):
+        dy = F.col("y") - F.lag("y", lag).over(w)
+        dx = F.col("x") - F.lag("x", lag).over(w)
+        lag_exprs.append(
+            F.when(dx > 0, F.floor(dy * F.lit(float(SCALE)) / dx + 0.5))
+            .cast("long")
+            .alias(f"s{lag}")
+        )
+    widened = hourly.select("grp", *lag_exprs)
+    slopes = widened.select(
+        "grp",
+        F.explode(F.array(*[F.col(f"s{lag}") for lag in range(1, MAX_LAG + 1)])).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    return (
+        slopes.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_slopes"),
+            F.round(F.percentile(F.col("s"), F.lit(0.5)) * 2)
+            .cast("long")
+            .alias("slope_micro_med2"),
+        )
+        .select(F.col("grp").alias("event_type"), "n_slopes", "slope_micro_med2")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_THEILSEN_TREND_SQL = f"""
+WITH hourly AS (
+  SELECT event_type AS grp, DATE_TRUNC('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * {SCALE}) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT grp, CAST(EPOCH(bucket) / 3600 AS BIGINT) AS x, y FROM hourly
+),
+slopes AS (
+  SELECT grp, lag_k,
+         CAST(FLOOR((y - LAG(y, lag_k) OVER (PARTITION BY grp, lag_k ORDER BY x))
+                    * {SCALE}.0
+                    / (x - LAG(x, lag_k) OVER (PARTITION BY grp, lag_k ORDER BY x))
+                    + 0.5) AS BIGINT) AS s
+  FROM xy, (SELECT UNNEST(GENERATE_SERIES(1, {MAX_LAG})) AS lag_k) lags
+)
+SELECT grp AS event_type,
+       COUNT(s) AS n_slopes,
+       CAST(ROUND(QUANTILE_CONT(s, 0.5) * 2) AS BIGINT) AS slope_micro_med2
+FROM slopes
+WHERE s IS NOT NULL
+GROUP BY grp
+ORDER BY event_type
+"""

@@ -605,3 +605,7 @@ register("multimodal_audio_dedup", multimodal_audio_dedup, MULTIMODAL_AUDIO_DEDU
 from .multimodal.binary_ops import MULTIMODAL_VIDEO_DEDUP_SQL, multimodal_video_dedup  # noqa: E402
 
 register("multimodal_video_dedup", multimodal_video_dedup, MULTIMODAL_VIDEO_DEDUP_SQL)
+
+from .analytics.trend import EVENTS_THEILSEN_TREND_SQL, events_theilsen_trend  # noqa: E402
+
+register("events_theilsen_trend", events_theilsen_trend, EVENTS_THEILSEN_TREND_SQL)

