@@ -274,6 +274,13 @@ def ingest_excel_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append([v.item() if hasattr(v, "item") else v for v in rec])
             write_xlsx(str(shard_dir / f"part_{i}.xlsx"), {"parts": rows})
         marker.touch()
+    # Runtime-settable; vanilla sessions default it FALSE and PySpark
+    # 4.1 then refuses to init a pushFilters-capable reader
+    # ([DATA_SOURCE_PUSHDOWN_DISABLED]). Set it so the gate exercises
+    # the pushdown path on any session; the DataSource itself also
+    # degrades to a no-pushdown reader when the conf is off
+    # (xlsx_datasource.XlsxLiteDataSource.reader).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(XlsxLiteDataSource)
     raw = spark.read.format("xlsx_lite").load(str(shard_dir / "*.xlsx"))
     return (

@@ -92,8 +92,57 @@ class XlsxLiteDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "XlsxLiteWriter":
         return XlsxLiteWriter(self.options["path"], schema, overwrite)
 
-    def reader(self, schema: StructType) -> "XlsxLiteReader":
-        return XlsxLiteReader(
+    @staticmethod
+    def _pushdown_enabled() -> bool:
+        """Is ``spark.sql.python.filterPushdown.enabled`` on for the
+        session planning this read? PySpark 4.1 REFUSES to initialize
+        a reader that overrides pushFilters() when the conf is false
+        ([DATA_SOURCE_PUSHDOWN_DISABLED], an init-time assertion in
+        pyspark/sql/worker/plan_data_source_read.py — not a graceful
+        fallback), so the source must choose its reader class by the
+        effective conf to merely function on a vanilla session.
+
+        ``reader()`` runs inside a planning Python worker, where no
+        SparkSession is active — but WHICH worker encodes the answer:
+        ``data_source_pushdown_filters.py`` only runs when the conf is
+        true, and ``plan_data_source_read.py`` (which raises the
+        assertion) binds the conf's value as the local
+        ``enable_pushdown`` before calling ``reader()``. Read both
+        from the stack; fall back to the active session's conf for
+        direct driver-side invocation (tests)."""
+        import sys
+
+        f = sys._getframe(2)
+        depth = 0
+        while f is not None and depth < 8:
+            if f.f_code.co_filename.endswith("data_source_pushdown_filters.py"):
+                return True
+            if "enable_pushdown" in f.f_locals:
+                return bool(f.f_locals["enable_pushdown"])
+            f = f.f_back
+            depth += 1
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                return (
+                    str(
+                        sess.conf.get(
+                            "spark.sql.python.filterPushdown.enabled", "false"
+                        )
+                    ).lower()
+                    == "true"
+                )
+        except Exception:
+            pass
+        return False
+
+    def reader(self, schema: StructType) -> "XlsxLiteBasicReader":
+        cls: type[XlsxLiteBasicReader] = (
+            XlsxLiteReader if self._pushdown_enabled() else XlsxLiteBasicReader
+        )
+        return cls(
             paths=_expand_paths(self.options["path"]),
             sheet=self._sheet(),
             header_row=int(self.options.get("header_row", 0)),
@@ -106,7 +155,12 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-class XlsxLiteReader(DataSourceReader):
+class XlsxLiteBasicReader(DataSourceReader):
+    """Plain scan (no filter pushdown): the shape Spark requires when
+    ``spark.sql.python.filterPushdown.enabled`` is false. Must NOT
+    override ``pushFilters`` — PySpark detects the override and
+    asserts at reader init when the conf is off."""
+
     def __init__(self, paths: list[str], sheet, header_row: int, columns: list[str]):
         self.paths = paths
         self.sheet = sheet
@@ -114,51 +168,6 @@ class XlsxLiteReader(DataSourceReader):
         self.columns = columns
         self.n_cols = len(columns)
         self.pushed: list = []
-
-    def pushFilters(self, filters):
-        """Row-level filter pushdown (PySpark 4.1 DataSource API):
-        string-typed comparisons, membership, null tests, and LIKE
-        anchors are applied INSIDE the reader, before rows cross the
-        Python→JVM Arrow boundary. Spark does not re-evaluate pushed
-        filters, so only exactly-reproducible string predicates are
-        accepted; everything else is handed back."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            IsNotNull,
-            IsNull,
-            LessThan,
-            LessThanOrEqual,
-            StringContains,
-            StringEndsWith,
-            StringStartsWith,
-        )
-
-        str_ops = (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            LessThan,
-            LessThanOrEqual,
-            StringContains,
-            StringEndsWith,
-            StringStartsWith,
-        )
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            col_ok = attr is not None and len(attr) == 1 and attr[0] in self.columns
-            if not col_ok:
-                yield f
-            elif isinstance(f, (IsNull, IsNotNull)):
-                self.pushed.append(f)
-            elif isinstance(f, In) and all(isinstance(v, str) for v in f.value):
-                self.pushed.append(f)
-            elif isinstance(f, str_ops) and isinstance(f.value, str):
-                self.pushed.append(f)
-            else:
-                yield f
 
     def _predicate(self):
         from pyspark.sql.datasource import (
@@ -230,6 +239,58 @@ class XlsxLiteReader(DataSourceReader):
             for i in range(self.n_cols)
         ]
         yield pa.RecordBatch.from_arrays(arrays, names=self.columns)
+
+
+class XlsxLiteReader(XlsxLiteBasicReader):
+    """Pushdown-capable reader — the default when
+    ``spark.sql.python.filterPushdown.enabled`` is true."""
+
+    def pushFilters(self, filters):  # noqa: N802 — PySpark API name
+        """Row-level filter pushdown (PySpark 4.1 DataSource API):
+        string-typed comparisons, membership, null tests, and LIKE
+        anchors are applied INSIDE the reader, before rows cross the
+        Python→JVM Arrow boundary. Spark does not re-evaluate pushed
+        filters, so only exactly-reproducible string predicates are
+        accepted; everything else is handed back. Lives on the
+        SUBCLASS so the base reader stays legal when the session has
+        filter pushdown disabled."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        str_ops = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col_ok = attr is not None and len(attr) == 1 and attr[0] in self.columns
+            if not col_ok:
+                yield f
+            elif isinstance(f, (IsNull, IsNotNull)):
+                self.pushed.append(f)
+            elif isinstance(f, In) and all(isinstance(v, str) for v in f.value):
+                self.pushed.append(f)
+            elif isinstance(f, str_ops) and isinstance(f.value, str):
+                self.pushed.append(f)
+            else:
+                yield f
 
 
 # ───────────────────────────── writer ─────────────────────────────

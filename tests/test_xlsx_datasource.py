@@ -166,3 +166,32 @@ def test_xlsx_datasource_filter_pushdown(spark, tmp_path):
 
     # an unsupported filter (column-to-column) still answers correctly
     assert df.filter(F.col("sku") > F.col("note")).count() == 0
+
+
+def test_xlsx_datasource_works_with_pushdown_disabled(spark, tmp_path):
+    """Vanilla sessions default spark.sql.python.filterPushdown.enabled
+    to FALSE, and PySpark 4.1 then refuses to init a pushFilters-capable
+    reader. The source must degrade to the plain-scan reader (round-5
+    verdict: the driver-side ingest_excel_datasource ERR)."""
+    rows = [["sku", "qty"]] + [[f"S-{i:02d}", i] for i in range(6)]
+    _write(tmp_path / "f.xlsx", rows)
+    spark.dataSource.register(XlsxLiteDataSource)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        from pyspark.sql import functions as F
+
+        df = spark.read.format("xlsx_lite").load(str(tmp_path / "f.xlsx"))
+        # filters still answer correctly — evaluated by Spark above the
+        # scan instead of inside the reader
+        got = sorted(r.sku for r in df.filter(F.col("sku") >= "S-03").collect())
+        assert got == ["S-03", "S-04", "S-05"]
+        plan = (
+            df.filter(F.col("sku") == "S-01")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchScan xlsx_lite" in plan and "Filter " in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
