@@ -67,16 +67,21 @@ def cms_grid(keys: DataFrame, key_col: str = "k") -> DataFrame:
 def cms_estimate(grid: DataFrame, probes: DataFrame, key_col: str = "k") -> DataFrame:
     """Point-frequency estimates for ``probes[key_col]``: min over
     depths of the probed cell. The grid is broadcast (≤ depth·width
-    rows); probes never shuffle."""
+    rows); probes never shuffle.
+
+    LEFT join + coalesce(c, 0): a sparse grid (groupBy emits no row
+    for empty cells) must read as 0 for the canonical CMS estimate —
+    an inner join would drop an empty cell from the min and erase an
+    all-empty (absent) probe key from the output entirely."""
     s = F.col(key_col).cast("string")
     buckets = F.array(
         *[F.pmod(_h32(s, f"{d}|"), F.lit(CMS_WIDTH)) for d in range(CMS_DEPTH)]
     )
     exploded = probes.select(key_col, F.posexplode(buckets).alias("d", "bucket"))
     return (
-        exploded.join(F.broadcast(grid), ["d", "bucket"])
+        exploded.join(F.broadcast(grid), ["d", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est_n"))
     )
 
 

@@ -15,10 +15,11 @@ combined shuffle of ≤ groups·bins·2 rows.
 Determinism: binning is pure integer arithmetic on the 1e-6 micro
 grid against FIXED bounds (min/max of the union, computed exactly —
 two integer aggregates), bin proportions are Laplace-smoothed
-rationals (n_i+1)/(N+bins) so empty bins stay finite, and the PSI
-sum is evaluated with one fixed parenthesization on
-exactly-representable operands before a final 1e-6 quantization —
-the bm25/ewma convention for engine-bit-identical doubles.
+rationals (n_i+1)/(N+bins) so empty bins stay finite, and each bin's
+PSI term (one fixed parenthesization on exactly-representable
+operands) is quantized to the 1e-6 grid BEFORE the fold, so the sum
+is an exact integer sum — immune to partition-dependent double
+addition order (the bm25 convention for engine-bit-identical sums).
 
 Reference/current split here is by event-id parity — a deterministic
 stand-in for the time-window split a production monitor would use
@@ -100,11 +101,16 @@ def psi_by_group(
     curp = per_bin.filter(F.col("slice") == 1).select(
         "grp", "bin", F.col("p").alias("p_cur"), F.col("n").alias("n_cur")
     )
+    # Quantize EACH bin's term to the 1e-6 grid before summing: the
+    # fold is then an exact integer sum, immune to Spark's partition-
+    # dependent double-addition order (a raw double Σ followed by one
+    # floor can flip the grid on knife-edge values vs DuckDB's order).
     term = (F.col("p_ref") - F.col("p_cur")) * F.log(F.col("p_ref") / F.col("p_cur"))
+    term_micro = F.floor(term * SCALE + 0.5).cast("long")
     return (
         refp.join(curp, ["grp", "bin"])
         .groupBy("grp", "n_ref", "n_cur")
-        .agg(F.floor(F.sum(term) * SCALE + 0.5).cast("long").alias("psi_micro"))
+        .agg(F.sum(term_micro).cast("long").alias("psi_micro"))
         .select(F.col("grp"), "n_ref", "n_cur", "psi_micro")
     )
 
@@ -165,7 +171,7 @@ dense AS (
 SELECT r.grp AS event_type,
        r.n AS n_ref,
        c.n AS n_cur,
-       CAST(FLOOR(SUM((r.p - c.p) * LN(r.p / c.p)) * {SCALE} + 0.5) AS BIGINT) AS psi_micro
+       CAST(SUM(CAST(FLOOR((r.p - c.p) * LN(r.p / c.p) * {SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS psi_micro
 FROM dense r
 JOIN dense c ON c.grp = r.grp AND c.bin = r.bin AND c.slice = 1
 WHERE r.slice = 0

@@ -22,6 +22,8 @@ brief-mandated beyond-reference analytics.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .triangles import copurchase_edges
@@ -29,15 +31,21 @@ from .triangles import copurchase_edges
 DEFAULT_ROUNDS = 6
 
 
-def kcore(edges: DataFrame, k: int, rounds: int = DEFAULT_ROUNDS) -> DataFrame:
+def kcore(edges: DataFrame, k: int, rounds: int | None = None) -> DataFrame:
     """Peel ``edges`` (undirected, one row per u<v pair, columns u/v)
     down to the k-core; returns (node, deg) with each survivor's
     degree inside the core.
 
-    ``rounds`` bounds the peel iterations; once the fixpoint is hit,
-    further rounds leave the edge set unchanged, so a generous fixed
-    bound is safe and keeps the plan static (no driver-side
-    convergence loop reading counts every round)."""
+    ``rounds=None`` (the library default) peels to convergence — the
+    per-round edge count is already materialized, so detecting the
+    fixpoint is free and termination is guaranteed (the count strictly
+    decreases until it stabilizes). A finite ``rounds`` bounds the
+    iterations to mirror a fixed SQL unrolling (the gate/oracle
+    contract); deep-cascade graphs (e.g. a long path at k=2) can need
+    more rounds than any fixed bound, so hitting the cap before the
+    fixpoint warns — the result is then a SUPERSET of the true k-core
+    (exactly the partially-peeled state the same-depth unrolled oracle
+    computes)."""
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # Materialize the (possibly expensive) upstream edge build ONCE
     # before peeling: round 1's plan references `sym` three times
@@ -48,7 +56,10 @@ def kcore(edges: DataFrame, k: int, rounds: int = DEFAULT_ROUNDS) -> DataFrame:
     # nothing exits immediately — already the fixpoint).
     sym = sym.localCheckpoint(eager=True)
     prev_n = sym.count()
-    for _ in range(rounds):
+    done = 0
+    converged = False
+    while rounds is None or done < rounds:
+        done += 1
         alive = (
             sym.groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -75,8 +86,17 @@ def kcore(edges: DataFrame, k: int, rounds: int = DEFAULT_ROUNDS) -> DataFrame:
         # this cuts the 6 fixed rounds to the 2-3 the data needs.
         n = sym.count()
         if n == prev_n:
+            converged = True
             break
         prev_n = n
+    if not converged and rounds is not None:
+        warnings.warn(
+            f"kcore: round cap {rounds} hit before the fixpoint — the "
+            "result is a superset of the true k-core (matches a "
+            f"{rounds}-round unrolled oracle, not full peeling); "
+            "pass rounds=None to peel to convergence",
+            stacklevel=2,
+        )
     return (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -88,9 +108,13 @@ def supplier_kcore(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Gate: the 3-core of the strong supplier co-purchase graph —
     suppliers that keep ≥3 strong co-purchase partners after
     everyone weaker is iteratively removed (the standard dense-
-    community extraction step upstream of community mining)."""
+    community extraction step upstream of community mining).
+
+    Fixed unrolling (DEFAULT_ROUNDS), matching the oracle CTE-for-CTE;
+    the early fixpoint exit makes extra rounds free and pytest pins
+    that the fixture converges well inside the bound."""
     edges = copurchase_edges(spark, sf_dir)
-    return kcore(edges, k).orderBy("node")
+    return kcore(edges, k, rounds=DEFAULT_ROUNDS).orderBy("node")
 
 
 def _kcore_sql(k: int = 3, rounds: int = DEFAULT_ROUNDS) -> str:

@@ -62,19 +62,27 @@ def grouped_kth(df: DataFrame, group_col: str, val_col: str, ranks: dict) -> dic
         conds = []
         for i, ((g, _k), (lo, hi, _rk)) in enumerate(tasks.items()):
             width = max((hi - lo + FANOUT) // FANOUT, 1)
+            # integer `div`, not float floor-division: values past 2^53
+            # would round in double space and could land a row in the
+            # wrong bucket (vals ≥ lo here, so div == floor-division).
+            # A first-round span can exceed int64 (lo near -2^63, hi
+            # near 2^63-1): `val - lo` then wraps in long arithmetic
+            # and misroutes rows, so route through exact DECIMAL(38,0)
+            # subtraction for such tasks (`div` on decimals still
+            # yields bigint; one round of narrowing brings the span
+            # back under 2^49, so the fast long path resumes).
+            if hi - lo > (2**63 - 1) - FANOUT:
+                bucket = F.expr(
+                    f"cast((cast({val_col} as decimal(38,0)) - ({lo})) div {width} as bigint)"
+                )
+            else:
+                bucket = F.expr(f"({val_col} - ({lo})) div {width}")
             conds.append(
                 F.when(
                     (F.col(group_col) == F.lit(g))
                     & (F.col(val_col) >= F.lit(lo))
                     & (F.col(val_col) <= F.lit(hi)),
-                    F.struct(
-                        F.lit(i).alias("t"),
-                        # integer `div`, not float floor-division: values
-                        # past 2^53 would round in double space and could
-                        # land a row in the wrong bucket (vals ≥ lo here,
-                        # so div == floor-division).
-                        F.expr(f"({val_col} - ({lo})) div {width}").alias("b"),
-                    ),
+                    F.struct(F.lit(i).alias("t"), bucket.alias("b")),
                 )
             )
         tagged = df.select(

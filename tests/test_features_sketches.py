@@ -306,3 +306,20 @@ def test_theilsen_ignores_planted_outlier(spark, sf_dir):
         n = ols_rows[t].n
         # lag-k contributes n-k slopes: total = n*L - L(L+1)/2
         assert r.n_slopes == n * MAX_LAG - MAX_LAG * (MAX_LAG + 1) // 2
+
+
+def test_cms_estimate_absent_key_reads_zero_not_missing(spark):
+    # Canonical CMS: an absent key's estimate is the min over its
+    # cells — 0 when all are empty, and never a missing output row.
+    # (Sparse grid: groupBy emits no row for empty cells, so only a
+    # LEFT join + coalesce(0) preserves those semantics.)
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    grid = cms_grid(keys)
+    probes = spark.createDataFrame(
+        [("a",), ("definitely-absent-key-xyzzy",)], "k string"
+    )
+    got = {r.k: r.est_n for r in cms_estimate(grid, probes).collect()}
+    assert got["a"] >= 2
+    assert got["definitely-absent-key-xyzzy"] == 0

@@ -67,3 +67,22 @@ def test_triangle_strategies_agree(spark, monkeypatch):
     monkeypatch.setattr(tri, "_ADJ_BROADCAST_MAX_EDGES", 0)
     wedge = tuple(tri.count_triangles(df).collect()[0])
     assert adjacency == wedge == (9, 12, 4)
+
+
+def test_kcore_converges_past_any_fixed_bound(spark):
+    # A 20-node path at k=2 cascades one endpoint pair per round —
+    # far deeper than DEFAULT_ROUNDS. The library default
+    # (rounds=None) must peel to convergence: the true 2-core is empty.
+    e = _edges(spark, [(i, i + 1) for i in range(1, 20)])
+    assert kcore(e, 2).count() == 0
+
+
+def test_kcore_round_cap_warns_when_not_converged(spark):
+    import warnings
+
+    e = _edges(spark, [(i, i + 1) for i in range(1, 20)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = kcore(e, 2, rounds=2).count()
+    assert got > 0  # superset of the (empty) true core
+    assert any("round cap" in str(x.message) for x in w)

@@ -100,3 +100,15 @@ def test_kth_beyond_double_precision(spark):
     assert got[("g", 1)] == want[0]
     assert got[("g", 3)] == want[2]
     assert got[("g", 5)] == want[4]
+
+
+def test_kth_span_exceeding_int64(spark):
+    # lo near -2^63 and hi near 2^63-1: (val - lo) wraps in long
+    # arithmetic; the decimal first-round path must still bucket
+    # exactly (reference: driver sort).
+    lo, hi = -(2**63) + 1, 2**63 - 2
+    vals = [lo, -5, 0, 7, hi]
+    df = _df(spark, {"g": vals})
+    want = sorted(vals)
+    got = grouped_kth(df, "g", "v", {"g": [1, 2, 3, 4, 5]})
+    assert [got[("g", i)] for i in range(1, 6)] == want
