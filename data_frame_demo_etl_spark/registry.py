@@ -13,18 +13,22 @@ green row get one, while a spine of category-representative keepers
 stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
-Round-5 window composition:
-- the 12 r4-era additions with no external green row yet (sketch-pair
-  clustering, salted skew join, sequence packing, Excel DataSource,
-  VARIANT extraction, HLL rollup, interpolation, triangles, native
-  session_window, and the three real-codec multimodal gates) — after
-  this round every registered query has an external green row against
-  its current definition;
+As of round 6 the rotation is expressed as an explicit name list
+(``_R6_WINDOW`` at the bottom of this module) that REORDERS the
+registry dict after all registrations — the physical layout of the
+``register()`` calls no longer encodes the window, the list does.
+Round-6 window composition:
+- the 32 round-5 additions registered after the r5 window froze
+  (never externally verified; all pre-verified by
+  scripts/verify_contract.py the day they landed);
+- ``ingest_excel_datasource`` (re-fixed this round: vanilla-session
+  filter-pushdown coupling) and ``supplier_triangles`` (physical plan
+  re-shaped again this round) — both need a fresh row against their
+  CURRENT definition;
 - the 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
   streaming, temporal, sources, sampling, the LLM flagship);
-- backfill with the 26 queries whose NEWEST external row is oldest
-  (3 r1-era + the first 23 r2-era in registration order).
-Every other query is driver-green r3 or r4 against its current
+- 4 backfill rows whose newest external green is oldest (r2-era).
+Every other query is driver-green r3/r4/r5 against its current
 definition and sits in tier 2, still fully covered by pytest + the
 local oracle harness.
 """
@@ -251,13 +255,9 @@ register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_
 register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
 register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
-_TIER1 = len(_REGISTRY)
-assert _TIER1 == 50, f"driver window must hold exactly 50 queries, got {_TIER1}"
-
-#: The driver-window queries, in registration order (consumed by the
-#: plan-contract test, which holds every windowed plan to the scan/
-#: join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = tuple(_REGISTRY)
+# (The physical tier-1 block above is the ROUND-5 window; the round-6
+# window is imposed by the _R6_WINDOW reorder at the bottom of this
+# module, which is also where TIER1_NAMES is defined.)
 
 # ═══════════ TIER 2: externally green vs current definition ═══════════
 
@@ -609,3 +609,81 @@ register("multimodal_video_dedup", multimodal_video_dedup, MULTIMODAL_VIDEO_DEDU
 from .analytics.trend import EVENTS_THEILSEN_TREND_SQL, events_theilsen_trend  # noqa: E402
 
 register("events_theilsen_trend", events_theilsen_trend, EVENTS_THEILSEN_TREND_SQL)
+
+# ═══════════════ ROUND-6 DRIVER WINDOW (explicit rotation) ═══════════════
+# The driver verifies the FIRST 50 dict entries; this list IS the
+# round-6 window (TIER_ROTATION.md "Round-6 window draft"). Rotation
+# targets first (the 32 round-5 additions registered after the r5
+# window froze — none has an external green row yet — plus the two
+# queries redefined this round), then the keeper spine, then backfill
+# whose newest green row is oldest (r2-era).
+_R6_WINDOW: tuple[str, ...] = (
+    # --- rotation targets: r5 additions, never externally verified (32)
+    "dedup_clusters_keep_best",
+    "docs_sequence_packing_bpe",
+    "multimodal_decode_png",
+    "llm_prep_keep_best",
+    "events_ohlc_hourly",
+    "events_ewma",
+    "bloom_pruned_brand_revenue",
+    "supplier_kcore",
+    "events_quantile_rollup",
+    "events_zorder_stats",
+    "multimodal_decode_jpeg",
+    "text_nfc_normalize",
+    "split_leakage_check",
+    "events_lag_features",
+    "events_mad_outliers",
+    "events_cms_heavy_hitters",
+    "events_kmv_distinct",
+    "retrieval_rrf_fusion",
+    "brand_association_rules",
+    "events_value_drift_psi",
+    "multimodal_image_dedup",
+    "events_type_transitions",
+    "events_rolling_distinct_users",
+    "events_trend_slope",
+    "multimodal_image_clusters",
+    "customer_k_anonymity",
+    "events_kmv_overlap",
+    "customer_rfm_segments",
+    "events_seasonal_anomaly",
+    "multimodal_audio_dedup",
+    "multimodal_video_dedup",
+    "events_theilsen_trend",
+    # --- redefined this round: need a row vs the CURRENT definition (2)
+    "ingest_excel_datasource",  # vanilla-session pushdown fix (r6)
+    "supplier_triangles",       # physical plan re-shaped (r6)
+    # --- keeper spine (12)
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "llm_prep_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "clean_transform",
+    "events_sessionize",
+    "asof_view_before_purchase",
+    "ann_cosine_topk",
+    "ingest_csv_template",
+    "pipeline_e2e",
+    "sample_documents",
+    # --- backfill: newest external green row is oldest (r2-era) (4)
+    "embeddings_label_stats",
+    "events_windowed",
+    "events_props_extract",
+    "user_event_sequences",
+)
+
+assert len(_R6_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R6_WINDOW)}"
+_missing = [n for n in _R6_WINDOW if n not in _REGISTRY]
+assert not _missing, f"window names not registered: {_missing}"
+
+_rotated = {n: _REGISTRY[n] for n in _R6_WINDOW}
+_rotated.update({n: e for n, e in _REGISTRY.items() if n not in _rotated})
+_REGISTRY.clear()
+_REGISTRY.update(_rotated)
+
+#: The driver-window queries, in (post-rotation) registration order
+#: (consumed by the plan-contract test, which holds every windowed
+#: plan to the scan/join/shuffle shape we want at 100 TB).
+TIER1_NAMES: tuple[str, ...] = _R6_WINDOW

@@ -39,6 +39,16 @@ CARTESIAN_ALLOWED = {
     # gapfill's dense time-grid IS a crossJoin by contract
     # (analytics/timeseries.py — caller must bound the grid).
     "events_gapfill",
+    # broadcast-query-set ANN shape inside the fused semantic leg
+    # (similarity/fusion.py — the documented ann_cosine_topk pattern).
+    "retrieval_rrf_fusion",
+    # dense (groups × bins × 2) spine — constant-size cross join by
+    # construction (analytics/drift.py).
+    "events_value_drift_psi",
+    # type-pair spine (C(T,2) over the type vocabulary) and the
+    # OR-membership join of hashes into their pairs — both bounded by
+    # the type domain, never by users (analytics/cms.py overlap gate).
+    "events_kmv_overlap",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.
