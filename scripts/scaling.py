@@ -85,10 +85,16 @@ def main() -> None:
     build_scaled(spark)
 
     qs = registry.queries()
-    qs["q1_pricing_summary"](spark, BASE).count()  # warm
+    qs["q1_pricing_summary"](spark, BASE).count()  # warm the session
 
     results = {}
     for name in qnames:
+        # Warm THIS query once (untimed) before either measurement:
+        # first execution pays Python-worker spinup / codec imports /
+        # shuffle-service init that later runs don't, and a cold sf0.1
+        # vs warm sf1 comparison reads as a bogus sub-1.0 ratio
+        # (round-5 SCALING table artifact).
+        qs[name](spark, BASE).count()
         times = {}
         for label, d in (("sf0.1", BASE), ("sf1", SCALED)):
             t0 = time.perf_counter()
