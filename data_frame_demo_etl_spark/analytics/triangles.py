@@ -27,21 +27,50 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.catalog import load_table
 
 
+# Shared edge contract: the strong co-purchase edge table is the input
+# of BOTH graph gates (triangles, k-core) and costs ~3-4s at sf1 —
+# paid TWICE in any combined run before round 6. The build is now
+# memoized per (application, sf_dir) as an eagerly-materialized
+# localCheckpoint: the first gate pays the build, every later consumer
+# reads the materialized partitions. Lifecycle: the checkpoint's
+# blocks live until release_copurchase_edges() (or session stop) —
+# edges are node-pair-sized (47k rows at sf0.1, 477k at sf1), a
+# bounded artifact by construction, same class as the session cache
+# policy's bounded aggregates (session.release_all_caches).
+_EDGE_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def copurchase_edges_with_count(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """(edges, n_edges) for the strong co-purchase graph — memoized;
+    n_edges comes free from the threshold histogram (no extra job)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    edges, pairs, n_edges = _copurchase_edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    pairs.unpersist()
+    _EDGE_CACHE[key] = (edges, n_edges)
+    return edges, n_edges
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strong supplier co-purchase pairs (u < v); see `_copurchase_edges`.
+    Memoized + materialized — see the shared-edge-contract note above."""
+    return copurchase_edges_with_count(spark, sf_dir)[0]
 
-    Releases the internal pair cache before returning, so the caller
-    gets an uncached plan (one recompute of the pair table on first
-    downstream action). `supplier_triangles` uses the cached variant
-    and unpersists after its counts materialize."""
-    edges, pairs = _copurchase_edges(spark, sf_dir)
-    pairs.unpersist()
-    return edges
+
+def release_copurchase_edges() -> None:
+    """Drop the memoized edge builds (checkpoint blocks are freed once
+    the DataFrames are garbage-collected)."""
+    _EDGE_CACHE.clear()
 
 
 def _copurchase_edges(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Strong supplier co-purchase pairs (u < v): the top decile of
     pairs by shared-order count (co-occurrence ≥ the exact p90 order
     statistic), so the graph keeps real structure at ANY scale factor
@@ -57,7 +86,9 @@ def _copurchase_edges(
     ceil(0.9·n) lies inside the block of equal counts the cumulative
     histogram identifies.
 
-    Returns (edges, cached_pairs). The pair table stays persisted
+    Returns (edges, cached_pairs, n_edges) — the edge count read off
+    the histogram (Σ bucket sizes at counts ≥ threshold), so consumers
+    never pay an edges.count() job. The pair table stays persisted
     (it feeds both the driver-side histogram and the edge filter);
     the CALLER must unpersist `cached_pairs` once the edges have been
     consumed — leaving it cached accumulates the largest intermediate
@@ -86,7 +117,7 @@ def _copurchase_edges(
     )
     n = sum(cnt for _, cnt in hist)
     if n == 0:
-        return pairs.select("u", "v"), pairs
+        return pairs.select("u", "v"), pairs, 0
     pos = max(1, -(-90 * n // 100))
     cum, thresh = 0, hist[-1][0]
     for c_val, cnt in hist:
@@ -94,16 +125,26 @@ def _copurchase_edges(
         if cum >= pos:
             thresh = c_val
             break
-    return pairs.filter(F.col("c") >= thresh).select("u", "v"), pairs
+    n_edges = sum(cnt for c_val, cnt in hist if c_val >= thresh)
+    return pairs.filter(F.col("c") >= thresh).select("u", "v"), pairs, n_edges
 
 
-_ADJ_BROADCAST_MIN_EDGES = 150_000  # below: job latency > shuffle saved
+# Below: broadcast-build job latency > shuffle saved. Re-measured in
+# round 6 after `oriented` became an eager checkpoint (which removed
+# the adjacency path's repeated orientation recompute): at sf0.1/47k
+# edges adjacency now beats the wedge join by ~1.5s, so the switch
+# point sits well below it; tiny unit-test graphs stay on the wedge.
+_ADJ_BROADCAST_MIN_EDGES = 20_000
 _ADJ_BROADCAST_MAX_EDGES = 20_000_000  # above: ~160 MB of ids won't broadcast
 
 
-def count_triangles(edges: DataFrame) -> DataFrame:
+def count_triangles(edges: DataFrame, n_edges: int | None = None) -> DataFrame:
     """One row: (n_nodes, n_edges, n_triangles) for undirected distinct
-    edges (u < v).
+    edges (u < v). Pass ``n_edges`` when the caller already knows it
+    (the co-purchase build reads it off its threshold histogram) to
+    skip the counting job; n_nodes and n_triangles are computed in ONE
+    action (two one-row aggregates joined), so the whole census costs
+    a single job beyond the strategy pick.
 
     Cost-based strategy over the same degree-oriented DAG:
 
@@ -130,28 +171,44 @@ def count_triangles(edges: DataFrame) -> DataFrame:
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
     withdeg = edges.join(du, "u").join(dv, "v")
-    oriented = withdeg.select(
-        F.when(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+    # EAGER checkpoint, not lazy persist: the census action references
+    # `oriented` three times (both wedge sides + the closing edges, or
+    # the adjacency fold twice + the probe side), and a lazy persist
+    # materializes nothing until that action — so the orientation
+    # subplan (degree agg + two joins) would execute 3× inside the one
+    # job. Same fix as kcore's peel loop; bounded at E rows.
+    oriented = (
+        withdeg.select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
         )
-        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-        .alias("e")
-    ).select(F.col("e.s").alias("s"), F.col("e.d").alias("d")).persist()
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+        .localCheckpoint(eager=True)
+    )
 
-    n_edges = edges.count()
+    if n_edges is None:
+        n_edges = edges.count()
     if _ADJ_BROADCAST_MIN_EDGES <= n_edges <= _ADJ_BROADCAST_MAX_EDGES:
-        adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
+        # Eager checkpoint: the fold feeds TWO broadcast exchanges
+        # (source side and destination side), which would otherwise
+        # each recompute the groupBy from scratch.
+        adj = (
+            oriented.groupBy("s")
+            .agg(F.collect_list("d").alias("nbrs"))
+            .localCheckpoint(eager=True)
+        )
         adj_d = adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nbrs_d"))
-        row = (
+        tri_agg = (
             oriented.join(F.broadcast(adj), "s")
             .join(F.broadcast(adj_d), "d")
             .select(F.size(F.array_intersect("nbrs", "nbrs_d")).alias("t"))
-            .agg(F.sum("t").alias("tri"))
-            .collect()[0]
+            .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tri"))
         )
-        tri = int(row["tri"] or 0)
     else:
         w1 = oriented.select(F.col("s"), F.col("d").alias("x"))
         w2 = oriented.select(F.col("s"), F.col("d").alias("y"))
@@ -167,9 +224,25 @@ def count_triangles(edges: DataFrame) -> DataFrame:
         closing = oriented.select(
             F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
         )
-        tri = wedges.join(closing, ["x", "y"]).count()
-    n_nodes = deg.count()
-    oriented.unpersist()
+        tri_agg = wedges.join(closing, ["x", "y"]).agg(
+            F.count(F.lit(1)).alias("tri")
+        )
+    # ONE action for both remaining census numbers: two one-row
+    # aggregates joined (broadcast of a single row — the q11/q22
+    # scalar-aggregate shape), instead of separate deg.count() and
+    # triangle-count jobs (the r5 sf0.1 regression: extra driver
+    # actions dominated the small-SF path).
+    # n_nodes straight off the materialized orientation: every node
+    # appears as source or destination, so distinct endpoints of
+    # `oriented` == distinct endpoints of `edges` — no recompute of
+    # the degree aggregation.
+    onodes = (
+        oriented.select(F.col("s").alias("n"))
+        .unionByName(oriented.select(F.col("d").alias("n")))
+        .agg(F.count_distinct("n").alias("n_nodes"))
+    )
+    row = onodes.crossJoin(tri_agg).collect()[0]
+    n_nodes, tri = int(row["n_nodes"]), int(row["tri"] or 0)
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(int(n_nodes), int(n_edges), int(tri))],
@@ -178,14 +251,12 @@ def count_triangles(edges: DataFrame) -> DataFrame:
 
 
 def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate: triangle census of the supplier co-purchase graph."""
-    edges, pairs = _copurchase_edges(spark, sf_dir)
-    result = count_triangles(edges)
-    # count_triangles materialized every count; release the pair cache
-    # (the largest intermediate) instead of letting it accumulate
-    # across bench/test runs.
-    pairs.unpersist()
-    return result
+    """Gate: triangle census of the supplier co-purchase graph.
+    Consumes the SHARED memoized edge build (k-core reads the same
+    one), with n_edges carried from the histogram — the census itself
+    is one combined action."""
+    edges, n_edges = copurchase_edges_with_count(spark, sf_dir)
+    return count_triangles(edges, n_edges=n_edges)
 
 
 SUPPLIER_TRIANGLES_SQL = """
