@@ -464,3 +464,208 @@ GROUP BY 1, 2, 3
 ORDER BY split_a, split_b, is_leak
 """
 )
+
+
+def split_leakage_check_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-collapsed train/val/test contamination audit — the
+    corpus-scale form of `split_leakage_check`.
+
+    The doc-level audit enumerates every near-dup pair before
+    counting, so a corpus with d exact copies of each document pays
+    C(d, 2) candidate rows per band bucket (measured: 8.8× wall for
+    10× data on the 10×-copied scaling corpus, SCALING.md round 6).
+    This gate never materializes doc pairs:
+
+    1. group docs by their FULL MinHash signature (md5-portable
+       family) — exact duplicates collapse to one node with per-split
+       counts (n_train, n_val, n_test);
+    2. WITHIN a signature group, pair counts are closed-form:
+       C(n_s, 2) per split and n_a·n_b across splits — arithmetic on
+       the counts, no pairs;
+    3. ACROSS signature groups, the banded LSH join runs over
+       DISTINCT signatures (collapses with duplication; the hot-bucket
+       cap applies at the signature level), est-Jaccard-verified, and
+       each qualifying signature pair contributes n1_x·n2_y per split
+       combination — again arithmetic.
+
+    Same split rule and threshold as the doc-level gate; own oracle
+    (the SQL mirrors the signature-level formulation, including the
+    signature-level bucket cap). On a corpus with no exact duplicates
+    it degenerates to the doc-level plan; with duplication it is
+    asymptotically smaller. est = matches/32 is exact in binary
+    (32 = 2^5) and 0.8 sits strictly between 25/32 and 26/32, so the
+    threshold has no cross-engine knife edge."""
+    from .minhash import (
+        band_buckets,
+        cap_hot_buckets,
+        estimated_jaccard,
+        portable_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.md5(F.col("doc").cast("string")).substr(1, 8) < "cccccccc", "train"
+    ).when(
+        F.md5(F.col("doc").cast("string")).substr(1, 8) < "e6666666", "val"
+    ).otherwise("test")
+    # Everything downstream keys on k = md5(signature) — a 128-bit
+    # scalar — instead of the 32-element string array: array group
+    # keys and array join keys cost ~4× on the same data (measured
+    # 7.9s → 2.1s at sf0.1). The oracle keys on the same md5, so both
+    # engines share identical grouping by construction.
+    # Persist (not checkpoint) the signature table: it feeds BOTH the
+    # split-count aggregation and the distinct-signature node build —
+    # left lazy, the second consumer re-runs the whole shingle×32-perm
+    # pipeline (measured: 2× the gate's dominant term). persist() is
+    # the same convention as minhash_near_dup_pairs: Spark's cache
+    # manager matches canonicalized plans, so repeated runs in one
+    # session (and the sibling doc-level gate, whose signature subplan
+    # is identical) share the materialization; the SESSION owner
+    # releases caches between logical queries (see
+    # session.release_all_caches).
+    sig = portable_signatures(docs).select(
+        "doc",
+        "sig",
+        F.md5(F.concat_ws("", "sig")).alias("k"),
+        split.alias("split"),
+    ).persist()
+    groups = (
+        sig.groupBy("k", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # feeds 5 downstream references
+    )
+    # distinct signature nodes (k → sig), for the banded pair join
+    snodes = sig.select(F.col("k").alias("doc"), "sig").dropDuplicates(["doc"])
+
+    # within-signature contributions: closed-form on counts
+    same_split = groups.select(
+        F.col("split").alias("split_a"),
+        F.col("split").alias("split_b"),
+        F.lit(False).alias("is_leak"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("c"),
+    )
+    ga = groups.select("k", F.col("split").alias("sa"), F.col("n").alias("na"))
+    gb = groups.select("k", F.col("split").alias("sb"), F.col("n").alias("nb"))
+    cross_split_within = (
+        ga.join(gb, "k")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            F.col("sa").alias("split_a"),
+            F.col("sb").alias("split_b"),
+            F.lit(True).alias("is_leak"),
+            (F.col("na") * F.col("nb")).cast("long").alias("c"),
+        )
+    )
+
+    # cross-signature: banded LSH over distinct signatures
+    bb = band_buckets(snodes, portable=True)
+    bb = cap_hot_buckets(bb, 200)
+    left = bb.select(F.col("doc").alias("ka"), "band", "bucket")
+    right = bb.select(F.col("doc").alias("kb"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb")
+        .distinct()
+    )
+    sa_ = snodes.select(F.col("doc").alias("ka"), F.col("sig").alias("sig_a"))
+    sb_ = snodes.select(F.col("doc").alias("kb"), F.col("sig").alias("sig_b"))
+    qual = (
+        cand.join(sa_, "ka")
+        .join(sb_, "kb")
+        .filter(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= F.lit(THRESHOLD))
+        .select("ka", "kb")
+    )
+    g1 = groups.select(
+        F.col("k").alias("ka"), F.col("split").alias("s1"), F.col("n").alias("n1")
+    )
+    g2 = groups.select(
+        F.col("k").alias("kb"), F.col("split").alias("s2"), F.col("n").alias("n2")
+    )
+    cross_sig = (
+        qual.join(g1, "ka")
+        .join(g2, "kb")
+        .select(
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+            (F.col("s1") != F.col("s2")).alias("is_leak"),
+            (F.col("n1") * F.col("n2")).cast("long").alias("c"),
+        )
+    )
+
+    return (
+        same_split.unionByName(cross_split_within)
+        .unionByName(cross_sig)
+        .groupBy("split_a", "split_b", "is_leak")
+        .agg(F.sum("c").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+        .orderBy("split_a", "split_b", "is_leak")
+    )
+
+
+SPLIT_LEAKAGE_CHECK_FAST_SQL = r"""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+perms AS (
+  SELECT doc, k, MIN(MD5(CAST(k AS VARCHAR) || '|' || shingle)) AS m
+  FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS k)
+  GROUP BY doc, k
+),
+sig AS (SELECT doc, LIST(m ORDER BY k) AS sig FROM perms GROUP BY doc),
+labeled AS (
+  SELECT doc, sig, MD5(ARRAY_TO_STRING(sig, '')) AS k,
+         CASE WHEN SUBSTR(MD5(CAST(doc AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+              WHEN SUBSTR(MD5(CAST(doc AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM sig
+),
+groups AS (
+  SELECT k, split, COUNT(*) AS n FROM labeled GROUP BY k, split
+),
+snodes AS (
+  SELECT k, FIRST(sig) AS sig FROM labeled GROUP BY k
+),
+bands AS (
+  SELECT k, b AS band, MD5(ARRAY_TO_STRING(sig[b*4+1:b*4+4], '')) AS bucket
+  FROM snodes CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS b)
+),
+ok_buckets AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING COUNT(*) <= 200
+),
+capped AS (
+  SELECT bands.* FROM bands JOIN ok_buckets USING (band, bucket)
+),
+cand AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.k < b.k
+),
+qual AS (
+  SELECT ka, kb
+  FROM cand JOIN snodes na ON na.k = ka JOIN snodes nb ON nb.k = kb
+  WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, 32), i -> na.sig[i] = nb.sig[i])) AS DOUBLE) / 32 >= 0.8
+),
+contrib AS (
+  SELECT split AS split_a, split AS split_b, FALSE AS is_leak,
+         CAST(n * (n - 1) // 2 AS BIGINT) AS c
+  FROM groups
+  UNION ALL
+  SELECT a.split, b.split, TRUE, CAST(a.n * b.n AS BIGINT)
+  FROM groups a JOIN groups b ON a.k = b.k AND a.split < b.split
+  UNION ALL
+  SELECT LEAST(g1.split, g2.split), GREATEST(g1.split, g2.split),
+         g1.split != g2.split, CAST(g1.n * g2.n AS BIGINT)
+  FROM qual
+  JOIN groups g1 ON g1.k = qual.ka
+  JOIN groups g2 ON g2.k = qual.kb
+)
+SELECT split_a, split_b, is_leak, CAST(SUM(c) AS BIGINT) AS n_pairs
+FROM contrib
+GROUP BY 1, 2, 3
+HAVING SUM(c) > 0
+ORDER BY split_a, split_b, is_leak
+"""

@@ -610,6 +610,13 @@ from .analytics.trend import EVENTS_THEILSEN_TREND_SQL, events_theilsen_trend  #
 
 register("events_theilsen_trend", events_theilsen_trend, EVENTS_THEILSEN_TREND_SQL)
 
+# ---- round-6 additions (tier 2 until a future rotation) ----
+register(
+    "split_leakage_check_fast",
+    dedup_gate.split_leakage_check_fast,
+    dedup_gate.SPLIT_LEAKAGE_CHECK_FAST_SQL,
+)
+
 # ═══════════════ ROUND-6 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-6 window (TIER_ROTATION.md "Round-6 window draft"). Rotation

@@ -443,3 +443,76 @@ def test_split_leakage_detects_planted_cross_split_dup(spark, tmp_path):
     assert sum(r.n_pairs for r in clean) == 1
     assert all(r.split_a == r.split_b for r in clean)
     assert all(r.split_a != r.split_b for r in leaks)
+
+
+def test_split_leakage_fast_matches_on_planted_dups(spark, tmp_path):
+    """The signature-collapsed audit must produce the same accounting
+    as the doc-level gate on a small corpus (where no bucket cap
+    triggers)."""
+    from data_frame_demo_etl_spark.dedup.gate import (
+        split_leakage_check,
+        split_leakage_check_fast,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old wooden "
+        "bridge while other animals watch from the river bank in the rain"
+    )
+    rows = [(i, base if i % 2 else base.upper()) for i in range(1, 41)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    slow = {
+        (r.split_a, r.split_b, r.is_leak): r.n_pairs
+        for r in split_leakage_check(spark, str(tmp_path)).collect()
+    }
+    fast = {
+        (r.split_a, r.split_b, r.is_leak): r.n_pairs
+        for r in split_leakage_check_fast(spark, str(tmp_path)).collect()
+    }
+    assert fast == slow and sum(fast.values()) == 20 * 19 // 2 * 2
+
+
+def test_split_leakage_fast_exact_past_the_bucket_cap(spark, tmp_path):
+    """250 identical docs exceed the doc-level gate's hot-bucket cap
+    (200): the doc-level audit silently DROPS that pair mass, while
+    the signature-collapsed gate counts the full C(250,2) exactly —
+    the regime the fast gate exists for."""
+    import hashlib
+
+    from data_frame_demo_etl_spark.dedup.gate import (
+        split_leakage_check,
+        split_leakage_check_fast,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old wooden "
+        "bridge while other animals watch from the river bank in the rain"
+    )
+    n = 250
+    docs = spark.createDataFrame(
+        [(i, base, "en", "s", len(base)) for i in range(1, n + 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        return "train" if h < "cccccccc" else ("val" if h < "e6666666" else "test")
+
+    from collections import Counter
+
+    cnt = Counter(split_of(i) for i in range(1, n + 1))
+    want_total = n * (n - 1) // 2
+    fast = split_leakage_check_fast(spark, str(tmp_path)).collect()
+    assert sum(r.n_pairs for r in fast) == want_total
+    # closed-form per-combo check
+    by_combo = {(r.split_a, r.split_b): r.n_pairs for r in fast}
+    for s, c in cnt.items():
+        assert by_combo.get((s, s), 0) == c * (c - 1) // 2
+    slow_total = sum(
+        r.n_pairs for r in split_leakage_check(spark, str(tmp_path)).collect()
+    )
+    assert slow_total < want_total  # the cap dropped pair mass
