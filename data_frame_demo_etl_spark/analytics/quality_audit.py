@@ -1,0 +1,199 @@
+"""Numeric data-quality audits: Benford first-digit conformance and
+CUSUM changepoint location — the two standard "did something change /
+is this data fabricated" checks a warehouse runs over fact columns.
+
+Both are pure integer arithmetic end-to-end (the repo's 1e-6
+micro-grid convention), so the DuckDB oracle reproduces every output
+bit: Benford's expected shares are inlined as pre-computed integer
+ppm literals (no cross-engine log10), and the CUSUM statistic is the
+division-free form n·cumsum_k − k·total computed in exact wide
+arithmetic (decimal(38) / HUGEINT — int64 would overflow at
+n·Σ|v_micro| scale), never surfaced as a column.
+
+No reference analog (`/root/reference` has no statistical audits);
+brief-mandated beyond-reference data-quality analytics.
+
+Scale shape: Benford is one map-side-combined aggregation over ≤ 9
+groups. CUSUM is one per-key window cumsum (single hash-partitioned
+sort per event type) + a per-key argmax aggregation — no self-joins,
+no driver loops; at 100 TB both are bounded by one shuffle of the
+fact table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.catalog import load_table
+
+# log10(1 + 1/d) in integer ppm, PRE-COMPUTED so neither engine
+# evaluates a transcendental (libm results differ across engines in
+# the last ulp; an inlined literal cannot).
+BENFORD_PPM = {d: round(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)}
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """(digit, n, observed_ppm, expected_ppm, deviation_ppm) for the
+    first significant digit of a positive numeric column.
+
+    The digit is taken from the integer-cents rendering (exact:
+    FLOOR(x·100 + 0.5) then first character), so float formatting
+    differences can't shift it; shares are integer ppm (n_d·1e6 div N,
+    both engines floor on positives)."""
+    cents = F.floor(F.col(col) * 100 + 0.5).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div total").alias("observed_ppm"),
+            expected[F.col("digit")].cast("long").alias("expected_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm",
+            F.abs(F.col("observed_ppm") - F.col("expected_ppm")),
+        )
+        .orderBy("digit")
+    )
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Benford conformance of order totals — the classic
+    fabricated-numbers screen (synthetic TPC-H prices are roughly
+    uniform-in-range, so large deviations are EXPECTED here; the gate
+    verifies the audit arithmetic, not the corpus's honesty)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return benford_audit(orders, "o_totalprice")
+
+
+def _benford_case() -> str:
+    return (
+        "CASE digit "
+        + " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())
+        + " END"
+    )
+
+
+ORDERS_BENFORD_AUDIT_SQL = f"""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT digit,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+       CAST({_benford_case()} AS BIGINT) AS expected_ppm,
+       CAST(ABS(n * 1000000 // total - ({_benford_case()})) AS BIGINT) AS deviation_ppm
+FROM counts CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+def cusum_changepoint(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str
+) -> DataFrame:
+    """(key, cp_ts, cp_pos, n): per key, the position k maximizing the
+    division-free CUSUM statistic |n·S_k − k·T| over the time-ordered
+    micro-grid series (S_k = prefix sum, T = total) — the classic
+    changepoint location estimator for a mean shift. Exact: the
+    statistic is computed in decimal(38,0) (n·S_k overflows int64 at
+    realistic scales) and never surfaced; ties break to the earliest
+    position. Rows with NULL values are excluded."""
+    v_micro = F.floor(F.col(val_col) * 1_000_000 + 0.5).cast("long")
+    base = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts"), v_micro.alias("v")
+    )
+    w = Window.partitionBy("key").orderBy("ts", "v")
+    wall = Window.partitionBy("key")
+    dec = "decimal(38,0)"
+    cur = (
+        base.withColumn("k", F.row_number().over(w))
+        .withColumn("s", F.sum("v").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("t", F.sum("v").over(wall))
+        .withColumn(
+            "stat",
+            F.abs(
+                F.col("n").cast(dec) * F.col("s").cast(dec)
+                - F.col("k").cast(dec) * F.col("t").cast(dec)
+            ),
+        )
+    )
+    best = cur.groupBy("key").agg(F.max("stat").alias("best"))
+    return (
+        cur.join(best, "key")
+        .filter(F.col("stat") == F.col("best"))
+        .groupBy("key")
+        .agg(
+            F.min_by("ts", "k").alias("cp_ts"),
+            F.min("k").alias("cp_pos"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            F.col("key"),
+            "cp_ts",
+            F.col("cp_pos").cast("long").alias("cp_pos"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("key")
+    )
+
+
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-event-type CUSUM changepoint over the value series in
+    time order — where each type's running mean most decisively
+    shifts. One window pass + one argmax per type."""
+    events = load_table(spark, "events", sf_dir)
+    out = cusum_changepoint(events, "event_type", "ts", "value")
+    return out.select(
+        F.col("key").alias("event_type"), "cp_ts", "cp_pos", "n"
+    ).orderBy("event_type")
+
+
+EVENTS_CUSUM_CHANGEPOINTS_SQL = """
+WITH base AS (
+  SELECT event_type AS key, ts,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+cur AS (
+  SELECT key, ts, v,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, v) AS k,
+         SUM(v) OVER (PARTITION BY key ORDER BY ts, v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         COUNT(*) OVER (PARTITION BY key) AS n,
+         SUM(v) OVER (PARTITION BY key) AS t
+  FROM base
+),
+scored AS (
+  SELECT key, ts, k, n,
+         ABS(CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+             - CAST(k AS HUGEINT) * CAST(t AS HUGEINT)) AS stat
+  FROM cur
+),
+best AS (SELECT key, MAX(stat) AS best FROM scored GROUP BY key)
+SELECT s.key AS event_type,
+       MIN_BY(s.ts, s.k) AS cp_ts,
+       CAST(MIN(s.k) AS BIGINT) AS cp_pos,
+       CAST(MIN(s.n) AS BIGINT) AS n
+FROM scored s JOIN best b ON b.key = s.key AND s.stat = b.best
+GROUP BY s.key
+ORDER BY event_type
+"""

@@ -669,3 +669,75 @@ GROUP BY 1, 2, 3
 HAVING SUM(c) > 0
 ORDER BY split_a, split_b, is_leak
 """
+
+
+def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning diagnostic: the distribution of estimated
+    Jaccard over ALL LSH candidate pairs (md5 family, capped buckets),
+    as (matches, n_pairs, cum_pairs) with matches = #agreeing
+    signature components (est = matches/32). The cumulative column
+    reads directly as "pairs you'd keep at threshold m/32" — the
+    sweep every dedup rollout runs before committing to a threshold,
+    here in ONE pass over the candidate set instead of re-running the
+    pipeline per threshold. Exact integers end-to-end."""
+    from .minhash import band_buckets, cap_hot_buckets, portable_signatures
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = portable_signatures(docs).persist()
+    bb = cap_hot_buckets(band_buckets(sig, portable=True), 200)
+    left = bb.select(F.col("doc").alias("id_a"), "band", "bucket")
+    right = bb.select(F.col("doc").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    hist = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(matches.alias("matches"))
+        .groupBy("matches")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("matches").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # ≤ 33 rows: the global window is bounded by the signature width,
+    # not the corpus — single-partition is correct here.
+    return (
+        hist.withColumn("cum_pairs", F.sum("n_pairs").over(w))
+        .select(
+            F.col("matches").cast("long").alias("matches"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("cum_pairs").cast("long").alias("cum_pairs"),
+        )
+        .orderBy("matches")
+    )
+
+
+DEDUP_LSH_THRESHOLD_SWEEP_SQL = (
+    "WITH "
+    + _MINHASH_PAIR_CTES.strip()
+    + r""",
+hist AS (
+  SELECT CAST(est_jaccard * 32 AS BIGINT) AS matches, COUNT(*) AS n_pairs
+  FROM est GROUP BY 1
+)
+SELECT CAST(matches AS BIGINT) AS matches,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY matches DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
+FROM hist
+ORDER BY matches
+"""
+)

@@ -680,3 +680,63 @@ FROM per_n
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report — the multilingual-
+    budget planning table every training pipeline keeps: docs, words,
+    BPE-ish tokens, chars, and the two fertility ratios (tokens per
+    word, chars per token) in exact integer ppm. A language whose
+    fertility is 2× English costs 2× the compute per word — this is
+    the number that decides per-language sampling weights."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "lang",
+        T.token_count_whitespace(F.col("text")).cast("long").alias("words"),
+        T.token_count_bpe(F.col("text")).cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("words"),
+            F.sum("toks").alias("tokens"),
+            F.sum("chars").alias("chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "words",
+            "tokens",
+            "chars",
+            F.expr("tokens * 1000000 div greatest(words, 1)").alias(
+                "tokens_per_word_ppm"
+            ),
+            F.expr("chars * 1000000 div greatest(tokens, 1)").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_TOKEN_FERTILITY_SQL = r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '')) AS BIGINT) AS words,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS toks,
+         CAST(LENGTH(text) AS BIGINT) AS chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(toks) AS BIGINT) AS tokens,
+       CAST(SUM(chars) AS BIGINT) AS chars,
+       CAST(SUM(toks) * 1000000 // GREATEST(SUM(words), 1) AS BIGINT) AS tokens_per_word_ppm,
+       CAST(SUM(chars) * 1000000 // GREATEST(SUM(toks), 1) AS BIGINT) AS chars_per_token_ppm
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""

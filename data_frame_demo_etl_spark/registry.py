@@ -617,6 +617,43 @@ register(
     dedup_gate.SPLIT_LEAKAGE_CHECK_FAST_SQL,
 )
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_CUSUM_CHANGEPOINTS_SQL,
+    ORDERS_BENFORD_AUDIT_SQL,
+    events_cusum_changepoints,
+    orders_benford_audit,
+)
+
+register("orders_benford_audit", orders_benford_audit, ORDERS_BENFORD_AUDIT_SQL)
+register(
+    "events_cusum_changepoints",
+    events_cusum_changepoints,
+    EVENTS_CUSUM_CHANGEPOINTS_SQL,
+)
+
+from .similarity.quant import (  # noqa: E402
+    EMBEDDINGS_INT8_QUANTIZATION_SQL,
+    embeddings_int8_quantization,
+)
+
+register(
+    "embeddings_int8_quantization",
+    embeddings_int8_quantization,
+    EMBEDDINGS_INT8_QUANTIZATION_SQL,
+)
+
+register(
+    "dedup_lsh_threshold_sweep",
+    dedup_gate.dedup_lsh_threshold_sweep,
+    dedup_gate.DEDUP_LSH_THRESHOLD_SWEEP_SQL,
+)
+
+register(
+    "docs_token_fertility",
+    fn_gate.docs_token_fertility,
+    fn_gate.DOCS_TOKEN_FERTILITY_SQL,
+)
+
 # ═══════════════ ROUND-6 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-6 window (TIER_ROTATION.md "Round-6 window draft"). Rotation

@@ -116,6 +116,9 @@ CARTESIAN_ALLOWED = {
     # OR-membership join of hashes into their pairs — both bounded by
     # the type domain, never by users (analytics/cms.py overlap gate).
     "events_kmv_overlap",
+    # broadcast of a 1-ROW total for the ppm shares — the scalar-
+    # aggregate shape (analytics/quality_audit.py).
+    "orders_benford_audit",
 }
 
 

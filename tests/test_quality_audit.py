@@ -1,0 +1,107 @@
+"""Benford audit, CUSUM changepoint, int8 quantization, threshold
+sweep, token fertility — planted-structure unit tests (the gate/oracle
+parity runs in the contract sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.analytics.quality_audit import (
+    BENFORD_PPM,
+    benford_audit,
+    cusum_changepoint,
+)
+from data_frame_demo_etl_spark.similarity.quant import int8_calibrate_and_score
+
+
+def test_benford_perfect_corpus_has_zero_deviation(spark):
+    # A corpus whose digit counts are EXACTLY proportional to the ppm
+    # table audits to observed == expected (up to the 1e-6 floor).
+    rows = []
+    for d, ppm in BENFORD_PPM.items():
+        rows += [(float(d) * 10,)] * ppm  # ppm copies → exact shares
+    # too big — scale down by gcd-ish factor while keeping proportions
+    rows = []
+    for d, ppm in BENFORD_PPM.items():
+        rows += [(float(d) * 10,)] * max(ppm // 1000, 1)
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    for d in out:
+        # ±4000 ppm slack: the //1000 downscale truncates shares
+        assert abs(out[d].observed_ppm - out[d].expected_ppm) < 4000
+
+
+def test_benford_digit_comes_from_cents_rendering(spark):
+    # 0.09 → 9 cents → digit 9; 123.45 → 12345 → 1; 0.5 → 50 → 5
+    df = spark.createDataFrame([(0.09,), (123.45,), (0.5,)], "x double")
+    got = {r.digit: r.n for r in benford_audit(df, "x").collect()}
+    assert got == {9: 1, 1: 1, 5: 1}
+
+
+def test_cusum_finds_planted_mean_shift(spark):
+    import datetime
+
+    # 50 points at 10.0 then 50 at 20.0 — the max-|CUSUM| position is
+    # exactly the boundary (k = 50).
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + datetime.timedelta(minutes=i), 10.0 if i < 50 else 20.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = cusum_changepoint(df, "k", "ts", "v").collect()
+    assert len(out) == 1 and out[0].cp_pos == 50 and out[0].n == 100
+
+
+def test_cusum_constant_series_breaks_ties_earliest(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("a", t0 + datetime.timedelta(minutes=i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = cusum_changepoint(df, "k", "ts", "v").collect()
+    assert out[0].cp_pos == 1  # all stats are 0 → earliest position
+
+
+def test_int8_quantization_error_bound(spark):
+    # max reconstruction error must stay under span/255 + 1 micro per
+    # dimension (affine 8-bit code with floor rounding).
+    df = spark.createDataFrame(
+        [([float(i) / 7, float(i * i) / 29],) for i in range(100)],
+        "embedding array<float>",
+    )
+    for r in int8_calibrate_and_score(df).collect():
+        assert 0 <= r.mae_micro <= r.max_err_micro
+        assert r.max_err_micro <= r.span_micro // 255 + (r.span_micro % 255 > 0)
+
+
+def test_int8_quantization_constant_dim(spark):
+    # constant dimension → span clamps to 1, zero error
+    df = spark.createDataFrame([([1.5, 2.0],), ([1.5, 3.0],)], "embedding array<float>")
+    rows = {r.dim: r for r in int8_calibrate_and_score(df).collect()}
+    assert rows[0].span_micro == 1 and rows[0].max_err_micro == 0
+
+
+def test_threshold_sweep_cumulative_is_monotone(spark, sf_dir):
+    from data_frame_demo_etl_spark.dedup.gate import dedup_lsh_threshold_sweep
+
+    rows = dedup_lsh_threshold_sweep(spark, sf_dir).collect()
+    assert rows, "sf0.001 corpus should produce candidate pairs"
+    # ascending matches ⇒ cum_pairs non-increasing; top bucket equals its own count
+    for a, b in zip(rows, rows[1:]):
+        assert a.matches < b.matches and a.cum_pairs >= b.cum_pairs
+    assert rows[-1].cum_pairs == rows[-1].n_pairs
+
+
+def test_token_fertility_ppm_arithmetic(spark, tmp_path):
+    from data_frame_demo_etl_spark.functions.gate import docs_token_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en", "s", 13), (2, "vier fünf", "de", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in docs_token_fertility(spark, str(tmp_path)).collect()}
+    assert out["en"].words == 3 and out["en"].chars == 13
+    assert out["en"].tokens_per_word_ppm == out["en"].tokens * 1_000_000 // 3
