@@ -10,8 +10,9 @@ pure-stdlib decoder can cover:
   — exercising the full path with engine-replayable bytes.
 - ``decode="real"``: decodes actual image files — BMP (24-bit
   uncompressed BI_RGB, top-down or bottom-up), PPM (binary P6,
-  maxval 255), PNG (non-interlaced 8-bit RGB: zlib inflate + all
-  five row unfilters), and baseline JPEG (SOF0, 4:4:4/4:2:2/4:2:0,
+  maxval 255), PNG (8/16-bit RGB, sequential AND Adam7-interlaced:
+  zlib inflate + all five row unfilters), and baseline JPEG (SOF0,
+  4:4:4/4:2:2/4:2:0,
   restart markers — multimodal/jpeg.py) — to RGB pixel buffers with
   no dependencies beyond numpy. Anything else raises ValueError
   naming the supported set; swap PIL/ffmpeg into the same UDF on a
@@ -208,48 +209,107 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     )
 
 
-def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Stdlib PNG decoder: zlib inflate + per-row unfilter. Supports
-    8-bit truecolor (color type 2), non-interlaced — the shape
-    `encode_png` writes and the overwhelmingly common web/PIL default
-    for RGB; anything else raises naming the constraint."""
+def _filter_rows_sub(pixels: bytes, width_px: int, height: int, bpp: int) -> bytearray:
+    """Filter a (sub)image with per-row Sub filtering (type 1) — a
+    non-trivial filter the round-trip must invert, kept simple enough
+    to reason about in the Adam7/16-bit encoders below."""
+    stride = width_px * bpp
+    raw = bytearray()
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        raw.append(1)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            raw.append((row[x] - a) & 0xFF)
+    return raw
+
+
+def encode_png_adam7(width: int, height: int, rgb: bytes) -> bytes:
+    """Stdlib INTERLACED (Adam7) PNG writer: the seven passes are
+    extracted from the pixel grid, each filtered independently (Sub),
+    and concatenated into one IDAT — the exact stream shape the
+    interlaced decode path must walk."""
     import zlib
 
-    if data[:8] != PNG_SIG:
-        raise ValueError("not a PNG file")
-    pos, width, height, idat = 8, None, None, bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + tag + payload + crc
-        if tag == b"IHDR":
-            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8 or ctype != 2:
-                raise ValueError("only 8-bit truecolor (RGB) PNG supported")
-            if interlace != 0:
-                raise ValueError("interlaced (Adam7) PNG not supported")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * 3
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG payload size mismatch")
-    out = bytearray(width * height * 3)
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        if x0 >= width or y0 >= height:
+            continue
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p == 0 or h_p == 0:
+            continue
+        sub = bytearray()
+        for j in range(h_p):
+            for i in range(w_p):
+                src = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
+                sub += rgb[src : src + 3]
+        raw += _filter_rows_sub(bytes(sub), w_p, h_p, 3)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(width: int, height: int, rgb: bytes) -> bytes:
+    """Stdlib 16-bit truecolor PNG writer: each 8-bit sample v widens
+    to the big-endian word (v<<8)|v (the standard bit-replication
+    expansion), so the decoder's high-byte reduction recovers v
+    exactly."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+    wide = bytearray()
+    for v in rgb:
+        wide += bytes((v, v))
+    raw = _filter_rows_sub(bytes(wide), width, height, 6)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_rows(
+    raw: bytes, offset: int, width_px: int, height: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Unfilter ``height`` rows of ``width_px`` pixels (``bpp`` bytes
+    each) starting at ``raw[offset]``; returns (pixels, new offset).
+    Each (sub)image's filtering is self-contained — exactly what both
+    the sequential image and each Adam7 pass need."""
+    stride = width_px * bpp
+    out = bytearray(stride * height)
     prev = bytes(stride)
+    pos = offset
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
         for x in range(stride):
-            a = row[x - 3] if x >= 3 else 0
+            a = row[x - bpp] if x >= bpp else 0
             b = prev[x]
-            c = prev[x - 3] if x >= 3 else 0
+            c = prev[x - bpp] if x >= bpp else 0
             if ftype == 0:
                 pass
             elif ftype == 1:
@@ -264,7 +324,69 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"bad PNG filter type {ftype}")
         out[y * stride : (y + 1) * stride] = row
         prev = bytes(row)
-    return width, height, 3, bytes(out)
+    return out, pos
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Stdlib PNG decoder: zlib inflate + per-row unfilter. Supports
+    truecolor (color type 2) at bit depth 8 AND 16 (16-bit reduces to
+    8 by the high byte, the standard presentation reduction), both
+    SEQUENTIAL and INTERLACED (Adam7: seven independently-filtered
+    passes scattered back onto the pixel grid). Other color types
+    raise naming the constraint."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, width, height, idat = 8, None, None, bytearray()
+    depth = interlace = 0
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if ctype != 2 or depth not in (8, 16):
+                raise ValueError("only 8/16-bit truecolor (RGB) PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3 * (depth // 8)
+    full = bytearray(width * height * bpp)
+    if interlace == 0:
+        full, end = _unfilter_rows(raw, 0, width, height, bpp)
+        if end != len(raw):
+            raise ValueError("PNG payload size mismatch")
+    elif interlace == 1:
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            if x0 >= width or y0 >= height:
+                continue
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            if w_p == 0 or h_p == 0:
+                continue
+            sub, off = _unfilter_rows(raw, off, w_p, h_p, bpp)
+            for j in range(h_p):
+                for i in range(w_p):
+                    src = (j * w_p + i) * bpp
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                    full[dst : dst + bpp] = sub[src : src + bpp]
+        if off != len(raw):
+            raise ValueError("PNG payload size mismatch")
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if depth == 16:
+        # high-byte reduction: sample = v16 >> 8
+        full = full[0::2]
+    return width, height, 3, bytes(full)
 
 
 def decode_real(content: bytes) -> tuple[int, int, int, bytes]:
@@ -283,7 +405,7 @@ def decode_real(content: bytes) -> tuple[int, int, int, bytes]:
         return decode_jpeg(content)
     raise ValueError(
         "unsupported image format (codecs cover BMP 24-bit, PPM P6, "
-        "non-interlaced 8-bit RGB PNG, and baseline JPEG); install "
+        "8/16-bit RGB PNG incl. Adam7, and baseline JPEG); install "
         "PIL/ffmpeg and extend decode_real for others"
     )
 
