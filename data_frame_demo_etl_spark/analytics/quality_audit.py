@@ -197,3 +197,126 @@ FROM scored s JOIN best b ON b.key = s.key AND s.stat = b.best
 GROUP BY s.key
 ORDER BY event_type
 """
+
+
+def max_concurrency(
+    df: DataFrame, key_col: str, start_col: str, end_col: str
+) -> DataFrame:
+    """(key, peak, peak_ts): maximum number of simultaneously-open
+    intervals per key, and the earliest instant it is reached — the
+    classic boundary-sweep: +1 at each start, −1 at each end, ordered
+    prefix sum, argmax. Ends sort BEFORE starts at the same instant
+    (half-open [start, end) semantics). One window pass per key over
+    2·n boundary rows; no interval self-join (the naive overlap join
+    is quadratic in concurrency)."""
+    starts = df.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).alias("at"),
+        F.lit(1).alias("delta"),
+    )
+    ends = df.select(
+        F.col(key_col).alias("key"),
+        F.col(end_col).alias("at"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = Window.partitionBy("key").orderBy("at", "delta")  # -1 before +1
+    cur = bounds.withColumn("open", F.sum("delta").over(w))
+    best = cur.groupBy("key").agg(F.max("open").alias("peak"))
+    return (
+        cur.join(best, "key")
+        .filter(F.col("open") == F.col("peak"))
+        .groupBy("key")
+        .agg(F.min("at").alias("peak_ts"), F.min("open").alias("peak"))
+        .select("key", F.col("peak").cast("long").alias("peak"), "peak_ts")
+        .orderBy("key")
+    )
+
+
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: peak concurrent activity per event type, treating each
+    event as a 5-minute half-open activity interval — the "max
+    concurrent sessions" number every capacity audit asks for."""
+    events = load_table(spark, "events", sf_dir)
+    iv = events.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    out = max_concurrency(iv, "event_type", "s", "e")
+    return out.select(
+        F.col("key").alias("event_type"), "peak", "peak_ts"
+    ).orderBy("event_type")
+
+
+EVENTS_MAX_CONCURRENCY_SQL = """
+WITH bounds AS (
+  SELECT event_type AS key, ts AS at, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+),
+cur AS (
+  SELECT key, at, delta,
+         SUM(delta) OVER (PARTITION BY key ORDER BY at, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM bounds
+),
+best AS (SELECT key, MAX(open) AS peak FROM cur GROUP BY key)
+SELECT c.key AS event_type,
+       CAST(MIN(c.open) AS BIGINT) AS peak,
+       MIN(c.at) AS peak_ts
+FROM cur c JOIN best b ON b.key = c.key AND c.open = b.peak
+GROUP BY c.key
+ORDER BY event_type
+"""
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (event_type, dow): exactly the three
+    subtotal shapes a dashboard wants — per (type, dow), per type, and
+    the grand total — WITHOUT the per-dow-only set a full CUBE would
+    also compute (completes the grouping family beside `revenue_rollup`
+    and `events_cube_summary`; one pass, Spark expands the sets into a
+    single aggregation). grouping_id disambiguates subtotal levels;
+    labels are COALESCE'd so the output is NULL-free."""
+    events = load_table(spark, "events", sf_dir)
+    base = events.select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("v"),
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "dow"], ["event_type"], []], "event_type", "dow"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("value_micro"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n_events",
+            F.coalesce("value_micro", F.lit(0)).alias("value_micro"),
+            F.col("gid").cast("long").alias("gid"),
+        )
+        .orderBy("gid", "event_type", "dow")
+    )
+
+
+EVENTS_GROUPING_SETS_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(DAYOFWEEK(ts) + 1 AS BIGINT) AS dow,  -- DuckDB Sunday=0, Spark Sunday=1
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS value_micro,
+       CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid
+FROM base
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+ORDER BY gid, event_type, dow
+"""

@@ -619,12 +619,18 @@ register(
 
 from .analytics.quality_audit import (  # noqa: E402
     EVENTS_CUSUM_CHANGEPOINTS_SQL,
+    EVENTS_GROUPING_SETS_SQL,
+    EVENTS_MAX_CONCURRENCY_SQL,
     ORDERS_BENFORD_AUDIT_SQL,
     events_cusum_changepoints,
+    events_grouping_sets,
+    events_max_concurrency,
     orders_benford_audit,
 )
 
 register("orders_benford_audit", orders_benford_audit, ORDERS_BENFORD_AUDIT_SQL)
+register("events_max_concurrency", events_max_concurrency, EVENTS_MAX_CONCURRENCY_SQL)
+register("events_grouping_sets", events_grouping_sets, EVENTS_GROUPING_SETS_SQL)
 register(
     "events_cusum_changepoints",
     events_cusum_changepoints,

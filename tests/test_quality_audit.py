@@ -105,3 +105,45 @@ def test_token_fertility_ppm_arithmetic(spark, tmp_path):
     out = {r.lang: r for r in docs_token_fertility(spark, str(tmp_path)).collect()}
     assert out["en"].words == 3 and out["en"].chars == 13
     assert out["en"].tokens_per_word_ppm == out["en"].tokens * 1_000_000 // 3
+
+
+def test_max_concurrency_planted_overlap(spark):
+    import datetime
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import max_concurrency
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    # intervals: [0,10) [5,15) [8,12) → peak 3 at minute 8; [20,25) alone
+    rows = [
+        ("a", t(0), t(10)),
+        ("a", t(5), t(15)),
+        ("a", t(8), t(12)),
+        ("a", t(20), t(25)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    out = max_concurrency(df, "k", "s", "e").collect()
+    assert out[0].peak == 3 and out[0].peak_ts == t(8)
+
+
+def test_max_concurrency_half_open_touching_intervals(spark):
+    import datetime
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import max_concurrency
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    # [0,5) and [5,10) touch but never overlap: peak must be 1
+    df = spark.createDataFrame(
+        [("a", t(0), t(5)), ("a", t(5), t(10))], "k string, s timestamp, e timestamp"
+    )
+    assert max_concurrency(df, "k", "s", "e").collect()[0].peak == 1
+
+
+def test_grouping_sets_shapes(spark, sf_dir):
+    from data_frame_demo_etl_spark.analytics.quality_audit import events_grouping_sets
+
+    rows = events_grouping_sets(spark, sf_dir).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 3}  # detail, per-type, grand total — no per-dow set
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].event_type == "ALL" and grand[0].dow == "ALL"
+    assert grand[0].n_events == sum(r.n_events for r in rows if r.gid == 0)
