@@ -73,3 +73,96 @@ JOIN s b ON a.blk = b.blk AND a.id < b.id
 WHERE LEVENSHTEIN(a.name, b.name) <= 1
 ORDER BY id_a, id_b
 """
+
+
+# Fellegi–Sunter field weights in integer centi-bits, PRE-COMPUTED so
+# no engine evaluates a log: w = round(100·log2(m/u)) for agreement,
+# round(100·log2((1−m)/(1−u))) for disagreement, with (m, u) the
+# match/unmatch agreement probabilities per field. Standard record-
+# linkage priors for a name-edit field and a categorical field.
+FS_WEIGHTS = {
+    # field: (agree_centibits, disagree_centibits)
+    "name": (971, -656),    # m=0.98, u=0.005 → log2 ≈ 9.71 / −6.56
+    "nation": (458, -423),  # m=0.95, u=0.044 → log2 ≈ 4.58 / −4.23
+}
+FS_THRESHOLD = 500  # centibits: ≥ 5 bits of evidence → link
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    name_agree: "Column",
+    nation_agree: "Column",
+) -> DataFrame:
+    """Attach the Fellegi–Sunter composite match weight (integer
+    centi-bits) and the link/possible/non-link decision to candidate
+    pairs. Exact integer arithmetic; the classic two-threshold rule
+    collapses to one threshold here (audit review band omitted)."""
+    na_w = F.when(name_agree, F.lit(FS_WEIGHTS["name"][0])).otherwise(
+        F.lit(FS_WEIGHTS["name"][1])
+    )
+    nt_w = F.when(nation_agree, F.lit(FS_WEIGHTS["nation"][0])).otherwise(
+        F.lit(FS_WEIGHTS["nation"][1])
+    )
+    return pairs.withColumn(
+        "fs_centibits", (na_w + nt_w).cast("long")
+    ).withColumn("is_link", F.col("fs_centibits") >= FS_THRESHOLD)
+
+
+def supplier_er_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Fellegi–Sunter scoring over the blocked supplier
+    candidate pairs (K8's blocking+verify, now with the probabilistic
+    decision layer real record linkage runs): name agreement = edit
+    distance ≤ 1, nation agreement = same s_nationkey; composite
+    weight in exact integer centi-bits, link decision at ≥ 5 bits."""
+    supplier = load_table(spark, "supplier", sf_dir)
+    s = supplier.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nation"),
+        F.substring("s_name", 10, 7).alias("blk"),
+    )
+    a = s.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        F.col("nation").alias("nation_a"), "blk",
+    )
+    b = s.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("nation").alias("nation_b"), "blk",
+    )
+    cand = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_distance") <= 2)
+    )
+    scored = fellegi_sunter_scores(
+        cand,
+        name_agree=F.col("edit_distance") <= 1,
+        nation_agree=F.col("nation_a") == F.col("nation_b"),
+    )
+    return scored.select(
+        "id_a", "id_b", "edit_distance", "fs_centibits", "is_link"
+    ).orderBy("id_a", "id_b")
+
+
+SUPPLIER_ER_SCORES_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nation,
+         SUBSTR(s_name, 10, 7) AS blk
+  FROM supplier
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(LEVENSHTEIN(a.name, b.name) AS BIGINT) AS edit_distance,
+         a.nation = b.nation AS nation_agree
+  FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+  WHERE LEVENSHTEIN(a.name, b.name) <= 2
+)
+SELECT id_a, id_b, edit_distance,
+       CAST((CASE WHEN edit_distance <= 1 THEN {FS_WEIGHTS['name'][0]} ELSE {FS_WEIGHTS['name'][1]} END)
+          + (CASE WHEN nation_agree THEN {FS_WEIGHTS['nation'][0]} ELSE {FS_WEIGHTS['nation'][1]} END) AS BIGINT) AS fs_centibits,
+       ((CASE WHEN edit_distance <= 1 THEN {FS_WEIGHTS['name'][0]} ELSE {FS_WEIGHTS['name'][1]} END)
+          + (CASE WHEN nation_agree THEN {FS_WEIGHTS['nation'][0]} ELSE {FS_WEIGHTS['nation'][1]} END)) >= {FS_THRESHOLD} AS is_link
+FROM cand
+ORDER BY id_a, id_b
+"""

@@ -761,3 +761,45 @@ FROM spans
 ORDER BY doc_id, seq_id
 """
 )
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (τ = 0.5), the multilingual-
+    sampling rule (Conneau et al. XLM-R; every multilingual LLM
+    recipe): per-source keep rate r_s = (n_min / n_s)^τ, so
+    over-represented sources are down-sampled toward the tail and the
+    rarest source keeps 100%. τ = 0.5 makes the power a SQRT — IEEE
+    correctly-rounded in both engines, so the thresholds
+    floor(sqrt(n_min/n_s)·2³²) match bit-for-bit WITHOUT driver-side
+    rate computation: counts, min, thresholds, and the md5 keep test
+    all stay inside the plan (a vocabulary-sized broadcast join), the
+    shape that survives 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("n_min"))
+    hash_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thresh = F.floor(
+        F.sqrt(F.col("n_min").cast("double") / F.col("n")) * F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(mn))
+        .filter(hash_int < thresh)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_TEMPERATURE_MIX_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+mn AS (SELECT MIN(n) AS n_min FROM counts)
+SELECT doc_id, source
+FROM documents d
+JOIN counts USING (source)
+CROSS JOIN mn
+WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < FLOOR(SQRT(CAST(n_min AS DOUBLE) / n) * 4294967296.0)
+ORDER BY doc_id
+"""

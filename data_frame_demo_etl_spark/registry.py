@@ -631,6 +631,17 @@ from .analytics.quality_audit import (  # noqa: E402
 register("orders_benford_audit", orders_benford_audit, ORDERS_BENFORD_AUDIT_SQL)
 register("events_max_concurrency", events_max_concurrency, EVENTS_MAX_CONCURRENCY_SQL)
 register("events_grouping_sets", events_grouping_sets, EVENTS_GROUPING_SETS_SQL)
+
+register(
+    "corpus_temperature_mix",
+    ops_gate.corpus_temperature_mix,
+    ops_gate.CORPUS_TEMPERATURE_MIX_SQL,
+)
+register("ingest_fixed_width", src_gate.ingest_fixed_width, src_gate.INGEST_FIXED_WIDTH_SQL)
+
+from .dedup.fuzzy import SUPPLIER_ER_SCORES_SQL, supplier_er_scores  # noqa: E402
+
+register("supplier_er_scores", supplier_er_scores, SUPPLIER_ER_SCORES_SQL)
 register(
     "events_cusum_changepoints",
     events_cusum_changepoints,

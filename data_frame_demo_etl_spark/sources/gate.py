@@ -298,3 +298,67 @@ SELECT p_partkey, p_name AS part_name, p_retailprice
 FROM part
 ORDER BY p_partkey
 """
+
+
+def _materialize_fixed_width(sf_dir: str) -> "Path":
+    """part → a fixed-width text file (the mainframe/EDI layout ETL
+    stacks still ingest): p_partkey 10 cols right-aligned, p_name 60
+    left-padded, p_retailprice as integer cents 12 right-aligned."""
+    out = _tmp_dir(sf_dir, "ingest_fixed_width") / "part.txt"
+    if out.exists():
+        return out
+    pdf = pd.read_parquet(f"{sf_dir}/part.parquet").sort_values("p_partkey")
+    lines = []
+    for rec in pdf.itertuples(index=False):
+        key = str(int(rec.p_partkey)).rjust(10)
+        name = str(rec.p_name)[:60].ljust(60)
+        cents = str(int(float(rec.p_retailprice) * 100 + 0.5)).rjust(12)
+        lines.append(key + name + cents)
+    out.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return out
+
+
+FIXED_WIDTH_SPEC = [  # (column, 1-based start, width)
+    ("p_partkey", 1, 10),
+    ("part_name", 11, 60),
+    ("price_cents", 71, 12),
+]
+
+
+def read_fixed_width(spark: SparkSession, path: str, spec) -> DataFrame:
+    """Fixed-width reader: `spark.read.text` (splittable, distributed)
+    + one substring projection per column — the whole parse stays in
+    whole-stage codegen; no Python touches a row. The spec is
+    (name, 1-based start, width) triples, trailing spaces trimmed."""
+    raw = spark.read.text(path)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, width)).alias(name)
+        for name, start, width in spec
+    ]
+    return raw.select(*cols)
+
+
+def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family gate: part → fixed-width text → distributed
+    substring-sliced read → typed columns. Covers the fixed-layout
+    flat-file format (mainframe exports, EDI) that has no delimiter
+    for a CSV reader to find."""
+    path = _materialize_fixed_width(sf_dir)
+    raw = read_fixed_width(spark, str(path), FIXED_WIDTH_SPEC)
+    return (
+        raw.select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.col("part_name"),
+            (F.col("price_cents").cast("long")).alias("price_cents"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+INGEST_FIXED_WIDTH_SQL = """
+SELECT p_partkey,
+       p_name AS part_name,
+       CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM part
+ORDER BY p_partkey
+"""

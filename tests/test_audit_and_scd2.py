@@ -119,6 +119,9 @@ CARTESIAN_ALLOWED = {
     # broadcast of a 1-ROW total for the ppm shares — the scalar-
     # aggregate shape (analytics/quality_audit.py).
     "orders_benford_audit",
+    # broadcast of a 1-ROW global-min count for the temperature
+    # thresholds — same scalar-aggregate shape (operators/gate.py).
+    "corpus_temperature_mix",
 }
 
 

@@ -147,3 +147,57 @@ def test_grouping_sets_shapes(spark, sf_dir):
     grand = [r for r in rows if r.gid == 3]
     assert len(grand) == 1 and grand[0].event_type == "ALL" and grand[0].dow == "ALL"
     assert grand[0].n_events == sum(r.n_events for r in rows if r.gid == 0)
+
+
+def test_temperature_mix_rates(spark, tmp_path):
+    """τ=0.5 mixing: the rarest source keeps everything; a source 4×
+    the rarest keeps ~half (sqrt(1/4)); keep decisions are the
+    deterministic md5 rule."""
+    from data_frame_demo_etl_spark.operators.gate import corpus_temperature_mix
+
+    rows = [(i, f"t {i}", "en", "rare" if i < 100 else "common", 5) for i in range(500)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = corpus_temperature_mix(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src["rare"] == 100  # rate 1.0 keeps all
+    assert 130 <= by_src["common"] <= 270  # 400 · 0.5, md5 variance
+
+
+def test_fixed_width_reader_slices_and_trims(spark, tmp_path):
+    from data_frame_demo_etl_spark.sources.gate import read_fixed_width
+
+    f = tmp_path / "fw.txt"
+    f.write_text("        42name one                    123\n", encoding="utf-8")
+    spec = [("id", 1, 10), ("name", 11, 24), ("cents", 35, 7)]
+    row = read_fixed_width(spark, str(f), spec).collect()[0]
+    assert (row.id, row.name, row.cents) == ("42", "name one", "123")
+
+
+def test_fellegi_sunter_decision_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.dedup.fuzzy import (
+        FS_THRESHOLD,
+        FS_WEIGHTS,
+        fellegi_sunter_scores,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, True), (3, 4, True, False), (5, 6, False, True), (7, 8, False, False)],
+        "id_a long, id_b long, na boolean, nt boolean",
+    )
+    out = {
+        (r.id_a, r.id_b): (r.fs_centibits, r.is_link)
+        for r in fellegi_sunter_scores(pairs, F.col("na"), F.col("nt")).collect()
+    }
+    w = FS_WEIGHTS
+    assert out[(1, 2)] == (w["name"][0] + w["nation"][0], True)
+    assert out[(3, 4)] == (w["name"][0] + w["nation"][1], True)   # 971-423=548 ≥ 500
+    assert out[(5, 6)] == (w["name"][1] + w["nation"][0], False)  # -656+458 < 500
+    assert out[(7, 8)][1] is False
+    assert all((c >= FS_THRESHOLD) == l for c, l in out.values())
