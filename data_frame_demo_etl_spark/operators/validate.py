@@ -169,3 +169,124 @@ FROM customer
 GROUP BY c_mktsegment, c_nationkey
 ORDER BY c_mktsegment, c_nationkey
 """
+
+
+def star_integrity_audit(spark, sf_dir: str) -> DataFrame:
+    """Schema-wide data-contract audit: primary-key uniqueness and
+    foreign-key orphan checks for the star schema, one row per
+    constraint — (check_name, n_rows, n_violations, violation_ppm).
+    The referential sweep every warehouse load gate runs; a non-zero
+    orphan row means a fact arrived before (or outlived) its
+    dimension.
+
+    Scale shape: each PK check is one map-side-combined aggregation
+    (duplicates = Σ(count−1) over keys); each FK check is one
+    LEFT ANTI join counting facts with no matching dimension key —
+    broadcast for the dim side wherever AQE sizes it in. All checks
+    union into a constant-size report in one action."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+
+    def pk(df, key, name):
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.sum(F.col("c") - 1).cast("long").alias("n_violations"),
+            )
+        )
+
+    def fk(fact, fact_key, dim, dim_key, name):
+        total = fact.select(F.col(fact_key).alias("k"))
+        orphans = total.join(
+            dim.select(F.col(dim_key).alias("k")).distinct(), "k", "left_anti"
+        )
+        return total.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+        ).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_rows").cast("long"),
+            F.col("n_violations").cast("long"),
+        )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+
+    checks = [
+        pk(orders, "o_orderkey", "pk_orders"),
+        pk(customer, "c_custkey", "pk_customer"),
+        pk(part, "p_partkey", "pk_part"),
+        pk(supplier, "s_suppkey", "pk_supplier"),
+        fk(li, "l_orderkey", orders, "o_orderkey", "fk_lineitem_orders"),
+        fk(li, "l_partkey", part, "p_partkey", "fk_lineitem_part"),
+        fk(li, "l_suppkey", supplier, "s_suppkey", "fk_lineitem_supplier"),
+        fk(orders, "o_custkey", customer, "c_custkey", "fk_orders_customer"),
+        fk(nation, "n_regionkey", region, "r_regionkey", "fk_nation_region"),
+    ]
+    report = checks[0]
+    for c in checks[1:]:
+        report = report.unionByName(c)
+    return report.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.expr("n_violations * 1000000 div greatest(n_rows, 1)").alias(
+            "violation_ppm"
+        ),
+    ).orderBy("check_name")
+
+
+STAR_INTEGRITY_AUDIT_SQL = """
+WITH pk AS (
+  SELECT 'pk_orders' AS check_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(SUM(c - 1) AS BIGINT) AS n_violations
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'pk_customer', CAST(SUM(c) AS BIGINT), CAST(SUM(c - 1) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey)
+  UNION ALL
+  SELECT 'pk_part', CAST(SUM(c) AS BIGINT), CAST(SUM(c - 1) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_partkey)
+  UNION ALL
+  SELECT 'pk_supplier', CAST(SUM(c) AS BIGINT), CAST(SUM(c - 1) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM supplier GROUP BY s_suppkey)
+),
+fk AS (
+  SELECT 'fk_lineitem_orders' AS check_name,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations
+  UNION ALL
+  SELECT 'fk_lineitem_part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+  UNION ALL
+  SELECT 'fk_lineitem_supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+  UNION ALL
+  SELECT 'fk_orders_customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+  UNION ALL
+  SELECT 'fk_nation_region',
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM nation
+          WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+)
+SELECT check_name, n_rows, n_violations,
+       CAST(n_violations * 1000000 // GREATEST(n_rows, 1) AS BIGINT) AS violation_ppm
+FROM (SELECT * FROM pk UNION ALL SELECT * FROM fk)
+ORDER BY check_name
+"""

@@ -642,6 +642,10 @@ register("ingest_fixed_width", src_gate.ingest_fixed_width, src_gate.INGEST_FIXE
 from .dedup.fuzzy import SUPPLIER_ER_SCORES_SQL, supplier_er_scores  # noqa: E402
 
 register("supplier_er_scores", supplier_er_scores, SUPPLIER_ER_SCORES_SQL)
+
+from .operators.validate import STAR_INTEGRITY_AUDIT_SQL, star_integrity_audit  # noqa: E402
+
+register("star_integrity_audit", star_integrity_audit, STAR_INTEGRITY_AUDIT_SQL)
 register(
     "events_cusum_changepoints",
     events_cusum_changepoints,

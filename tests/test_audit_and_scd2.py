@@ -122,6 +122,9 @@ CARTESIAN_ALLOWED = {
     # broadcast of a 1-ROW global-min count for the temperature
     # thresholds — same scalar-aggregate shape (operators/gate.py).
     "corpus_temperature_mix",
+    # per-constraint pairs of 1-ROW aggregates (total × orphan count)
+    # joined into the report rows (operators/validate.py).
+    "star_integrity_audit",
 }
 
 

@@ -201,3 +201,33 @@ def test_fellegi_sunter_decision_boundary(spark):
     assert out[(5, 6)] == (w["name"][1] + w["nation"][0], False)  # -656+458 < 500
     assert out[(7, 8)][1] is False
     assert all((c >= FS_THRESHOLD) == l for c, l in out.values())
+
+
+def test_star_integrity_flags_planted_violations(spark, tmp_path):
+    """A duplicated PK and an orphaned FK must surface with exact
+    violation counts."""
+    from data_frame_demo_etl_spark.operators.validate import star_integrity_audit
+
+    base = "/root/testdata/sf0.001"
+    import shutil, os
+
+    for t in ("customer", "part", "supplier", "nation", "region", "lineitem", "orders"):
+        src = f"{base}/{t}.parquet"
+        dst = str(tmp_path / f"{t}.parquet")
+        shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+    # corrupt: duplicate one order key, orphan one lineitem order ref
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{base}/orders.parquet")
+    orders = pd.concat([orders, orders.iloc[[0]]])  # dup PK
+    orders.to_parquet(str(tmp_path / "orders.parquet"))
+    li = pd.read_parquet(f"{base}/lineitem.parquet")
+    li.loc[li.index[:3], "l_orderkey"] = -999  # 3 orphans
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {r.check_name: r for r in star_integrity_audit(spark, str(tmp_path)).collect()}
+    assert out["pk_orders"].n_violations == 1
+    assert out["fk_lineitem_orders"].n_violations == 3
+    assert out["pk_customer"].n_violations == 0
+    assert out["fk_nation_region"].n_violations == 0
+    assert out["fk_lineitem_orders"].violation_ppm == 3 * 1_000_000 // out["fk_lineitem_orders"].n_rows
