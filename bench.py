@@ -82,6 +82,18 @@ HEADLINE = [
     # duplication (SCALING.md round-5 late-additions note) — benching
     # them on the 10×-copied sf1 tracks the answer size, not the
     # engine.
+    # round-6 additions (appended, same comparability rule)
+    "split_leakage_check_fast",
+    "orders_benford_audit",
+    "events_cusum_changepoints",
+    "embeddings_int8_quantization",
+    "dedup_lsh_threshold_sweep",
+    "docs_token_fertility",
+    "events_max_concurrency",
+    "events_grouping_sets",
+    "corpus_temperature_mix",
+    "supplier_er_scores",
+    "star_integrity_audit",
 ]
 
 
