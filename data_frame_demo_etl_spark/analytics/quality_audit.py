@@ -106,6 +106,65 @@ ORDER BY digit
 """
 
 
+def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataFrame:
+    """Per-key exact prefix sums WITHOUT a per-key global window: the
+    two-pass layout (operators/packing.py pattern) generalized to a
+    key column. Range-partition by (key, *order_cols), cum-sum within
+    each partition, add per-(partition, key) offsets from one bounded
+    collect (≤ partitions × live keys rows — this helper is for
+    LOW-cardinality keys, where ``Window.partitionBy(key)`` would
+    funnel each key's entire history through ONE task; high-
+    cardinality keys parallelize fine under the plain window).
+
+    Rows with equal (key, order) sort arbitrarily between engines and
+    partitions, but prefix sums over equal elements produce the same
+    multiset of partial values, so every downstream statistic built
+    from (k, cum) is order-independent — the same argument the plain
+    window relied on.
+
+    Returns the input plus ``k`` (1-based per-key position), ``cum``
+    (per-key prefix sum of ``val_col``), ``n`` and ``t`` (per-key
+    total count/sum). Persist is load-bearing: repartitionByRange
+    samples boundaries, so pass 2 must see pass 1's exact layout."""
+    spark = base.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col("key")] + [F.col(c) for c in order_cols]
+    laid = (
+        base.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions("key", *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    part_tot = laid.groupBy("__pid", "key").agg(
+        F.count(F.lit(1)).alias("c"), F.sum(val_col).alias("sv")
+    ).collect()
+    run: dict = {}
+    rows = []
+    for r in sorted(part_tot, key=lambda r: (str(r["key"]), r["__pid"])):
+        off_c, off_v = run.get(r["key"], (0, 0))
+        rows.append((int(r["__pid"]), r["key"], int(off_c), int(off_v)))
+        run[r["key"]] = (off_c + r["c"], off_v + (r["sv"] or 0))
+    off_df = spark.createDataFrame(
+        rows, "__pid int, key string, __off_c long, __off_v long"
+    )
+    nt_df = spark.createDataFrame(
+        [(k, int(c), int(v)) for k, (c, v) in run.items()],
+        "key string, n long, t long",
+    )
+    w = (
+        Window.partitionBy("__pid", "key")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        laid.join(F.broadcast(off_df), ["__pid", "key"])
+        .join(F.broadcast(nt_df), "key")
+        .withColumn("k", F.row_number().over(Window.partitionBy("__pid", "key").orderBy(*order_cols)) + F.col("__off_c"))
+        .withColumn("cum", F.sum(val_col).over(w) + F.col("__off_v"))
+        .drop("__pid", "__off_c", "__off_v")
+    )
+
+
 def cusum_changepoint(
     df: DataFrame, key_col: str, ts_col: str, val_col: str
 ) -> DataFrame:
@@ -115,26 +174,24 @@ def cusum_changepoint(
     changepoint location estimator for a mean shift. Exact: the
     statistic is computed in decimal(38,0) (n·S_k overflows int64 at
     realistic scales) and never surfaced; ties break to the earliest
-    position. Rows with NULL values are excluded."""
+    position. Rows with NULL values are excluded.
+
+    Scale shape: prefix sums come from the two-pass keyed layout
+    (``_keyed_prefix``) — with a handful of event types, a plain
+    ``Window.partitionBy(key)`` would sort each type's entire history
+    in ONE task; here every range partition sorts in parallel and the
+    per-key totals arrive as a broadcast, not a second window."""
     v_micro = F.floor(F.col(val_col) * 1_000_000 + 0.5).cast("long")
     base = df.filter(F.col(val_col).isNotNull()).select(
         F.col(key_col).alias("key"), F.col(ts_col).alias("ts"), v_micro.alias("v")
     )
-    w = Window.partitionBy("key").orderBy("ts", "v")
-    wall = Window.partitionBy("key")
     dec = "decimal(38,0)"
-    cur = (
-        base.withColumn("k", F.row_number().over(w))
-        .withColumn("s", F.sum("v").over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wall))
-        .withColumn("t", F.sum("v").over(wall))
-        .withColumn(
-            "stat",
-            F.abs(
-                F.col("n").cast(dec) * F.col("s").cast(dec)
-                - F.col("k").cast(dec) * F.col("t").cast(dec)
-            ),
-        )
+    cur = _keyed_prefix(base, ["ts", "v"], "v").withColumn(
+        "stat",
+        F.abs(
+            F.col("n").cast(dec) * F.col("cum").cast(dec)
+            - F.col("k").cast(dec) * F.col("t").cast(dec)
+        ),
     )
     best = cur.groupBy("key").agg(F.max("stat").alias("best"))
     return (
@@ -220,8 +277,11 @@ def max_concurrency(
         F.lit(-1).alias("delta"),
     )
     bounds = starts.unionByName(ends)
-    w = Window.partitionBy("key").orderBy("at", "delta")  # -1 before +1
-    cur = bounds.withColumn("open", F.sum("delta").over(w))
+    # two-pass keyed prefix sum (see _keyed_prefix): the running open
+    # count, ends sorted before starts at the same instant
+    cur = _keyed_prefix(bounds, ["at", "delta"], "delta").withColumnRenamed(
+        "cum", "open"
+    )
     best = cur.groupBy("key").agg(F.max("open").alias("peak"))
     return (
         cur.join(best, "key")
