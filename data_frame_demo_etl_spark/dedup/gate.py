@@ -673,42 +673,68 @@ ORDER BY split_a, split_b, is_leak
 
 def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-tuning diagnostic: the distribution of estimated
-    Jaccard over ALL LSH candidate pairs (md5 family, capped buckets),
-    as (matches, n_pairs, cum_pairs) with matches = #agreeing
-    signature components (est = matches/32). The cumulative column
-    reads directly as "pairs you'd keep at threshold m/32" — the
-    sweep every dedup rollout runs before committing to a threshold,
-    here in ONE pass over the candidate set instead of re-running the
-    pipeline per threshold. Exact integers end-to-end."""
+    Jaccard over LSH candidate pairs (md5 family), as (matches,
+    n_pairs, cum_pairs) with matches = #agreeing signature components
+    (est = matches/32). The cumulative column reads directly as
+    "pairs you'd keep at threshold m/32" — the sweep every dedup
+    rollout runs before committing to a threshold, in ONE pass.
+
+    Signature-collapsed (the split_leakage_check_fast construction):
+    identical signatures pair at matches=32 with closed-form C(n,2)
+    counts — no enumeration — and only DISTINCT signatures enter the
+    banded candidate join (hot-bucket cap at the signature level), so
+    a duplicated corpus collapses before any join (doc-level form:
+    7.1× wall for 10× data on the 10×-copied corpus). Exact integers
+    end-to-end; the oracle mirrors the signature-level formulation."""
+    from pyspark.sql import Window
+
     from .minhash import band_buckets, cap_hot_buckets, portable_signatures
 
     docs = load_table(spark, "documents", sf_dir)
-    sig = portable_signatures(docs).persist()
-    bb = cap_hot_buckets(band_buckets(sig, portable=True), 200)
-    left = bb.select(F.col("doc").alias("id_a"), "band", "bucket")
-    right = bb.select(F.col("doc").alias("id_b"), "band", "bucket")
+    sig = portable_signatures(docs).select(
+        "doc", "sig", F.md5(F.concat_ws("", "sig")).alias("k")
+    ).persist()
+    groups = sig.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    snodes = sig.select(F.col("k").alias("doc"), "sig").dropDuplicates(["doc"])
+
+    # identical signatures: all 32 components agree, C(n, 2) pairs
+    within = groups.select(
+        F.lit(32).alias("matches"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("c"),
+    )
+
+    bb = cap_hot_buckets(band_buckets(snodes, portable=True), 200)
+    left = bb.select(F.col("doc").alias("ka"), "band", "bucket")
+    right = bb.select(F.col("doc").alias("kb"), "band", "bucket")
     cand = (
         left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb")
         .distinct()
     )
-    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    sa = snodes.select(F.col("doc").alias("ka"), F.col("sig").alias("sig_a"))
+    sb = snodes.select(F.col("doc").alias("kb"), F.col("sig").alias("sig_b"))
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    hist = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(matches.alias("matches"))
-        .groupBy("matches")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    g1 = groups.select(F.col("k").alias("ka"), F.col("n").alias("n1"))
+    g2 = groups.select(F.col("k").alias("kb"), F.col("n").alias("n2"))
+    cross = (
+        cand.join(sa, "ka")
+        .join(sb, "kb")
+        .select("ka", "kb", matches.alias("matches"))
+        .join(g1, "ka")
+        .join(g2, "kb")
+        .select("matches", (F.col("n1") * F.col("n2")).cast("long").alias("c"))
     )
-    from pyspark.sql import Window
-
+    hist = (
+        within.unionByName(cross)
+        .groupBy("matches")
+        .agg(F.sum("c").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
     w = Window.orderBy(F.col("matches").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -725,13 +751,51 @@ def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_LSH_THRESHOLD_SWEEP_SQL = (
-    "WITH "
-    + _MINHASH_PAIR_CTES.strip()
-    + r""",
+DEDUP_LSH_THRESHOLD_SWEEP_SQL = r"""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+perms AS (
+  SELECT doc, k, MIN(MD5(CAST(k AS VARCHAR) || '|' || shingle)) AS m
+  FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS k)
+  GROUP BY doc, k
+),
+sig AS (SELECT doc, LIST(m ORDER BY k) AS sig FROM perms GROUP BY doc),
+keyed AS (SELECT doc, sig, MD5(ARRAY_TO_STRING(sig, '')) AS k FROM sig),
+groups AS (SELECT k, COUNT(*) AS n FROM keyed GROUP BY k),
+snodes AS (SELECT k, FIRST(sig) AS sig FROM keyed GROUP BY k),
+bands AS (
+  SELECT k, b AS band, MD5(ARRAY_TO_STRING(sig[b*4+1:b*4+4], '')) AS bucket
+  FROM snodes CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS b)
+),
+ok_buckets AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING COUNT(*) <= 200
+),
+capped AS (
+  SELECT bands.* FROM bands JOIN ok_buckets USING (band, bucket)
+),
+cand AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.k < b.k
+),
+cross_pairs AS (
+  SELECT CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, 32), i -> na.sig[i] = nb.sig[i])) AS BIGINT) AS matches,
+         CAST(g1.n * g2.n AS BIGINT) AS c
+  FROM cand
+  JOIN snodes na ON na.k = ka JOIN snodes nb ON nb.k = kb
+  JOIN groups g1 ON g1.k = ka JOIN groups g2 ON g2.k = kb
+),
+contrib AS (
+  SELECT CAST(32 AS BIGINT) AS matches, CAST(n * (n - 1) // 2 AS BIGINT) AS c FROM groups
+  UNION ALL
+  SELECT matches, c FROM cross_pairs
+),
 hist AS (
-  SELECT CAST(est_jaccard * 32 AS BIGINT) AS matches, COUNT(*) AS n_pairs
-  FROM est GROUP BY 1
+  SELECT matches, SUM(c) AS n_pairs FROM contrib GROUP BY matches HAVING SUM(c) > 0
 )
 SELECT CAST(matches AS BIGINT) AS matches,
        CAST(n_pairs AS BIGINT) AS n_pairs,
@@ -740,4 +804,3 @@ SELECT CAST(matches AS BIGINT) AS matches,
 FROM hist
 ORDER BY matches
 """
-)
