@@ -153,3 +153,64 @@ FROM act
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion-latency summary: for each user with a
+    purchase at-or-after their first view, the delta in microseconds;
+    reported as one exact row (n, min, max, DOUBLED median — the
+    repo's integer-exact median convention). The median comes from
+    the histogram-narrowing selection operator (operators/selection),
+    NOT a buffering percentile — no per-group value list in executor
+    memory, so the same plan stands at 10⁹ conversions."""
+    from pyspark.sql import functions as F
+
+    from ..operators.selection import grouped_median2
+    from ..sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("vt"))
+        .groupBy("user_id", "vt")
+        .agg(F.min("ts").alias("pt"))
+    )
+    deltas = purchases.select(
+        (F.unix_micros("pt") - F.unix_micros("vt")).alias("d_us"),
+        F.lit(1).alias("g"),
+    )
+    stats = deltas.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("d_us").alias("min_us"),
+        F.max("d_us").alias("max_us"),
+    ).collect()[0]
+    med2 = grouped_median2(deltas, "g", "d_us").get(1, 0)
+    return spark.createDataFrame(
+        [(int(stats["n"]), int(stats["min_us"] or 0), int(stats["max_us"] or 0), int(med2))],
+        "n_conversions long, min_us long, max_us long, median2_us long",
+    )
+
+
+FUNNEL_TIME_TO_CONVERT_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(v.vt) AS vt, MIN(e.ts) AS pt
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.vt
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+d AS (SELECT EPOCH_US(pt) - EPOCH_US(vt) AS d_us FROM p)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(MIN(d_us) AS BIGINT) AS min_us,
+       CAST(MAX(d_us) AS BIGINT) AS max_us,
+       CAST(2 * QUANTILE_CONT(d_us, 0.5) AS BIGINT) AS median2_us
+FROM d
+"""

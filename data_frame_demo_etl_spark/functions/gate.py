@@ -740,3 +740,62 @@ FROM per_doc
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram heuristic's prediction
+    (L1) against the corpus's labeled `lang`, as (actual, predicted,
+    n, row_share_ppm) — the eval table a lang-ID rollout reads before
+    trusting the classifier for routing/filtering. row_share_ppm is
+    the per-actual-language recall grid in exact integer ppm."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = docs.select(
+        F.col("lang").alias("actual"), T.lang_id(F.col("text")).alias("predicted")
+    )
+    counts = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("actual").agg(F.sum("n").alias("t"))
+    return (
+        counts.join(totals, "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.expr("n * 1000000 div t").alias("row_share_ppm"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+LANG_ID_CONFUSION_SQL = rf"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {_markers_sql("de")} AS de,
+    {_markers_sql("en")} AS en,
+    {_markers_sql("es")} AS es,
+    {_markers_sql("fr")} AS fr,
+    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[一-鿿]')) AS INTEGER) AS zh
+  FROM documents
+),
+pred AS (
+  SELECT lang AS actual,
+    CASE
+      WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+      WHEN de >= GREATEST(en, es, fr, zh) THEN 'de'
+      WHEN en >= GREATEST(es, fr, zh) THEN 'en'
+      WHEN es >= GREATEST(fr, zh) THEN 'es'
+      WHEN fr >= zh THEN 'fr'
+      ELSE 'zh'
+    END AS predicted
+  FROM s
+),
+counts AS (
+  SELECT actual, predicted, COUNT(*) AS n FROM pred GROUP BY actual, predicted
+),
+totals AS (SELECT actual, SUM(n) AS t FROM counts GROUP BY actual)
+SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // t AS BIGINT) AS row_share_ppm
+FROM counts JOIN totals USING (actual)
+ORDER BY actual, predicted
+"""

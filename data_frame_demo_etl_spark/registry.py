@@ -646,6 +646,19 @@ register("supplier_er_scores", supplier_er_scores, SUPPLIER_ER_SCORES_SQL)
 from .operators.validate import STAR_INTEGRITY_AUDIT_SQL, star_integrity_audit  # noqa: E402
 
 register("star_integrity_audit", star_integrity_audit, STAR_INTEGRITY_AUDIT_SQL)
+
+register(
+    "lang_id_confusion", fn_gate.lang_id_confusion, fn_gate.LANG_ID_CONFUSION_SQL
+)
+
+from .analytics.funnel import (  # noqa: E402
+    FUNNEL_TIME_TO_CONVERT_SQL,
+    funnel_time_to_convert,
+)
+
+register(
+    "funnel_time_to_convert", funnel_time_to_convert, FUNNEL_TIME_TO_CONVERT_SQL
+)
 register(
     "events_cusum_changepoints",
     events_cusum_changepoints,

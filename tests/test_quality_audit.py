@@ -231,3 +231,46 @@ def test_star_integrity_flags_planted_violations(spark, tmp_path):
     assert out["pk_customer"].n_violations == 0
     assert out["fk_nation_region"].n_violations == 0
     assert out["fk_lineitem_orders"].violation_ppm == 3 * 1_000_000 // out["fk_lineitem_orders"].n_rows
+
+
+def test_lang_id_confusion_diagonal_dominates(spark, sf_oracle_dir):
+    from data_frame_demo_etl_spark.functions.gate import lang_id_confusion
+
+    rows = lang_id_confusion(spark, sf_oracle_dir).collect()
+    by_actual = {}
+    for r in rows:
+        by_actual.setdefault(r.actual, []).append(r)
+    for actual, rs in by_actual.items():
+        assert sum(x.row_share_ppm for x in rs) <= 1_000_000
+        diag = [x for x in rs if x.predicted == actual]
+        if diag:  # the heuristic should win its own language's row
+            assert diag[0].n == max(x.n for x in rs)
+
+
+def test_funnel_time_to_convert_planted(spark, tmp_path):
+    import datetime
+
+    from data_frame_demo_etl_spark.analytics.funnel import funnel_time_to_convert
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = lambda mm: t0 + datetime.timedelta(minutes=mm)
+    rows = [
+        # user 1: view at 0, purchase at 10 → 600s
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(10), 1, "purchase", 1.0, "{}"),
+        # user 2: view at 0, purchase at 30 → 1800s
+        (3, m(0), 2, "view", 1.0, "{}"),
+        (4, m(30), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase BEFORE any view → not a conversion
+        (5, m(5), 3, "purchase", 1.0, "{}"),
+        (6, m(9), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = funnel_time_to_convert(spark, str(tmp_path)).collect()[0]
+    assert out.n_conversions == 2
+    assert out.min_us == 600 * 1_000_000 and out.max_us == 1800 * 1_000_000
+    assert out.median2_us == (600 + 1800) * 1_000_000  # doubled median
