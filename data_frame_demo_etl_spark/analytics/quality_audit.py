@@ -14,10 +14,10 @@ No reference analog (`/root/reference` has no statistical audits);
 brief-mandated beyond-reference data-quality analytics.
 
 Scale shape: Benford is one map-side-combined aggregation over ≤ 9
-groups. CUSUM is one per-key window cumsum (single hash-partitioned
-sort per event type) + a per-key argmax aggregation — no self-joins,
-no driver loops; at 100 TB both are bounded by one shuffle of the
-fact table.
+groups. CUSUM and the other prefix-sum audits use the two-pass keyed
+layout (``_keyed_prefix``) — parallel range partitions + bounded
+offset collect, never a one-task-per-key window — plus a per-key
+argmax aggregation; no self-joins, no driver loops.
 """
 
 from __future__ import annotations
@@ -379,4 +379,152 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM base
 GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
 ORDER BY gid, event_type, dow
+"""
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type between a deterministic
+    A/B split (user_id parity): conversion = value > 0.5 (a stand-in
+    success predicate on the synthetic stream). Output per type:
+    group sizes, success counts, rate difference and z-statistic in
+    integer micro units.
+
+    Determinism: counts are exact; the z pipeline is a FIXED
+    parenthesization of correctly-rounded IEEE ops (+,−,×,÷,sqrt all
+    are; no libm transcendentals), quantized once at the end — the
+    same discipline as the temperature-mix thresholds. One map-side-
+    combined aggregation; no shuffle beyond ≤types groups."""
+    events = load_table(spark, "events", sf_dir)
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        (F.col("value") > 0.5).cast("long").alias("succ"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("succ")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("succ")).otherwise(0)).alias("s_b"),
+    )
+    # fixed parenthesization; pooled two-proportion z
+    p_a = F.col("s_a").cast("double") / F.col("n_a")
+    p_b = F.col("s_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("s_a") + F.col("s_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        (p_pool * (F.lit(1.0) - p_pool))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = (p_a - p_b) / se
+    return agg.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        F.floor((p_a - p_b) * 1_000_000 + 0.5).cast("long").alias("rate_diff_micro"),
+        F.floor(z * 1_000_000 + 0.5).cast("long").alias("z_micro"),
+    ).orderBy("event_type")
+
+
+EVENTS_AB_TEST_SQL = """
+WITH base AS (
+  SELECT event_type,
+         user_id % 2 = 0 AS is_a,
+         CAST(value > 0.5 AS BIGINT) AS succ
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN is_a THEN succ ELSE 0 END) AS s_a,
+         SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN NOT is_a THEN succ ELSE 0 END) AS s_b
+  FROM base GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(s_a AS BIGINT) AS s_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(s_b AS BIGINT) AS s_b,
+       CAST(FLOOR((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) * 1000000 + 0.5) AS BIGINT) AS rate_diff_micro,
+       CAST(FLOOR(
+         ((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+          / SQRT((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b) * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b)))
+                 * (1.0 / n_a + 1.0 / n_b)))
+         * 1000000 + 0.5) AS BIGINT) AS z_micro
+FROM agg
+ORDER BY event_type
+"""
+
+
+def gini_skew(df: DataFrame, key_col: str) -> DataFrame:
+    """One row: the Gini coefficient of the per-key row-count
+    distribution, in integer micro units — 0 = perfectly even load,
+    →1 = one key owns everything. The single-number companion to the
+    per-key skew profiler (operators/skew.py): alert on it, then
+    profile.
+
+    Exact integer formulation over counts sorted ascending with the
+    two-pass global rank (range partition + bounded offsets — no
+    single-partition window): G = (2·Σ i·x_i − (n+1)·Σ x_i) /
+    (n·Σ x_i), every product in decimal(38,0) (i·x_i sums overflow
+    int64 at key-count scale), one final integer division onto the
+    micro grid."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    laid = _keyed_prefix(
+        counts.select(F.lit("g").alias("key2"), "x").selectExpr(
+            "key2 as key", "x", "x as ord_x"
+        ),
+        ["ord_x"],
+        "x",
+    )
+    dec = "decimal(38,0)"
+    terms = laid.select(
+        (F.col("k").cast(dec) * F.col("x").cast(dec)).alias("ix"),
+        F.col("x").cast(dec).alias("x"),
+        F.col("n").cast("long").alias("n"),
+    )
+    # Integral division (`div`), NOT decimal `/`: Spark's decimal
+    # division rounds to the result scale before any cast (a
+    # 2.9999997 would round UP to 3.000000), while DuckDB's integer
+    # `/` returns a double — both diverge from exact truncation on
+    # knife-edge rationals. `div` / `//` truncate identically on the
+    # non-negative numerator (2·Σi·x_i ≥ (n+1)·Σx_i for ascending x,
+    # by Chebyshev's sum inequality).
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("ix").alias("six"), F.sum("x").alias("sx"))
+        .select(
+            F.col("n").alias("n_keys"),
+            F.col("sx").cast("long").alias("n_rows"),
+            F.expr(
+                "cast(((2 * six - (n + 1) * sx) * cast(1000000 as decimal(38,0)))"
+                " div (cast(n as decimal(38,0)) * sx) as bigint)"
+            ).alias("gini_micro"),
+        )
+    )
+
+
+def lineitem_supplier_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Gini coefficient of lineitem rows per supplier — how
+    unevenly the join/shuffle load for l_suppkey is distributed."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return gini_skew(li, "l_suppkey")
+
+
+LINEITEM_SUPPLIER_GINI_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS x FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i, COUNT(*) OVER () AS n
+  FROM counts
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_keys,
+       CAST(SUM(x) AS BIGINT) AS n_rows,
+       CAST((2 * SUM(CAST(i AS HUGEINT) * x) - (MIN(n) + 1) * SUM(CAST(x AS HUGEINT)))
+            * 1000000 // (CAST(MIN(n) AS HUGEINT) * SUM(CAST(x AS HUGEINT))) AS BIGINT) AS gini_micro
+FROM ranked
 """

@@ -659,6 +659,16 @@ from .analytics.funnel import (  # noqa: E402
 register(
     "funnel_time_to_convert", funnel_time_to_convert, FUNNEL_TIME_TO_CONVERT_SQL
 )
+
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_AB_TEST_SQL,
+    LINEITEM_SUPPLIER_GINI_SQL,
+    events_ab_test,
+    lineitem_supplier_gini,
+)
+
+register("events_ab_test", events_ab_test, EVENTS_AB_TEST_SQL)
+register("lineitem_supplier_gini", lineitem_supplier_gini, LINEITEM_SUPPLIER_GINI_SQL)
 register(
     "events_cusum_changepoints",
     events_cusum_changepoints,

@@ -274,3 +274,44 @@ def test_funnel_time_to_convert_planted(spark, tmp_path):
     assert out.n_conversions == 2
     assert out.min_us == 600 * 1_000_000 and out.max_us == 1800 * 1_000_000
     assert out.median2_us == (600 + 1800) * 1_000_000  # doubled median
+
+
+def test_ab_test_planted_effect(spark, tmp_path):
+    import datetime
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import events_ab_test
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # group A (even users): 80% success; group B (odd): 20% success
+    for u in range(200):
+        eid += 1
+        succ = (u % 10) < 8 if u % 2 == 0 else (u % 10) < 2
+        rows.append((eid, t0, u, "t", 1.0 if succ else 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_ab_test(spark, str(tmp_path)).collect()[0]
+    assert out.n_a == 100 and out.n_b == 100
+    assert out.rate_diff_micro == 600_000  # 0.8 - 0.2
+    assert out.z_micro > 8_000_000  # hugely significant
+
+
+def test_gini_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import gini_skew
+
+    # perfectly even: 4 keys × 5 rows → gini 0
+    even = spark.range(20).select((F.col("id") % 4).alias("k"))
+    r = gini_skew(even, "k").collect()[0]
+    assert r.n_keys == 4 and r.n_rows == 20 and r.gini_micro == 0
+    # extreme skew: one key owns 97 of 100 rows
+    skew = spark.range(100).select(
+        F.when(F.col("id") < 97, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    r2 = gini_skew(skew, "k").collect()[0]
+    assert r2.n_keys == 4 and r2.gini_micro > 600_000
