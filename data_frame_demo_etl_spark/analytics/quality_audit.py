@@ -406,9 +406,14 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(~F.col("is_a"), F.col("succ")).otherwise(0)).alias("s_b"),
     )
-    # fixed parenthesization; pooled two-proportion z
-    p_a = F.col("s_a").cast("double") / F.col("n_a")
-    p_b = F.col("s_b").cast("double") / F.col("n_b")
+    # fixed parenthesization; pooled two-proportion z. NULL guards
+    # (empty arm → rates undefined; all-success/all-failure pool →
+    # se = 0 → z undefined) keep the expression legal under ANSI mode
+    # (division by zero RAISES on a vanilla Spark-4 session — caught
+    # by the vanilla smoke sweep at sf0.001, where a small type can
+    # have zero successes).
+    p_a = F.col("s_a").cast("double") / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+    p_b = F.col("s_b").cast("double") / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
     p_pool = (F.col("s_a") + F.col("s_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
@@ -416,8 +421,8 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_pool * (F.lit(1.0) - p_pool))
         * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
     )
-    z = (p_a - p_b) / se
-    return agg.select(
+    z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
+    return agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
         "event_type",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("s_a").cast("long").alias("s_a"),
@@ -449,10 +454,11 @@ SELECT event_type,
        CAST(FLOOR((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) * 1000000 + 0.5) AS BIGINT) AS rate_diff_micro,
        CAST(FLOOR(
          ((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-          / SQRT((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b) * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b)))
-                 * (1.0 / n_a + 1.0 / n_b)))
+          / NULLIF(SQRT((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b) * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b)))
+                 * (1.0 / n_a + 1.0 / n_b)), 0.0))
          * 1000000 + 0.5) AS BIGINT) AS z_micro
 FROM agg
+WHERE n_a > 0 AND n_b > 0
 ORDER BY event_type
 """
 
