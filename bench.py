@@ -94,6 +94,10 @@ HEADLINE = [
     "corpus_temperature_mix",
     "supplier_er_scores",
     "star_integrity_audit",
+    "lang_id_confusion",
+    "funnel_time_to_convert",
+    "events_ab_test",
+    "lineitem_supplier_gini",
 ]
 
 
