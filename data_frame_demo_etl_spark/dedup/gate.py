@@ -804,3 +804,77 @@ SELECT CAST(matches AS BIGINT) AS matches,
 FROM hist
 ORDER BY matches
 """
+
+
+def dedup_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: MinHash+LSH pairs (D2, md5 family,
+    capped buckets) scored against EXACT n-gram Jaccard pairs (D4) —
+    one row: pair counts, overlap, and precision/recall in integer
+    ppm. This is the number that justifies trusting the sketch at
+    corpus scale, measured ON THE CORPUS instead of quoted from LSH
+    theory; run it on a sample before every dedup rollout.
+
+    Composition of two fully-oracled pipelines; the comparison is an
+    exact full-outer join on the (id_a, id_b) pair keys."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = jaccard_pairs(docs, threshold=THRESHOLD).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    sketch = minhash_near_dup_pairs(
+        docs, threshold=THRESHOLD, hash_fn="md5", max_bucket_size=200
+    ).select("id_a", "id_b", F.lit(1).alias("in_sketch"))
+    joined = exact.join(sketch, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("in_sketch"), F.lit(0))).cast("long").alias("n_sketch"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_sketch").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    ).select(
+        "n_exact",
+        "n_sketch",
+        "n_both",
+        F.expr("n_both * 1000000 div greatest(n_sketch, 1)").alias("precision_ppm"),
+        F.expr("n_both * 1000000 div greatest(n_exact, 1)").alias("recall_ppm"),
+    )
+
+
+DEDUP_SKETCH_EVAL_SQL = (
+    "WITH "
+    + _MINHASH_PAIR_CTES.strip()
+    + r""",
+sketch AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.8),
+jsizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+jinter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM jinter
+  JOIN jsizes sa ON sa.doc = id_a
+  JOIN jsizes sb ON sb.doc = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
+),
+joined AS (
+  SELECT COALESCE(e.id_a, s.id_a) AS id_a,
+         COALESCE(e.id_b, s.id_b) AS id_b,
+         e.id_a IS NOT NULL AS in_exact,
+         s.id_a IS NOT NULL AS in_sketch
+  FROM exact e FULL OUTER JOIN sketch s ON e.id_a = s.id_a AND e.id_b = s.id_b
+)
+SELECT CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN in_sketch THEN 1 ELSE 0 END) AS BIGINT) AS n_sketch,
+       CAST(SUM(CASE WHEN in_exact AND in_sketch THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN in_exact AND in_sketch THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(SUM(CASE WHEN in_sketch THEN 1 ELSE 0 END), 1) AS BIGINT) AS precision_ppm,
+       CAST(SUM(CASE WHEN in_exact AND in_sketch THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END), 1) AS BIGINT) AS recall_ppm
+FROM joined
+"""
+)

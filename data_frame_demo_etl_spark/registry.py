@@ -669,6 +669,7 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("events_ab_test", events_ab_test, EVENTS_AB_TEST_SQL)
 register("lineitem_supplier_gini", lineitem_supplier_gini, LINEITEM_SUPPLIER_GINI_SQL)
+register("dedup_sketch_eval", dedup_gate.dedup_sketch_eval, dedup_gate.DEDUP_SKETCH_EVAL_SQL)
 register(
     "events_cusum_changepoints",
     events_cusum_changepoints,

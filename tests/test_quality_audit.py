@@ -315,3 +315,27 @@ def test_gini_extremes(spark):
     )
     r2 = gini_skew(skew, "k").collect()[0]
     assert r2.n_keys == 4 and r2.gini_micro > 600_000
+
+
+def test_dedup_sketch_eval_perfect_on_identical_docs(spark, tmp_path):
+    """Identical texts: the sketch finds exactly the exact pairs →
+    precision = recall = 1.0 (1e6 ppm)."""
+    from data_frame_demo_etl_spark.dedup.gate import dedup_sketch_eval
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old wooden "
+        "bridge while other animals watch from the river bank in the rain"
+    )
+    alt = "completely different text about warehouse analytics engines at scale running on spark clusters every day"
+    rows = [(1, base), (2, base), (3, alt), (4, alt), (5, base + " extra tail words here")]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_sketch_eval(spark, str(tmp_path)).collect()[0]
+    assert out.n_exact >= 2  # (1,2) and (3,4) at least
+    assert out.n_both <= min(out.n_exact, out.n_sketch)
+    assert out.precision_ppm <= 1_000_000 and out.recall_ppm <= 1_000_000
+    # identical-doc pairs are found by both pipelines
+    assert out.recall_ppm >= 500_000
