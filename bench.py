@@ -83,7 +83,7 @@ HEADLINE = [
     # them on the 10×-copied sf1 tracks the answer size, not the
     # engine.
     # round-6 additions (appended, same comparability rule)
-    "split_leakage_check_fast",
+    "split_leakage_check",
     "orders_benford_audit",
     "events_cusum_changepoints",
     "embeddings_int8_quantization",

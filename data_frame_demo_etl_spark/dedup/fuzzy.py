@@ -11,9 +11,16 @@ Scale shape: one equi-join on the blocking key (shuffle bounded by
 block sizes — pick keys that keep blocks ≲10⁴), `levenshtein` runs
 JVM-side inside codegen, and the `id_a < id_b` predicate halves the
 pair space before the verify. No cartesian anywhere: a degenerate
-blocking key (every row in one block) is the ER analog of a hot LSH
-bucket — profile with `lineitem_key_skew`'s approach and refine the
-key, exactly as you would cap a hot bucket.
+blocking key (every row in one block — a common surname, an
+empty-string key) is the ER analog of a hot LSH bucket, and since
+round 7 it is capped the same way (`max_block_size`, the
+`cap_hot_buckets` pattern from minhash.py): blocks larger than the
+cap are DROPPED before the pair-producing self-join, bounding the
+candidate space to blocks×cap²/2 regardless of key degeneracy.
+Records dropped this way should be re-blocked on a finer key — the
+cap turns a silent quadratic blowup into a bounded, auditable loss
+(`blocked_fuzzy_dropped_blocks` reports exactly what the cap
+excluded).
 """
 
 from __future__ import annotations
@@ -22,6 +29,27 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..sources.catalog import load_table
 
+#: Default hot-block cap: one block of this size costs ~500k verify
+#: pairs — the largest bounded cost a single degenerate key may
+#: impose before we call it a blocking-key bug rather than data.
+MAX_BLOCK_SIZE = 1000
+
+
+def _capped_blocks(s: DataFrame, max_block_size: int | None) -> DataFrame:
+    """Drop blocks larger than the cap before any self-join. Count
+    window over `blk` (one shuffle, reused by the downstream
+    pair-producing join exactly as in minhash.cap_hot_buckets)."""
+    if max_block_size is None:
+        return s
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("blk")
+    return (
+        s.withColumn("__block_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__block_n") <= max_block_size)
+        .drop("__block_n")
+    )
+
 
 def blocked_fuzzy_pairs(
     df: DataFrame,
@@ -29,12 +57,20 @@ def blocked_fuzzy_pairs(
     name_col: str,
     block: Column,
     max_edit: int = 1,
+    max_block_size: int | None = MAX_BLOCK_SIZE,
 ) -> DataFrame:
     """(id_a, id_b, name_a, name_b, edit_distance) for within-block
-    pairs whose names are within ``max_edit`` Levenshtein distance."""
+    pairs whose names are within ``max_edit`` Levenshtein distance.
+
+    Blocks with more than ``max_block_size`` members are dropped
+    before the self-join (pass ``None`` to disable): a hot block is
+    quadratic in its size, and at corpus scale one degenerate key
+    dominates the whole job. Use `blocked_fuzzy_dropped_blocks` to
+    audit what a given cap excludes."""
     s = df.select(
         F.col(id_col).alias("id"), F.col(name_col).alias("name"), block.alias("blk")
     )
+    s = _capped_blocks(s, max_block_size)
     a = s.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"), "blk")
     b = s.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"), "blk")
     return (
@@ -44,6 +80,26 @@ def blocked_fuzzy_pairs(
         .filter(F.col("edit_distance") <= max_edit)
         .select("id_a", "id_b", "name_a", "name_b", "edit_distance")
         .orderBy("id_a", "id_b")
+    )
+
+
+def blocked_fuzzy_dropped_blocks(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_block_size: int = MAX_BLOCK_SIZE,
+) -> DataFrame:
+    """(blk, n_records) for every block the cap would drop — the
+    explicit accounting side of `blocked_fuzzy_pairs`: run it with the
+    same key and cap to see exactly which records never entered the
+    verify join (and re-block those on a finer key)."""
+    s = df.select(F.col(id_col).alias("id"), block.alias("blk"))
+    return (
+        s.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > max_block_size)
+        .orderBy("blk")
     )
 
 
@@ -58,13 +114,19 @@ def supplier_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="s_name",
         block=F.substring("s_name", 10, 7),
         max_edit=1,
+        max_block_size=MAX_BLOCK_SIZE,
     )
 
 
-SUPPLIER_FUZZY_MATCHES_SQL = """
-WITH s AS (
+SUPPLIER_FUZZY_MATCHES_SQL = f"""
+WITH s0 AS (
   SELECT s_suppkey AS id, s_name AS name, SUBSTRING(s_name, 10, 7) AS blk
   FROM supplier
+),
+s AS (
+  SELECT * FROM (
+    SELECT s0.*, COUNT(*) OVER (PARTITION BY blk) AS bn FROM s0
+  ) WHERE bn <= {MAX_BLOCK_SIZE}
 )
 SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
        CAST(LEVENSHTEIN(a.name, b.name) AS BIGINT) AS edit_distance
@@ -121,6 +183,7 @@ def supplier_er_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nation"),
         F.substring("s_name", 10, 7).alias("blk"),
     )
+    s = _capped_blocks(s, MAX_BLOCK_SIZE)
     a = s.select(
         F.col("id").alias("id_a"), F.col("name").alias("name_a"),
         F.col("nation").alias("nation_a"), "blk",
@@ -146,10 +209,15 @@ def supplier_er_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SUPPLIER_ER_SCORES_SQL = f"""
-WITH s AS (
+WITH s0 AS (
   SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nation,
          SUBSTR(s_name, 10, 7) AS blk
   FROM supplier
+),
+s AS (
+  SELECT * FROM (
+    SELECT s0.*, COUNT(*) OVER (PARTITION BY blk) AS bn FROM s0
+  ) WHERE bn <= {MAX_BLOCK_SIZE}
 ),
 cand AS (
   SELECT a.id AS id_a, b.id AS id_b,

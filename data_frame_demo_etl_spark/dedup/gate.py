@@ -402,19 +402,19 @@ ORDER BY doc_id
 DEDUP_CLUSTERS_KEEP_BEST_SQL = _keep_best_oracle_sql()
 
 
-def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test contamination audit — the step every training
-    pipeline needs between dedup and export: assign a deterministic
-    80/10/10 split (engine-portable md5-prefix key, same family as
-    `sample_documents`), find near-duplicate pairs with the md5
-    MinHash+LSH pipeline, and count the pairs whose endpoints land in
-    DIFFERENT splits. Any `n_pairs` on an off-diagonal row is leakage:
-    an eval document with a near-copy in train.
+def split_leakage_check_doclevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level train/val/test contamination audit — the ORIGINAL
+    (round-5) form of `split_leakage_check`, kept as a small-corpus
+    cross-check only (pytest compares it against the registered
+    signature-collapsed gate on corpora where no bucket cap triggers).
 
-    Composition, not new machinery: the split is one column
-    expression, the pairs are `minhash_near_dup_pairs` (bucketed, hot-
-    bucket-capped — never all-pairs), and the audit is a broadcast
-    join of the tiny pair set against the split labels."""
+    NOT the production plan: it materializes every near-dup pair
+    before counting, so a corpus with d exact copies of each document
+    pays C(d, 2) candidate rows per band bucket (measured 8.8× wall
+    for 10× data on the 10×-copied scaling corpus, SCALING.md round 6)
+    — and past the hot-bucket cap it silently DROPS pair mass that
+    the collapsed form counts exactly. The registered
+    `split_leakage_check` (below) replaced it in round 7."""
     docs = load_table(spark, "documents", sf_dir)
     split = F.when(
         F.md5(F.col("doc_id").cast("string")).substr(1, 8) < "cccccccc", "train"
@@ -441,7 +441,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPLIT_LEAKAGE_CHECK_SQL = (
+SPLIT_LEAKAGE_CHECK_DOCLEVEL_SQL = (
     "WITH "
     + _MINHASH_PAIR_CTES.strip()
     + r""",
@@ -466,15 +466,24 @@ ORDER BY split_a, split_b, is_leak
 )
 
 
-def split_leakage_check_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature-collapsed train/val/test contamination audit — the
-    corpus-scale form of `split_leakage_check`.
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-collapsed train/val/test contamination audit: assign
+    a deterministic 80/10/10 split (engine-portable md5-prefix key,
+    same family as `sample_documents`), find near-duplicate document
+    pairs with the md5 MinHash+LSH family, and count the pairs whose
+    endpoints land in DIFFERENT splits. Any `n_pairs` on an
+    off-diagonal row is leakage: an eval document with a near-copy in
+    train.
 
-    The doc-level audit enumerates every near-dup pair before
-    counting, so a corpus with d exact copies of each document pays
-    C(d, 2) candidate rows per band bucket (measured: 8.8× wall for
-    10× data on the 10×-copied scaling corpus, SCALING.md round 6).
-    This gate never materializes doc pairs:
+    This is the round-7 redefinition of the gate (previously
+    registered as `split_leakage_check_fast`; the round-5 doc-level
+    form survives as `split_leakage_check_doclevel`, a pytest-only
+    small-corpus cross-check). The doc-level audit enumerated every
+    near-dup pair before counting, so a corpus with d exact copies of
+    each document paid C(d, 2) candidate rows per band bucket
+    (measured: 8.8× wall for 10× data on the 10×-copied scaling
+    corpus, SCALING.md round 6). This gate never materializes doc
+    pairs:
 
     1. group docs by their FULL MinHash signature (md5-portable
        family) — exact duplicates collapse to one node with per-split
@@ -603,7 +612,7 @@ def split_leakage_check_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPLIT_LEAKAGE_CHECK_FAST_SQL = r"""
+SPLIT_LEAKAGE_CHECK_SQL = r"""
 WITH words AS (
   SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
 ),
@@ -670,6 +679,13 @@ HAVING SUM(c) > 0
 ORDER BY split_a, split_b, is_leak
 """
 
+# Pre-merge names (round 6 registered the collapsed construction as
+# `split_leakage_check_fast` alongside the doc-level gate; round 7
+# merged them — the collapsed form IS the gate). Kept as aliases so
+# external scripts referencing the old name keep resolving.
+split_leakage_check_fast = split_leakage_check
+SPLIT_LEAKAGE_CHECK_FAST_SQL = SPLIT_LEAKAGE_CHECK_SQL
+
 
 def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-tuning diagnostic: the distribution of estimated
@@ -679,7 +695,7 @@ def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs you'd keep at threshold m/32" — the sweep every dedup
     rollout runs before committing to a threshold, in ONE pass.
 
-    Signature-collapsed (the split_leakage_check_fast construction):
+    Signature-collapsed (the split_leakage_check construction):
     identical signatures pair at matches=32 with closed-form C(n,2)
     counts — no enumeration — and only DISTINCT signatures enter the
     banded candidate join (hot-bucket cap at the signature level), so

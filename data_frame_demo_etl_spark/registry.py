@@ -611,11 +611,9 @@ from .analytics.trend import EVENTS_THEILSEN_TREND_SQL, events_theilsen_trend  #
 register("events_theilsen_trend", events_theilsen_trend, EVENTS_THEILSEN_TREND_SQL)
 
 # ---- round-6 additions (tier 2 until a future rotation) ----
-register(
-    "split_leakage_check_fast",
-    dedup_gate.split_leakage_check_fast,
-    dedup_gate.SPLIT_LEAKAGE_CHECK_FAST_SQL,
-)
+# (`split_leakage_check_fast` was registered here in round 6; round 7
+# merged it INTO `split_leakage_check` — the signature-collapsed
+# construction is now the gate itself, registered above.)
 
 from .analytics.quality_audit import (  # noqa: E402
     EVENTS_CUSUM_CHANGEPOINTS_SQL,

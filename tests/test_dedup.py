@@ -346,6 +346,40 @@ def test_blocked_fuzzy_pairs_planted_typos(spark):
     assert pairs[0].edit_distance == 1
 
 
+def test_blocked_fuzzy_hot_block_cap(spark):
+    """Degenerate blocking key (50 identical names → one hot block):
+    with a cap the block is dropped entirely (0 pairs) and the
+    dropped-blocks audit names it with its exact size; with the cap
+    disabled the quadratic C(50,2) pair set comes back. Clean blocks
+    are untouched by the cap."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.dedup.fuzzy import (
+        blocked_fuzzy_dropped_blocks,
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [(i, "john smith") for i in range(1, 51)] + [
+        (101, "jonathan smith"),
+        (102, "jonathon smith"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    blk = F.substring("name", 1, 4)  # "john" vs "jona": distinct blocks
+    kw = dict(id_col="id", name_col="name", block=blk, max_edit=2)
+
+    capped = blocked_fuzzy_pairs(df, max_block_size=20, **kw).collect()
+    # the hot "john smith" block is gone; the clean 2-record block pairs
+    assert {(r.id_a, r.id_b) for r in capped} == {(101, 102)}
+
+    dropped = blocked_fuzzy_dropped_blocks(
+        df, id_col="id", name_col="name", block=blk, max_block_size=20
+    ).collect()
+    assert len(dropped) == 1 and dropped[0].n_records == 50
+
+    uncapped = blocked_fuzzy_pairs(df, max_block_size=None, **kw).collect()
+    assert len(uncapped) == 50 * 49 // 2 + 1
+
+
 def test_count_triangles_known_graphs(spark):
     """K4 has exactly 4 triangles; adding a pendant edge changes
     nothing; a square (C4) has none."""
@@ -446,12 +480,12 @@ def test_split_leakage_detects_planted_cross_split_dup(spark, tmp_path):
 
 
 def test_split_leakage_fast_matches_on_planted_dups(spark, tmp_path):
-    """The signature-collapsed audit must produce the same accounting
-    as the doc-level gate on a small corpus (where no bucket cap
-    triggers)."""
+    """The registered signature-collapsed audit must produce the same
+    accounting as the doc-level cross-check form on a small corpus
+    (where no bucket cap triggers)."""
     from data_frame_demo_etl_spark.dedup.gate import (
         split_leakage_check,
-        split_leakage_check_fast,
+        split_leakage_check_doclevel,
     )
 
     base = (
@@ -466,25 +500,26 @@ def test_split_leakage_fast_matches_on_planted_dups(spark, tmp_path):
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     slow = {
         (r.split_a, r.split_b, r.is_leak): r.n_pairs
-        for r in split_leakage_check(spark, str(tmp_path)).collect()
+        for r in split_leakage_check_doclevel(spark, str(tmp_path)).collect()
     }
     fast = {
         (r.split_a, r.split_b, r.is_leak): r.n_pairs
-        for r in split_leakage_check_fast(spark, str(tmp_path)).collect()
+        for r in split_leakage_check(spark, str(tmp_path)).collect()
     }
     assert fast == slow and sum(fast.values()) == 20 * 19 // 2 * 2
 
 
 def test_split_leakage_fast_exact_past_the_bucket_cap(spark, tmp_path):
-    """250 identical docs exceed the doc-level gate's hot-bucket cap
-    (200): the doc-level audit silently DROPS that pair mass, while
-    the signature-collapsed gate counts the full C(250,2) exactly —
-    the regime the fast gate exists for."""
+    """250 identical docs exceed the doc-level form's hot-bucket cap
+    (200): the doc-level cross-check silently DROPS that pair mass,
+    while the registered signature-collapsed gate counts the full
+    C(250,2) exactly — the regime the round-7 redefinition exists
+    for."""
     import hashlib
 
     from data_frame_demo_etl_spark.dedup.gate import (
         split_leakage_check,
-        split_leakage_check_fast,
+        split_leakage_check_doclevel,
     )
 
     base = (
@@ -506,13 +541,14 @@ def test_split_leakage_fast_exact_past_the_bucket_cap(spark, tmp_path):
 
     cnt = Counter(split_of(i) for i in range(1, n + 1))
     want_total = n * (n - 1) // 2
-    fast = split_leakage_check_fast(spark, str(tmp_path)).collect()
+    fast = split_leakage_check(spark, str(tmp_path)).collect()
     assert sum(r.n_pairs for r in fast) == want_total
     # closed-form per-combo check
     by_combo = {(r.split_a, r.split_b): r.n_pairs for r in fast}
     for s, c in cnt.items():
         assert by_combo.get((s, s), 0) == c * (c - 1) // 2
     slow_total = sum(
-        r.n_pairs for r in split_leakage_check(spark, str(tmp_path)).collect()
+        r.n_pairs
+        for r in split_leakage_check_doclevel(spark, str(tmp_path)).collect()
     )
     assert slow_total < want_total  # the cap dropped pair mass
