@@ -109,10 +109,22 @@ def ahash_near_dup_pairs(
     )
 
 
-def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_image_dedup(
+    spark: SparkSession, sf_dir: str, max_docs_per_hash: int | None = None
+) -> DataFrame:
     """Gate: documents → real BMP thumbnails → distributed decode →
     aHash → Hamming-≤2 near-dup pairs. Proves the full image dedup
     pipeline (codec, fingerprint, pair search) end-to-end.
+
+    ``max_docs_per_hash`` (library knob, default off so the gate
+    matches its brute-force oracle): keep only the N lowest doc_ids
+    per hash value before pair expansion, bounding the pair output to
+    Θ(groups·N²) regardless of duplication factor. Use
+    `image_dedup_dropped_mass` with the same cap to account for what
+    the cap excluded — the pair LISTING is C(copies,2)-quadratic by
+    definition, so at corpus scale you either cap it or use the
+    cluster form (`multimodal_image_clusters`), the linear-output
+    production default.
 
     Scale shape (the round-5 fix): the banded candidate join runs over
     DISTINCT HASH VALUES (≤ 2^HASH_BITS nodes at any corpus size), and
@@ -136,6 +148,17 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = image_ahash(
         docs_as_bmp_assets(docs, width=THUMB_W, height=THUMB_H)
     ).persist()
+    if max_docs_per_hash is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("ahash").orderBy("asset_id")
+        )
+        hashes = (
+            hashes.withColumn("__rn", rn)
+            .filter(F.col("__rn") <= max_docs_per_hash)
+            .drop("__rn")
+        )
     hvals = hashes.select(F.col("ahash").alias("asset_id"), "ahash").distinct()
     # value-level near-dup pairs: bounded by the hash domain, never by
     # corpus size (u/v are hash VALUES here, u < v)
@@ -164,6 +187,36 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return within.unionByName(cross).orderBy("u", "v")
+
+
+def image_dedup_dropped_mass(
+    spark: SparkSession, sf_dir: str, max_docs_per_hash: int
+) -> DataFrame:
+    """(ahash, n_docs, n_kept, dropped_within_pairs) for every hash
+    value the `max_docs_per_hash` cap truncates — the accounting side
+    of the capped pair expansion: dropped_within_pairs =
+    C(n_docs, 2) − C(n_kept, 2), the exact Hamming-0 pair mass the cap
+    excluded (cross-hash drops are bounded by the same kept counts)."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashes = image_ahash(docs_as_bmp_assets(docs, width=THUMB_W, height=THUMB_H))
+    n = F.col("n_docs")
+    k = F.least(n, F.lit(max_docs_per_hash))
+    return (
+        hashes.groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(n > max_docs_per_hash)
+        .select(
+            "ahash",
+            "n_docs",
+            k.cast("long").alias("n_kept"),
+            ((n * (n - 1) - k * (k - 1)) / 2).cast("long").alias(
+                "dropped_within_pairs"
+            ),
+        )
+        .orderBy("ahash")
+    )
 
 
 def _gray_sql(i: int) -> str:

@@ -274,15 +274,22 @@ def ingest_excel_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append([v.item() if hasattr(v, "item") else v for v in rec])
             write_xlsx(str(shard_dir / f"part_{i}.xlsx"), {"parts": rows})
         marker.touch()
-    # Runtime-settable; vanilla sessions default it FALSE and PySpark
-    # 4.1 then refuses to init a pushFilters-capable reader
-    # ([DATA_SOURCE_PUSHDOWN_DISABLED]). Set it so the gate exercises
-    # the pushdown path on any session; the DataSource itself also
-    # degrades to a no-pushdown reader when the conf is off
-    # (xlsx_datasource.XlsxLiteDataSource.reader).
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Vanilla sessions default spark.sql.python.filterPushdown.enabled
+    # FALSE and PySpark 4.1 then refuses to init a pushFilters-capable
+    # reader ([DATA_SOURCE_PUSHDOWN_DISABLED]). reader() runs in a
+    # planning worker with no active session, so forward the caller's
+    # effective conf as an option — the session conf itself is NOT
+    # mutated (a set here would leak pushdown behavior into every later
+    # Python DataSource read on the caller's session).
+    pushdown = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "false"
+    )
     spark.dataSource.register(XlsxLiteDataSource)
-    raw = spark.read.format("xlsx_lite").load(str(shard_dir / "*.xlsx"))
+    raw = (
+        spark.read.format("xlsx_lite")
+        .option("filter_pushdown", pushdown)
+        .load(str(shard_dir / "*.xlsx"))
+    )
     return (
         raw.select(
             F.col("p_partkey").cast("long").alias("p_partkey"),

@@ -92,35 +92,28 @@ class XlsxLiteDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "XlsxLiteWriter":
         return XlsxLiteWriter(self.options["path"], schema, overwrite)
 
-    @staticmethod
-    def _pushdown_enabled() -> bool:
-        """Is ``spark.sql.python.filterPushdown.enabled`` on for the
-        session planning this read? PySpark 4.1 REFUSES to initialize
-        a reader that overrides pushFilters() when the conf is false
-        ([DATA_SOURCE_PUSHDOWN_DISABLED], an init-time assertion in
-        pyspark/sql/worker/plan_data_source_read.py — not a graceful
-        fallback), so the source must choose its reader class by the
-        effective conf to merely function on a vanilla session.
+    def _pushdown_enabled(self) -> bool:
+        """Should this read use the pushFilters-capable reader?
+        PySpark 4.1 REFUSES to initialize a reader that overrides
+        pushFilters() when ``spark.sql.python.filterPushdown.enabled``
+        is false ([DATA_SOURCE_PUSHDOWN_DISABLED], an init-time
+        assertion in pyspark/sql/worker/plan_data_source_read.py — not
+        a graceful fallback), so the source must choose its reader
+        class by the effective conf to merely function on a vanilla
+        session.
 
-        ``reader()`` runs inside a planning Python worker, where no
-        SparkSession is active — but WHICH worker encodes the answer:
-        ``data_source_pushdown_filters.py`` only runs when the conf is
-        true, and ``plan_data_source_read.py`` (which raises the
-        assertion) binds the conf's value as the local
-        ``enable_pushdown`` before calling ``reader()``. Read both
-        from the stack; fall back to the active session's conf for
-        direct driver-side invocation (tests)."""
-        import sys
-
-        f = sys._getframe(2)
-        depth = 0
-        while f is not None and depth < 8:
-            if f.f_code.co_filename.endswith("data_source_pushdown_filters.py"):
-                return True
-            if "enable_pushdown" in f.f_locals:
-                return bool(f.f_locals["enable_pushdown"])
-            f = f.f_back
-            depth += 1
+        ``reader()`` runs inside a planning Python worker where no
+        SparkSession is active, so the conf travels as an explicit
+        ``filter_pushdown`` OPTION: callers read the conf on the
+        driver and forward it (`.option("filter_pushdown", ...)`,
+        the ingest_excel_datasource pattern) — options reach the
+        planning worker; session internals don't. The active-session
+        conf remains as a fallback for direct driver-side
+        invocation; the default is the no-pushdown reader, which is
+        valid under either conf value."""
+        opt = self.options.get("filter_pushdown")
+        if opt is not None:
+            return str(opt).lower() == "true"
         try:
             from pyspark.sql import SparkSession
 

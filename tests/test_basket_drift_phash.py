@@ -116,3 +116,38 @@ def test_image_clusters_transitive(spark):
     )
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == {0: 0, 1: 0, 2: 0}
+
+
+def test_image_dedup_pair_cap_and_dropped_mass(spark, tmp_path):
+    """max_docs_per_hash bounds the pair expansion to the N lowest
+    doc_ids per hash group, and image_dedup_dropped_mass accounts for
+    exactly the excluded C(n,2)−C(k,2) within-group pair mass."""
+    from data_frame_demo_etl_spark.multimodal.phash import (
+        image_dedup_dropped_mass,
+        multimodal_image_dedup,
+    )
+
+    # group A: 6 identical uniform texts (hash 0); group B: 2 identical
+    # half-pattern texts (Hamming 8 from A — never cross-pairs)
+    rows = [(i, "z" * 48) for i in range(1, 7)] + [(11, "z" * 24), (12, "z" * 24)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    uncapped = multimodal_image_dedup(spark, str(tmp_path)).collect()
+    assert len(uncapped) == 6 * 5 // 2 + 1
+
+    capped = multimodal_image_dedup(
+        spark, str(tmp_path), max_docs_per_hash=3
+    ).collect()
+    got = {(r.u, r.v) for r in capped}
+    assert got == {(1, 2), (1, 3), (2, 3), (11, 12)}
+
+    dropped = image_dedup_dropped_mass(
+        spark, str(tmp_path), max_docs_per_hash=3
+    ).collect()
+    assert len(dropped) == 1
+    assert (dropped[0].n_docs, dropped[0].n_kept) == (6, 3)
+    assert dropped[0].dropped_within_pairs == 15 - 3

@@ -125,7 +125,16 @@ def test_xlsx_datasource_filter_pushdown(spark, tmp_path):
     ]
     _write(tmp_path / "f.xlsx", rows)
     spark.dataSource.register(XlsxLiteDataSource)
-    df = spark.read.format("xlsx_lite").load(str(tmp_path / "f.xlsx"))
+    # reader() runs in a planning worker with no active session, so the
+    # driver forwards the conf as an option (the documented pattern)
+    assert (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    )
+    df = (
+        spark.read.format("xlsx_lite")
+        .option("filter_pushdown", "true")
+        .load(str(tmp_path / "f.xlsx"))
+    )
 
     from pyspark.sql import functions as F
 
