@@ -185,6 +185,11 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("pt") - F.unix_micros("vt")).alias("d_us"),
         F.lit(1).alias("g"),
     )
+    # Degenerate corpus (no purchase at-or-after any first view): the
+    # 0-convention on both engines — min/max/median COALESCE to 0 in
+    # the oracle, `or 0` / the .get default here — keeps every column
+    # int64 (a NULL would drift the pandas dtype to float64 and fail
+    # the typed hash even on matching values).
     stats = deltas.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("d_us").alias("min_us"),
@@ -209,8 +214,8 @@ p AS (
 ),
 d AS (SELECT EPOCH_US(pt) - EPOCH_US(vt) AS d_us FROM p)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
-       CAST(MIN(d_us) AS BIGINT) AS min_us,
-       CAST(MAX(d_us) AS BIGINT) AS max_us,
-       CAST(2 * QUANTILE_CONT(d_us, 0.5) AS BIGINT) AS median2_us
+       CAST(COALESCE(MIN(d_us), 0) AS BIGINT) AS min_us,
+       CAST(COALESCE(MAX(d_us), 0) AS BIGINT) AS max_us,
+       CAST(COALESCE(2 * QUANTILE_CONT(d_us, 0.5), 0) AS BIGINT) AS median2_us
 FROM d
 """

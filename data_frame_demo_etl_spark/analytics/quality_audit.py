@@ -25,8 +25,14 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from ..sources.catalog import load_table
+
+#: Hard ceiling on the (partition, key) offset rows `_keyed_prefix`
+#: may collect — the loud-failure form of its low-cardinality-keys
+#: contract (32 partitions × ~2000 keys at the default conf).
+MAX_OFFSET_ROWS = 65536
 
 # log10(1 + 1/d) in integer ppm, PRE-COMPUTED so neither engine
 # evaluates a transcendental (libm results differ across engines in
@@ -125,7 +131,15 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
     Returns the input plus ``k`` (1-based per-key position), ``cum``
     (per-key prefix sum of ``val_col``), ``n`` and ``t`` (per-key
     total count/sum). Persist is load-bearing: repartitionByRange
-    samples boundaries, so pass 2 must see pass 1's exact layout."""
+    samples boundaries, so pass 2 must see pass 1's exact layout.
+
+    The low-cardinality contract is ENFORCED, not trusted: the offset
+    collect is ≤ partitions × distinct keys rows, so a caller passing
+    a high-cardinality key would silently blow up the driver — the
+    bounded `part_tot` collect doubles as the guard (it IS the
+    partitions×keys table; if it exceeds ``MAX_OFFSET_ROWS`` the
+    helper raises with a pointer at the plain per-key window, which
+    parallelizes fine when keys are plentiful)."""
     spark = base.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col("key")] + [F.col(c) for c in order_cols]
@@ -135,21 +149,54 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    part_tot = laid.groupBy("__pid", "key").agg(
-        F.count(F.lit(1)).alias("c"), F.sum(val_col).alias("sv")
-    ).collect()
+    part_tot = (
+        laid.groupBy("__pid", "key")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(val_col).alias("sv"))
+        .limit(MAX_OFFSET_ROWS + 1)
+        .collect()
+    )
+    if len(part_tot) > MAX_OFFSET_ROWS:
+        laid.unpersist()
+        raise ValueError(
+            f"_keyed_prefix collected more than {MAX_OFFSET_ROWS} "
+            "(partition, key) offset rows — the key column is too "
+            "high-cardinality for the two-pass layout. Use a plain "
+            "Window.partitionBy(key) prefix sum instead: many distinct "
+            "keys parallelize fine under the per-key window."
+        )
+    # Offsets for a key must accumulate in ascending __pid (the range
+    # partitioner's layout order); interleaving ACROSS keys is
+    # irrelevant (`run` is per-key), so sort by __pid alone — no
+    # str()-of-key comparisons that could disagree with native order.
     run: dict = {}
     rows = []
-    for r in sorted(part_tot, key=lambda r: (str(r["key"]), r["__pid"])):
+    for r in sorted(part_tot, key=lambda r: r["__pid"]):
         off_c, off_v = run.get(r["key"], (0, 0))
         rows.append((int(r["__pid"]), r["key"], int(off_c), int(off_v)))
         run[r["key"]] = (off_c + r["c"], off_v + (r["sv"] or 0))
+    # Build the driver-side frames with the INPUT's key type so the
+    # join-back never relies on implicit cross-type casts.
+    key_type = base.schema["key"].dataType
     off_df = spark.createDataFrame(
-        rows, "__pid int, key string, __off_c long, __off_v long"
+        rows,
+        StructType(
+            [
+                StructField("__pid", IntegerType()),
+                StructField("key", key_type),
+                StructField("__off_c", LongType()),
+                StructField("__off_v", LongType()),
+            ]
+        ),
     )
     nt_df = spark.createDataFrame(
         [(k, int(c), int(v)) for k, (c, v) in run.items()],
-        "key string, n long, t long",
+        StructType(
+            [
+                StructField("key", key_type),
+                StructField("n", LongType()),
+                StructField("t", LongType()),
+            ]
+        ),
     )
     w = (
         Window.partitionBy("__pid", "key")
@@ -475,7 +522,8 @@ def gini_skew(df: DataFrame, key_col: str) -> DataFrame:
     single-partition window): G = (2·Σ i·x_i − (n+1)·Σ x_i) /
     (n·Σ x_i), every product in decimal(38,0) (i·x_i sums overflow
     int64 at key-count scale), one final integer division onto the
-    micro grid."""
+    micro grid. Empty input ⇒ zero rows on BOTH engines (the oracle
+    carries `HAVING COUNT(*) > 0` to match this groupBy shape)."""
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("x")
     )
@@ -533,4 +581,5 @@ SELECT CAST(MIN(n) AS BIGINT) AS n_keys,
        CAST((2 * SUM(CAST(i AS HUGEINT) * x) - (MIN(n) + 1) * SUM(CAST(x AS HUGEINT)))
             * 1000000 // (CAST(MIN(n) AS HUGEINT) * SUM(CAST(x AS HUGEINT))) AS BIGINT) AS gini_micro
 FROM ranked
+HAVING COUNT(*) > 0
 """

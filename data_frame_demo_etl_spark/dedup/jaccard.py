@@ -56,7 +56,14 @@ def jaccard_pairs(
     by construction; cross-group pairs take their representatives'
     exact score. Output is row-for-row what the uncollapsed join
     produces (shingle-less docs — texts shorter than n words — never
-    pair in either formulation and are filtered up front)."""
+    pair in either formulation and are filtered up front).
+
+    When every text is already distinct the collapse buys nothing and
+    costs one md5-keyed shuffle plus two expansion joins, so it is
+    SKIPPED after one cheap count/count-distinct agg — an all-distinct
+    corpus (the common case outside dedup-stress harnesses) goes
+    straight to the prefix-filtered join; any duplication at all takes
+    the collapsed path that keeps the 10×-duplicated corpus linear."""
     # ≥1 shingle ⟺ ≥ n words: the word-count test avoids building
     # the shingle strings just to count them.
     from .shingling import word_array
@@ -64,6 +71,20 @@ def jaccard_pairs(
     keyed = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).filter(F.size(word_array(F.col(text_col))) >= n)
+    card = keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.md5("__text")).alias("n_texts"),
+    ).collect()[0]
+    if card["n_rows"] == card["n_texts"]:
+        return _jaccard_pairs_uncollapsed(
+            keyed.select(
+                F.col("__id").alias(id_col), F.col("__text").alias(text_col)
+            ),
+            id_col,
+            text_col,
+            n,
+            threshold,
+        )
     w = Window.partitionBy("__tk")
     # Persist: feeds the representative set, the within-group
     # expansion, and the cross-group expansion (session cache policy:

@@ -14,21 +14,22 @@ stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
 As of round 6 the rotation is expressed as an explicit name list
-(``_R6_WINDOW`` at the bottom of this module) that REORDERS the
+(``_R7_WINDOW`` at the bottom of this module) that REORDERS the
 registry dict after all registrations — the physical layout of the
 ``register()`` calls no longer encodes the window, the list does.
-Round-6 window composition:
-- the 32 round-5 additions registered after the r5 window froze
+Round-7 window composition:
+- the 16 round-6 additions registered after the r6 window froze
   (never externally verified; all pre-verified by
   scripts/verify_contract.py the day they landed);
-- ``ingest_excel_datasource`` (re-fixed this round: vanilla-session
-  filter-pushdown coupling) and ``supplier_triangles`` (physical plan
-  re-shaped again this round) — both need a fresh row against their
-  CURRENT definition;
+- ``split_leakage_check`` (redefined r7: signature-collapsed form),
+  ``supplier_fuzzy_matches`` (r7 hot-block cap, oracle matches), and
+  ``ingest_excel_datasource`` (r7: pushdown conf forwarded as an
+  option) — each needs a fresh row against its CURRENT definition;
 - the 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
   streaming, temporal, sources, sampling, the LLM flagship);
-- 4 backfill rows whose newest external green is oldest (r2-era).
-Every other query is driver-green r3/r4/r5 against its current
+- 19 backfill rows whose newest external green is oldest (the r2-era
+  remainder, then r3-era in registration order).
+Every other query is driver-green r3–r6 against its current
 definition and sits in tier 2, still fully covered by pytest + the
 local oracle harness.
 """
@@ -256,7 +257,7 @@ register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
 register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
 # (The physical tier-1 block above is the ROUND-5 window; the round-6
-# window is imposed by the _R6_WINDOW reorder at the bottom of this
+# window is imposed by the _R7_WINDOW reorder at the bottom of this
 # module, which is also where TIER1_NAMES is defined.)
 
 # ═══════════ TIER 2: externally green vs current definition ═══════════
@@ -697,51 +698,38 @@ register(
     fn_gate.DOCS_TOKEN_FERTILITY_SQL,
 )
 
-# ═══════════════ ROUND-6 DRIVER WINDOW (explicit rotation) ═══════════════
+# ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
-# round-6 window (TIER_ROTATION.md "Round-6 window draft"). Rotation
-# targets first (the 32 round-5 additions registered after the r5
-# window froze — none has an external green row yet — plus the two
-# queries redefined this round), then the keeper spine, then backfill
-# whose newest green row is oldest (r2-era).
-_R6_WINDOW: tuple[str, ...] = (
-    # --- rotation targets: r5 additions, never externally verified (32)
-    "dedup_clusters_keep_best",
-    "docs_sequence_packing_bpe",
-    "multimodal_decode_png",
-    "llm_prep_keep_best",
-    "events_ohlc_hourly",
-    "events_ewma",
-    "bloom_pruned_brand_revenue",
-    "supplier_kcore",
-    "events_quantile_rollup",
-    "events_zorder_stats",
-    "multimodal_decode_jpeg",
-    "text_nfc_normalize",
-    "split_leakage_check",
-    "events_lag_features",
-    "events_mad_outliers",
-    "events_cms_heavy_hitters",
-    "events_kmv_distinct",
-    "retrieval_rrf_fusion",
-    "brand_association_rules",
-    "events_value_drift_psi",
-    "multimodal_image_dedup",
-    "events_type_transitions",
-    "events_rolling_distinct_users",
-    "events_trend_slope",
-    "multimodal_image_clusters",
-    "customer_k_anonymity",
-    "events_kmv_overlap",
-    "customer_rfm_segments",
-    "events_seasonal_anomaly",
-    "multimodal_audio_dedup",
-    "multimodal_video_dedup",
-    "events_theilsen_trend",
-    # --- redefined this round: need a row vs the CURRENT definition (2)
-    "ingest_excel_datasource",  # vanilla-session pushdown fix (r6)
-    "supplier_triangles",       # physical plan re-shaped (r6)
-    # --- keeper spine (12)
+# round-7 window (TIER_ROTATION.md "Round-7 window draft"). Rotation
+# targets first (the 16 round-6 additions registered after the r6
+# window froze — none has an external green row — plus the three
+# queries redefined early in round 7), then the keeper spine, then
+# backfill whose newest green row is oldest (the r2-era remainder,
+# then r3-era in registration order).
+_R7_WINDOW: tuple[str, ...] = (
+    # --- rotation targets: r6 additions, never externally verified (16)
+    "orders_benford_audit",
+    "events_cusum_changepoints",
+    "events_max_concurrency",
+    "events_grouping_sets",
+    "corpus_temperature_mix",
+    "ingest_fixed_width",
+    "supplier_er_scores",       # + r7 hot-block cap (oracle matches)
+    "star_integrity_audit",
+    "embeddings_int8_quantization",
+    "dedup_lsh_threshold_sweep",
+    "docs_token_fertility",
+    "lang_id_confusion",
+    "funnel_time_to_convert",   # + r7 degenerate-corpus 0-convention
+    "events_ab_test",
+    "lineitem_supplier_gini",   # + r7 empty-input oracle guard
+    "dedup_sketch_eval",
+    # --- redefined in r7: need a row vs the CURRENT definition (3)
+    "split_leakage_check",      # now the signature-collapsed form
+    "supplier_fuzzy_matches",   # hot-block cap on gate + oracle
+    "ingest_excel_datasource",  # pushdown forwarded as an option
+    # --- keeper spine (12) — dedup_ngram_jaccard's row also covers its
+    #     r7 skip-collapse plan change
     "q1_pricing_summary",
     "revenue_by_region",
     "llm_prep_pipeline",
@@ -754,18 +742,34 @@ _R6_WINDOW: tuple[str, ...] = (
     "ingest_csv_template",
     "pipeline_e2e",
     "sample_documents",
-    # --- backfill: newest external green row is oldest (r2-era) (4)
-    "embeddings_label_stats",
-    "events_windowed",
-    "events_props_extract",
-    "user_event_sequences",
+    # --- backfill: newest external green row is oldest —
+    #     r2-era remainder (7), then r3-era in registration order (12)
+    "range_join_error_followups",
+    "ingest_csv_multifile",
+    "ingest_jsonl_roundtrip",
+    "normalize_rename",
+    "cap_events_per_user",
+    "pack_documents_by_budget",
+    "events_exact_stats",
+    "q2_min_cost_supplier",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "sql_interface_q1",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding",
+    "embedding_covariance",
+    "dedup_semantic",
 )
 
-assert len(_R6_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R6_WINDOW)}"
-_missing = [n for n in _R6_WINDOW if n not in _REGISTRY]
+assert len(_R7_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R7_WINDOW)}"
+_missing = [n for n in _R7_WINDOW if n not in _REGISTRY]
 assert not _missing, f"window names not registered: {_missing}"
 
-_rotated = {n: _REGISTRY[n] for n in _R6_WINDOW}
+_rotated = {n: _REGISTRY[n] for n in _R7_WINDOW}
 _rotated.update({n: e for n, e in _REGISTRY.items() if n not in _rotated})
 _REGISTRY.clear()
 _REGISTRY.update(_rotated)
@@ -773,4 +777,4 @@ _REGISTRY.update(_rotated)
 #: The driver-window queries, in (post-rotation) registration order
 #: (consumed by the plan-contract test, which holds every windowed
 #: plan to the scan/join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = _R6_WINDOW
+TIER1_NAMES: tuple[str, ...] = _R7_WINDOW

@@ -339,3 +339,86 @@ def test_dedup_sketch_eval_perfect_on_identical_docs(spark, tmp_path):
     assert out.precision_ppm <= 1_000_000 and out.recall_ppm <= 1_000_000
     # identical-doc pairs are found by both pipelines
     assert out.recall_ppm >= 500_000
+
+
+def test_keyed_prefix_raises_on_high_cardinality(spark, monkeypatch):
+    """The low-cardinality contract fails loudly: more (partition, key)
+    offset rows than MAX_OFFSET_ROWS raises instead of collecting an
+    unbounded driver-side table."""
+    import pytest
+
+    from data_frame_demo_etl_spark.analytics import quality_audit as qa
+
+    monkeypatch.setattr(qa, "MAX_OFFSET_ROWS", 16)
+    wide = spark.range(200).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").alias("ord"),
+        F.lit(1).alias("v"),
+    )
+    with pytest.raises(ValueError, match="high-cardinality"):
+        qa._keyed_prefix(wide, ["ord"], "v").collect()
+
+
+def test_keyed_prefix_native_long_key(spark):
+    """A non-string key joins back on its native type (no implicit
+    cross-type casts): per-key prefix sums are exact for long keys."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import _keyed_prefix
+
+    # keys 2 and 10: str-sorted '10' < '2' but native 2 < 10 — the
+    # offset accumulation must not care either way
+    rows = [(2, i, 1) for i in range(40)] + [(10, i, 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "key long, ord long, v long")
+    out = _keyed_prefix(df, ["ord"], "v")
+    assert out.schema["key"].dataType.typeName() == "long"
+    got = {(r.key, r.k): r.cum for r in out.collect()}
+    assert got[(2, 40)] == 40 and got[(10, 40)] == 80
+    assert got[(2, 1)] == 1 and got[(10, 1)] == 2
+    nt = {r.key: (r.n, r.t) for r in out.select("key", "n", "t").distinct().collect()}
+    assert nt == {2: (40, 40), 10: (40, 80)}
+
+
+def test_gini_empty_input_matches_oracle_shape(spark):
+    """Empty input ⇒ zero rows from the gate AND from the oracle (the
+    HAVING COUNT(*) > 0 guard) — no gate/oracle shape divergence on a
+    degenerate corpus."""
+    import duckdb
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import (
+        LINEITEM_SUPPLIER_GINI_SQL,
+        gini_skew,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    assert gini_skew(empty, "k").count() == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_suppkey BIGINT)")
+    assert len(con.execute(LINEITEM_SUPPLIER_GINI_SQL).fetchall()) == 0
+
+
+def test_funnel_time_to_convert_empty_matches_oracle(spark, tmp_path):
+    """No conversions ⇒ one all-zero row on BOTH engines (the
+    0-convention COALESCE in the oracle)."""
+    import datetime
+
+    import duckdb
+
+    from data_frame_demo_etl_spark.analytics.funnel import (
+        FUNNEL_TIME_TO_CONVERT_SQL,
+        funnel_time_to_convert,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "purchase", 1.0, "{}"), (2, t0, 2, "view", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    out = funnel_time_to_convert(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].n_conversions, out[0].min_us, out[0].max_us, out[0].median2_us) == (0, 0, 0, 0)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    o = con.execute(FUNNEL_TIME_TO_CONVERT_SQL).fetchall()
+    assert o == [(0, 0, 0, 0)]
