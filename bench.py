@@ -98,6 +98,8 @@ HEADLINE = [
     "funnel_time_to_convert",
     "events_ab_test",
     "lineitem_supplier_gini",
+    # round-7 additions (appended, same comparability rule)
+    "multimodal_decode_jpeg_progressive",
 ]
 
 

@@ -66,21 +66,61 @@ def blocked_fuzzy_pairs(
     before the self-join (pass ``None`` to disable): a hot block is
     quadratic in its size, and at corpus scale one degenerate key
     dominates the whole job. Use `blocked_fuzzy_dropped_blocks` to
-    audit what a given cap excludes."""
+    audit what a given cap excludes.
+
+    Scale shape (the round-7 re-plan, same construction as the image
+    pair dedup): the Levenshtein verify runs over DISTINCT (blk, name)
+    VALUES — a corpus with d exact copies per name otherwise pays
+    d² verify comparisons per name pair (measured 36.6× wall for 10×
+    data on a 10×-name-duplicated corpus; 2.0× after). Row pairs are
+    then EXPANDED from the matched value pairs (cross-name) plus the
+    within-name C(copies, 2) pairs at edit 0 — output is row-for-row
+    what the uncollapsed join produces, and the remaining cost IS the
+    quadratic-under-duplication pair listing itself."""
     s = df.select(
         F.col(id_col).alias("id"), F.col(name_col).alias("name"), block.alias("blk")
     )
-    s = _capped_blocks(s, max_block_size)
-    a = s.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"), "blk")
-    b = s.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"), "blk")
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+    s = _capped_blocks(s, max_block_size).persist()
+    vals = s.select("blk", "name").distinct()
+    va = vals.select("blk", F.col("name").alias("name_a"))
+    vb = vals.select("blk", F.col("name").alias("name_b"))
+    vpairs = (
+        va.join(vb, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("edit_distance") <= max_edit)
-        .select("id_a", "id_b", "name_a", "name_b", "edit_distance")
-        .orderBy("id_a", "id_b")
     )
+    ra = s.select("blk", F.col("name").alias("name_a"), F.col("id").alias("__ida"))
+    rb = s.select("blk", F.col("name").alias("name_b"), F.col("id").alias("__idb"))
+    cross = (
+        vpairs.join(ra, ["blk", "name_a"])
+        .join(rb, ["blk", "name_b"])
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            F.when(F.col("__ida") < F.col("__idb"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("name_a"),
+            F.when(F.col("__ida") < F.col("__idb"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("name_b"),
+            "edit_distance",
+        )
+    )
+    m1 = s.select("blk", "name", F.col("id").alias("id_a"))
+    m2 = s.select("blk", "name", F.col("id").alias("id_b"))
+    within = (
+        m1.join(m2, ["blk", "name"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("name").alias("name_a"),
+            F.col("name").alias("name_b"),
+            F.lit(0).cast("long").alias("edit_distance"),
+        )
+    )
+    return within.unionByName(cross).orderBy("id_a", "id_b")
 
 
 def blocked_fuzzy_dropped_blocks(
@@ -183,29 +223,66 @@ def supplier_er_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nation"),
         F.substring("s_name", 10, 7).alias("blk"),
     )
-    s = _capped_blocks(s, MAX_BLOCK_SIZE)
-    a = s.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
-        F.col("nation").alias("nation_a"), "blk",
+    # Same round-7 distinct-value collapse as blocked_fuzzy_pairs: the
+    # verify join runs over DISTINCT (blk, name, nation) triples, and
+    # row pairs expand from the matched triple pairs. edit_distance,
+    # fs_centibits and is_link depend only on the triple pair, so they
+    # are computed once per VALUE pair, never per row pair.
+    s = _capped_blocks(s, MAX_BLOCK_SIZE).persist()
+    vals = s.select("blk", "name", "nation").distinct()
+    va = vals.select(
+        "blk", F.col("name").alias("name_a"), F.col("nation").alias("nation_a")
     )
-    b = s.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
-        F.col("nation").alias("nation_b"), "blk",
+    vb = vals.select(
+        "blk", F.col("name").alias("name_b"), F.col("nation").alias("nation_b")
     )
-    cand = (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+    vpairs = (
+        va.join(vb, "blk")
+        .filter(
+            F.struct("name_a", "nation_a") < F.struct("name_b", "nation_b")
+        )
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("edit_distance") <= 2)
     )
-    scored = fellegi_sunter_scores(
-        cand,
+    scored_vals = fellegi_sunter_scores(
+        vpairs,
         name_agree=F.col("edit_distance") <= 1,
         nation_agree=F.col("nation_a") == F.col("nation_b"),
     )
-    return scored.select(
-        "id_a", "id_b", "edit_distance", "fs_centibits", "is_link"
-    ).orderBy("id_a", "id_b")
+    ra = s.select(
+        "blk", F.col("name").alias("name_a"), F.col("nation").alias("nation_a"),
+        F.col("id").alias("__ida"),
+    )
+    rb = s.select(
+        "blk", F.col("name").alias("name_b"), F.col("nation").alias("nation_b"),
+        F.col("id").alias("__idb"),
+    )
+    cross = (
+        scored_vals.join(ra, ["blk", "name_a", "nation_a"])
+        .join(rb, ["blk", "name_b", "nation_b"])
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "edit_distance",
+            "fs_centibits",
+            "is_link",
+        )
+    )
+    within_fs = FS_WEIGHTS["name"][0] + FS_WEIGHTS["nation"][0]
+    m1 = s.select("blk", "name", "nation", F.col("id").alias("id_a"))
+    m2 = s.select("blk", "name", "nation", F.col("id").alias("id_b"))
+    within = (
+        m1.join(m2, ["blk", "name", "nation"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(0).cast("long").alias("edit_distance"),
+            F.lit(within_fs).cast("long").alias("fs_centibits"),
+            F.lit(within_fs >= FS_THRESHOLD).alias("is_link"),
+        )
+    )
+    return within.unionByName(cross).orderBy("id_a", "id_b")
 
 
 SUPPLIER_ER_SCORES_SQL = f"""

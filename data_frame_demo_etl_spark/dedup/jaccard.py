@@ -58,11 +58,16 @@ def jaccard_pairs(
     produces (shingle-less docs — texts shorter than n words — never
     pair in either formulation and are filtered up front).
 
-    When every text is already distinct the collapse buys nothing and
+    When duplication is negligible the collapse buys nothing and
     costs one md5-keyed shuffle plus two expansion joins, so it is
-    SKIPPED after one cheap count/count-distinct agg — an all-distinct
-    corpus (the common case outside dedup-stress harnesses) goes
-    straight to the prefix-filtered join; any duplication at all takes
+    SKIPPED after one cheap count/count-distinct agg. The skip bound
+    is worst-case, not heuristic: with dup = n_rows − n_distinct_texts
+    excess copies, the uncollapsed prefix filter generates at most
+    C(dup+1, 2) extra identical-prefix candidates even if every copy
+    concentrates on ONE text, so when C(dup+1, 2) ≤ n_rows the
+    quadratic term is bounded by the corpus scan we are already paying
+    and the direct path is safe (a mostly-distinct corpus — the common
+    case outside dedup-stress harnesses). Heavier duplication takes
     the collapsed path that keeps the 10×-duplicated corpus linear."""
     # ≥1 shingle ⟺ ≥ n words: the word-count test avoids building
     # the shingle strings just to count them.
@@ -75,7 +80,8 @@ def jaccard_pairs(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.md5("__text")).alias("n_texts"),
     ).collect()[0]
-    if card["n_rows"] == card["n_texts"]:
+    dup = int(card["n_rows"]) - int(card["n_texts"])
+    if dup * (dup + 1) // 2 <= int(card["n_rows"]):
         return _jaccard_pairs_uncollapsed(
             keyed.select(
                 F.col("__id").alias(id_col), F.col("__text").alias(text_col)

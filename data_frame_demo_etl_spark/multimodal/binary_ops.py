@@ -844,6 +844,75 @@ ORDER BY asset_id
 """
 
 
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the baseline-JPEG gate's fixture, re-encoded as REAL
+    progressive (SOF2) JPEG — spectral selection + successive
+    approximation, the libjpeg-style 10-scan script — decoded through
+    `decode_real`'s format sniff. Pins dims, the 30 dB PSNR floor, AND
+    the strong cross-codec property: a progressive encoding of the
+    same pixels at the same quality decodes to EXACTLY the baseline
+    encoding's pixels (identical quantized coefficients, different
+    entropy layout). Closes the last named codec gap (the r6 round's
+    'only progressive JPEG remains'). Impl: multimodal/jpeg.py
+    encode_jpeg_progressive/_decode_progressive (T.81 Annex G)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.catalog import load_table
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rgb = _jpeg_fixture_rgb(doc_id)
+                sub = "420" if doc_id % 2 else "444"
+                enc = encode_jpeg_progressive(8, 8, rgb, quality=90, subsample=sub)
+                w, h, ch, out = decode_real(enc)
+                base = decode_real(encode_jpeg(8, 8, rgb, quality=90, subsample=sub))
+                a = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+                b = np.frombuffer(out, dtype=np.uint8).astype(np.float64)
+                mse = float(((a - b) ** 2).mean())
+                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        ch,
+                        sub,
+                        bool(psnr >= 30.0),
+                        bool(out == base[3]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "channels",
+                    "subsample", "psnr_ok", "matches_baseline",
+                ],
+            )
+
+    schema = (
+        "asset_id long, width int, height int, channels int, "
+        "subsample string, psnr_ok boolean, matches_baseline boolean"
+    )
+    return docs.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+MULTIMODAL_DECODE_JPEG_PROGRESSIVE_SQL = """
+SELECT doc_id AS asset_id,
+       8 AS width, 8 AS height, 3 AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS subsample,
+       TRUE AS psnr_ok,
+       TRUE AS matches_baseline
+FROM documents
+ORDER BY asset_id
+"""
+
+
 def video_keyframe_hashes(assets: DataFrame) -> DataFrame:
     """(asset_id, width, height, vhash): packed spatial aHash of the
     first two SAMPLED keyframes (indices 0 and 2 — the every_k=2

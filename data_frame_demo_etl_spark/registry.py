@@ -698,6 +698,25 @@ register(
     fn_gate.DOCS_TOKEN_FERTILITY_SQL,
 )
 
+# --- round-7 additions (registered after the r7 window list froze;
+#     first-priority rotation targets for the r8 window) ---
+from .multimodal.binary_ops import (  # noqa: E402
+    MULTIMODAL_DECODE_JPEG_PROGRESSIVE_SQL,
+    multimodal_decode_jpeg_progressive,
+)
+
+register(
+    "multimodal_decode_jpeg_progressive",
+    multimodal_decode_jpeg_progressive,
+    MULTIMODAL_DECODE_JPEG_PROGRESSIVE_SQL,
+)
+
+register(
+    "ann_recall_eval",
+    sim_gate.ann_recall_eval,
+    sim_gate.ANN_RECALL_EVAL_SQL,
+)
+
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-7 window (TIER_ROTATION.md "Round-7 window draft"). Rotation

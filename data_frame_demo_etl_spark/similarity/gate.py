@@ -152,6 +152,89 @@ ORDER BY query_id, rank
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: measured recall of the LSH-bucketed ANN against the exact
+    brute-force top-k, per query — the evaluation layer for the ANN
+    family (the X-family analog of `dedup_sketch_eval`): the number a
+    rollout reads before replacing the exact scan with the bucketed
+    path at corpus scale. (query_id, n_exact, n_lsh, n_hit,
+    recall_ppm) with recall on the 1e6 integer grid (`div`/`//`
+    truncation on non-negatives — engine-identical). Composition of
+    two fully-oracled pipelines; no new approximation is introduced
+    by the evaluation itself."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_lsh = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lsh"))
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(n_lsh, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "cast((coalesce(n_hit, 0) * 1000000) div n_exact as bigint)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM q, embeddings e WHERE e.vec_id != q.query_id
+  ) WHERE rank <= {K}
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+  ) WHERE rank <= {K}
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN lsh l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  GROUP BY e.query_id
+),
+nl AS (SELECT query_id, COUNT(*) AS n_lsh FROM lsh GROUP BY query_id),
+ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT ne.query_id,
+       CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+       CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(hits.n_hit, 0) * 1000000) // ne.n_exact AS BIGINT) AS recall_ppm
+FROM ne
+LEFT JOIN nl ON ne.query_id = nl.query_id
+LEFT JOIN hits ON ne.query_id = hits.query_id
+ORDER BY ne.query_id
+"""
+
+
 DEDUP_EMBEDDING_SQL = f"""
 WITH b AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings

@@ -89,14 +89,20 @@ def main() -> None:
 
     results = {}
     for name in qnames:
-        # Warm THIS query once (untimed) before either measurement:
-        # first execution pays Python-worker spinup / codec imports /
-        # shuffle-service init that later runs don't, and a cold sf0.1
-        # vs warm sf1 comparison reads as a bogus sub-1.0 ratio
-        # (round-5 SCALING table artifact).
-        qs[name](spark, BASE).count()
         times = {}
         for label, d in (("sf0.1", BASE), ("sf1", SCALED)):
+            # Warm THIS (query, scale) once untimed before measuring:
+            # a first execution pays Python-worker spinup / codec
+            # imports / per-sf_dir memoized-cache builds that later
+            # runs don't. Warming only the BASE side (the pre-round-7
+            # harness) produced two artifacts: bogus sub-1.0 ratios
+            # (cold sf0.1 vs warm sf1 — the round-5 table) AND
+            # inflated ratios for queries with per-(app, sf_dir)
+            # signature caches, whose sf1 run was paying the cache
+            # build the sf0.1 timed run had already amortized (the
+            # round-6 threshold-sweep 4.3). Symmetric warming measures
+            # steady-state at both scales.
+            qs[name](spark, d).count()
             t0 = time.perf_counter()
             qs[name](spark, d).count()
             times[label] = round(time.perf_counter() - t0, 2)

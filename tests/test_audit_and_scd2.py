@@ -125,6 +125,10 @@ CARTESIAN_ALLOWED = {
     # per-constraint pairs of 1-ROW aggregates (total × orphan count)
     # joined into the report rows (operators/validate.py).
     "star_integrity_audit",
+    # composes the exact + LSH top-k legs, each of which scores a
+    # broadcast query set against the corpus — the documented
+    # ann_cosine_topk shape twice (similarity/gate.py).
+    "ann_recall_eval",
 }
 
 

@@ -50,11 +50,15 @@ def test_decode_real_sniffs_jpeg():
     assert _psnr(rgb, out) >= 30.0
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_rejects_malformed_progressive():
+    """A baseline stream whose SOF is flipped to SOF2 is structurally
+    illegal progressive (its single scan spans 0..63 interleaved,
+    which T.81 forbids for SOF2) — the progressive decoder must raise,
+    not misdecode."""
     enc = bytearray(encode_jpeg(8, 8, _gradient(8, 8)))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(bytes(enc))
 
 
@@ -126,3 +130,66 @@ def test_ewma_weights_sum_and_bounds(vals):
 
             grid = math.floor(num / den * 1_000_000 + 0.5) / 1_000_000
             assert abs(grid - wv) < 2e-6
+
+
+# ---- progressive (SOF2) ----
+
+from data_frame_demo_etl_spark.multimodal.jpeg import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("dims", [(8, 8), (16, 16), (21, 13), (33, 17)])
+def test_progressive_matches_baseline_exactly(sub, dims):
+    """The strong cross-codec property: progressive and baseline
+    encodings of the same pixels at the same quality hold IDENTICAL
+    quantized coefficients, so they must decode to byte-identical
+    pixels — any divergence is a bug in one of the two entropy
+    layouts."""
+    w, h = dims
+    rgb = _gradient(w, h)
+    base = decode_jpeg(encode_jpeg(w, h, rgb, quality=90, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb, quality=90, subsample=sub))
+    assert base == prog
+
+
+def test_progressive_is_sof2_and_multiscan():
+    enc = encode_jpeg_progressive(16, 16, _gradient(16, 16))
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert enc.count(b"\xff\xda") == 10  # the 10-scan script
+
+
+def test_decode_real_sniffs_progressive_jpeg():
+    rgb = _gradient(8, 8)
+    w, h, c, out = decode_real(encode_jpeg_progressive(8, 8, rgb, quality=90))
+    assert (w, h, c) == (8, 8, 3)
+    assert _psnr(rgb, out) >= 30.0
+
+
+def test_progressive_flat_black_all_eob_paths():
+    """All-zero AC coefficients: every scan is pure EOB runs; the
+    refinement scans then read correction bits for nothing."""
+    rgb = bytes(16 * 16 * 3)
+    base = decode_jpeg(encode_jpeg(16, 16, rgb, quality=85))
+    prog = decode_jpeg(encode_jpeg_progressive(16, 16, rgb, quality=85))
+    assert base == prog
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sub=st.sampled_from(["444", "420"]),
+    quality=st.integers(min_value=20, max_value=95),
+)
+def test_progressive_equals_baseline_property(w, h, seed, sub, quality):
+    """ANY size / content / quality: progressive decode == baseline
+    decode, bit for bit (high-frequency noise exercises ZRL runs, EOB
+    runs, and the AC-refinement correction-bit interleave)."""
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, rgb, quality=quality, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb, quality=quality, subsample=sub))
+    assert base == prog

@@ -49,6 +49,15 @@ CARTESIAN_ALLOWED = {
     # OR-membership join of hashes into their pairs — both bounded by
     # the type domain, never by users (analytics/cms.py overlap gate).
     "events_kmv_overlap",
+    # ≤9-digit count table × a 1-row total aggregate — the q22
+    # bounded scalar-subquery shape (analytics/quality_audit.py).
+    "orders_benford_audit",
+    # crossJoin(broadcast(1-row min-count aggregate)) for the
+    # temperature thresholds (operators/gate.py) — bounded scalar.
+    "corpus_temperature_mix",
+    # per-check 1-row count aggregates crossJoined into the audit
+    # report rows (operators/validate.py) — bounded scalars.
+    "star_integrity_audit",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.
