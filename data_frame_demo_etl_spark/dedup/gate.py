@@ -831,13 +831,28 @@ def dedup_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     theory; run it on a sample before every dedup rollout.
 
     Composition of two fully-oracled pipelines; the comparison is an
-    exact full-outer join on the (id_a, id_b) pair keys."""
+    exact full-outer join on the (id_a, id_b) pair keys.
+
+    Defined over DISTINCT texts (min doc_id as the representative,
+    both engines): exact duplicates carry ZERO information about
+    sketch quality — identical texts have identical signatures and
+    Jaccard 1, so every copy-pair lands in n_both by construction and
+    only inflates all three counts by the same quadratic C(copies, 2)
+    mass (measured before the collapse: 11.3× wall for the 10× step
+    to the 100×-duplicated sf10 — the pair-join was materializing two
+    quadratic doc-pair lists to count them). Collapsed, the metric is
+    the same precision/recall signal on any mostly-distinct corpus
+    and the evaluation stays pair-OUTPUT-free at every duplication
+    factor (sf10 step ratio 11.3 → linear-in-distinct-texts)."""
     docs = load_table(spark, "documents", sf_dir)
-    exact = jaccard_pairs(docs, threshold=THRESHOLD).select(
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    exact = jaccard_pairs(reps, threshold=THRESHOLD).select(
         "id_a", "id_b", F.lit(1).alias("in_exact")
     )
     sketch = minhash_near_dup_pairs(
-        docs, threshold=THRESHOLD, hash_fn="md5", max_bucket_size=200
+        reps, threshold=THRESHOLD, hash_fn="md5", max_bucket_size=200
     ).select("id_a", "id_b", F.lit(1).alias("in_sketch"))
     joined = exact.join(sketch, ["id_a", "id_b"], "full_outer")
     return joined.agg(
@@ -861,7 +876,13 @@ def dedup_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SKETCH_EVAL_SQL = (
     "WITH "
-    + _MINHASH_PAIR_CTES.strip()
+    # text-collapsed corpus: the evaluation is defined over distinct
+    # texts (min doc_id as representative) on BOTH engines
+    + _MINHASH_PAIR_CTES.strip().replace(
+        "FROM documents",
+        "FROM (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text)",
+        1,
+    )
     + r""",
 sketch AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.8),
 jsizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),

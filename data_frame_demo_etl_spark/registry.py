@@ -717,6 +717,17 @@ register(
     sim_gate.ANN_RECALL_EVAL_SQL,
 )
 
+from .dedup.winnowing import (  # noqa: E402
+    DOCS_WINNOWING_MATCHES_SQL,
+    docs_winnowing_matches,
+)
+
+register(
+    "docs_winnowing_matches",
+    docs_winnowing_matches,
+    DOCS_WINNOWING_MATCHES_SQL,
+)
+
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-7 window (TIER_ROTATION.md "Round-7 window draft"). Rotation

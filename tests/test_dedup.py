@@ -552,3 +552,56 @@ def test_split_leakage_fast_exact_past_the_bucket_cap(spark, tmp_path):
         for r in split_leakage_check_doclevel(spark, str(tmp_path)).collect()
     )
     assert slow_total < want_total  # the cap dropped pair mass
+
+
+def test_winnowing_detects_shifted_copy(spark):
+    """The winnowing guarantee: a shared substring ≥ w+k−1 chars is
+    detected regardless of alignment — a copy embedded at a different
+    offset (which defeats fixed non-overlapping span dedup) still
+    shares fingerprints."""
+    from data_frame_demo_etl_spark.dedup.winnowing import winnow_matches
+
+    block = "the quick brown fox jumps over the lazy dog near the old bridge"
+    rows = [
+        (1, block),
+        (2, "prefix padding words here " + block + " and a suffix"),
+        (3, "completely different text with no overlap whatsoever in content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in winnow_matches(df).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnowing_short_and_subwindow_docs(spark):
+    """Shorter than k chars → no fingerprints; ≥k chars but fewer
+    than w k-grams → exactly one (the global minimum)."""
+    from data_frame_demo_etl_spark.dedup.winnowing import (
+        K_CHARS,
+        winnow_fingerprints,
+    )
+
+    rows = [(1, "tiny"), (2, "x" * K_CHARS), (3, "y" * (K_CHARS + 3))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    per_doc = {
+        r.doc: r.n for r in winnow_fingerprints(df).groupBy("doc").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert 1 not in per_doc          # too short: no k-gram at all
+    assert per_doc[2] == 1           # single k-gram: one fingerprint
+    assert per_doc[3] == 1           # 4 identical k-grams: one distinct min
+
+
+def test_winnowing_hot_fingerprint_cap(spark):
+    """A boilerplate block shared by more docs than the cap never
+    enters the pair join: 60 docs sharing one block (cap 50) produce
+    zero pairs, while two docs sharing a rare block still match."""
+    from data_frame_demo_etl_spark.dedup.winnowing import winnow_matches
+
+    boiler = "this footer appears on absolutely every page of the site"
+    rare = "a genuinely distinctive sentence that only two documents share"
+    rows = [(i, f"unique lead {i} " + boiler) for i in range(60)]
+    rows += [(100, rare + " alpha"), (101, rare + " beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in winnow_matches(df).collect()}
+    assert got == {(100, 101)}

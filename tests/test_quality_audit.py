@@ -317,9 +317,13 @@ def test_gini_extremes(spark):
     assert r2.n_keys == 4 and r2.gini_micro > 600_000
 
 
-def test_dedup_sketch_eval_perfect_on_identical_docs(spark, tmp_path):
-    """Identical texts: the sketch finds exactly the exact pairs →
-    precision = recall = 1.0 (1e6 ppm)."""
+def test_dedup_sketch_eval_collapses_exact_duplicates(spark, tmp_path):
+    """The r7 definition: the evaluation runs over DISTINCT texts —
+    exact copies contribute nothing (identical signatures and Jaccard
+    1 land in n_both by construction, pure count inflation), so the
+    copy-pairs (1,2)/(3,4) are excluded while the genuine near-dup
+    value pair (base vs base+tail) is still scored by both
+    pipelines."""
     from data_frame_demo_etl_spark.dedup.gate import dedup_sketch_eval
 
     base = (
@@ -334,11 +338,13 @@ def test_dedup_sketch_eval_perfect_on_identical_docs(spark, tmp_path):
     )
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = dedup_sketch_eval(spark, str(tmp_path)).collect()[0]
-    assert out.n_exact >= 2  # (1,2) and (3,4) at least
+    # only distinct-text pairs count: (base, base+tail) is the one
+    # exact near-dup; the copy-pairs are collapsed away
+    assert out.n_exact == 1
     assert out.n_both <= min(out.n_exact, out.n_sketch)
     assert out.precision_ppm <= 1_000_000 and out.recall_ppm <= 1_000_000
-    # identical-doc pairs are found by both pipelines
-    assert out.recall_ppm >= 500_000
+    # the genuine near-dup pair is found by the sketch too
+    assert out.recall_ppm == 1_000_000
 
 
 def test_keyed_prefix_raises_on_high_cardinality(spark, monkeypatch):
