@@ -728,6 +728,12 @@ register(
     DOCS_WINNOWING_MATCHES_SQL,
 )
 
+register(
+    "events_view_purchase_interval_join",
+    streaming_events.events_view_purchase_interval_join,
+    streaming_events.EVENTS_VIEW_PURCHASE_INTERVAL_JOIN_SQL,
+)
+
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-7 window (TIER_ROTATION.md "Round-7 window draft"). Rotation

@@ -431,3 +431,82 @@ FROM sessions
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+
+def stream_stream_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST11: stream-stream INNER join with event-time interval bounds
+    — every (view, purchase) pair of the same user where the purchase
+    lands within ``max_delay`` after the view. The genuine two-stream
+    join (not the stream-static enrichment of ST6): both sides carry
+    watermarks, and the range predicate is what lets Spark BOUND each
+    side's join state — a view can be dropped from state once the
+    purchase-side watermark passes view_ts + max_delay, a purchase
+    once the view-side watermark passes purchase_ts. Without the time
+    bound the state is unbounded and Spark (correctly) refuses
+    append-mode output.
+
+    Works identically on batch inputs (the watermark is a no-op
+    there), which is what the oracle-backed batch gate below runs."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("__p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("__p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
+
+
+def events_view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the batch shape of the ST11 stream-stream interval join —
+    all (view, purchase) pairs of one user within 30 minutes, plus the
+    integer-seconds delay. The streaming form of the SAME function is
+    pinned to this batch result in pytest (file stream → memory sink,
+    availableNow)."""
+    from ..sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    out = stream_stream_interval_join(views, purchases)
+    return out.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts"))
+        .alias("delay_us")
+        .cast("long"),
+    ).orderBy("user_id", "view_id", "purchase_id")
+
+
+EVENTS_VIEW_PURCHASE_INTERVAL_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       CAST(EPOCH_US(p.ts) - EPOCH_US(v.ts) AS BIGINT) AS delay_us
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY v.user_id, view_id, purchase_id
+"""

@@ -347,3 +347,40 @@ def test_session_window_works_in_stream(spark, tmp_path):
     )
     want = {(r.user_id, r.s, r.n) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """ST11: the genuine two-stream join (both sides watermarked,
+    event-time range bounds) through a real stream must produce
+    exactly the batch pairs."""
+    from data_frame_demo_etl_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(views, purchases)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    want = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in stream_stream_interval_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
