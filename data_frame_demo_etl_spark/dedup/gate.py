@@ -532,12 +532,19 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is identical) share the materialization; the SESSION owner
     # releases caches between logical queries (see
     # session.release_all_caches).
-    sig = portable_signatures(docs).select(
+    # Persist the BARE signature node (doc, sig) and derive the
+    # projection after: the sweep gate persists the identical bare
+    # plan, so Spark's canonicalized-plan cache matching shares ONE
+    # signature materialization across both gates in a session
+    # (projected persists differ per gate and never match — measured
+    # ~2.4s duplicated build per gate before this).
+    raw_sig = portable_signatures(docs).persist()
+    sig = raw_sig.select(
         "doc",
         "sig",
         F.md5(F.concat_ws("", "sig")).alias("k"),
         split.alias("split"),
-    ).persist()
+    )
     groups = (
         sig.groupBy("k", "split")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -707,9 +714,10 @@ def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .minhash import band_buckets, cap_hot_buckets, portable_signatures
 
     docs = load_table(spark, "documents", sf_dir)
-    sig = portable_signatures(docs).select(
-        "doc", "sig", F.md5(F.concat_ws("", "sig")).alias("k")
-    ).persist()
+    # bare-node persist: shares one signature materialization with
+    # split_leakage_check in the same session (see that gate's note)
+    raw_sig = portable_signatures(docs).persist()
+    sig = raw_sig.select("doc", "sig", F.md5(F.concat_ws("", "sig")).alias("k"))
     groups = sig.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     snodes = sig.select(F.col("k").alias("doc"), "sig").dropDuplicates(["doc"])
 

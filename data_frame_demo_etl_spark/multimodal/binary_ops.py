@@ -854,14 +854,25 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
     encoding's pixels (identical quantized coefficients, different
     entropy layout). Closes the last named codec gap (the r6 round's
     'only progressive JPEG remains'). Impl: multimodal/jpeg.py
-    encode_jpeg_progressive/_decode_progressive (T.81 Annex G)."""
+    encode_jpeg_progressive/_decode_progressive (T.81 Annex G).
+
+    Runs on the doc_id % 10 < 2 quintile-of-two (one even + one odd
+    residue, so BOTH subsample paths keep running): each document is
+    an independent fixture (encode two ways, decode, compare — four
+    full entropy passes of per-row Python), so corpus size adds codec
+    work without adding evidence. The oracle applies the same
+    predicate."""
     import numpy as np
     import pandas as pd
 
     from ..sources.catalog import load_table
     from .jpeg import encode_jpeg, encode_jpeg_progressive
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 < 2)
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -909,6 +920,7 @@ SELECT doc_id AS asset_id,
        TRUE AS psnr_ok,
        TRUE AS matches_baseline
 FROM documents
+WHERE doc_id % 10 < 2
 ORDER BY asset_id
 """
 
