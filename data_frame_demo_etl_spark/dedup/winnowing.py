@@ -125,9 +125,18 @@ def docs_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: winnowing fingerprint matching over `documents` — pairs
     sharing ≥ 3 fingerprints with the hot-fingerprint cap. Exercises
     the full local-fingerprint pipeline (k-gram hashing, window-min
-    selection, capped posting-list join) end to end."""
+    selection, capped posting-list join) end to end.
+
+    Defined over DISTINCT texts (min doc_id as representative, both
+    engines — the dedup_sketch_eval convention): exact copies share
+    every fingerprint by construction, so copy-pairs are pure
+    quadratic inflation of the match report; the local-similarity
+    signal lives entirely in the distinct-text pairs."""
     docs = load_table(spark, "documents", sf_dir)
-    return winnow_matches(docs).orderBy("id_a", "id_b")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    return winnow_matches(reps).orderBy("id_a", "id_b")
 
 
 DOCS_WINNOWING_MATCHES_SQL = f"""
@@ -135,7 +144,7 @@ WITH kg AS (
   SELECT doc_id AS doc,
          CAST(CONCAT('0x', SUBSTR(MD5(SUBSTR(text, i, {K_CHARS})), 1, 8)) AS BIGINT) AS h,
          i
-  FROM documents,
+  FROM (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
        LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(text) - {K_CHARS - 1}, 0))) AS i)
 ),
 harr AS (
