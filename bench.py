@@ -100,6 +100,9 @@ HEADLINE = [
     "lineitem_supplier_gini",
     # round-7 additions (appended, same comparability rule)
     "multimodal_decode_jpeg_progressive",
+    "ann_recall_eval",
+    "docs_winnowing_matches",
+    "events_view_purchase_interval_join",
 ]
 
 

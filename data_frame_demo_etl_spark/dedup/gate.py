@@ -853,8 +853,16 @@ def dedup_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the evaluation stays pair-OUTPUT-free at every duplication
     factor (sf10 step ratio 11.3 → linear-in-distinct-texts)."""
     docs = load_table(spark, "documents", sf_dir)
-    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id", "text"
+    # repartition after the collapse: AQE coalesces the small
+    # post-groupBy shuffle to ~1 partition by byte size, which would
+    # serialize the downstream per-row shingle/signature compute
+    # (the docs_winnowing_matches lesson — see that gate's note)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    reps = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
     )
     exact = jaccard_pairs(reps, threshold=THRESHOLD).select(
         "id_a", "id_b", F.lit(1).alias("in_exact")
