@@ -605,3 +605,41 @@ def test_winnowing_hot_fingerprint_cap(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.id_a, r.id_b) for r in winnow_matches(df).collect()}
     assert got == {(100, 101)}
+
+
+def test_winnowing_unicode_parity_with_oracle(spark, tmp_path):
+    """The Karp–Rabin fingerprint must agree bit-for-bit across
+    engines on NON-ASCII text too (the shipped corpus is ASCII-only,
+    so the contract sweep never exercises codepoints > 127): numpy
+    reads codepoints via utf-32, DuckDB via ASCII() — both must see
+    the same integers, and SUBSTR must be character-based on both."""
+    import duckdb
+
+    from data_frame_demo_etl_spark.dedup.winnowing import (
+        DOCS_WINNOWING_MATCHES_SQL,
+        winnow_matches,
+    )
+
+    base = "überraschungsmoment für die öffentlichkeit—æøå çğş 你好世界再见"
+    rows = [
+        (1, base + " erste fassung mit ein paar extra worten am ende"),
+        (2, "ganz anderer anfang " + base + " und ein anderes ende"),
+        (3, "völlig anderer inhalt ohne überlappung irgendwelcher art hier"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "de", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    got = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_matches(
+            spark.read.parquet(p).select("doc_id", "text")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = set(map(tuple, con.execute(DOCS_WINNOWING_MATCHES_SQL).fetchall()))
+    assert got == want
+    assert any(a == 1 and b == 2 for a, b, _ in got)  # shared block found
