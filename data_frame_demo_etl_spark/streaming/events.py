@@ -438,6 +438,7 @@ def stream_stream_interval_join(
     purchases: DataFrame,
     max_delay: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """ST11: stream-stream INNER join with event-time interval bounds
     — every (view, purchase) pair of the same user where the purchase
@@ -450,8 +451,19 @@ def stream_stream_interval_join(
     bound the state is unbounded and Spark (correctly) refuses
     append-mode output.
 
+    ``how="left_outer"`` keeps views with NO purchase in the window
+    (purchase columns null) — conversion attribution with explicit
+    non-converters. Streaming left-outer emission is WATERMARK-GATED:
+    an unmatched view emits only once the watermark passes
+    view_ts + max_delay (before that a matching purchase could still
+    arrive), so at query stop the trailing views inside the final
+    watermark horizon remain unemitted — the exact expectation the
+    parity test encodes (batch nulls restricted to
+    view_ts + max_delay < max_event_ts − watermark_delay).
+
     Works identically on batch inputs (the watermark is a no-op
-    there), which is what the oracle-backed batch gate below runs."""
+    there; left_outer is a plain left join), which is what the
+    oracle-backed batch gate below runs."""
     v = views.select(
         F.col("user_id"),
         F.col("event_id").alias("view_id"),
@@ -471,7 +483,7 @@ def stream_stream_interval_join(
         (F.col("user_id") == F.col("__p_user"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
-        "inner",
+        how,
     ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
 
 

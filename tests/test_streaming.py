@@ -384,3 +384,64 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_join_watermark_gated(spark, sf_dir):
+    """Left-outer stream-stream join: matched pairs emit immediately;
+    an UNMATCHED view emits its null row only once the watermark
+    passes view_ts + max_delay (a purchase could still arrive before
+    that). At query stop the final watermark is
+    max(event_ts) − watermark_delay, so the exact expectation is:
+    stream output == batch left join, minus the null rows of views
+    with view_ts + max_delay ≥ final watermark. The final watermark is
+    the MIN over the two watermark nodes (each side computes its own
+    from the events flowing through it — max view_ts vs max
+    purchase_ts), which is Spark's multiple-watermark policy
+    default."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_left").collect()
+    }
+
+    ev = load_table(spark, "events", sf_dir)
+    batch = stream_stream_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    ).collect()
+    max_view = ev.filter(F.col("event_type") == "view").agg(F.max("ts")).collect()[0][0]
+    max_purch = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    wm_final = min(max_view, max_purch) - dt.timedelta(minutes=10)
+    horizon = wm_final - dt.timedelta(minutes=30)  # view_ts + 30m < wm
+    want = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in batch
+        if r.purchase_id is not None or r.view_ts < horizon
+    }
+    # matched pairs are identical; only horizon-gated nulls differ
+    got_matched = {t for t in got if t[2] is not None}
+    want_matched = {t for t in want if t[2] is not None}
+    assert got_matched == want_matched and len(got_matched) > 0
+    got_nulls = {t for t in got if t[2] is None}
+    want_nulls = {t for t in want if t[2] is None}
+    assert got_nulls == want_nulls and len(want_nulls) > 0
