@@ -103,6 +103,7 @@ HEADLINE = [
     "ann_recall_eval",
     "docs_winnowing_matches",
     "events_view_purchase_interval_join",
+    "events_parquet_pruning_audit",
 ]
 
 

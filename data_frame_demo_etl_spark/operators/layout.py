@@ -168,3 +168,138 @@ ORDER BY z_cell
 
 
 EVENTS_ZORDER_STATS_SQL = _zorder_sql()
+
+
+# ───────────── parquet row-group pruning audit (r7) ─────────────
+
+
+def parquet_rowgroup_stats(spark, files: list[str], column: str):
+    """Distributed parquet-footer audit: per (file, row_group) the row
+    count and the footer min/max statistics of ``column`` — the table
+    a layout decision is graded on (are the per-row-group ranges tight
+    enough that a range predicate prunes?). The FILE LIST is the
+    driver-side input (at warehouse scale it comes from the table
+    manifest/catalog, which is already driver-visible); the footer
+    READS are distributed — one pyarrow metadata fetch per file inside
+    mapInPandas, no row data touched (footers are KBs regardless of
+    file size)."""
+    import os
+
+    import pandas as pd
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                names = md.schema.names
+                ci = names.index(column)
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    rows.append(
+                        {
+                            "fname": os.path.basename(path),
+                            "row_group": rg,
+                            "n_rows": md.row_group(rg).num_rows,
+                            "min_v": int(st.min),
+                            "max_v": int(st.max),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["fname", "row_group", "n_rows", "min_v", "max_v"]
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        max(1, min(len(files), 32))
+    )
+    return fdf.mapInPandas(
+        read_footers,
+        "fname string, row_group int, n_rows long, min_v long, max_v long",
+    )
+
+
+def events_parquet_pruning_audit(spark, sf_dir: str):
+    """Gate: write a deterministically range-SLICED copy of `events`
+    (slice = event_id div step, step = ceil((max_id+1)/8) — one file
+    and one row group per slice), read every row group's FOOTER
+    statistics back with distributed pyarrow, and flag which groups a
+    ~2%-selectivity `event_id BETWEEN lo AND hi` predicate prunes.
+
+    The oracle never touches the files: it derives the SAME numbers
+    relationally from the events table (per-slice count/min/max and
+    the prune flag), so the gate is a footer-vs-data INTEGRITY
+    contract — the audit passes only if the physical footers say
+    exactly what the data says. That is the number a 100 TB layout is
+    judged on: a scan that reads all row groups for a 2% range
+    predicate has the wrong layout, whatever the query plan claims.
+    Fixture materialized once per sf_dir (marker file); slices are
+    integer arithmetic, so the layout is bit-reproducible (unlike
+    repartitionByRange, whose sampled boundaries are not a contract).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+    from ..sources.gate import _tmp_dir
+
+    out = _tmp_dir(sf_dir, "pruning_audit") / "events_sliced"
+    marker = _tmp_dir(sf_dir, "pruning_audit") / "_DONE"
+    ev = load_table(spark, "events", sf_dir).select("event_id")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    step = (int(max_id) + 1 + 7) // 8
+    if not marker.exists():
+        sliced = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "value", (F.expr(f"event_id div {step}")).alias("slice")
+        )
+        (
+            sliced.repartition(8, "slice")
+            .sortWithinPartitions("slice", "event_id")
+            .write.mode("overwrite")
+            .partitionBy("slice")
+            .parquet(str(out))
+        )
+        marker.touch()
+    files = sorted(
+        os.path.join(root, f)
+        for root, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    stats = parquet_rowgroup_stats(spark, files, "event_id")
+    n_total = int(max_id) + 1
+    lo, hi = n_total // 2, n_total // 2 + max(n_total // 50, 1)  # ~2% range
+    return (
+        stats.select(
+            F.expr(f"min_v div {step}").cast("int").alias("slice"),
+            "n_rows",
+            "min_v",
+            "max_v",
+            ((F.col("max_v") < F.lit(lo)) | (F.col("min_v") > F.lit(hi))).alias(
+                "pruned"
+            ),
+        )
+        .orderBy("slice")
+    )
+
+
+EVENTS_PARQUET_PRUNING_AUDIT_SQL = """
+WITH n AS (SELECT MAX(event_id) + 1 AS total FROM events),
+step AS (SELECT (total + 7) // 8 AS s FROM n),
+rg AS (
+  SELECT event_id // (SELECT s FROM step) AS slice,
+         COUNT(*) AS n_rows,
+         MIN(event_id) AS min_v,
+         MAX(event_id) AS max_v
+  FROM events GROUP BY 1
+)
+SELECT CAST(slice AS INTEGER) AS slice,
+       CAST(n_rows AS BIGINT) AS n_rows, min_v, max_v,
+       (max_v < (SELECT total // 2 FROM n)
+        OR min_v > (SELECT total // 2 + GREATEST(total // 50, 1) FROM n)) AS pruned
+FROM rg
+ORDER BY slice
+"""

@@ -734,6 +734,17 @@ register(
     streaming_events.EVENTS_VIEW_PURCHASE_INTERVAL_JOIN_SQL,
 )
 
+from .operators.layout import (  # noqa: E402
+    EVENTS_PARQUET_PRUNING_AUDIT_SQL,
+    events_parquet_pruning_audit,
+)
+
+register(
+    "events_parquet_pruning_audit",
+    events_parquet_pruning_audit,
+    EVENTS_PARQUET_PRUNING_AUDIT_SQL,
+)
+
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-7 window (TIER_ROTATION.md "Round-7 window draft"). Rotation

@@ -105,3 +105,20 @@ def test_zorder_cluster_bounds_both_columns(spark, tmp_path):
     # still far below the 63-wide span a 1-D sort leaves on y.
     for r in spans:
         assert r.sx <= 32 and r.sy <= 32, (r.pid, r.sx, r.sy)
+
+
+def test_parquet_pruning_audit_prunes_most_slices(spark, sf_dir):
+    """The ~2% range predicate spans at most 2 of the 8 deterministic
+    slices, so at least 6 row groups must be flagged pruned — and the
+    footer stats must tile the id space exactly (no gaps/overlap)."""
+    from data_frame_demo_etl_spark.operators.layout import (
+        events_parquet_pruning_audit,
+    )
+
+    rows = events_parquet_pruning_audit(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert sum(1 for r in rows if r.pruned) >= 6
+    spans = sorted((r.min_v, r.max_v) for r in rows)
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert b1 < a2  # disjoint, ordered
+    assert sum(r.n_rows for r in rows) == sum(b - a + 1 for a, b in spans)
