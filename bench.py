@@ -153,17 +153,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    # The driver captures only the last 2000 chars of stdout and parses the
+    # embedded JSON (BENCH_r07.json overflowed this and recorded
+    # parsed:null), so stdout gets exactly ONE compact-separated line with
+    # 2-decimal per-query values — ~1.9 KB at 65 queries, asserted under
+    # the capture window. Full 3-decimal timings go to bench_full.json.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    compact = dict(payload, queries={k: round(v, 2) for k, v in timings.items()})
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1990, f"bench summary line {len(line)}B overflows driver tail capture"
+    print(line)
     spark.stop()
 
 

@@ -61,14 +61,19 @@ def jaccard_pairs(
     When duplication is negligible the collapse buys nothing and
     costs one md5-keyed shuffle plus two expansion joins, so it is
     SKIPPED after one cheap count/count-distinct agg. The skip bound
-    is worst-case, not heuristic: with dup = n_rows − n_distinct_texts
-    excess copies, the uncollapsed prefix filter generates at most
-    C(dup+1, 2) extra identical-prefix candidates even if every copy
-    concentrates on ONE text, so when C(dup+1, 2) ≤ n_rows the
-    quadratic term is bounded by the corpus scan we are already paying
-    and the direct path is safe (a mostly-distinct corpus — the common
-    case outside dedup-stress harnesses). Heavier duplication takes
-    the collapsed path that keeps the 10×-duplicated corpus linear."""
+    is a conservative heuristic, not a worst case: with
+    dup = n_rows − n_distinct_texts excess copies, C(dup+1, 2) counts
+    the copy-copy candidate pairs even if every copy concentrates on
+    ONE text, but d copies of a text ALSO multiply that text's
+    candidates against each of its prefix-neighbors (d × neighbors
+    extra verify rows, unbounded by C(dup+1, 2) when the duplicated
+    text is prefix-dense). When C(dup+1, 2) ≤ n_rows the copy-copy
+    term is bounded by the corpus scan we are already paying and —
+    because dup ≤ O(√n_rows) then caps the neighbor multiplier at
+    √n_rows — the direct path is safe for the mostly-distinct corpora
+    it targets. Heavier duplication takes the collapsed path that
+    keeps the 10×-duplicated corpus linear. Results are identical on
+    both paths; the bound affects performance only."""
     # ≥1 shingle ⟺ ≥ n words: the word-count test avoids building
     # the shingle strings just to count them.
     from .shingling import word_array

@@ -1075,6 +1075,22 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, bytes]:
                 scan_comps.append(comp)
             ss, se, ahal = payload[1 + ns * 2 : 4 + ns * 2]
             ah, al = ahal >> 4, ahal & 0x0F
+            # Table presence is validated HERE (contract: malformed
+            # streams raise ValueError naming the constraint) — a scan
+            # referencing an undefined table would otherwise surface as
+            # a TypeError deep inside _decode_symbol.
+            for si, comp in enumerate(scan_comps):
+                tables = payload[2 + si * 2]
+                # DC table needed by first DC scans; refinement DC scans
+                # (ah > 0) and AC scans read raw bits / the AC table.
+                if ss == 0 and ah == 0 and comp["dc"] is None:
+                    raise ValueError(
+                        f"missing DC Huffman table {tables >> 4} for scan component {comp['id']}"
+                    )
+                if ss != 0 and comp["ac"] is None:
+                    raise ValueError(
+                        f"missing AC Huffman table {tables & 0x0F} for scan component {comp['id']}"
+                    )
             if ss == 0 and se == 0:
                 pos = _prog_scan_dc(
                     data, pos, scan_comps, ah, al, restart_interval, mcus_x, mcus_y
@@ -1090,9 +1106,13 @@ def _decode_progressive(data: bytes) -> tuple[int, int, int, bytes]:
     if not comps or width == 0:
         raise ValueError("progressive JPEG missing SOF2/SOS")
 
-    # dequantize + IDCT every component at once
+    # dequantize + IDCT every component at once (DQT may legally arrive
+    # in any segment before EOI, so quant-table presence is checked here,
+    # not at SOS — contract: ValueError naming the constraint)
     out_planes = []
     for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quant table {c['tq']} for component {c['id']}")
         q = qtables[c["tq"]].astype(np.float64)
         qzz = q.reshape(64)[_ZIGZAG]  # quant steps in zigzag order
         pbh, pbw = c["coef"].shape[:2]

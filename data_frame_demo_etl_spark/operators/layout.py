@@ -199,6 +199,13 @@ def parquet_rowgroup_stats(spark, files: list[str], column: str):
                 for rg in range(md.num_row_groups):
                     col = md.row_group(rg).column(ci)
                     st = col.statistics
+                    if st is None or st.min is None or st.max is None:
+                        raise ValueError(
+                            f"parquet footer has no min/max statistics for "
+                            f"column {column!r} in {os.path.basename(path)} "
+                            f"row-group {rg} — write with statistics enabled "
+                            f"or audit a different column"
+                        )
                     rows.append(
                         {
                             "fname": os.path.basename(path),
@@ -224,9 +231,10 @@ def parquet_rowgroup_stats(spark, files: list[str], column: str):
 def events_parquet_pruning_audit(spark, sf_dir: str):
     """Gate: write a deterministically range-SLICED copy of `events`
     (slice = event_id div step, step = ceil((max_id+1)/8) — one file
-    and one row group per slice), read every row group's FOOTER
-    statistics back with distributed pyarrow, and flag which groups a
-    ~2%-selectivity `event_id BETWEEN lo AND hi` predicate prunes.
+    per slice, any number of row groups), read every row group's FOOTER
+    statistics back with distributed pyarrow, aggregate them to a
+    per-slice envelope, and flag which slices a ~2%-selectivity
+    `event_id BETWEEN lo AND hi` predicate prunes entirely.
 
     The oracle never touches the files: it derives the SAME numbers
     relationally from the events table (per-slice count/min/max and
@@ -272,9 +280,23 @@ def events_parquet_pruning_audit(spark, sf_dir: str):
     stats = parquet_rowgroup_stats(spark, files, "event_id")
     n_total = int(max_id) + 1
     lo, hi = n_total // 2, n_total // 2 + max(n_total // 50, 1)  # ~2% range
+    # Footer stats are aggregated PER SLICE before comparing: the writer
+    # splits a slice's file into multiple row groups once it crosses
+    # parquet.block.size (~128 MB), so one-row-per-row-group would drift
+    # from the oracle's one-row-per-slice contract exactly when the data
+    # gets big — the 100 TB case the audit exists for. The per-slice
+    # envelope (sum of rows, min of mins, max of maxes) is
+    # row-group-count-invariant, and the prune flag on the envelope equals
+    # the all-row-groups-pruned flag because slices are contiguous ranges.
     return (
-        stats.select(
-            F.expr(f"min_v div {step}").cast("int").alias("slice"),
+        stats.groupBy(F.expr(f"min_v div {step}").cast("int").alias("slice"))
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .select(
+            "slice",
             "n_rows",
             "min_v",
             "max_v",

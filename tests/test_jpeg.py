@@ -67,6 +67,53 @@ def test_jpeg_rejects_non_jpeg():
         decode_jpeg(b"not a jpeg at all")
 
 
+def _strip_segments(data: bytes, marker_byte: int) -> bytes:
+    """Remove every FFxx segment with the given second byte (walks the
+    segment structure, stops at SOS — entropy data is left intact)."""
+    out = bytearray(data[:2])  # SOI
+    pos = 2
+    while pos < len(data) - 1:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        if m == 0xD9:  # EOI
+            out += data[pos:]
+            break
+        seg_len = 2 + int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if m == 0xDA:  # SOS: header + entropy bytes until next marker
+            end = pos + seg_len
+            while end < len(data) - 1 and not (
+                data[end] == 0xFF and data[end + 1] not in (0x00, *range(0xD0, 0xD8))
+            ):
+                end += 1
+            seg_len = end - pos
+        if m != marker_byte:
+            out += data[pos : pos + seg_len]
+        pos += seg_len
+    return bytes(out)
+
+
+def test_progressive_missing_huffman_table_raises_named_valueerror():
+    from data_frame_demo_etl_spark.multimodal.jpeg import (
+        _decode_progressive,
+        encode_jpeg_progressive,
+    )
+
+    enc = encode_jpeg_progressive(8, 8, _gradient(8, 8))
+    with pytest.raises(ValueError, match="missing DC Huffman table"):
+        _decode_progressive(_strip_segments(enc, 0xC4))
+
+
+def test_progressive_missing_quant_table_raises_named_valueerror():
+    from data_frame_demo_etl_spark.multimodal.jpeg import (
+        _decode_progressive,
+        encode_jpeg_progressive,
+    )
+
+    enc = encode_jpeg_progressive(8, 8, _gradient(8, 8))
+    with pytest.raises(ValueError, match="missing quant table"):
+        _decode_progressive(_strip_segments(enc, 0xDB))
+
+
 def test_jpeg_quality_monotone():
     rgb = _gradient(24, 24)
     lo = encode_jpeg(24, 24, rgb, quality=30)
