@@ -92,17 +92,46 @@ def zorder_value(x, y, bits: int = 16):
 
 
 def zorder_cluster(
-    df: DataFrame, x_col: str, y_col: str, n_partitions: int, bits: int = 16
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_partitions: int,
+    bits: int = 16,
+    normalize: bool = True,
 ) -> DataFrame:
     """Range-partition + sort by the Z-value of (x_col, y_col): the
     Delta/Iceberg OPTIMIZE ZORDER layout, expressed with vanilla
     repartitionByRange. Files written from the result have tight
     min/max on BOTH columns, so parquet row-group stats prune scans
-    filtered on either one — the property test in test_layout.py
-    measures the span shrink against a naive layout."""
+    filtered on either one — test_pruning_observed.py asserts the
+    engine's scans skip exactly the row groups the footers predict.
+
+    ``normalize`` (default) rescales each column to the full
+    ``bits``-wide domain from its observed min/max before interleaving
+    (one cheap agg, two driver-side scalars per column — the rank-based
+    trick Delta's OPTIMIZE ZORDER uses). Interleaving RAW values gives
+    the wider-domain column ALL the significant z bits when domains
+    are unequal (e.g. event_id 0..1M vs user_id 0..10k: every top bit
+    is an event bit, so files never bound user_id and one of the two
+    columns prunes nothing — measured in test_pruning_observed.py)."""
     from pyspark.sql import functions as F
 
-    with_z = df.withColumn("_z", zorder_value(F.col(x_col), F.col(y_col), bits))
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    if normalize:
+        b = df.agg(
+            F.min(x).alias("xmin"),
+            F.max(x).alias("xmax"),
+            F.min(y).alias("ymin"),
+            F.max(y).alias("ymax"),
+        ).collect()[0]
+        scale = (1 << bits) - 1
+        xspan = max(1, int(b.xmax) - int(b.xmin))
+        yspan = max(1, int(b.ymax) - int(b.ymin))
+        # monotone per-column map onto [0, 2^bits): long arithmetic,
+        # no floats (v−min ≤ span, ×scale fits long for spans < 2^47)
+        x = F.expr(f"(({x_col} - {int(b.xmin)}L) * {scale}L) div {xspan}L")
+        y = F.expr(f"(({y_col} - {int(b.ymin)}L) * {scale}L) div {yspan}L")
+    with_z = df.withColumn("_z", zorder_value(x, y, bits))
     return (
         with_z.repartitionByRange(n_partitions, "_z")
         .sortWithinPartitions("_z")

@@ -14,22 +14,19 @@ stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
 As of round 6 the rotation is expressed as an explicit name list
-(``_R7_WINDOW`` at the bottom of this module) that REORDERS the
+(``_R8_WINDOW`` at the bottom of this module) that REORDERS the
 registry dict after all registrations — the physical layout of the
 ``register()`` calls no longer encodes the window, the list does.
-Round-7 window composition:
-- the 16 round-6 additions registered after the r6 window froze
-  (never externally verified; all pre-verified by
-  scripts/verify_contract.py the day they landed);
-- ``split_leakage_check`` (redefined r7: signature-collapsed form),
-  ``supplier_fuzzy_matches`` (r7 hot-block cap, oracle matches), and
-  ``ingest_excel_datasource`` (r7: pushdown conf forwarded as an
-  option) — each needs a fresh row against its CURRENT definition;
+Round-8 window composition:
+- the 5 round-7 additions registered after the r7 window froze
+  (never externally verified; all judge-verified locally in the r7
+  session), including ``events_parquet_pruning_audit`` whose r8
+  per-slice footer envelope is a redefinition;
 - the 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
   streaming, temporal, sources, sampling, the LLM flagship);
-- 19 backfill rows whose newest external green is oldest (the r2-era
-  remainder, then r3-era in registration order).
-Every other query is driver-green r3–r6 against its current
+- 33 backfill rows whose newest external green is oldest (the r3-era
+  remainder, then r4-era in registration order).
+Every other query is driver-green r3–r7 against its current
 definition and sits in tier 2, still fully covered by pytest + the
 local oracle harness.
 """
@@ -257,7 +254,7 @@ register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
 register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
 # (The physical tier-1 block above is the ROUND-5 window; the round-6
-# window is imposed by the _R7_WINDOW reorder at the bottom of this
+# window is imposed by the _R8_WINDOW reorder at the bottom of this
 # module, which is also where TIER1_NAMES is defined.)
 
 # ═══════════ TIER 2: externally green vs current definition ═══════════
@@ -747,36 +744,20 @@ register(
 
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
-# round-7 window (TIER_ROTATION.md "Round-7 window draft"). Rotation
-# targets first (the 16 round-6 additions registered after the r6
-# window froze — none has an external green row — plus the three
-# queries redefined early in round 7), then the keeper spine, then
-# backfill whose newest green row is oldest (the r2-era remainder,
-# then r3-era in registration order).
-_R7_WINDOW: tuple[str, ...] = (
-    # --- rotation targets: r6 additions, never externally verified (16)
-    "orders_benford_audit",
-    "events_cusum_changepoints",
-    "events_max_concurrency",
-    "events_grouping_sets",
-    "corpus_temperature_mix",
-    "ingest_fixed_width",
-    "supplier_er_scores",       # + r7 hot-block cap (oracle matches)
-    "star_integrity_audit",
-    "embeddings_int8_quantization",
-    "dedup_lsh_threshold_sweep",
-    "docs_token_fertility",
-    "lang_id_confusion",
-    "funnel_time_to_convert",   # + r7 degenerate-corpus 0-convention
-    "events_ab_test",
-    "lineitem_supplier_gini",   # + r7 empty-input oracle guard
-    "dedup_sketch_eval",
-    # --- redefined in r7: need a row vs the CURRENT definition (3)
-    "split_leakage_check",      # now the signature-collapsed form
-    "supplier_fuzzy_matches",   # hot-block cap on gate + oracle
-    "ingest_excel_datasource",  # pushdown forwarded as an option
-    # --- keeper spine (12) — dedup_ngram_jaccard's row also covers its
-    #     r7 skip-collapse plan change
+# round-8 window (TIER_ROTATION.md "Round-8 window draft"). Rotation
+# targets first (the 5 round-7 additions registered after the r7
+# window froze — none has an external green row; all judge-verified
+# locally in the r7 session), then the keeper spine, then backfill
+# whose newest green row is oldest (the r3-era remainder, then r4-era
+# in registration order).
+_R8_WINDOW: tuple[str, ...] = (
+    # --- rotation targets: r7 additions, never externally verified (5)
+    "multimodal_decode_jpeg_progressive",
+    "ann_recall_eval",
+    "docs_winnowing_matches",
+    "events_view_purchase_interval_join",
+    "events_parquet_pruning_audit",  # + r8 per-slice footer envelope
+    # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
     "llm_prep_pipeline",
@@ -790,33 +771,47 @@ _R7_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     r2-era remainder (7), then r3-era in registration order (12)
-    "range_join_error_followups",
-    "ingest_csv_multifile",
-    "ingest_jsonl_roundtrip",
-    "normalize_rename",
-    "cap_events_per_user",
-    "pack_documents_by_budget",
-    "events_exact_stats",
-    "q2_min_cost_supplier",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "sql_interface_q1",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_embedding",
-    "embedding_covariance",
-    "dedup_semantic",
+    #     r3-era remainder (26), then r4-era in registration order (7)
+    "dedup_incremental",
+    "doc_novelty",
+    "text_bm25_topk",
+    "text_retrieval_topk",
+    "text_c4_filters",
+    "lm_score_documents",
+    "docs_quality_rollup",
+    "vocab_coverage",
+    "bpe_learn_merges",
+    "corpus_mix_sample",
+    "heavy_hitter_terms",
+    "topn_events_per_type",
+    "sample_documents_weighted",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "graph_pagerank",
+    "events_sliding_window",
+    "multimodal_decode_stats",
+    "ingest_orc_roundtrip",
+    "loyal_customers_intersect",
+    "order_price_percentiles",
+    "lineitem_key_skew",
+    "bpe_compression_curve",
+    "group_zscore",
+    "ingest_excel_template",
+    "ingest_jdbc_roundtrip",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
 )
 
-assert len(_R7_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R7_WINDOW)}"
-_missing = [n for n in _R7_WINDOW if n not in _REGISTRY]
+assert len(_R8_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R8_WINDOW)}"
+_missing = [n for n in _R8_WINDOW if n not in _REGISTRY]
 assert not _missing, f"window names not registered: {_missing}"
 
-_rotated = {n: _REGISTRY[n] for n in _R7_WINDOW}
+_rotated = {n: _REGISTRY[n] for n in _R8_WINDOW}
 _rotated.update({n: e for n, e in _REGISTRY.items() if n not in _rotated})
 _REGISTRY.clear()
 _REGISTRY.update(_rotated)
@@ -824,4 +819,4 @@ _REGISTRY.update(_rotated)
 #: The driver-window queries, in (post-rotation) registration order
 #: (consumed by the plan-contract test, which holds every windowed
 #: plan to the scan/join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = _R7_WINDOW
+TIER1_NAMES: tuple[str, ...] = _R8_WINDOW
