@@ -104,6 +104,8 @@ HEADLINE = [
     "docs_winnowing_matches",
     "events_view_purchase_interval_join",
     "events_parquet_pruning_audit",
+    # round-8 additions (appended, same comparability rule)
+    "docs_exact_substring_mass",
 ]
 
 

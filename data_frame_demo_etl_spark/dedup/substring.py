@@ -1,0 +1,197 @@
+"""Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better") — per-document duplicate-
+CHARACTER mass from cross-document shared runs.
+
+A position p of document A lies inside a shared run of length ≥ L
+with some other document iff p is covered by at least one L-gram of A
+that also occurs verbatim in another document (any run of length
+m ≥ L contains an L-length window over each of its positions). So the
+exact duplicate-character mass — the quantity Lee et al.'s
+suffix-array remover deletes — reduces to:
+
+1. hash every L-gram of every document with the same Karp–Rabin
+   polynomial the winnowing family uses (h_i = Σ_j code(c_{i+j})·
+   B^{L−1−j} mod M, pure integer arithmetic — the DuckDB oracle
+   reproduces every hash bit-for-bit from an explicit L-term formula,
+   so hash collisions, if any, are IDENTICAL on both engines and
+   parity is exact by construction);
+2. keep hashes present in ≥ 2 distinct documents (one distributed
+   groupBy with map-side partial aggregation, then a shuffled
+   semi-join back — AQE skew-join splits a hot hash's positions,
+   unlike a count window);
+3. per document, union the covered intervals [i, i+L−1] with a
+   single prefix-max sweep (window partitioned by doc — bounded by
+   DOCUMENT length, not corpus size, so the partition is safe at any
+   corpus scale) and sum the union length.
+
+Defined over DISTINCT texts (min doc_id representative — the
+dedup_sketch_eval convention): exact copies duplicate every position
+by definition and carry no signal the exact-dedup family doesn't
+already report. Cross-document sharing only (a phrase repeated twice
+WITHIN one document is not counted) — the split-contamination-
+relevant kind of duplication.
+
+Relation to D16 (winnowing): winnowing samples ~2/(w+1) of these
+L-gram hashes to find WHICH pairs match; this operator measures HOW
+MUCH text is shared, at full positional resolution. Reference: the
+reference repo has no substring dedup; semantics follow the paper
+(char-level variant of its ≥50-token criterion).
+
+Scale shape: one kernel row per character position (the same order of
+magnitude as a tokenized corpus), one partial-agg shuffle + one
+semi-join on the hash, one per-document window. Everything after the
+Arrow-batched numpy kernel is Column expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.catalog import load_table
+from .winnowing import BASE, MOD
+
+L_CHARS = 23  #: minimum duplicated-run length (= winnowing's w + k − 1)
+
+
+def lgram_hash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", L: int = L_CHARS
+) -> DataFrame:
+    """(doc, i, h): the Karp–Rabin hash of every L-gram, i 1-based —
+    exactly the integers the oracle's L-term polynomial produces.
+    Documents shorter than L emit no rows."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            docs: list = []
+            poss: list = []
+            hs: list = []
+            for doc, text in zip(pdf["doc"], pdf["__text"]):
+                if text is None:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = codes.size
+                if n < L:
+                    continue
+                h = np.zeros(n - L + 1, dtype=np.int64)
+                for j in range(L):
+                    h = (h * BASE + codes[j : j + n - L + 1]) % MOD
+                m = h.size
+                docs.extend([doc] * m)
+                poss.extend(range(1, m + 1))
+                hs.extend(int(x) for x in h)
+            yield pd.DataFrame({"doc": docs, "i": poss, "h": hs})
+
+    return df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+    ).mapInPandas(batches, "doc long, i long, h long")
+
+
+def duplicate_span_mass(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", L: int = L_CHARS
+) -> DataFrame:
+    """(doc, dup_chars): per document, the number of character
+    positions covered by at least one L-gram shared verbatim with
+    ANOTHER document. Documents with no shared L-gram (or shorter
+    than L) are absent — callers left-join and coalesce to 0."""
+    pos = lgram_hash_table(df, id_col, text_col, L).persist()
+    shared_h = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("doc").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h")
+    )
+    intervals = pos.join(shared_h, "h", "semi").select(
+        "doc", F.col("i"), (F.col("i") + F.lit(L - 1)).alias("e")
+    )
+    # interval-union sweep: intervals per doc are distinct start
+    # positions; union length = Σ max(0, e − max(i−1, prefix-max e)).
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = intervals.withColumn("pmax", F.max("e").over(w))
+    contrib = F.when(
+        F.col("pmax").isNull() | (F.col("pmax") < F.col("i")),
+        F.col("e") - F.col("i") + 1,
+    ).otherwise(F.greatest(F.col("e") - F.col("pmax"), F.lit(0)))
+    return (
+        swept.select("doc", contrib.alias("c"))
+        .groupBy("doc")
+        .agg(F.sum("c").cast("long").alias("dup_chars"))
+    )
+
+
+def docs_exact_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: exact duplicate-substring mass over `documents` — for
+    every distinct-text representative, how many characters sit inside
+    a run of ≥ 23 chars shared verbatim with another document, plus
+    the document length. The corpus-prep number Lee et al.'s exact
+    remover acts on: dup_chars / n_chars ≈ the fraction that exact
+    substring dedup would delete."""
+    docs = load_table(spark, "documents", sf_dir)
+    reps = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+        .persist()
+    )
+    mass = duplicate_span_mass(reps)
+    return (
+        reps.select(
+            "doc_id", F.length("text").cast("long").alias("n_chars")
+        )
+        .join(mass.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lgram_hash_sql(L: int = L_CHARS) -> str:
+    terms = []
+    for j in range(L):
+        lit = pow(BASE, L - 1 - j, MOD)
+        terms.append(f"CAST(ASCII(SUBSTR(text, i + {j}, 1)) AS BIGINT) * {lit}")
+    return "(" + " + ".join(terms) + f") % {MOD}"
+
+
+DOCS_EXACT_SUBSTRING_MASS_SQL = f"""
+WITH reps AS (SELECT MIN(doc_id) AS doc, text FROM documents GROUP BY text),
+pos AS (
+  SELECT doc, i, {_lgram_hash_sql()} AS h
+  FROM reps,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(text) - {L_CHARS - 1}, 0))) AS i)
+),
+shared AS (SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc) >= 2),
+iv AS (
+  SELECT doc, i, i + {L_CHARS - 1} AS e
+  FROM pos WHERE h IN (SELECT h FROM shared)
+),
+swept AS (
+  SELECT doc, i, e,
+         MAX(e) OVER (PARTITION BY doc ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+mass AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN pmax IS NULL OR pmax < i THEN e - i + 1
+                       WHEN e > pmax THEN e - pmax ELSE 0 END) AS BIGINT) AS dup_chars
+  FROM swept GROUP BY doc
+)
+SELECT r.doc AS doc_id,
+       CAST(LEN(r.text) AS BIGINT) AS n_chars,
+       COALESCE(m.dup_chars, 0) AS dup_chars
+FROM reps r LEFT JOIN mass m ON r.doc = m.doc
+ORDER BY doc_id
+"""

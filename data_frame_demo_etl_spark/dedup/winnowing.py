@@ -110,23 +110,46 @@ def winnow_matches(
     w: int = WINDOW,
     min_shared: int = MIN_SHARED,
     max_docs_per_fp: int | None = MAX_DOCS_PER_FP,
+    cap_plan: str = "anti",
 ) -> DataFrame:
     """(id_a, id_b, n_shared): document pairs sharing at least
     ``min_shared`` winnowing fingerprints — the local-similarity /
     plagiarism-detection primitive. Fingerprints present in more than
     ``max_docs_per_fp`` documents are dropped before the pair join
     (ubiquitous boilerplate carries no discriminating power and its
-    posting list is quadratic — the LSH hot-bucket treatment)."""
+    posting list is quadratic — the LSH hot-bucket treatment).
+
+    cap_plan="anti" (default): groupBy-count the per-fingerprint doc
+    counts (map-side partial agg — no posting list is ever gathered),
+    broadcast the over-cap fingerprints (≤ postings / cap rows),
+    left-anti join. The kernel output is persisted because both the
+    count branch and the join consume it. cap_plan="window" (legacy,
+    A/B harness scripts/scaling_boilerplate.py): one count window over
+    fp — reuses its exchange for the pair join, but buffers a
+    boilerplate fingerprint's ENTIRE corpus-sized posting list in one
+    task before dropping it, a straggler AQE cannot split."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     if max_docs_per_fp is not None:
-        from pyspark.sql import Window
+        if cap_plan == "window":
+            from pyspark.sql import Window
 
-        cnt = F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        fps = (
-            fps.withColumn("__n", cnt)
-            .filter(F.col("__n") <= max_docs_per_fp)
-            .drop("__n")
-        )
+            cnt = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            fps = (
+                fps.withColumn("__n", cnt)
+                .filter(F.col("__n") <= max_docs_per_fp)
+                .drop("__n")
+            )
+        else:
+            # persist the bare kernel output: the hot-count branch and
+            # the pair join both consume it (session owner releases).
+            fps = fps.persist()
+            hot = (
+                fps.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_docs_per_fp)
+                .select("fp")
+            )
+            fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = fps.select(F.col("doc").alias("id_a"), "fp")
     b = fps.select(F.col("doc").alias("id_b"), "fp")
     return (
@@ -139,7 +162,9 @@ def winnow_matches(
     )
 
 
-def docs_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_winnowing_matches(
+    spark: SparkSession, sf_dir: str, cap_plan: str = "anti"
+) -> DataFrame:
     """Gate: winnowing fingerprint matching over `documents` — pairs
     sharing ≥ 3 fingerprints with the hot-fingerprint cap. Exercises
     the full local-fingerprint pipeline (rolling k-gram hashing,
@@ -165,7 +190,7 @@ def docs_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark_parts, "doc_id")
     )
-    return winnow_matches(reps).orderBy("id_a", "id_b")
+    return winnow_matches(reps, cap_plan=cap_plan).orderBy("id_a", "id_b")
 
 
 def _kr_hash_sql(k: int = K_CHARS) -> str:

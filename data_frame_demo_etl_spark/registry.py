@@ -742,6 +742,20 @@ register(
     EVENTS_PARQUET_PRUNING_AUDIT_SQL,
 )
 
+# --- round-8 additions (registered after the r8 window list froze;
+#     first-priority rotation targets for the r9 window) ---
+
+from .dedup.substring import (  # noqa: E402
+    DOCS_EXACT_SUBSTRING_MASS_SQL,
+    docs_exact_substring_mass,
+)
+
+register(
+    "docs_exact_substring_mass",
+    docs_exact_substring_mass,
+    DOCS_EXACT_SUBSTRING_MASS_SQL,
+)
+
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-8 window (TIER_ROTATION.md "Round-8 window draft"). Rotation
@@ -803,8 +817,10 @@ _R8_WINDOW: tuple[str, ...] = (
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
+    # --- redefined in r8: hot-bucket cap re-planned window→anti
+    #     (identical results; physical plan change ⇒ fresh row)
+    "split_leakage_check",
+    "dedup_lsh_threshold_sweep",
 )
 
 assert len(_R8_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R8_WINDOW)}"

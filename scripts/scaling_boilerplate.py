@@ -1,0 +1,128 @@
+"""Shared-boilerplate skew harness (round-8 verdict item #2).
+
+The key-shifted-copy scaling corpora can NEVER produce the hot-value
+hazard in the fingerprint/bucket caps: exact copies are removed by the
+distinct-text collapse before the kernels run. This harness
+synthesizes the case that survives the collapse — N DISTINCT texts
+that all share one boilerplate block — so one fingerprint (winnowing)
+and a large family of band buckets (MinHash LSH) hold corpus-sized
+posting lists, and the CAP itself becomes the scaling term:
+
+- cap_plan="window": count window over the hot key → the whole posting
+  list is buffered in ONE task before the drop (straggler AQE cannot
+  split; window partitions are exempt from skew mitigation).
+- cap_plan="anti": groupBy-count (map-side partial agg — no list is
+  ever gathered) → broadcast the over-cap keys → left-anti join.
+
+Corpus: text = 30 shared boilerplate words + 10 doc-unique words
+(every doc distinct; boilerplate ≈ 70% of each doc's shingles, so
+band hashes collide across distinct docs and winnowing emits ~40
+shared fingerprints present in EVERY doc).
+
+Usage: python scripts/scaling_boilerplate.py [--sizes 4000,40000,400000]
+Prints one JSON line per (query, plan): wall at each size + step
+ratios (each step is 10× the docs; linear plans ⇒ ratio ≈ 10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark.session import get_spark, release_all_caches
+
+ROOT = Path(__file__).resolve().parents[1]
+BOILER_WORDS = [f"boiler{i:02d}" for i in range(30)]
+BOILER = " ".join(BOILER_WORDS)
+
+
+def build_corpus(spark, n_docs: int) -> str:
+    out = ROOT / ".tmp" / "boiler" / str(n_docs)
+    marker = out / "_DONE"
+    if not marker.exists():
+        uniq = F.concat_ws(
+            " ", *[F.concat(F.lit(f"u{j}x"), F.col("id").cast("string")) for j in range(10)]
+        )
+        docs = (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit(BOILER + " "), uniq).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("boiler").alias("source"),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        docs.repartition(32).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+        marker.touch()
+    return str(out)
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="4000,40000,400000")
+    ap.add_argument("--plans", default="window,anti")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_spark(app_name="scaling_boilerplate")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {n: build_corpus(spark, n) for n in sizes}
+
+    from data_frame_demo_etl_spark.dedup.minhash import minhash_near_dup_pairs
+    from data_frame_demo_etl_spark.dedup.winnowing import docs_winnowing_matches
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    def winnow(plan):
+        def run(sf_dir):
+            docs_winnowing_matches(spark, sf_dir, cap_plan=plan).count()
+
+        return run
+
+    def minhash(plan):
+        # gate-shaped call (md5-portable, 8×4 bands, cap 200) on the
+        # raw corpus — all docs distinct, so no upstream collapse
+        # shields the buckets.
+        def run(sf_dir):
+            docs = load_table(spark, "documents", sf_dir)
+            minhash_near_dup_pairs(
+                docs, "doc_id", "text", hash_fn="md5", cap_plan=("agg" if plan == "window" else "anti")
+            ).count()
+
+        return run
+
+    results = []
+    for qname, mk in (("docs_winnowing_matches", winnow), ("minhash_lsh_pairs", minhash)):
+        for plan in args.plans.split(","):
+            walls = {}
+            for n in sizes:
+                run = mk(plan)
+                run(dirs[n])  # warm: codegen + page cache, like scaling.py
+                release_all_caches(spark)
+                walls[n] = timed(lambda: run(dirs[n]))
+                release_all_caches(spark)
+            ratios = [
+                round(walls[sizes[i + 1]] / max(walls[sizes[i]], 1e-9), 1)
+                for i in range(len(sizes) - 1)
+            ]
+            row = {"query": qname, "plan": plan, "walls": walls, "step_ratios": ratios}
+            print(json.dumps(row), flush=True)
+            results.append(row)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -643,3 +643,76 @@ def test_winnowing_unicode_parity_with_oracle(spark, tmp_path):
     want = set(map(tuple, con.execute(DOCS_WINNOWING_MATCHES_SQL).fetchall()))
     assert got == want
     assert any(a == 1 and b == 2 for a, b, _ in got)  # shared block found
+
+
+def test_exact_substring_mass_planted_block(spark):
+    """Lee-et-al exact substring mass: a boilerplate block ≥ L chars
+    planted at DIFFERENT offsets in two docs contributes exactly the
+    block's length to each doc's dup_chars; a doc with no shared run
+    reports zero."""
+    from data_frame_demo_etl_spark.dedup.substring import (
+        L_CHARS,
+        duplicate_span_mass,
+    )
+
+    block = "shared boilerplate block of considerable length here"  # 52 chars
+    assert len(block) >= L_CHARS
+    rows = [
+        (1, block + " unique tail alpha beta gamma delta epsilon zeta"),
+        (2, "a shifted prefix before " + block),
+        (3, "totally unrelated content with nothing in common at all xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: r.dup_chars for r in duplicate_span_mass(df).collect()}
+    assert got == {1: len(block), 2: len(block)}
+
+
+def test_exact_substring_mass_self_repeat_not_counted(spark):
+    """Cross-document sharing only: a phrase repeated twice inside ONE
+    document does not count as duplicate mass."""
+    from data_frame_demo_etl_spark.dedup.substring import duplicate_span_mass
+
+    phrase = "repeated inside one single document body"
+    rows = [
+        (1, phrase + " middle filler words " + phrase),
+        (2, "entirely different second document with fresh content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicate_span_mass(df).count() == 0
+
+
+def test_exact_substring_mass_oracle_parity(spark, tmp_path):
+    """Spark gate == DuckDB oracle on a synthetic corpus with planted
+    overlaps, exact duplicates (collapsed), and short docs."""
+    import duckdb
+
+    from data_frame_demo_etl_spark.dedup.substring import (
+        DOCS_EXACT_SUBSTRING_MASS_SQL,
+        docs_exact_substring_mass,
+    )
+
+    block = "one common run that is clearly long enough to be seeded"
+    rows = [
+        (1, block + " plus tail one", "en", "t"),
+        (2, "lead-in words then " + block, "en", "t"),
+        (3, "short", "en", "t"),
+        (4, block + " plus tail one", "en", "t"),  # exact copy of 1
+        (5, "nothing shared here with anyone else in this tiny corpus", "en", "t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string").withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+    got = {
+        (r.doc_id, r.n_chars, r.dup_chars)
+        for r in docs_exact_substring_mass(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = set(map(tuple, con.execute(DOCS_EXACT_SUBSTRING_MASS_SQL).fetchall()))
+    assert got == want
+    by_id = {d: (n, m) for d, n, m in got}
+    assert by_id[1][1] == len(block) and by_id[2][1] == len(block)
+    assert by_id[3][1] == 0 and by_id[5][1] == 0
+    assert 4 not in by_id  # exact copy collapsed to representative 1

@@ -42,6 +42,9 @@ CARTESIAN_ALLOWED = {
     # broadcast-query-set ANN shape inside the fused semantic leg
     # (similarity/fusion.py — the documented ann_cosine_topk pattern).
     "retrieval_rrf_fusion",
+    # composes ann_lsh_topk + ann_cosine_topk — both legs are the
+    # bounded broadcast-query-set shape above (similarity/gate.py).
+    "ann_recall_eval",
     # dense (groups × bins × 2) spine — constant-size cross join by
     # construction (analytics/drift.py).
     "events_value_drift_psi",

@@ -445,3 +445,80 @@ def test_stream_stream_left_outer_join_watermark_gated(spark, sf_dir):
     got_nulls = {t for t in got if t[2] is None}
     want_nulls = {t for t in want if t[2] is None}
     assert got_nulls == want_nulls and len(want_nulls) > 0
+
+
+def test_interval_join_multi_epoch_state_and_expiry(spark, tmp_path):
+    """ST11 across ≥2 micro-batch epochs (checkpoint restart): a
+    purchase arriving in a LATER batch than its view still pairs (the
+    view is matched from restored join state); a never-matched view
+    whose horizon expires mid-stream emits EXACTLY ONE null row, in
+    the epoch whose watermark passed view_ts + max_delay; a view
+    matched in a later batch never emits a null."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    T = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def add_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_epoch():
+        out: list = []
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        joined = stream_stream_interval_join(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: out.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.user_id, r.view_id, r.purchase_id) for r in out}
+
+    # epoch 1: three views; only user 3 purchases in this batch.
+    # Watermark after: min(10:00, 10:05) − 10m = 9:50 → nothing expires.
+    add_file(
+        [
+            (1, 101, "view", T),
+            (2, 201, "view", T),
+            (3, 301, "view", T),
+            (3, 302, "purchase", T + dt.timedelta(minutes=5)),
+        ]
+    )
+    e1 = run_epoch()
+    assert e1 == {(3, 301, 302)}  # same-batch match only; no nulls yet
+
+    # epoch 2: user 1's purchase arrives A BATCH LATER (10:15, inside
+    # the 30m window of the stored view); user 9's late pair drives
+    # the watermark to 11:20, past user 2's horizon (10:30).
+    add_file(
+        [
+            (1, 102, "purchase", T + dt.timedelta(minutes=15)),
+            (9, 901, "view", T + dt.timedelta(minutes=90)),
+            (9, 902, "purchase", T + dt.timedelta(minutes=91)),
+        ]
+    )
+    e2 = run_epoch()
+    assert (1, 101, 102) in e2          # cross-batch match from state
+    assert (9, 901, 902) in e2          # same-batch match
+    assert (2, 201, None) in e2         # expiry emits the null HERE
+    assert (1, 101, None) not in e2     # matched views never null
+    assert (9, 901, None) not in e2     # horizon not yet passed
+    # exactly one null emission per non-converter across all epochs
+    all_rows = list(e1) + list(e2)
+    assert sum(1 for t in all_rows if t[0] == 2) == 1
