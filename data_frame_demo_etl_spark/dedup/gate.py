@@ -550,8 +550,15 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # feeds 5 downstream references
     )
-    # distinct signature nodes (k → sig), for the banded pair join
-    snodes = sig.select(F.col("k").alias("doc"), "sig").dropDuplicates(["doc"])
+    # distinct signature nodes (k → sig), for the banded pair join.
+    # Eager checkpoint: the anti-plan cap adds a hot-count branch, so
+    # snodes now feeds FOUR consumers (bucket count, both band-join
+    # sides, the est-Jaccard verify joins) — left lazy, each re-runs
+    # the dropDuplicates shuffle (lazy persist materializes nothing
+    # before the action; same treatment as `groups` above).
+    snodes = sig.select(F.col("k").alias("doc"), "sig").dropDuplicates(
+        ["doc"]
+    ).localCheckpoint(eager=True)
 
     # within-signature contributions: closed-form on counts
     same_split = groups.select(
@@ -719,7 +726,11 @@ def dedup_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_sig = portable_signatures(docs).persist()
     sig = raw_sig.select("doc", "sig", F.md5(F.concat_ws("", "sig")).alias("k"))
     groups = sig.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-    snodes = sig.select(F.col("k").alias("doc"), "sig").dropDuplicates(["doc"])
+    # eager checkpoint: same multi-consumer rationale as the leakage
+    # gate (hot-count branch + both band-join sides + verify joins)
+    snodes = sig.select(F.col("k").alias("doc"), "sig").dropDuplicates(
+        ["doc"]
+    ).localCheckpoint(eager=True)
 
     # identical signatures: all 32 components agree, C(n, 2) pairs
     within = groups.select(
