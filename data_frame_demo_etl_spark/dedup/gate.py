@@ -338,11 +338,23 @@ def dedup_clusters_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "qi", F.round(F.col("quality") * 1_000_000).cast("long")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cluster").orderBy(F.desc("qi"), F.asc("doc_id"))
+    # Winner per cluster as a partial-aggregable max(struct(qi, −doc))
+    # instead of row_number over Window.partitionBy(cluster): the
+    # window form SORTS each cluster's members inside one task — at
+    # boilerplate scale one near-dup cluster holds a corpus-sized
+    # member list and that task is the job (the r8 hot-value-cap
+    # lesson, dedup/minhash.py). The struct max is lexicographic
+    # (highest qi, then smallest doc_id — identical winner), combines
+    # map-side, and the join back is a plain equi-join AQE can
+    # skew-split.
+    winners = (
+        scored.groupBy("cluster")
+        .agg(F.max(F.struct(F.col("qi"), (-F.col("doc_id")).alias("nd"))).alias("w"))
+        .select("cluster", (-F.col("w.nd")).alias("win_doc"))
+    )
     return (
-        scored.withColumn("is_kept", F.row_number().over(w) == 1)
+        scored.join(winners, "cluster")
+        .withColumn("is_kept", F.col("doc_id") == F.col("win_doc"))
         .select("doc_id", "cluster", "quality", "is_kept")
         .orderBy("doc_id")
     )

@@ -66,16 +66,27 @@ def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
     pairs = jaccard_pairs(exact, threshold=JACCARD_THRESHOLD)
     comps = connected_components(pairs)
     if winner == "best_quality":
-        from pyspark.sql import Window
 
         members = comps.select(F.col("id").alias("doc_id"), "component")
         scored_m = members.join(exact.select("doc_id", "quality"), "doc_id").withColumn(
             "qi", F.round(F.col("quality") * 1_000_000).cast("long")
         )
-        w = Window.partitionBy("component").orderBy(F.desc("qi"), F.asc("doc_id"))
+        # partial-aggregable winner (max struct: highest qi, then
+        # smallest doc_id) instead of a per-component row_number sort
+        # in one task — same re-plan rationale as
+        # dedup_clusters_keep_best (dedup/gate.py).
+        winners = (
+            scored_m.groupBy("component")
+            .agg(
+                F.max(
+                    F.struct(F.col("qi"), (-F.col("doc_id")).alias("nd"))
+                ).alias("w")
+            )
+            .select("component", (-F.col("w.nd")).alias("win_doc"))
+        )
         losers = (
-            scored_m.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") != 1)
+            scored_m.join(winners, "component")
+            .filter(F.col("doc_id") != F.col("win_doc"))
             .select("doc_id")
         )
     else:

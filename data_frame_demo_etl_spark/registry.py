@@ -815,12 +815,14 @@ _R8_WINDOW: tuple[str, ...] = (
     "q9_product_type_profit",
     "q11_important_stock",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    # --- redefined in r8: hot-bucket cap re-planned window→anti
+    # --- redefined in r8: hot-bucket cap re-planned window→anti +
+    #     snodes eager checkpoint; keep-best winner re-planned
+    #     row_number-window → partial-agg max(struct) + equi-join
     #     (identical results; physical plan change ⇒ fresh row)
     "split_leakage_check",
     "dedup_lsh_threshold_sweep",
+    "dedup_clusters_keep_best",
+    "llm_prep_keep_best",
 )
 
 assert len(_R8_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R8_WINDOW)}"
