@@ -75,6 +75,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="4000,40000,400000")
     ap.add_argument("--plans", default="window,anti")
+    ap.add_argument("--queries", default="", help="comma filter on query names")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -104,9 +105,31 @@ def main() -> None:
 
         return run
 
+    def substring(_plan):
+        # D17: one kernel row per character position — the densest
+        # shape in the dedup family; the boilerplate hashes are hot
+        # keys in the shared-h semi-join (one row per DOC per
+        # boilerplate position), which AQE skew-splits.
+        def run(sf_dir):
+            from data_frame_demo_etl_spark.dedup.substring import (
+                docs_exact_substring_mass,
+            )
+
+            docs_exact_substring_mass(spark, sf_dir).count()
+
+        return run
+
+    jobs = [
+        ("docs_winnowing_matches", winnow, args.plans.split(",")),
+        ("minhash_lsh_pairs", minhash, args.plans.split(",")),
+        ("docs_exact_substring_mass", substring, ["anti"]),
+    ]
+    if args.queries:
+        keep = set(args.queries.split(","))
+        jobs = [j for j in jobs if j[0] in keep]
     results = []
-    for qname, mk in (("docs_winnowing_matches", winnow), ("minhash_lsh_pairs", minhash)):
-        for plan in args.plans.split(","):
+    for qname, mk, plans in jobs:
+        for plan in plans:
             walls = {}
             for n in sizes:
                 run = mk(plan)
