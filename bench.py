@@ -169,9 +169,21 @@ def main() -> None:
     # the capture window. Full 3-decimal timings go to bench_full.json.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
-    compact = dict(payload, queries={k: round(v, 2) for k, v in timings.items()})
-    line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1990, f"bench summary line {len(line)}B overflows driver tail capture"
+    # Tiered fail-soft: 2-decimal → 1-decimal → totals-only. A hard
+    # assert here would cost the driver the WHOLE artifact (rc != 0);
+    # a totals-only line still parses and bench_full.json keeps the
+    # per-query map.
+    line = ""
+    for ndigits in (2, 1):
+        compact = dict(
+            payload, queries={k: round(v, ndigits) for k, v in timings.items()}
+        )
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) < 1990:
+            break
+    if len(line) >= 1990:
+        compact = dict(payload, queries={}, queries_omitted=len(timings))
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -36,19 +36,23 @@ MAX_BLOCK_SIZE = 1000
 
 
 def _capped_blocks(s: DataFrame, max_block_size: int | None) -> DataFrame:
-    """Drop blocks larger than the cap before any self-join. Count
-    window over `blk` (one shuffle, reused by the downstream
-    pair-producing join exactly as in minhash.cap_hot_buckets)."""
+    """Drop blocks larger than the cap before any self-join.
+    groupBy-count (map-side partial agg — the hot block's rows reduce
+    to one count per map task, never gathered) → broadcast the
+    over-cap keys (≤ n_rows / cap by construction) → left-anti join.
+    The r8 re-plan of the minhash.cap_hot_buckets pattern: the former
+    count window put a hot block's ENTIRE row set in one task's window
+    buffer before dropping it — a straggler AQE cannot split (window
+    partitions are exempt from skew mitigation)."""
     if max_block_size is None:
         return s
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("blk")
-    return (
-        s.withColumn("__block_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("__block_n") <= max_block_size)
-        .drop("__block_n")
+    hot = (
+        s.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_block_size)
+        .select("blk")
     )
+    return s.join(F.broadcast(hot), "blk", "left_anti")
 
 
 def blocked_fuzzy_pairs(

@@ -813,16 +813,17 @@ _R8_WINDOW: tuple[str, ...] = (
     "ingest_excel_template",
     "ingest_jdbc_roundtrip",
     "q9_product_type_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    # --- redefined in r8: hot-bucket cap re-planned window→anti +
+    # --- redefined in r8: hot-key caps re-planned window→anti +
     #     snodes eager checkpoint; keep-best winner re-planned
-    #     row_number-window → partial-agg max(struct) + equi-join
+    #     row_number-window → partial-agg max(struct) + equi-join;
+    #     fuzzy-ER block cap re-planned window→anti
     #     (identical results; physical plan change ⇒ fresh row)
     "split_leakage_check",
     "dedup_lsh_threshold_sweep",
     "dedup_clusters_keep_best",
     "llm_prep_keep_best",
+    "supplier_fuzzy_matches",
+    "supplier_er_scores",
 )
 
 assert len(_R8_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R8_WINDOW)}"
