@@ -106,6 +106,7 @@ HEADLINE = [
     "events_parquet_pruning_audit",
     # round-8 additions (appended, same comparability rule)
     "docs_exact_substring_mass",
+    "docs_remove_duplicate_spans",
 ]
 
 

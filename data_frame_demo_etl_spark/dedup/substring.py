@@ -92,13 +92,12 @@ def lgram_hash_table(
     ).mapInPandas(batches, "doc long, i long, h long")
 
 
-def duplicate_span_mass(
+def shared_intervals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", L: int = L_CHARS
 ) -> DataFrame:
-    """(doc, dup_chars): per document, the number of character
-    positions covered by at least one L-gram shared verbatim with
-    ANOTHER document. Documents with no shared L-gram (or shorter
-    than L) are absent — callers left-join and coalesce to 0."""
+    """(doc, i, e): the [i, i+L−1] character intervals of every L-gram
+    shared verbatim with at least one OTHER document. The union of a
+    doc's intervals is exactly its duplicated-character set."""
     pos = lgram_hash_table(df, id_col, text_col, L).persist()
     shared_h = (
         pos.groupBy("h")
@@ -106,9 +105,19 @@ def duplicate_span_mass(
         .filter(F.col("__nd") >= 2)
         .select("h")
     )
-    intervals = pos.join(shared_h, "h", "semi").select(
+    return pos.join(shared_h, "h", "semi").select(
         "doc", F.col("i"), (F.col("i") + F.lit(L - 1)).alias("e")
     )
+
+
+def duplicate_span_mass(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", L: int = L_CHARS
+) -> DataFrame:
+    """(doc, dup_chars): per document, the number of character
+    positions covered by at least one L-gram shared verbatim with
+    ANOTHER document. Documents with no shared L-gram (or shorter
+    than L) are absent — callers left-join and coalesce to 0."""
+    intervals = shared_intervals(df, id_col, text_col, L)
     # interval-union sweep: intervals per doc are distinct start
     # positions; union length = Σ max(0, e − max(i−1, prefix-max e)).
     w = (
@@ -157,6 +166,93 @@ def docs_exact_substring_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", L: int = L_CHARS
+) -> DataFrame:
+    """(doc, text_clean, n_removed): each document with every character
+    covered by a cross-document shared run ≥ L chars EXCISED — the
+    acting half of the Lee et al. 2022 exact-substring remover (the
+    measuring half is duplicate_span_mass; n_removed == dup_chars by
+    construction, pinned in pytest).
+
+    Divergence from the paper, documented: the suffix-array remover
+    keeps ONE occurrence of each duplicated run (whichever the global
+    suffix order visits first — an artifact of the serial algorithm);
+    this operator removes ALL occurrences. Keeping exactly one would
+    require a global canonical order over occurrences — a cross-corpus
+    total sort for a property the paper itself calls arbitrary. For
+    the boilerplate this targets (headers, license blocks, navigation
+    chrome), removing every occurrence is the intended cleanup; the
+    unique prose around it is untouched by construction.
+
+    Pure Column expressions end-to-end: chars = posexplode(split('')),
+    covered = chars ⋈ intervals (doc-equi join + range filter — the
+    per-doc work is bounded by doc_len × doc_intervals, a DOCUMENT
+    contract, not a corpus one), kept = left-anti, rebuild =
+    concat_ws over the position-sorted collect_list (per-doc group,
+    bounded by doc length). The oracle mirrors every step, so the
+    cleaned STRINGS hash-match cross-engine."""
+    iv = shared_intervals(df, id_col, text_col, L)
+    chars = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("i0", "ch"),
+    ).select("doc", (F.col("i0") + 1).alias("i"), "ch")
+    covered = (
+        chars.alias("c")
+        .join(
+            iv.alias("v"),
+            (F.col("c.doc") == F.col("v.doc"))
+            & F.col("c.i").between(F.col("v.i"), F.col("v.e")),
+            "semi",
+        )
+        .select("doc", "i")
+    )
+    kept = chars.join(covered, ["doc", "i"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ch"))), lambda x: x["ch"]
+            ),
+        ).alias("text_clean")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"), F.length(text_col).cast("long").alias("__n")
+    )
+    return (
+        base.join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("__n") - F.length(F.coalesce("text_clean", F.lit("")))).cast(
+                "long"
+            ).alias("n_removed"),
+        )
+    )
+
+
+def docs_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the exact-substring REMOVER over `documents` — for every
+    distinct-text representative, the cleaned text with all cross-doc
+    duplicated runs ≥ 23 chars excised, plus how many characters went.
+    The value-hash covers the cleaned STRINGS themselves, so both
+    engines must agree on every excised position."""
+    docs = load_table(spark, "documents", sf_dir)
+    reps = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+        .persist()
+    )
+    out = remove_duplicate_spans(reps)
+    return (
+        reps.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(out.withColumnRenamed("doc", "doc_id"), "doc_id")
+        .select("doc_id", "n_chars", "n_removed", "text_clean")
+        .orderBy("doc_id")
+    )
+
+
 def _lgram_hash_sql(L: int = L_CHARS) -> str:
     terms = []
     for j in range(L):
@@ -193,5 +289,43 @@ SELECT r.doc AS doc_id,
        CAST(LEN(r.text) AS BIGINT) AS n_chars,
        COALESCE(m.dup_chars, 0) AS dup_chars
 FROM reps r LEFT JOIN mass m ON r.doc = m.doc
+ORDER BY doc_id
+"""
+
+
+DOCS_REMOVE_DUPLICATE_SPANS_SQL = f"""
+WITH reps AS (SELECT MIN(doc_id) AS doc, text FROM documents GROUP BY text),
+pos AS (
+  SELECT doc, i, {_lgram_hash_sql()} AS h
+  FROM reps,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(text) - {L_CHARS - 1}, 0))) AS i)
+),
+shared AS (SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc) >= 2),
+iv AS (
+  SELECT doc, i, i + {L_CHARS - 1} AS e
+  FROM pos WHERE h IN (SELECT h FROM shared)
+),
+chars AS (
+  SELECT doc, i, SUBSTR(text, i, 1) AS ch
+  FROM reps, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(text))) AS i)
+),
+covered AS (
+  SELECT DISTINCT c.doc, c.i
+  FROM chars c JOIN iv ON c.doc = iv.doc AND c.i BETWEEN iv.i AND iv.e
+),
+kept AS (
+  SELECT c.doc, c.i, c.ch
+  FROM chars c LEFT JOIN covered v ON c.doc = v.doc AND c.i = v.i
+  WHERE v.doc IS NULL
+),
+clean AS (
+  SELECT doc, STRING_AGG(ch, '' ORDER BY i) AS text_clean
+  FROM kept GROUP BY doc
+)
+SELECT r.doc AS doc_id,
+       CAST(LEN(r.text) AS BIGINT) AS n_chars,
+       CAST(LEN(r.text) - LEN(COALESCE(c.text_clean, '')) AS BIGINT) AS n_removed,
+       COALESCE(c.text_clean, '') AS text_clean
+FROM reps r LEFT JOIN clean c ON r.doc = c.doc
 ORDER BY doc_id
 """

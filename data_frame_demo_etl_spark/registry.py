@@ -747,13 +747,21 @@ register(
 
 from .dedup.substring import (  # noqa: E402
     DOCS_EXACT_SUBSTRING_MASS_SQL,
+    DOCS_REMOVE_DUPLICATE_SPANS_SQL,
     docs_exact_substring_mass,
+    docs_remove_duplicate_spans,
 )
 
 register(
     "docs_exact_substring_mass",
     docs_exact_substring_mass,
     DOCS_EXACT_SUBSTRING_MASS_SQL,
+)
+
+register(
+    "docs_remove_duplicate_spans",
+    docs_remove_duplicate_spans,
+    DOCS_REMOVE_DUPLICATE_SPANS_SQL,
 )
 
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════

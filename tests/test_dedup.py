@@ -716,3 +716,45 @@ def test_exact_substring_mass_oracle_parity(spark, tmp_path):
     assert by_id[1][1] == len(block) and by_id[2][1] == len(block)
     assert by_id[3][1] == 0 and by_id[5][1] == 0
     assert 4 not in by_id  # exact copy collapsed to representative 1
+
+
+def test_remove_duplicate_spans_excises_planted_block(spark):
+    """The remover excises exactly the shared block (every occurrence,
+    documented divergence from Lee et al.'s keep-one) and leaves
+    unique prose untouched; n_removed equals the D17 mass."""
+    from data_frame_demo_etl_spark.dedup.substring import (
+        duplicate_span_mass,
+        remove_duplicate_spans,
+    )
+
+    block = "shared boilerplate block of considerable length here"
+    rows = [
+        (1, "alpha beta gamma " + block + " delta epsilon"),
+        (2, block + " zeta eta theta iota kappa lambda mu nu xi"),
+        (3, "no shared content at all in this third document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: (r.text_clean, r.n_removed) for r in remove_duplicate_spans(df).collect()}
+    # The MAXIMAL shared run is block + the trailing space (both docs
+    # follow the block with " "), so 53 chars go — the remover finds
+    # the true run extent, not the planted label.
+    run = len(block) + 1
+    assert got[1] == ("alpha beta gamma " + "delta epsilon", run)
+    assert got[2] == ("zeta eta theta iota kappa lambda mu nu xi", run)
+    assert got[3] == (rows[2][1], 0)
+    mass = {r.doc: r.dup_chars for r in duplicate_span_mass(df).collect()}
+    for d, (_, n_removed) in got.items():
+        assert mass.get(d, 0) == n_removed
+
+
+def test_remove_duplicate_spans_fully_duplicated_doc_empties(spark):
+    """A document that is entirely one shared run cleans to the empty
+    string (and survives the left join with n_removed == n_chars)."""
+    from data_frame_demo_etl_spark.dedup.substring import remove_duplicate_spans
+
+    body = "this entire body is duplicated verbatim across documents"
+    rows = [(1, body), (2, "prefix " + body + " suffix")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: (r.text_clean, r.n_removed) for r in remove_duplicate_spans(df).collect()}
+    assert got[1] == ("", len(body))
+    assert got[2] == ("prefix " + " suffix", len(body))
