@@ -2,8 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 one JSON line with per-query wall times.
 
-Each query is executed to completion (count + a cheap checksum
-collect) so lazy plans are fully materialized.
+Each query is executed to completion through the no-op sink
+(session.materialize), which consumes every row AND column — count()
+under-measures gates whose final operator Catalyst can elide for
+counting (see materialize's docstring).
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_frame_demo_etl_spark import registry
-from data_frame_demo_etl_spark.session import get_spark
+from data_frame_demo_etl_spark.session import get_spark, materialize
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -140,7 +142,7 @@ def main() -> None:
     # two timed reps the cache is kept — rep 1 materializes the gate's
     # own persists, rep 2 is the steady state best-of-2 reports.
     for name in names:
-        qs[name](spark, SF_DIR).count()
+        materialize(qs[name](spark, SF_DIR))
         release_all_caches(spark)
 
     timings: dict[str, float] = {}
@@ -149,7 +151,7 @@ def main() -> None:
         for _ in range(2):  # best-of-2: steady-state, less scheduler noise
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
-            df.count()
+            materialize(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         release_all_caches(spark)
@@ -160,6 +162,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # r8 methodology break, documented in SCALING.md: the action is
+        # session.materialize (full-column checksum agg), not .count()
+        # — count() never evaluated final-aggregate expressions or
+        # unique-keyed left joins, under-measuring ~1/3 of the suite.
+        "action": "xsum",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }

@@ -99,10 +99,15 @@ def shared_intervals(
     shared verbatim with at least one OTHER document. The union of a
     doc's intervals is exactly its duplicated-character set."""
     pos = lgram_hash_table(df, id_col, text_col, L).persist()
+    # "h in ≥2 distinct docs" ⟺ min(doc) != max(doc) over h's rows —
+    # one partial-aggregable pass. count_distinct plans the two-phase
+    # distinct expansion (an EXTRA full exchange of (h, doc) pairs),
+    # measured 2× the gate's wall on the shared-boilerplate corpus
+    # where every doc carries ~250 corpus-wide hashes.
     shared_h = (
         pos.groupBy("h")
-        .agg(F.count_distinct("doc").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
+        .agg(F.min("doc").alias("__lo"), F.max("doc").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
         .select("h")
     )
     return pos.join(shared_h, "h", "semi").select(
@@ -185,49 +190,72 @@ def remove_duplicate_spans(
     chrome), removing every occurrence is the intended cleanup; the
     unique prose around it is untouched by construction.
 
-    Pure Column expressions end-to-end: chars = posexplode(split('')),
-    covered = chars ⋈ intervals (doc-equi join + range filter — the
-    per-doc work is bounded by doc_len × doc_intervals, a DOCUMENT
-    contract, not a corpus one), kept = left-anti, rebuild =
-    concat_ws over the position-sorted collect_list (per-doc group,
-    bounded by doc length). The oracle mirrors every step, so the
-    cleaned STRINGS hash-match cross-engine."""
+    Pure Column expressions end-to-end, with NO per-character rows:
+    the shared intervals are unioned into DISJOINT covered segments
+    (the D17 prefix-max sweep plus a running segment counter — one
+    Exchange+Sort, both windows share the (doc, i) spec), and the
+    cleaned text is rebuilt by folding the complement GAPS with
+    Column.substr. A chars ⋈ intervals coverage join would cost
+    doc_len × doc_intervals per document — quadratic exactly on
+    boilerplate-heavy documents where intervals ≈ len (the shared-
+    boilerplate harness put 33 B join rows behind 400k docs before
+    this formulation; now the join-free cost is Θ(intervals) rows +
+    a per-doc fold over the FEW disjoint segments). The oracle keeps
+    the independent per-character formulation (chars/covered/kept),
+    so the cleaned STRINGS hash-matching is a genuine two-formulation
+    cross-check."""
     iv = shared_intervals(df, id_col, text_col, L)
-    chars = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), "")).alias("i0", "ch"),
-    ).select("doc", (F.col("i0") + 1).alias("i"), "ch")
-    covered = (
-        chars.alias("c")
-        .join(
-            iv.alias("v"),
-            (F.col("c.doc") == F.col("v.doc"))
-            & F.col("c.i").between(F.col("v.i"), F.col("v.e")),
-            "semi",
-        )
-        .select("doc", "i")
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    kept = chars.join(covered, ["doc", "i"], "left_anti")
-    rebuilt = kept.groupBy("doc").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "ch"))), lambda x: x["ch"]
-            ),
-        ).alias("text_clean")
+    w_run = (
+        Window.partitionBy("doc")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = (
+        iv.withColumn("pmax", F.max("e").over(w_prev))
+        .withColumn(
+            "new_seg",
+            (F.col("pmax").isNull() | (F.col("i") > F.col("pmax"))).cast("int"),
+        )
+        .withColumn("seg", F.sum("new_seg").over(w_run))
+    )
+    segs = marked.groupBy("doc", "seg").agg(
+        F.min("i").alias("s"), F.max("e").alias("e")
+    )
+    seg_arr = segs.groupBy("doc").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("segs")
     )
     base = df.select(
-        F.col(id_col).alias("doc"), F.length(text_col).cast("long").alias("__n")
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__text"),
+        F.length(text_col).cast("int").alias("__n"),
     )
-    return (
-        base.join(rebuilt, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            (F.col("__n") - F.length(F.coalesce("text_clean", F.lit("")))).cast(
-                "long"
-            ).alias("n_removed"),
-        )
+    joined = base.join(seg_arr, "doc", "left")
+    txt = F.col("__text")
+    # fold the gaps between disjoint segments: acc = (next gap start,
+    # cleaned-so-far); each segment appends the gap before it.
+    folded = F.aggregate(
+        F.col("segs"),
+        F.struct(F.lit(1).cast("int").alias("pos"), F.lit("").alias("out")),
+        lambda acc, s: F.struct(
+            (s["e"] + F.lit(1)).cast("int").alias("pos"),
+            F.concat(acc["out"], txt.substr(acc["pos"], s["s"] - acc["pos"])).alias(
+                "out"
+            ),
+        ),
+        lambda acc: F.concat(
+            acc["out"], txt.substr(acc["pos"], F.col("__n") - acc["pos"] + F.lit(1))
+        ),
+    )
+    clean = F.when(F.col("segs").isNull(), txt).otherwise(folded)
+    return joined.select(
+        "doc",
+        clean.alias("text_clean"),
+        (F.col("__n").cast("long") - F.length(clean)).cast("long").alias("n_removed"),
     )
 
 

@@ -53,6 +53,35 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def materialize(df) -> None:
+    """Fully execute a DataFrame, EVALUATING every output column — the
+    measurement action for bench.py and the scaling harnesses.
+
+    ``.count()`` is NOT full execution: for counting, Catalyst prunes
+    every unreferenced expression — it ELIMINATES a left outer join
+    whose right side is unique-keyed (any gate shaped ``base LEFT JOIN
+    per_key_agg``: docs_remove_duplicate_spans "counted" in 0.2 s
+    while its real work is 2.0 s at sf0.1) and drops the AGGREGATE
+    EXPRESSIONS from final groupBys (q1's eight decimal sums were
+    never computed: 0.34 s count vs 1.05 s honest).
+
+    The action here is a global agg over (count, bit_xor(xxhash64(all
+    columns))): referencing every column defeats both optimizations,
+    and the only overhead added is hashing the RESULT rows plus a
+    one-row exchange. A no-op V2 write also measures honestly but
+    adds ~0.5–0.9 s of write-job overhead per query and re-executes
+    Arrow/Python stages (measured 5.8 s vs 2.4 s on the progressive-
+    JPEG gate) — wrong for benchmarking. Map/variant columns are
+    hashed through to_json (xxhash64 rejects them natively)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.to_json(F.col(c)) if t.startswith(("map", "variant")) else F.col(c)
+        for c, t in df.dtypes
+    ]
+    df.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(*cols))).collect()
+
+
 def release_all_caches(spark: SparkSession) -> None:
     """Drop every CacheManager entry in the session.
 

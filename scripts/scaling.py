@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from data_frame_demo_etl_spark import registry
-from data_frame_demo_etl_spark.session import get_spark
+from data_frame_demo_etl_spark.session import get_spark, materialize
 from data_frame_demo_etl_spark.sources.catalog import TABLES, load_table
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,9 +102,9 @@ def main() -> None:
             # build the sf0.1 timed run had already amortized (the
             # round-6 threshold-sweep 4.3). Symmetric warming measures
             # steady-state at both scales.
-            qs[name](spark, d).count()
+            materialize(qs[name](spark, d))
             t0 = time.perf_counter()
-            qs[name](spark, d).count()
+            materialize(qs[name](spark, d))
             times[label] = round(time.perf_counter() - t0, 2)
         times["ratio"] = round(times["sf1"] / max(times["sf0.1"], 1e-9), 1)
         results[name] = times

@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from data_frame_demo_etl_spark import registry
-from data_frame_demo_etl_spark.session import get_spark
+from data_frame_demo_etl_spark.session import get_spark, materialize
 from data_frame_demo_etl_spark.sources.catalog import load_table
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,7 +108,7 @@ def main() -> None:
     qs = registry.queries()
     results = {}
     for name in qnames:
-        qs[name](spark, BASE).count()  # warm this query
+        materialize(qs[name](spark, BASE))  # warm this query
         times = {}
         for label, d in (("sf0.1", BASE), ("sf1", SF1), ("sf10", SF10)):
             from data_frame_demo_etl_spark.analytics.triangles import (
@@ -118,7 +118,7 @@ def main() -> None:
             release_copurchase_edges()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            qs[name](spark, d).count()
+            materialize(qs[name](spark, d))
             times[label] = round(time.perf_counter() - t0, 2)
         times["ratio_1"] = round(times["sf1"] / max(times["sf0.1"], 1e-9), 1)
         times["ratio_10"] = round(times["sf10"] / max(times["sf1"], 1e-9), 1)

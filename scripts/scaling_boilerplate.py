@@ -36,7 +36,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
-from data_frame_demo_etl_spark.session import get_spark, release_all_caches
+from data_frame_demo_etl_spark.session import get_spark, materialize, release_all_caches
 
 ROOT = Path(__file__).resolve().parents[1]
 BOILER_WORDS = [f"boiler{i:02d}" for i in range(30)]
@@ -89,7 +89,7 @@ def main() -> None:
 
     def winnow(plan):
         def run(sf_dir):
-            docs_winnowing_matches(spark, sf_dir, cap_plan=plan).count()
+            materialize(docs_winnowing_matches(spark, sf_dir, cap_plan=plan))
 
         return run
 
@@ -99,9 +99,9 @@ def main() -> None:
         # shields the buckets.
         def run(sf_dir):
             docs = load_table(spark, "documents", sf_dir)
-            minhash_near_dup_pairs(
+            materialize(minhash_near_dup_pairs(
                 docs, "doc_id", "text", hash_fn="md5", cap_plan=("agg" if plan == "window" else "anti")
-            ).count()
+            ))
 
         return run
 
@@ -115,7 +115,20 @@ def main() -> None:
                 docs_exact_substring_mass,
             )
 
-            docs_exact_substring_mass(spark, sf_dir).count()
+            materialize(docs_exact_substring_mass(spark, sf_dir))
+
+        return run
+
+    def remover(_plan):
+        # D18: chars-level coverage join + string rebuild — every doc
+        # carries the same ~250 hot intervals, the densest per-doc
+        # work in the family.
+        def run(sf_dir):
+            from data_frame_demo_etl_spark.dedup.substring import (
+                docs_remove_duplicate_spans,
+            )
+
+            materialize(docs_remove_duplicate_spans(spark, sf_dir))
 
         return run
 
@@ -123,6 +136,7 @@ def main() -> None:
         ("docs_winnowing_matches", winnow, args.plans.split(",")),
         ("minhash_lsh_pairs", minhash, args.plans.split(",")),
         ("docs_exact_substring_mass", substring, ["anti"]),
+        ("docs_remove_duplicate_spans", remover, ["anti"]),
     ]
     if args.queries:
         keep = set(args.queries.split(","))
