@@ -2,10 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 one JSON line with per-query wall times.
 
-Each query is executed to completion through the no-op sink
-(session.materialize), which consumes every row AND column — count()
-under-measures gates whose final operator Catalyst can elide for
-counting (see materialize's docstring).
+Each query is executed to completion through session.materialize
+(full-column checksum agg), which evaluates every output column —
+count() under-measures gates whose final operators Catalyst can elide
+for counting (see materialize's docstring).
 """
 
 from __future__ import annotations
@@ -109,6 +109,7 @@ HEADLINE = [
     # round-8 additions (appended, same comparability rule)
     "docs_exact_substring_mass",
     "docs_remove_duplicate_spans",
+    "embeddings_matryoshka_recall",
 ]
 
 

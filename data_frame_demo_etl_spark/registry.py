@@ -764,6 +764,12 @@ register(
     DOCS_REMOVE_DUPLICATE_SPANS_SQL,
 )
 
+register(
+    "embeddings_matryoshka_recall",
+    sim_gate.embeddings_matryoshka_recall,
+    sim_gate.EMBEDDINGS_MATRYOSHKA_RECALL_SQL,
+)
+
 # ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-8 window (TIER_ROTATION.md "Round-8 window draft"). Rotation

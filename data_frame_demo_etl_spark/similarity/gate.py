@@ -235,6 +235,110 @@ ORDER BY ne.query_id
 """
 
 
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def embeddings_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Matryoshka dimension-truncation recall (Kusupati et al.
+    2022 / MRL serving decision) — rank by cosine over only the FIRST
+    m dimensions of every vector and measure recall@k against the
+    full-dimension exact top-k, per (m, query). This is the number
+    that decides how far stored vectors can be truncated (m/64 of the
+    memory and bandwidth) before retrieval quality drops: the
+    evaluation-layer sibling of `ann_recall_eval` (which varies the
+    INDEX; this varies the REPRESENTATION). Both legs reuse the
+    oracled brute-force machinery — truncation is F.slice on the
+    stored array, so no new approximation enters the evaluation.
+    Output (dim, query_id, n_hit, recall_ppm); every (dim, query)
+    appears (zero hits included via the spine left-join)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    full = brute_force_topk(emb, _queries(emb), k=K).select("query_id", "neighbor_id")
+    trunc_parts = []
+    for m in MATRYOSHKA_DIMS:
+        sliced = emb.select("vec_id", F.slice("embedding", 1, m).alias("embedding"))
+        topm = brute_force_topk(sliced, _queries(sliced), k=K).select(
+            F.lit(m).cast("int").alias("dim"), "query_id", "neighbor_id"
+        )
+        trunc_parts.append(topm)
+    trunc = trunc_parts[0]
+    for t in trunc_parts[1:]:
+        trunc = trunc.unionByName(t)
+    hits = (
+        trunc.join(full, ["query_id", "neighbor_id"])
+        .groupBy("dim", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    spine = (
+        spark.range(N_QUERIES)
+        .select(F.col("id").cast("long").alias("query_id"))
+        .crossJoin(
+            spark.createDataFrame([(m,) for m in MATRYOSHKA_DIMS], "dim int")
+        )
+    )
+    return (
+        spine.join(hits, ["dim", "query_id"], "left")
+        .select(
+            "dim",
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(f"cast((coalesce(n_hit, 0) * 1000000) div {K} as bigint)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("dim", "query_id")
+    )
+
+
+def _matryoshka_leg_sql(m: int) -> str:
+    return f"""
+  SELECT {m} AS dim, query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv[1:{m}] AS DOUBLE[]), CAST(e.embedding[1:{m}] AS DOUBLE[])), 6) DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+         embeddings e
+    WHERE e.vec_id != q.query_id
+  ) WHERE rank <= {K}"""
+
+
+EMBEDDINGS_MATRYOSHKA_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+         embeddings e
+    WHERE e.vec_id != q.query_id
+  ) WHERE rank <= {K}
+),
+trunc AS ({" UNION ALL ".join(_matryoshka_leg_sql(m) for m in MATRYOSHKA_DIMS)}
+),
+hits AS (
+  SELECT t.dim, t.query_id, COUNT(*) AS n_hit
+  FROM trunc t JOIN exact e ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+  GROUP BY t.dim, t.query_id
+),
+spine AS (
+  SELECT d.dim, q.query_id
+  FROM (SELECT UNNEST({list(MATRYOSHKA_DIMS)}) AS dim) d,
+       (SELECT UNNEST(GENERATE_SERIES(0, {N_QUERIES - 1})) AS query_id) q
+)
+SELECT CAST(s.dim AS INTEGER) AS dim,
+       CAST(s.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(h.n_hit, 0) * 1000000) // {K} AS BIGINT) AS recall_ppm
+FROM spine s LEFT JOIN hits h ON s.dim = h.dim AND s.query_id = h.query_id
+ORDER BY dim, query_id
+"""
+
+
 DEDUP_EMBEDDING_SQL = f"""
 WITH b AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings

@@ -129,6 +129,10 @@ CARTESIAN_ALLOWED = {
     # broadcast query set against the corpus — the documented
     # ann_cosine_topk shape twice (similarity/gate.py).
     "ann_recall_eval",
+    # full + per-truncation-dim brute-force legs (broadcast query set,
+    # the ann_cosine_topk shape) plus a constant (dims × queries)
+    # spine cross — all bounded by construction (similarity/gate.py).
+    "embeddings_matryoshka_recall",
 }
 
 
