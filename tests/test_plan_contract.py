@@ -45,6 +45,10 @@ CARTESIAN_ALLOWED = {
     # composes ann_lsh_topk + ann_cosine_topk — both legs are the
     # bounded broadcast-query-set shape above (similarity/gate.py).
     "ann_recall_eval",
+    # full + per-truncation-dim brute-force legs plus a constant
+    # (dims × queries) spine — r9 rotation target, listed ahead of the
+    # rotation per the both-allowlists rule (similarity/gate.py).
+    "embeddings_matryoshka_recall",
     # dense (groups × bins × 2) spine — constant-size cross join by
     # construction (analytics/drift.py).
     "events_value_drift_psi",
