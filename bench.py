@@ -142,8 +142,14 @@ def main() -> None:
     # shuffle-heavy query ~25-60% (measured r7). Within one query's
     # two timed reps the cache is kept — rep 1 materializes the gate's
     # own persists, rep 2 is the steady state best-of-2 reports.
+    # The warmup action is count() — cheap (it elides what xsum later
+    # measures) but it compiles most plan shapes and warms the page
+    # cache; the xsum-specific codegen is absorbed by rep 1 of the
+    # timed best-of-2 below, so rep 2 (the reported number) is steady
+    # state. Keeps total bench wall near the r7 budget despite the
+    # honest action measuring ~15% more work.
     for name in names:
-        materialize(qs[name](spark, SF_DIR))
+        qs[name](spark, SF_DIR).count()
         release_all_caches(spark)
 
     timings: dict[str, float] = {}
