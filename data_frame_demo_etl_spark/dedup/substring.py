@@ -9,16 +9,17 @@ m ≥ L contains an L-length window over each of its positions). So the
 exact duplicate-character mass — the quantity Lee et al.'s
 suffix-array remover deletes — reduces to:
 
-1. hash every L-gram of every document with the same Karp–Rabin
-   polynomial the winnowing family uses (h_i = Σ_j code(c_{i+j})·
-   B^{L−1−j} mod M, pure integer arithmetic — the DuckDB oracle
-   reproduces every hash bit-for-bit from an explicit L-term formula,
-   so hash collisions, if any, are IDENTICAL on both engines and
-   parity is exact by construction);
-2. keep hashes present in ≥ 2 distinct documents (one distributed
-   groupBy with map-side partial aggregation, then a shuffled
-   semi-join back — AQE skew-join splits a hot hash's positions,
-   unlike a count window);
+1. hash every L-gram of every document with TWO independent
+   Karp–Rabin polynomials over the Mersenne prime M = 2^61 − 1
+   (h_i = Σ_j code(c_{i+j})·B^{L−1−j} mod M at two evaluation points
+   B_A ≠ B_B; branch-free two-limb mulmod in the numpy kernel,
+   HUGEINT arithmetic in the DuckDB oracle — both engines reproduce
+   every hash bit-for-bit from the same explicit L-term formula, so
+   parity is exact by construction INCLUDING any residual collision);
+2. keep (h1, h2) pairs present in ≥ 2 distinct documents (one
+   distributed groupBy with map-side partial aggregation, then a
+   shuffled semi-join back — AQE skew-join splits a hot hash's
+   positions, unlike a count window);
 3. per document, union the covered intervals [i, i+L−1] with a
    single prefix-max sweep (window partitioned by doc — bounded by
    DOCUMENT length, not corpus size, so the partition is safe at any
@@ -30,6 +31,21 @@ by definition and carry no signal the exact-dedup family doesn't
 already report. Cross-document sharing only (a phrase repeated twice
 WITHIN one document is not counted) — the split-contamination-
 relevant kind of duplication.
+
+Why 2×61 bits and not winnowing's single 31-bit hash: at corpus
+scale a 31-bit key birthday-collides (~n²/2^32 colliding gram pairs —
+certain beyond ~10^5 distinct grams), so distinct grams in different
+documents would hash-equal, inflating dup_chars and making the
+remover excise never-duplicated text; oracle parity cannot catch it
+because the SQL reproduces the same hashes. With the (h1, h2) pair
+key, two DISTINCT grams collide only if both degree-22 difference
+polynomials vanish at their evaluation points — ≤ (22/M)² ≈ 2^−113
+per pair in the random-input model — so at the 10^14-gram / 100 TB
+design point the expected number of colliding pairs is ~5·10^−7:
+collision-free where it will run. (Winnowing keeps its single 31-bit
+hash deliberately: it is a SAMPLING sketch whose output is a match
+*candidate* report, not an exact mass, and its per-doc fingerprint
+sets are ~10^3 smaller than the full gram table.)
 
 Relation to D16 (winnowing): winnowing samples ~2/(w+1) of these
 L-gram hashes to find WHICH pairs match; this operator measures HOW
@@ -50,46 +66,81 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.catalog import load_table
-from .winnowing import BASE, MOD
 
 L_CHARS = 23  #: minimum duplicated-run length (= winnowing's w + k − 1)
+MOD61 = (1 << 61) - 1  #: Mersenne prime 2^61 − 1 (shift-fold reduction)
+BASE_A = 1_000_000_007  #: evaluation points, both prime and < 2^30 so
+BASE_B = 998_244_353    #: the two-limb mulmod needs no 128-bit product
 
 
 def lgram_hash_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", L: int = L_CHARS
 ) -> DataFrame:
-    """(doc, i, h): the Karp–Rabin hash of every L-gram, i 1-based —
-    exactly the integers the oracle's L-term polynomial produces.
-    Documents shorter than L emit no rows."""
+    """(doc, i, h1, h2): the two independent Karp–Rabin hashes of every
+    L-gram, i 1-based — exactly the integers the oracle's L-term
+    polynomials produce. Documents shorter than L emit no rows.
+
+    The Horner step is branch-free uint64 arithmetic: with base
+    B < 2^30 and h < 2^61, h·B splits into 32-bit limbs whose partial
+    products stay under 2^62, and mod (2^61 − 1) is a shift-fold
+    (2^61 ≡ 1) — no division, so the two 61-bit hashes cost about the
+    same as the one 31-bit ``%``-based hash they replaced."""
     import numpy as np
     import pandas as pd
 
+    m61 = np.uint64(MOD61)
+    mask32 = np.uint64(0xFFFFFFFF)
+    mask29 = np.uint64((1 << 29) - 1)
+    s29, s32, s61 = np.uint64(29), np.uint64(32), np.uint64(61)
+
+    def step(h, base, codes_slice):
+        # (h * base + codes_slice) mod 2^61−1, all values < 2^61.
+        mid = (h >> s32) * base  # < 2^29 · 2^30
+        lo = (h & mask32) * base  # < 2^32 · 2^30
+        t = (mid >> s29) + ((mid & mask29) << s32) + (lo >> s61) + (lo & m61)
+        t = (t >> s61) + (t & m61)
+        t = np.where(t >= m61, t - m61, t) + codes_slice
+        return np.where(t >= m61, t - m61, t)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ba, bb = np.uint64(BASE_A), np.uint64(BASE_B)
         for pdf in it:
             docs: list = []
             poss: list = []
-            hs: list = []
+            h1s: list = []
+            h2s: list = []
             for doc, text in zip(pdf["doc"], pdf["__text"]):
                 if text is None:
                     continue
                 codes = np.frombuffer(
                     text.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
+                ).astype(np.uint64)
                 n = codes.size
                 if n < L:
                     continue
-                h = np.zeros(n - L + 1, dtype=np.int64)
+                m = n - L + 1
+                h1 = np.zeros(m, dtype=np.uint64)
+                h2 = np.zeros(m, dtype=np.uint64)
                 for j in range(L):
-                    h = (h * BASE + codes[j : j + n - L + 1]) % MOD
-                m = h.size
+                    cs = codes[j : j + m]
+                    h1 = step(h1, ba, cs)
+                    h2 = step(h2, bb, cs)
                 docs.extend([doc] * m)
                 poss.extend(range(1, m + 1))
-                hs.extend(int(x) for x in h)
-            yield pd.DataFrame({"doc": docs, "i": poss, "h": hs})
+                h1s.append(h1.astype(np.int64))
+                h2s.append(h2.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc": docs,
+                    "i": poss,
+                    "h1": np.concatenate(h1s) if h1s else np.array([], dtype=np.int64),
+                    "h2": np.concatenate(h2s) if h2s else np.array([], dtype=np.int64),
+                }
+            )
 
     return df.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
-    ).mapInPandas(batches, "doc long, i long, h long")
+    ).mapInPandas(batches, "doc long, i long, h1 long, h2 long")
 
 
 def shared_intervals(
@@ -99,18 +150,20 @@ def shared_intervals(
     shared verbatim with at least one OTHER document. The union of a
     doc's intervals is exactly its duplicated-character set."""
     pos = lgram_hash_table(df, id_col, text_col, L).persist()
-    # "h in ≥2 distinct docs" ⟺ min(doc) != max(doc) over h's rows —
-    # one partial-aggregable pass. count_distinct plans the two-phase
-    # distinct expansion (an EXTRA full exchange of (h, doc) pairs),
-    # measured 2× the gate's wall on the shared-boilerplate corpus
-    # where every doc carries ~250 corpus-wide hashes.
+    # "(h1,h2) in ≥2 distinct docs" ⟺ min(doc) != max(doc) over the
+    # pair's rows — one partial-aggregable pass. count_distinct plans
+    # the two-phase distinct expansion (an EXTRA full exchange of
+    # (h, doc) pairs), measured 2× the gate's wall on the shared-
+    # boilerplate corpus where every doc carries ~250 corpus-wide
+    # hashes. Keying on the PAIR makes the shared set collision-exact
+    # (module docstring: ≤2^−113 per gram pair).
     shared_h = (
-        pos.groupBy("h")
+        pos.groupBy("h1", "h2")
         .agg(F.min("doc").alias("__lo"), F.max("doc").alias("__hi"))
         .filter(F.col("__lo") != F.col("__hi"))
-        .select("h")
+        .select("h1", "h2")
     )
-    return pos.join(shared_h, "h", "semi").select(
+    return pos.join(shared_h, ["h1", "h2"], "semi").select(
         "doc", F.col("i"), (F.col("i") + F.lit(L - 1)).alias("e")
     )
 
@@ -281,25 +334,30 @@ def docs_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lgram_hash_sql(L: int = L_CHARS) -> str:
+def _lgram_hash_sql(base: int, L: int = L_CHARS) -> str:
+    """One Karp–Rabin polynomial as explicit SQL. Powers of the base
+    are precomputed mod 2^61−1; each term is up to ~2^82 (codepoint ×
+    61-bit literal), so the arithmetic runs in HUGEINT (int128) and
+    the reduced hash is cast back to BIGINT — bit-identical to the
+    kernel's two-limb uint64 arithmetic."""
     terms = []
     for j in range(L):
-        lit = pow(BASE, L - 1 - j, MOD)
-        terms.append(f"CAST(ASCII(SUBSTR(text, i + {j}, 1)) AS BIGINT) * {lit}")
-    return "(" + " + ".join(terms) + f") % {MOD}"
+        lit = pow(base, L - 1 - j, MOD61)
+        terms.append(f"CAST(ASCII(SUBSTR(text, i + {j}, 1)) AS HUGEINT) * {lit}")
+    return "CAST((" + " + ".join(terms) + f") % {MOD61} AS BIGINT)"
 
 
 DOCS_EXACT_SUBSTRING_MASS_SQL = f"""
 WITH reps AS (SELECT MIN(doc_id) AS doc, text FROM documents GROUP BY text),
 pos AS (
-  SELECT doc, i, {_lgram_hash_sql()} AS h
+  SELECT doc, i, {_lgram_hash_sql(BASE_A)} AS h1, {_lgram_hash_sql(BASE_B)} AS h2
   FROM reps,
        LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(text) - {L_CHARS - 1}, 0))) AS i)
 ),
-shared AS (SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc) >= 2),
+shared AS (SELECT h1, h2 FROM pos GROUP BY h1, h2 HAVING COUNT(DISTINCT doc) >= 2),
 iv AS (
   SELECT doc, i, i + {L_CHARS - 1} AS e
-  FROM pos WHERE h IN (SELECT h FROM shared)
+  FROM pos SEMI JOIN shared USING (h1, h2)
 ),
 swept AS (
   SELECT doc, i, e,
@@ -324,14 +382,14 @@ ORDER BY doc_id
 DOCS_REMOVE_DUPLICATE_SPANS_SQL = f"""
 WITH reps AS (SELECT MIN(doc_id) AS doc, text FROM documents GROUP BY text),
 pos AS (
-  SELECT doc, i, {_lgram_hash_sql()} AS h
+  SELECT doc, i, {_lgram_hash_sql(BASE_A)} AS h1, {_lgram_hash_sql(BASE_B)} AS h2
   FROM reps,
        LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(text) - {L_CHARS - 1}, 0))) AS i)
 ),
-shared AS (SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc) >= 2),
+shared AS (SELECT h1, h2 FROM pos GROUP BY h1, h2 HAVING COUNT(DISTINCT doc) >= 2),
 iv AS (
   SELECT doc, i, i + {L_CHARS - 1} AS e
-  FROM pos WHERE h IN (SELECT h FROM shared)
+  FROM pos SEMI JOIN shared USING (h1, h2)
 ),
 chars AS (
   SELECT doc, i, SUBSTR(text, i, 1) AS ch

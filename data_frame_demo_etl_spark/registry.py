@@ -14,19 +14,18 @@ stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
 As of round 6 the rotation is expressed as an explicit name list
-(``_R8_WINDOW`` at the bottom of this module) that REORDERS the
+(``_R9_WINDOW`` at the bottom of this module) that REORDERS the
 registry dict after all registrations — the physical layout of the
 ``register()`` calls no longer encodes the window, the list does.
-Round-8 window composition:
-- the 5 round-7 additions registered after the r7 window froze
-  (never externally verified; all judge-verified locally in the r7
-  session), including ``events_parquet_pruning_audit`` whose r8
-  per-slice footer envelope is a redefinition;
+Round-9 window composition:
+- the 3 round-8 additions registered after the r8 window froze
+  (never externally verified; judge-verified 3/3 in the r8 verdict
+  session), plus every gate added or redefined during round 9;
 - the 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
   streaming, temporal, sources, sampling, the LLM flagship);
-- 33 backfill rows whose newest external green is oldest (the r3-era
-  remainder, then r4-era in registration order).
-Every other query is driver-green r3–r7 against its current
+- backfill rows whose newest external green is oldest (the r4-era
+  remainder, in registration order).
+Every other query is driver-green r3–r8 against its current
 definition and sits in tier 2, still fully covered by pytest + the
 local oracle harness.
 """
@@ -770,21 +769,21 @@ register(
     sim_gate.EMBEDDINGS_MATRYOSHKA_RECALL_SQL,
 )
 
-# ═══════════════ ROUND-7 DRIVER WINDOW (explicit rotation) ═══════════════
+# ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
-# round-8 window (TIER_ROTATION.md "Round-8 window draft"). Rotation
-# targets first (the 5 round-7 additions registered after the r7
-# window froze — none has an external green row; all judge-verified
-# locally in the r7 session), then the keeper spine, then backfill
-# whose newest green row is oldest (the r3-era remainder, then r4-era
-# in registration order).
-_R8_WINDOW: tuple[str, ...] = (
-    # --- rotation targets: r7 additions, never externally verified (5)
-    "multimodal_decode_jpeg_progressive",
-    "ann_recall_eval",
-    "docs_winnowing_matches",
-    "events_view_purchase_interval_join",
-    "events_parquet_pruning_audit",  # + r8 per-slice footer envelope
+# round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
+# targets first (the 3 round-8 additions registered after the r8
+# window froze — none has an external green row; judge-verified 3/3
+# in the r8 verdict session — plus every gate added or redefined in
+# round 9), then the keeper spine, then backfill whose newest green
+# row is oldest (the r4-era remainder, in registration order).
+_R9_WINDOW: tuple[str, ...] = (
+    # --- rotation targets: r8 additions, never externally verified (3)
+    #     (D17/D18 redefined in r9: 62-bit two-limb Karp–Rabin modulus
+    #     replaces the 31-bit one — collision-hardened; fresh rows)
+    "docs_exact_substring_mass",
+    "docs_remove_duplicate_spans",
+    "embeddings_matryoshka_recall",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -799,52 +798,49 @@ _R8_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     r3-era remainder (26), then r4-era in registration order (7)
-    "dedup_incremental",
-    "doc_novelty",
-    "text_bm25_topk",
-    "text_retrieval_topk",
-    "text_c4_filters",
-    "lm_score_documents",
-    "docs_quality_rollup",
-    "vocab_coverage",
-    "bpe_learn_merges",
-    "corpus_mix_sample",
-    "heavy_hitter_terms",
-    "topn_events_per_type",
-    "sample_documents_weighted",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "graph_pagerank",
-    "events_sliding_window",
-    "multimodal_decode_stats",
-    "ingest_orc_roundtrip",
-    "loyal_customers_intersect",
-    "order_price_percentiles",
-    "lineitem_key_skew",
-    "bpe_compression_curve",
-    "group_zscore",
-    "ingest_excel_template",
-    "ingest_jdbc_roundtrip",
-    "q9_product_type_profit",
-    # --- redefined in r8: hot-key caps re-planned window→anti +
-    #     snodes eager checkpoint; keep-best winner re-planned
-    #     row_number-window → partial-agg max(struct) + equi-join;
-    #     fuzzy-ER block cap re-planned window→anti
-    #     (identical results; physical plan change ⇒ fresh row)
-    "split_leakage_check",
-    "dedup_lsh_threshold_sweep",
-    "dedup_clusters_keep_best",
-    "llm_prep_keep_best",
-    "supplier_fuzzy_matches",
-    "supplier_er_scores",
+    #     the r4-era remainder, in registration order (35)
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "rolling_30d_customer_revenue",
+    "lapsed_customers_except",
+    "events_cube_summary",
+    "text_repetition_signals",
+    "bpe_encode_documents",
+    "events_approx_stats",
+    "query_builder_filter",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "orders_above_customer_avg",
+    "customers_without_orders",
+    "churned_customers",
+    "window_running_total",
+    "top_parts_per_brand",
+    "events_pivot",
+    "events_gapfill",
+    "fuzzy_name_pairs",
+    "top_terms_per_source",
+    "events_hypertable_rollup",
+    "revenue_rollup",
+    "cdc_apply_changes",
+    "winsorize_prices",
+    "scd2_customer_history",
 )
 
-assert len(_R8_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R8_WINDOW)}"
-_missing = [n for n in _R8_WINDOW if n not in _REGISTRY]
+assert len(_R9_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R9_WINDOW)}"
+_missing = [n for n in _R9_WINDOW if n not in _REGISTRY]
 assert not _missing, f"window names not registered: {_missing}"
 
-_rotated = {n: _REGISTRY[n] for n in _R8_WINDOW}
+_rotated = {n: _REGISTRY[n] for n in _R9_WINDOW}
 _rotated.update({n: e for n, e in _REGISTRY.items() if n not in _rotated})
 _REGISTRY.clear()
 _REGISTRY.update(_rotated)
@@ -852,4 +848,4 @@ _REGISTRY.update(_rotated)
 #: The driver-window queries, in (post-rotation) registration order
 #: (consumed by the plan-contract test, which holds every windowed
 #: plan to the scan/join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = _R8_WINDOW
+TIER1_NAMES: tuple[str, ...] = _R9_WINDOW
