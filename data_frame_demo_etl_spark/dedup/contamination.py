@@ -67,6 +67,26 @@ def contamination_check(spark, sf_dir: str) -> DataFrame:
     return contamination_pairs(train, eval_set).orderBy("train_id", "eval_id")
 
 
+def docs_decontaminate(spark, sf_dir: str) -> DataFrame:
+    """Gate: the ACTING half of decontamination — the surviving
+    training set after dropping every train document (doc_id%5!=0)
+    that shares ≥1 distinct 8-gram with the eval split (doc_id%5==0).
+    `contamination_check` reports the pairs; this gate returns the set
+    the pipeline would actually train on, so the drop itself is
+    externally hash-verified (the D18-for-D17 convention). Plan: the
+    eval shingle table broadcasts into the equi-join, the dirty-id set
+    anti-joins train — no train-side shuffle beyond the anti join."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 5 == 0)
+    kept = decontaminate(train, eval_set)
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
 CONTAMINATION_CHECK_SQL = r"""
 WITH words AS (
   SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
@@ -83,4 +103,27 @@ JOIN grams e ON t.g = e.g
 WHERE t.doc_id % 5 != 0 AND e.doc_id % 5 = 0
 GROUP BY 1, 2
 ORDER BY train_id, eval_id
+"""
+
+DOCS_DECONTAMINATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, text,
+         LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS g
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 0))) AS i)
+),
+dirty AS (
+  SELECT DISTINCT t.doc_id
+  FROM grams t JOIN grams e ON t.g = e.g
+  WHERE t.doc_id % 5 != 0 AND e.doc_id % 5 = 0
+)
+SELECT d.doc_id, CAST(LEN(d.text) AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % 5 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY doc_id
 """

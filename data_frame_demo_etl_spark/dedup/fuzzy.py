@@ -38,12 +38,14 @@ MAX_BLOCK_SIZE = 1000
 def _capped_blocks(s: DataFrame, max_block_size: int | None) -> DataFrame:
     """Drop blocks larger than the cap before any self-join.
     groupBy-count (map-side partial agg — the hot block's rows reduce
-    to one count per map task, never gathered) → broadcast the
-    over-cap keys (≤ n_rows / cap by construction) → left-anti join.
-    The r8 re-plan of the minhash.cap_hot_buckets pattern: the former
-    count window put a hot block's ENTIRE row set in one task's window
-    buffer before dropping it — a straggler AQE cannot split (window
-    partitions are exempt from skew mitigation)."""
+    to one count per map task, never gathered) → left-anti join on the
+    over-cap keys (≤ n_rows / cap by construction; join strategy left
+    to AQE — see minhash.cap_hot_buckets for why the broadcast must
+    not be forced). The r8 re-plan of the minhash.cap_hot_buckets
+    pattern: the former count window put a hot block's ENTIRE row set
+    in one task's window buffer before dropping it — a straggler AQE
+    cannot split (window partitions are exempt from skew
+    mitigation)."""
     if max_block_size is None:
         return s
     hot = (
@@ -52,7 +54,7 @@ def _capped_blocks(s: DataFrame, max_block_size: int | None) -> DataFrame:
         .filter(F.col("__n") > max_block_size)
         .select("blk")
     )
-    return s.join(F.broadcast(hot), "blk", "left_anti")
+    return s.join(hot, "blk", "left_anti")
 
 
 def blocked_fuzzy_pairs(

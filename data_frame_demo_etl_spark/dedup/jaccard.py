@@ -229,8 +229,10 @@ def jaccard_pairs_naive(
     optionally drops ubiquitous shingles before pair generation."""
     sh = _hashed_shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
+        # join strategy left to AQE — the over-cap key set is not
+        # constant-bounded (see minhash.cap_hot_buckets).
         hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_freq)
-        sh = sh.join(F.broadcast(hot.select("h")), "h", "left_anti")
+        sh = sh.join(hot.select("h"), "h", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("doc").alias("id_a"), "h")

@@ -144,9 +144,14 @@ def cap_hot_buckets(
       partial aggregation — a hot bucket's count reduces to one row
       per map task, its posting list is NEVER gathered), filter to the
       over-cap keys (≤ total_postings / cap rows by construction),
-      broadcast them, left-anti join. No task ever buffers a hot
-      posting list; the postings themselves are not even shuffled by
-      the cap.
+      left-anti join. No task ever buffers a hot posting list. The
+      join strategy is deliberately LEFT TO AQE: the over-cap key set
+      is bounded by postings/cap, not by a constant, and a
+      boilerplate-heavy 100 TB corpus can push it past any broadcast
+      limit — AQE broadcasts the anti side when its runtime size
+      allows (the common case, keeping the postings unshuffled) and
+      degrades to a shuffled anti-join when it does not, instead of
+      blowing the driver on a forced hint.
     - ``window``: count window over (band, bucket) — one shuffle whose
       hashpartitioning the downstream self-join reuses, but the window
       buffers each bucket's ENTIRE posting list in one task before the
@@ -171,7 +176,7 @@ def cap_hot_buckets(
         .filter(F.col("__n") > max_bucket_size)
         .select("band", "bucket")
     )
-    return bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    return bb.join(hot, ["band", "bucket"], "left_anti")
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:

@@ -121,9 +121,14 @@ def winnow_matches(
 
     cap_plan="anti" (default): groupBy-count the per-fingerprint doc
     counts (map-side partial agg — no posting list is ever gathered),
-    broadcast the over-cap fingerprints (≤ postings / cap rows),
-    left-anti join. The kernel output is persisted because both the
-    count branch and the join consume it. cap_plan="window" (legacy,
+    left-anti join the over-cap fingerprints (≤ postings / cap rows;
+    join strategy left to AQE — see minhash.cap_hot_buckets for why
+    the broadcast must not be forced). The kernel output is PERSISTED
+    because both the count branch and the pair join consume it — the
+    cache outlives this call by the library-wide lifecycle contract
+    (session.release_all_caches): the session owner releases between
+    logical queries; long-lived callers invoking this directly should
+    do the same. cap_plan="window" (legacy,
     A/B harness scripts/scaling_boilerplate.py): one count window over
     fp — reuses its exchange for the pair join, but buffers a
     boilerplate fingerprint's ENTIRE corpus-sized posting list in one
@@ -149,7 +154,7 @@ def winnow_matches(
                 .filter(F.col("__n") > max_docs_per_fp)
                 .select("fp")
             )
-            fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+            fps = fps.join(hot, "fp", "left_anti")
     a = fps.select(F.col("doc").alias("id_a"), "fp")
     b = fps.select(F.col("doc").alias("id_b"), "fp")
     return (

@@ -116,21 +116,30 @@ def zorder_cluster(
     columns prunes nothing — measured in test_pruning_observed.py)."""
     from pyspark.sql import functions as F
 
-    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    def _scaled(col_name: str, lo, hi):
+        # monotone per-column map onto [0, 2^bits): long arithmetic,
+        # no floats (v−min ≤ span, ×scale fits long for spans < 2^47).
+        # `div` (integer division) has no Column operator, so the one
+        # expression stays SQL text — with the identifier backtick-
+        # escaped, since column names may need quoting.
+        if lo is None or hi is None:  # empty input / all-null column
+            return F.col(col_name).cast("long")
+        scale = (1 << bits) - 1
+        span = max(1, int(hi) - int(lo))
+        q = "`" + col_name.replace("`", "``") + "`"
+        return F.expr(f"(({q} - {int(lo)}L) * {scale}L) div {span}L")
+
     if normalize:
         b = df.agg(
-            F.min(x).alias("xmin"),
-            F.max(x).alias("xmax"),
-            F.min(y).alias("ymin"),
-            F.max(y).alias("ymax"),
+            F.min(F.col(x_col).cast("long")).alias("xmin"),
+            F.max(F.col(x_col).cast("long")).alias("xmax"),
+            F.min(F.col(y_col).cast("long")).alias("ymin"),
+            F.max(F.col(y_col).cast("long")).alias("ymax"),
         ).collect()[0]
-        scale = (1 << bits) - 1
-        xspan = max(1, int(b.xmax) - int(b.xmin))
-        yspan = max(1, int(b.ymax) - int(b.ymin))
-        # monotone per-column map onto [0, 2^bits): long arithmetic,
-        # no floats (v−min ≤ span, ×scale fits long for spans < 2^47)
-        x = F.expr(f"(({x_col} - {int(b.xmin)}L) * {scale}L) div {xspan}L")
-        y = F.expr(f"(({y_col} - {int(b.ymin)}L) * {scale}L) div {yspan}L")
+        x = _scaled(x_col, b.xmin, b.xmax)
+        y = _scaled(y_col, b.ymin, b.ymax)
+    else:
+        x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
     with_z = df.withColumn("_z", zorder_value(x, y, bits))
     return (
         with_z.repartitionByRange(n_partitions, "_z")

@@ -46,7 +46,12 @@ from .analytics.funnel import (
 )
 from .analytics.pagerank import GRAPH_PAGERANK_SQL, graph_pagerank
 from .dedup import gate as dedup_gate
-from .dedup.contamination import CONTAMINATION_CHECK_SQL, contamination_check
+from .dedup.contamination import (
+    CONTAMINATION_CHECK_SQL,
+    DOCS_DECONTAMINATE_SQL,
+    contamination_check,
+    docs_decontaminate,
+)
 from .dedup.fuzzy import SUPPLIER_FUZZY_MATCHES_SQL, supplier_fuzzy_matches
 from .dedup.incremental import DEDUP_INCREMENTAL_SQL, dedup_incremental
 from .dedup.novelty import DOC_NOVELTY_SQL, doc_novelty_gate
@@ -250,6 +255,7 @@ register("dedup_exact", fn_gate.dedup_exact_documents, fn_gate.DEDUP_EXACT_SQL)
 register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
 register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
 register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
+register("docs_decontaminate", docs_decontaminate, DOCS_DECONTAMINATE_SQL)
 register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
 # (The physical tier-1 block above is the ROUND-5 window; the round-6
@@ -784,6 +790,8 @@ _R9_WINDOW: tuple[str, ...] = (
     "docs_exact_substring_mass",
     "docs_remove_duplicate_spans",
     "embeddings_matryoshka_recall",
+    # --- new in r9 (never externally verified)
+    "docs_decontaminate",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -824,16 +832,23 @@ _R9_WINDOW: tuple[str, ...] = (
     "customers_without_orders",
     "churned_customers",
     "window_running_total",
-    "top_parts_per_brand",
-    "events_pivot",
-    "events_gapfill",
-    "fuzzy_name_pairs",
-    "top_terms_per_source",
-    "events_hypertable_rollup",
-    "revenue_rollup",
-    "cdc_apply_changes",
-    "winsorize_prices",
-    "scd2_customer_history",
+    # --- redefined in r9: the hot-key anti-cap joins (minhash
+    #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
+    #     leakage/sweep signature caps, incremental index) no longer
+    #     FORCE F.broadcast(hot) — the over-cap key set is bounded by
+    #     postings/cap, not a constant, so the strategy is left to AQE
+    #     (broadcast when runtime size allows, shuffled anti when a
+    #     boilerplate-heavy corpus would blow the driver). Identical
+    #     results; physical plan change ⇒ fresh external rows.
+    "dedup_clusters_minhash",
+    "dedup_clusters_keep_best",
+    "dedup_sketch_eval",
+    "split_leakage_check",
+    "dedup_lsh_threshold_sweep",
+    "supplier_fuzzy_matches",
+    "supplier_er_scores",
+    "docs_winnowing_matches",
+    "dedup_incremental",
 )
 
 assert len(_R9_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R9_WINDOW)}"

@@ -71,12 +71,14 @@ def materialize(df) -> None:
     one-row exchange. A no-op V2 write also measures honestly but
     adds ~0.5–0.9 s of write-job overhead per query and re-executes
     Arrow/Python stages (measured 5.8 s vs 2.4 s on the progressive-
-    JPEG gate) — wrong for benchmarking. Map/variant columns are
-    hashed through to_json (xxhash64 rejects them natively)."""
+    JPEG gate) — wrong for benchmarking. Columns whose type contains a
+    map/variant ANYWHERE (top-level or nested inside array/struct) are
+    hashed through to_json — xxhash64 rejects map types at any nesting
+    depth, so a prefix check alone would crash on array<map<...>>."""
     from pyspark.sql import functions as F
 
     cols = [
-        F.to_json(F.col(c)) if t.startswith(("map", "variant")) else F.col(c)
+        F.to_json(F.col(c)) if ("map" in t or "variant" in t) else F.col(c)
         for c, t in df.dtypes
     ]
     df.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(*cols))).collect()

@@ -122,3 +122,46 @@ def test_parquet_pruning_audit_prunes_most_slices(spark, sf_dir):
     for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
         assert b1 < a2  # disjoint, ordered
     assert sum(r.n_rows for r in rows) == sum(b - a + 1 for a, b in spans)
+
+
+def test_zorder_cluster_empty_and_quoted_names(spark):
+    """normalize=True must not crash when the min/max aggregates come
+    back NULL (empty input / all-null column — it falls back to the
+    raw interleave), and column names that need backtick quoting must
+    survive the scaling expression."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.operators.layout import zorder_cluster
+
+    empty = spark.range(0).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    assert zorder_cluster(empty, "x", "y", 4).count() == 0
+
+    nulls = spark.range(10).select(
+        F.lit(None).cast("long").alias("x"), F.col("id").alias("y")
+    )
+    assert zorder_cluster(nulls, "x", "y", 4).count() == 10
+
+    quoted = spark.range(64).select(
+        F.col("id").alias("user id"), (F.col("id") * 3).alias("select")
+    )
+    got = zorder_cluster(quoted, "user id", "select", 4)
+    assert got.count() == 64 and set(got.columns) == {"user id", "select"}
+
+
+def test_materialize_handles_nested_maps(spark):
+    """session.materialize must hash queries whose schema nests a map
+    inside an array or struct (xxhash64 rejects map types at ANY
+    depth, not just top-level)."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.session import materialize
+
+    df = spark.range(3).select(
+        "id",
+        F.array(F.create_map(F.lit("k"), F.col("id"))).alias("am"),
+        F.struct(F.create_map(F.lit("k"), F.col("id")).alias("m")).alias("sm"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+    )
+    materialize(df)  # must not raise AnalysisException
