@@ -129,3 +129,171 @@ FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --- DSIR importance resampling (Xie et al. 2023) --------------------------
+
+DSIR_K = 100  #: documents selected by the gate (exact top-k by Gumbel key)
+
+
+def dsir_importance_keys(
+    docs: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance score + Gumbel resampling key
+    (Data Selection via Importance Resampling, Xie et al. 2023).
+
+    The importance weight of a document x is p_target(x)/p_raw(x)
+    under two n-gram LMs — here the same add-one-smoothed bigram
+    model ``lm_score_documents`` trains (the paper uses hashed
+    n-grams; bigrams are the un-hashed special case and reuse the
+    proven-portable machinery). Both LMs come from ONE conditional
+    aggregation per n-gram order: cb_raw = count(*), cb_tgt =
+    count_if(target) over the same groupBy — no second corpus pass,
+    no extra shuffle, and a bigram absent from the target corpus
+    smooths to ln(1/V_t) automatically because its conditional count
+    is 0, not missing.
+
+    Sampling ∝ weight is the Gumbel trick: key = ln w(x) + G(x) with
+    G = −ln(−ln u); taking the global top-k of the key IS a weighted
+    sample without replacement. u comes from the md5 integer grid
+    ((hash32 + 0.5) / 2^32 — never 0 or 1), so selection is
+    DETERMINISTIC and cross-engine: the only libm calls (ln) are
+    quantized to the 1e-6 grid before any comparison (the
+    lm_score_documents convention; +,−,×,÷ on the grid integers are
+    exact in both engines).
+
+    Returns (id_col, n_bigrams, score_q, dsir_key):
+    score_q = round(mean bigram [lpq_target − lpq_raw]) — the
+    quantized log importance weight; dsir_key = score_q + gumbel_q.
+    Documents with < 2 tokens carry no LM evidence and are absent.
+
+    100 TB shape: identical to lm_score_documents — two vocab-sized
+    count tables, the scoring join shuffles bigram occurrences on the
+    bigram key (AQE splits hot function-word keys), one per-doc agg,
+    then a distributed top-k. The two driver-side scalars are the
+    vocab sizes."""
+    toks = docs.select(
+        id_col, target_filter.alias("__tgt"), _tokens(F.col(text_col)).alias("tk")
+    )
+
+    uni = (
+        toks.select("__tgt", F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cu_r"),
+            F.count_if(F.col("__tgt")).alias("cu_t"),
+        )
+    ).persist()
+    v_raw = uni.count()
+    v_tgt = max(uni.filter(F.col("cu_t") > 0).count(), 1)
+
+    bi_occ = toks.select(
+        id_col, "__tgt", F.explode(_bigrams(F.col("tk"))).alias("bg")
+    )
+    bi_counts = bi_occ.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("cb_r"),
+        F.count_if(F.col("__tgt")).alias("cb_t"),
+    )
+
+    lp_raw = F.log(F.col("cb_r") + F.lit(1.0)) - F.log(
+        F.col("cu_r") + F.lit(float(v_raw))
+    )
+    lp_tgt = F.log(F.col("cb_t") + F.lit(1.0)) - F.log(
+        F.col("cu_t") + F.lit(float(v_tgt))
+    )
+    dq = (
+        F.floor(lp_tgt * LP_SCALE + F.lit(0.5)).cast("long")
+        - F.floor(lp_raw * LP_SCALE + F.lit(0.5)).cast("long")
+    )
+
+    scored = (
+        bi_occ.join(bi_counts, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .select(id_col, dq.alias("dq"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("dq").alias("sd"),
+    )
+
+    hash32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (hash32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    gq = F.floor(-F.log(-F.log(u)) * LP_SCALE + F.lit(0.5)).cast("long")
+    score_q = F.floor(
+        F.col("sd").cast("double") / F.col("n_bigrams") + F.lit(0.5)
+    ).cast("long")
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        score_q.alias("score_q"),
+        (score_q + gq).alias("dsir_key"),
+    )
+
+
+def corpus_dsir_sample(spark, sf_dir: str) -> DataFrame:
+    """Gate: DSIR-select the 100 documents whose bigram distribution
+    is most target-like (target = the corpus's English split), via
+    deterministic Gumbel-key top-k over the quantized log importance
+    weights. The data-SELECTION sibling of `corpus_temperature_mix`
+    (which reweights sources) and `corpus_mix_sample` (which meets
+    fixed quotas): DSIR picks by CONTENT similarity to a target
+    distribution, the Xie et al. 2023 recipe."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    keys = dsir_importance_keys(docs, F.col("lang") == "en")
+    return keys.orderBy(F.col("dsir_key").desc(), "doc_id").limit(DSIR_K)
+
+
+CORPUS_DSIR_SAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w != '') AS tk
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS cu_r, COUNT(CASE WHEN tgt THEN 1 END) AS cu_t
+  FROM (SELECT tgt, UNNEST(tk) AS w FROM toks)
+  GROUP BY w
+),
+vr AS (SELECT COUNT(*) AS v FROM uni),
+vt AS (SELECT GREATEST(COUNT(CASE WHEN cu_t > 0 THEN 1 END), 1) AS v FROM uni),
+bi AS (
+  SELECT doc_id, tgt, tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS w1
+  FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(tk) - 1)) AS i)
+  WHERE LEN(tk) >= 2
+),
+bc AS (
+  SELECT bg, COUNT(*) AS cb_r, COUNT(CASE WHEN tgt THEN 1 END) AS cb_t
+  FROM bi GROUP BY bg
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(FLOOR((LN(bc.cb_t + 1.0) - LN(u.cu_t + vt.v)) * {LP_SCALE} + 0.5) AS BIGINT)
+         - CAST(FLOOR((LN(bc.cb_r + 1.0) - LN(u.cu_r + vr.v)) * {LP_SCALE} + 0.5) AS BIGINT) AS dq
+  FROM bi b
+  JOIN bc USING (bg)
+  JOIN uni u ON u.w = b.w1
+  CROSS JOIN vr CROSS JOIN vt
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(dq) AS sd
+  FROM scored GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_bigrams,
+         CAST(FLOOR(CAST(sd AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) AS score_q,
+         CAST(FLOOR(-LN(-LN((CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)) * {LP_SCALE} + 0.5) AS BIGINT) AS gq
+  FROM per_doc
+)
+SELECT doc_id, n_bigrams, score_q, score_q + gq AS dsir_key
+FROM keyed
+ORDER BY dsir_key DESC, doc_id
+LIMIT {DSIR_K}
+"""

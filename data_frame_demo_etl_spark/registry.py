@@ -65,6 +65,7 @@ from .functions.bpe import (
     bpe_encode_documents,
     bpe_learn_merges,
 )
+from .functions import lm
 from .functions.lm import LM_SCORE_SQL, lm_score_gate
 from .functions.vocab import VOCAB_COVERAGE_SQL, vocab_coverage_gate
 from .multimodal.binary_ops import (
@@ -256,6 +257,7 @@ register("dedup_spans", dedup_spans, DEDUP_SPANS_SQL)
 register("dedup_clusters", dedup_gate.dedup_clusters, dedup_gate.DEDUP_CLUSTERS_SQL)
 register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
 register("docs_decontaminate", docs_decontaminate, DOCS_DECONTAMINATE_SQL)
+register("corpus_dsir_sample", lm.corpus_dsir_sample, lm.CORPUS_DSIR_SAMPLE_SQL)
 register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
 # (The physical tier-1 block above is the ROUND-5 window; the round-6
@@ -792,6 +794,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "embeddings_matryoshka_recall",
     # --- new in r9 (never externally verified)
     "docs_decontaminate",
+    "corpus_dsir_sample",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -831,7 +834,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "orders_above_customer_avg",
     "customers_without_orders",
     "churned_customers",
-    "window_running_total",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

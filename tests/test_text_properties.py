@@ -329,3 +329,45 @@ def test_nfc_normalize_contracts_decomposed_sequences(spark):
     assert got[1] == "caf\u00e9" and len(got[1]) == 4   # contracted by one
     assert got[2] == "plain ascii"                        # identity on ASCII
     assert got[3] == "\u00e0 mixed \u00e0"              # both forms converge
+
+
+def test_dsir_planted_distribution_shift(spark):
+    """DSIR importance keys must rank target-like documents above
+    off-distribution ones: with a target split written in vocabulary A
+    and a raw remainder in vocabulary B, the two B-split docs that
+    were PLANTED with vocabulary-A text must carry a strictly higher
+    quantized importance score than every vocabulary-B doc."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.functions.lm import dsir_importance_keys
+
+    rng_a = [f"alpha{i}" for i in range(12)]
+    rng_b = [f"beta{i}" for i in range(12)]
+
+    def sentence(words, seed, n=30):
+        return " ".join(words[(seed * 7 + k * 3) % len(words)] for k in range(n))
+
+    rows = []
+    for i in range(20):  # target split: vocabulary A
+        rows.append((i, "en", sentence(rng_a, i)))
+    for i in range(20, 38):  # raw remainder: vocabulary B
+        rows.append((i, "xx", sentence(rng_b, i)))
+    planted = {38, 39}
+    for i in planted:  # raw docs that LOOK like the target
+        rows.append((i, "xx", sentence(rng_a, i)))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    keys = {
+        r.doc_id: r.score_q
+        for r in dsir_importance_keys(docs, F.col("lang") == "en").collect()
+    }
+    worst_planted = min(keys[i] for i in planted)
+    best_b = max(keys[i] for i in range(20, 38))
+    assert worst_planted > best_b, (worst_planted, best_b)
+
+    # deterministic: a second run returns identical keys
+    again = {
+        r.doc_id: r.score_q
+        for r in dsir_importance_keys(docs, F.col("lang") == "en").collect()
+    }
+    assert again == keys
