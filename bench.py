@@ -22,6 +22,10 @@ from data_frame_demo_etl_spark.session import get_spark, materialize
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# A/B bridge knob (SCALING.md "bench series break"): ACTION=count runs
+# the legacy r1–r7 action for same-box count↔xsum bridge measurements.
+# The driver's per-round artifact always uses the default (xsum).
+ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "xsum")
 
 # Headline queries: one per major capability area (keep the list stable
 # across rounds so BENCH_r{N}.json is comparable).
@@ -158,7 +162,10 @@ def main() -> None:
         for _ in range(2):  # best-of-2: steady-state, less scheduler noise
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
-            materialize(df)
+            if ACTION == "count":
+                df.count()
+            else:
+                materialize(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         release_all_caches(spark)
@@ -173,7 +180,7 @@ def main() -> None:
         # session.materialize (full-column checksum agg), not .count()
         # — count() never evaluated final-aggregate expressions or
         # unique-keyed left joins, under-measuring ~1/3 of the suite.
-        "action": "xsum",
+        "action": ACTION,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }

@@ -103,38 +103,57 @@ def lgram_hash_table(
         return np.where(t >= m61, t - m61, t)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One Horner pass per ARROW BATCH, not per document: the texts
+        # are concatenated into a single codepoint array, all L-gram
+        # hashes computed in 2·L vectorized passes over it, and
+        # windows crossing a document boundary masked out. Per-doc
+        # hashing spent most of its wall in numpy dispatch overhead on
+        # ~350-element arrays (46 calls per document); batch-level
+        # hashing makes it 46 calls per ~10k documents (SCALING
+        # round-9 probe: the kernel IS the substring family's wall).
         ba, bb = np.uint64(BASE_A), np.uint64(BASE_B)
+        empty = np.array([], dtype=np.int64)
+        empty_df = pd.DataFrame(
+            {"doc": empty, "i": empty, "h1": empty, "h2": empty}
+        )
         for pdf in it:
-            docs: list = []
-            poss: list = []
-            h1s: list = []
-            h2s: list = []
+            ids: list = []
+            codes_list: list = []
             for doc, text in zip(pdf["doc"], pdf["__text"]):
                 if text is None:
                     continue
-                codes = np.frombuffer(
-                    text.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.uint64)
-                n = codes.size
-                if n < L:
-                    continue
-                m = n - L + 1
-                h1 = np.zeros(m, dtype=np.uint64)
-                h2 = np.zeros(m, dtype=np.uint64)
-                for j in range(L):
-                    cs = codes[j : j + m]
-                    h1 = step(h1, ba, cs)
-                    h2 = step(h2, bb, cs)
-                docs.extend([doc] * m)
-                poss.extend(range(1, m + 1))
-                h1s.append(h1.astype(np.int64))
-                h2s.append(h2.astype(np.int64))
+                ids.append(doc)
+                codes_list.append(
+                    np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+                )
+            if not ids:
+                yield empty_df
+                continue
+            lens = np.array([c.size for c in codes_list], dtype=np.int64)
+            big = np.concatenate(codes_list).astype(np.uint64)
+            n = big.size
+            if n < L:
+                yield empty_df
+                continue
+            m = n - L + 1
+            h1 = np.zeros(m, dtype=np.uint64)
+            h2 = np.zeros(m, dtype=np.uint64)
+            for j in range(L):
+                cs = big[j : j + m]
+                h1 = step(h1, ba, cs)
+                h2 = step(h2, bb, cs)
+            starts = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            owner = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+            # an L-gram starting at p is real iff p..p+L−1 lie in ONE doc
+            p = np.nonzero(owner[: m] == owner[L - 1 :])[0]
+            own_p = owner[p]
             yield pd.DataFrame(
                 {
-                    "doc": docs,
-                    "i": poss,
-                    "h1": np.concatenate(h1s) if h1s else np.array([], dtype=np.int64),
-                    "h2": np.concatenate(h2s) if h2s else np.array([], dtype=np.int64),
+                    "doc": np.asarray(ids, dtype=np.int64)[own_p],
+                    "i": p - starts[own_p] + 1,
+                    "h1": h1[p].astype(np.int64),
+                    "h2": h2[p].astype(np.int64),
                 }
             )
 

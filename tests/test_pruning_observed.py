@@ -200,3 +200,50 @@ def test_zorder_prunes_second_column_where_lexicographic_cannot(spark, zorder_la
     # span everything, nothing is prunable. Z-order prunes most of it.
     assert l_surv == l_total
     assert z_surv < l_surv // 2
+
+
+# --- K14: the Bloom-prune loop (bitmap prediction == executed filter) ------
+
+def test_bloom_prune_observed_matches_bitmap_prediction(spark, sf_dir):
+    """Close the K14 loop the way K38's tests close row-group pruning:
+    predict the surviving fact rows FROM THE BITMAP (probe each
+    distinct key once, weight by multiplicity) and assert the executed
+    per-row pruned scan delivers exactly that count — plus the two
+    semantic bounds: no false negatives (every true join key survives)
+    and a false-positive rate within 3x the m/k geometry bound."""
+    import math
+
+    from data_frame_demo_etl_spark.operators.bloom import (
+        bloom_prune,
+        build_bloom_words,
+        might_contain,
+    )
+
+    m_bits, k = 1 << 16, 5
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey")
+
+    words = build_bloom_words(part, "p_partkey", m_bits=m_bits, k=k)
+    keys = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    predicted = (
+        keys.filter(might_contain(words, F.col("l_partkey"), m_bits=m_bits, k=k))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+
+    observed = bloom_prune(li, "l_partkey", part, "p_partkey", m_bits=m_bits, k=k).count()
+    assert observed == predicted, (observed, predicted)
+
+    # no false negatives: every row whose key truly joins dim survives
+    true_rows = li.join(part.select(F.col("p_partkey").alias("l_partkey")).distinct(),
+                        "l_partkey", "semi").count()
+    assert observed >= true_rows
+
+    # false positives bounded by the geometry: p = (1 - e^{-kn/m})^k
+    n_members = part.select("p_partkey").distinct().count()
+    fp_bound = (1.0 - math.exp(-k * n_members / m_bits)) ** k
+    nonmember_rows = li.count() - true_rows
+    if nonmember_rows > 0:
+        assert (observed - true_rows) / nonmember_rows <= max(3 * fp_bound, 1e-3), (
+            observed, true_rows, nonmember_rows, fp_bound
+        )
