@@ -1,0 +1,375 @@
+"""SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018),
+fixed-2-iteration Viterbi-EM — the tokenizer-TRAINING sibling of the
+BPE merge learner (functions/bpe.py L10).
+
+Semantics (both engines, integer-exact):
+
+1. **Word table** — distinct lowercased whitespace words w with corpus
+   frequency f(w); words longer than ``MAX_WORD`` chars are excluded
+   from training (documented bound: it fixes the DP unroll depth; long
+   words are vocabulary noise for a trainer gate).
+2. **Seed vocabulary** — every substring of every word up to
+   ``MAX_PIECE`` chars, seed count c0(s) = Σ_w f(w)·occ(s, w)
+   (overlapping occurrences). Single characters are always included,
+   so every word is segmentable at every iteration.
+3. **Viterbi E-step** — per word, the minimum-cost segmentation under
+   cost(s) = −lpq(s), where lpq(s) = floor(ln(c(s)/Σc)·1e6 + 0.5) is
+   the add-nothing unigram log-prob QUANTIZED to the 1e-6 integer grid
+   (the L7 convention — ties and comparisons are integer-exact across
+   engines; ln() libm ulps sit 9 orders below the grid). Tie-break:
+   among equal-cost continuations the LONGEST piece wins (evaluated
+   k = MAX_PIECE … 1), fixed identically in both engines.
+4. **M-step** — piece usage counts over the Viterbi segmentations,
+   weighted by f(w); unused pieces drop out of the vocabulary.
+5. Iterate (2 fixed rounds: seed → segment → re-estimate → segment →
+   count), return the trained vocabulary (piece, n_used, lpq).
+
+Why two formulations: the Spark plan is a STATIC-UNROLL column DP —
+one explode→join→conditional-agg pivot brings every (position, k)
+piece cost into 64 columns, then b_i / argmin-k_i / on-path_i columns
+are pure whole-stage-codegen arithmetic (no UDF, no dynamic indexing
+— path membership is computed FORWARD from static columns:
+on_i = OR_k(on_{i−k} AND k_{i−k} = k)). The DuckDB oracle instead
+folds a cost-matrix LIST with list_reduce — an independent dynamic-
+indexing formulation. Identical integers out of structurally
+different programs is the D18 two-formulation cross-check.
+
+100 TB shape: everything is vocabulary-sized after the one corpus
+tokenize+count pass — the word table, the 64-way explode, the piece
+joins, the DP columns. The corpus-sized work is exactly the L7 word
+count aggregation. Reference: the reference repo has no tokenizer
+training; semantics follow Kudo 2018's unigram model with hard
+(Viterbi) EM and a substring seed vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .lm import LP_SCALE, _tokens
+
+MAX_WORD = 12   #: words longer than this are excluded from training
+MAX_PIECE = 3   #: maximum piece length (fixes the DP branching)
+BIG = 10**15    #: +infinity on the integer cost grid
+
+
+def _word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, f, len): distinct lowercased words with corpus frequency,
+    bounded to MAX_WORD chars."""
+    return (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") <= MAX_WORD)
+        .withColumn("len", F.length("w").cast("int"))
+    )
+
+
+def _seed_pieces(words: DataFrame) -> DataFrame:
+    """(piece, c): seed counts — every substring up to MAX_PIECE chars,
+    weighted by word frequency, overlapping occurrences counted."""
+    subs = words.select(
+        "f",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(F.col("len") - (k - 1), F.lit(0)),
+                            ),
+                            lambda i, kk=k: F.col("w").substr(i, F.lit(kk)),
+                        )
+                        for k in range(1, MAX_PIECE + 1)
+                    ]
+                )
+            )
+        ).alias("piece"),
+    )
+    return subs.groupBy("piece").agg(F.sum("f").alias("c"))
+
+
+def _lpq(count_col: Column, total: int) -> Column:
+    """Quantized unigram log-prob: floor((ln c − ln total)·1e6 + 0.5).
+    Both logs evaluate in-plan (the lm.py convention — the oracle
+    computes the same two LN calls, and 1-ulp libm differences sit 9
+    orders below the grid)."""
+    return F.floor(
+        (F.log(count_col.cast("double")) - F.log(F.lit(float(total))))
+        * LP_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def _cost_columns(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Pivot every (i, k) piece cost into a static column c_{i}_{k}
+    (0-based start i, piece length k): one explode, ONE join against
+    the vocabulary, one conditional aggregation back to a row per
+    word. Missing pieces (possible from iteration 2 on) cost BIG."""
+    combos = []
+    for i in range(MAX_WORD):
+        for k in range(1, MAX_PIECE + 1):
+            if i + k <= MAX_WORD:
+                combos.append((i, k))
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(k).alias("k"),
+                F.col("w").substr(F.lit(i + 1), F.lit(k)).alias("sub"),
+            )
+            for i, k in combos
+        ]
+    )
+    exploded = (
+        words.select("w", "f", "len", F.explode(sub_structs).alias("s"))
+        .select("w", "f", "len", "s.i", "s.k", "s.sub")
+        .filter(F.col("i") + F.col("k") <= F.col("len"))
+    )
+    joined = exploded.join(
+        pieces.select(F.col("piece").alias("sub"), F.col("lpq")), "sub", "left"
+    ).select(
+        "w",
+        "f",
+        "len",
+        "i",
+        "k",
+        F.coalesce(-F.col("lpq"), F.lit(BIG)).alias("cost"),
+    )
+    aggs = [
+        F.max(
+            F.when((F.col("i") == i) & (F.col("k") == k), F.col("cost"))
+        ).alias(f"c_{i}_{k}")
+        for i, k in combos
+    ]
+    return joined.groupBy("w", "f", "len").agg(*aggs)
+
+
+def _viterbi_used(costs: DataFrame) -> DataFrame:
+    """(w, f, piece): the pieces of each word's minimum-cost
+    segmentation (longest-piece tie-break), via the static-unroll DP.
+    Also carries b_0 as ``word_cost`` for likelihood tests."""
+    df = costs
+    bigl = F.lit(BIG)
+
+    def cost_col(i: int, k: int) -> Column:
+        name = f"c_{i}_{k}"
+        return F.coalesce(F.col(name), bigl) if name in df.columns else bigl
+
+    # suffix DP, right to left: b_i = min cost to segment w[i+1 .. len]
+    df = df.withColumn(f"b_{MAX_WORD}", F.when(F.col("len") == MAX_WORD, 0).otherwise(bigl))
+    for i in range(MAX_WORD - 1, -1, -1):
+        cands = []
+        for k in range(1, MAX_PIECE + 1):
+            if i + k <= MAX_WORD:
+                cands.append(cost_col(i, k) + F.col(f"b_{i + k}"))
+        m = F.least(*cands) if len(cands) > 1 else cands[0]
+        df = df.withColumn(
+            f"b_{i}",
+            F.when(F.col("len") == i, 0)
+            .when(F.col("len") < i, bigl)
+            .otherwise(m),
+        )
+        # argmin k, longest piece first on ties (k = MAX_PIECE … 1)
+        k_expr = None
+        for k in range(min(MAX_PIECE, MAX_WORD - i), 0, -1):
+            hit = (cost_col(i, k) + F.col(f"b_{i + k}")) == F.col(f"b_{i}")
+            k_expr = F.when(hit, k) if k_expr is None else k_expr.when(hit, k)
+        df = df.withColumn(
+            f"k_{i}",
+            F.when(F.col("len") <= i, 0).otherwise(k_expr.otherwise(0)),
+        )
+    # forward path membership: position 0 is on the path; position i is
+    # on it iff some on-path position i−k chose a k-piece ending at i.
+    df = df.withColumn("on_0", F.lit(True))
+    for i in range(1, MAX_WORD):
+        terms = [
+            (F.col(f"on_{i - k}") & (F.col(f"k_{i - k}") == k))
+            for k in range(1, MAX_PIECE + 1)
+            if i - k >= 0
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc | t
+        df = df.withColumn(f"on_{i}", acc)
+    # emit the used pieces (static 3-way CASE over k_i per position)
+    piece_at = []
+    for i in range(MAX_WORD):
+        expr = F.when(
+            F.col(f"k_{i}") == 1, F.col("w").substr(F.lit(i + 1), F.lit(1))
+        )
+        for k in range(2, MAX_PIECE + 1):
+            expr = expr.when(
+                F.col(f"k_{i}") == k, F.col("w").substr(F.lit(i + 1), F.lit(k))
+            )
+        piece_at.append(
+            F.when(F.col(f"on_{i}") & (F.col(f"k_{i}") > 0) & (F.col("len") > i), expr)
+        )
+    return df.select(
+        "w",
+        "f",
+        F.col("b_0").alias("word_cost"),
+        F.explode(
+            F.filter(F.array(*piece_at), lambda x: x.isNotNull())
+        ).alias("piece"),
+    )
+
+
+def _mstep(used: DataFrame) -> DataFrame:
+    """(piece, n_used): frequency-weighted Viterbi usage counts."""
+    return used.groupBy("piece").agg(F.sum("f").alias("n_used"))
+
+
+def unigram_lm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train the unigram vocabulary with 2 Viterbi-EM iterations;
+    returns (piece, n_used, lpq) — the final vocabulary with usage
+    counts and quantized log-probs, the table a tokenizer loads."""
+    words = _word_table(docs, text_col).persist()
+    seed = _seed_pieces(words).persist()
+    total0 = seed.agg(F.sum("c")).collect()[0][0]
+    pieces0 = seed.select("piece", _lpq(F.col("c"), int(total0)).alias("lpq"))
+
+    used1 = _viterbi_used(_cost_columns(words, pieces0))
+    counts1 = _mstep(used1).persist()
+    total1 = counts1.agg(F.sum("n_used")).collect()[0][0]
+    pieces1 = counts1.select("piece", _lpq(F.col("n_used"), int(total1)).alias("lpq"))
+
+    used2 = _viterbi_used(_cost_columns(words, pieces1))
+    counts2 = _mstep(used2)
+    total2_df = counts2.agg(F.sum("n_used").alias("t"))
+    # total2 stays in-plan: join the 1-row total back (bounded scalar)
+    out = (
+        counts2.crossJoin(F.broadcast(total2_df))
+        .select(
+            "piece",
+            "n_used",
+            F.floor(
+                (F.log(F.col("n_used").cast("double")) - F.log(F.col("t").cast("double")))
+                * LP_SCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lpq"),
+        )
+        .orderBy("piece")
+    )
+    return out
+
+
+def unigram_lm_vocab(spark, sf_dir: str) -> DataFrame:
+    """Gate: train the unigram tokenizer vocabulary on `documents`
+    (2 Viterbi-EM iterations) and return it — piece, frequency-weighted
+    usage count, and quantized log-prob."""
+    from ..sources.catalog import load_table
+
+    return unigram_lm_train(load_table(spark, "documents", sf_dir))
+
+
+def _iteration_sql(pieces_cte: str, n: int) -> str:
+    """One Viterbi iteration as SQL CTEs: cost matrix (3 LEFT JOINs
+    against ``pieces_cte``), the list-fold suffix DP, the forward
+    walk, and frequency-weighted usage counts — suffixed ``{n}``."""
+    chosen = (
+        f"CASE WHEN acc[1] + 2 <= len AND cm[CAST(acc[1] AS INT)][3] "
+        f"+ bl[CAST(acc[1] + 3 AS INT)] = bl[CAST(acc[1] AS INT)] THEN 3 "
+        f"WHEN acc[1] + 1 <= len AND cm[CAST(acc[1] AS INT)][2] "
+        f"+ bl[CAST(acc[1] + 2 AS INT)] = bl[CAST(acc[1] AS INT)] THEN 2 "
+        f"ELSE 1 END"
+    )
+    return f"""
+cm{n} AS (
+  SELECT x.w, x.f, x.len, LIST(LIST_VALUE(x.ck1, x.ck2, x.ck3) ORDER BY x.i) AS cm
+  FROM (
+    SELECT p.w, p.f, p.len, p.i,
+       COALESCE(-a.lpq, {BIG}) AS ck1,
+       CASE WHEN p.i + 1 <= p.len THEN COALESCE(-b.lpq, {BIG}) ELSE {BIG} END AS ck2,
+       CASE WHEN p.i + 2 <= p.len THEN COALESCE(-c.lpq, {BIG}) ELSE {BIG} END AS ck3
+    FROM positions p
+    LEFT JOIN {pieces_cte} a ON a.piece = SUBSTR(p.w, CAST(p.i AS INT), 1)
+    LEFT JOIN {pieces_cte} b ON b.piece = SUBSTR(p.w, CAST(p.i AS INT), 2)
+    LEFT JOIN {pieces_cte} c ON c.piece = SUBSTR(p.w, CAST(p.i AS INT), 3)
+  ) x
+  GROUP BY x.w, x.f, x.len
+),
+dp{n} AS (
+  SELECT w, f, len, cm,
+    LIST_REDUCE(
+      LIST_PREPEND(LIST_VALUE(CAST(0 AS BIGINT)), LIST_REVERSE(cm)),
+      (acc, x) -> LIST_PREPEND(
+        LEAST(x[1] + acc[1],
+              x[2] + COALESCE(acc[2], {BIG}),
+              x[3] + COALESCE(acc[3], {BIG})),
+        acc)
+    ) AS bl
+  FROM cm{n}
+),
+walk{n} AS (
+  SELECT w, f, len,
+    LIST_REDUCE(
+      LIST_PREPEND(LIST_VALUE(CAST(1 AS BIGINT)),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, {MAX_WORD}), d -> LIST_VALUE(CAST(0 AS BIGINT)))),
+      (acc, x) -> CASE WHEN acc[1] > len THEN list_append(acc, CAST(0 AS BIGINT))
+        ELSE list_concat(
+          LIST_VALUE(acc[1] + ({chosen})),
+          list_append(acc[2:], CAST(({chosen}) AS BIGINT)))
+        END
+    )[2:] AS ks
+  FROM dp{n}
+),
+used{n} AS (
+  SELECT w, f, k, ord,
+         SUM(k) OVER (PARTITION BY w ORDER BY ord) - k + 1 AS start
+  FROM (SELECT w, f, UNNEST(ks) AS k,
+               UNNEST(GENERATE_SERIES(1, CAST(LEN(ks) AS BIGINT))) AS ord
+        FROM walk{n})
+),
+counts{n} AS (
+  SELECT SUBSTR(w, CAST(start AS INT), CAST(k AS INT)) AS piece, SUM(f) AS n_used
+  FROM used{n} WHERE k > 0
+  GROUP BY 1
+)"""
+
+
+UNIGRAM_LM_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x != '') AS tk
+  FROM documents
+),
+words AS (
+  SELECT w, COUNT(*) AS f, CAST(LEN(w) AS BIGINT) AS len
+  FROM (SELECT UNNEST(tk) AS w FROM toks)
+  WHERE LEN(w) <= {MAX_WORD}
+  GROUP BY w
+),
+positions AS (
+  SELECT w, f, len, i
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len)) AS i) i
+),
+seed AS (
+  SELECT piece, SUM(f) AS c FROM (
+    SELECT f, SUBSTR(w, CAST(i AS INT), CAST(k AS INT)) AS piece
+    FROM words,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, {MAX_PIECE})) AS k) ks,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len - k + 1)) AS i) xs
+    WHERE len >= k
+  ) GROUP BY piece
+),
+t0 AS (SELECT SUM(c) AS t FROM seed),
+p0 AS (
+  SELECT piece,
+         CAST(FLOOR((LN(CAST(c AS DOUBLE)) - LN(CAST(t AS DOUBLE))) * {LP_SCALE} + 0.5) AS BIGINT) AS lpq
+  FROM seed CROSS JOIN t0
+),{_iteration_sql("p0", 1)},
+t1 AS (SELECT SUM(n_used) AS t FROM counts1),
+p1 AS (
+  SELECT piece,
+         CAST(FLOOR((LN(CAST(n_used AS DOUBLE)) - LN(CAST(t AS DOUBLE))) * {LP_SCALE} + 0.5) AS BIGINT) AS lpq
+  FROM counts1 CROSS JOIN t1
+),{_iteration_sql("p1", 2)},
+t2 AS (SELECT SUM(n_used) AS t FROM counts2)
+SELECT piece, n_used,
+       CAST(FLOOR((LN(CAST(n_used AS DOUBLE)) - LN(CAST(t AS DOUBLE))) * {LP_SCALE} + 0.5) AS BIGINT) AS lpq
+FROM counts2 CROSS JOIN t2
+ORDER BY piece
+"""

@@ -371,3 +371,78 @@ def test_dsir_planted_distribution_shift(spark):
         for r in dsir_importance_keys(docs, F.col("lang") == "en").collect()
     }
     assert again == keys
+
+
+def test_unigram_lm_learns_repeated_unit(spark):
+    """Viterbi-EM must learn the dominant multi-char unit: in a corpus
+    of 'ab'-built words, the trained vocabulary keeps piece 'ab' with
+    the bulk of the usage mass, and 'abab' segments as ab+ab (so 'a'
+    and 'b' singles carry no usage from those words)."""
+    from data_frame_demo_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd abab"), (2, "ab cd cd"), (3, "ababab zq")],
+        ["doc_id", "text"],
+    )
+    vocab = {r.piece: r.n_used for r in unigram_lm_train(docs).collect()}
+    assert vocab.get("ab", 0) >= 9  # 4 + 1 + 2 (abab) + 3 (ababab) - slack
+    assert vocab.get("cd", 0) == 3
+    # zq appears once; its pieces carry mass 1 however segmented
+    assert sum(v for p, v in vocab.items() if "z" in p or "q" in p) >= 1
+
+
+def test_unigram_lm_viterbi_is_minimal_and_deterministic(spark):
+    """The DP's per-word cost equals a brute-force minimum over all
+    segmentations under the same quantized seed costs, and two runs
+    produce identical vocabularies."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.functions.unigram import (
+        MAX_PIECE,
+        _cost_columns,
+        _lpq,
+        _seed_pieces,
+        _viterbi_used,
+        _word_table,
+        unigram_lm_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello help hell hall hello"), (2, "hello yelp")],
+        ["doc_id", "text"],
+    )
+    words = _word_table(docs)
+    seed = _seed_pieces(words)
+    total = seed.agg(F.sum("c")).collect()[0][0]
+    pieces = seed.select("piece", _lpq(F.col("c"), int(total)).alias("lpq"))
+    cost_map = {r.piece: -r.lpq for r in pieces.collect()}
+
+    got = (
+        _viterbi_used(_cost_columns(words, pieces))
+        .groupBy("w")
+        .agg(F.first("word_cost").alias("wc"))
+        .collect()
+    )
+
+    def brute_min(w):
+        best = None
+        # enumerate all compositions of len(w) into parts of 1..MAX_PIECE
+        def rec(pos, acc):
+            nonlocal best
+            if pos == len(w):
+                best = acc if best is None else min(best, acc)
+                return
+            for k in range(1, MAX_PIECE + 1):
+                if pos + k <= len(w):
+                    rec(pos + k, acc + cost_map[w[pos : pos + k]])
+        rec(0, 0)
+        return best
+
+    for r in got:
+        assert r.wc == brute_min(r.w), (r.w, r.wc, brute_min(r.w))
+
+    v1 = sorted((r.piece, r.n_used, r.lpq) for r in unigram_lm_train(docs).collect())
+    v2 = sorted((r.piece, r.n_used, r.lpq) for r in unigram_lm_train(docs).collect())
+    assert v1 == v2
