@@ -68,19 +68,25 @@ def _word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _seed_pieces(words: DataFrame) -> DataFrame:
     """(piece, c): seed counts — every substring up to MAX_PIECE chars,
     weighted by word frequency, overlapping occurrences counted."""
+    def _substr_at(k: int):
+        # one-arg lambda: a two-parameter lambda would make F.transform
+        # pass the ELEMENT INDEX as the second argument
+        return lambda i: F.col("w").substr(i, F.lit(k))
+
+    def _starts(k: int):
+        # sequence(1, 0) counts DOWN (the shingling.py guard): gate
+        # short words to an empty index array explicitly
+        return F.when(
+            F.col("len") >= k, F.sequence(F.lit(1), F.col("len") - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+
     subs = words.select(
         "f",
         F.explode(
             F.flatten(
                 F.array(
                     *[
-                        F.transform(
-                            F.sequence(
-                                F.lit(1),
-                                F.greatest(F.col("len") - (k - 1), F.lit(0)),
-                            ),
-                            lambda i, kk=k: F.col("w").substr(i, F.lit(kk)),
-                        )
+                        F.transform(_starts(k), _substr_at(k))
                         for k in range(1, MAX_PIECE + 1)
                     ]
                 )
@@ -325,7 +331,8 @@ used{n} AS (
         FROM walk{n})
 ),
 counts{n} AS (
-  SELECT SUBSTR(w, CAST(start AS INT), CAST(k AS INT)) AS piece, SUM(f) AS n_used
+  SELECT SUBSTR(w, CAST(start AS INT), CAST(k AS INT)) AS piece,
+         CAST(SUM(f) AS BIGINT) AS n_used
   FROM used{n} WHERE k > 0
   GROUP BY 1
 )"""

@@ -65,6 +65,9 @@ CARTESIAN_ALLOWED = {
     # per-check 1-row count aggregates crossJoined into the audit
     # report rows (operators/validate.py) — bounded scalars.
     "star_integrity_audit",
+    # crossJoin(broadcast(1-row total-usage aggregate)) for the final
+    # vocabulary log-probs (functions/unigram.py) — bounded scalar.
+    "unigram_lm_vocab",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.
