@@ -175,9 +175,11 @@ def dsir_importance_keys(
     bigram key (AQE splits hot function-word keys), one per-doc agg,
     then a distributed top-k. The two driver-side scalars are the
     vocab sizes."""
+    # persisted: the unigram agg and the bigram build both consume the
+    # tokenized corpus — the regex split is the per-row hot spot
     toks = docs.select(
         id_col, target_filter.alias("__tgt"), _tokens(F.col(text_col)).alias("tk")
-    )
+    ).persist()
 
     uni = (
         toks.select("__tgt", F.explode("tk").alias("w"))
@@ -190,9 +192,12 @@ def dsir_importance_keys(
     v_raw = uni.count()
     v_tgt = max(uni.filter(F.col("cu_t") > 0).count(), 1)
 
+    # persisted: the bigram-count agg AND the scoring join both consume
+    # it — unpersisted, the corpus tokenize+bigram explode runs twice
+    # (session owner releases; the r8 multi-consumer-recompute lesson)
     bi_occ = toks.select(
         id_col, "__tgt", F.explode(_bigrams(F.col("tk"))).alias("bg")
-    )
+    ).persist()
     bi_counts = bi_occ.groupBy("bg").agg(
         F.count(F.lit(1)).alias("cb_r"),
         F.count_if(F.col("__tgt")).alias("cb_t"),
