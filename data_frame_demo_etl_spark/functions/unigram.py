@@ -231,9 +231,14 @@ def unigram_lm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Train the unigram vocabulary with 2 Viterbi-EM iterations;
     returns (piece, n_used, lpq) — the final vocabulary with usage
     counts and quantized log-probs, the table a tokenizer loads."""
+    spark = docs.sparkSession
+    empty = spark.createDataFrame([], "piece string, n_used long, lpq long")
+
     words = _word_table(docs, text_col).persist()
     seed = _seed_pieces(words).persist()
     total0 = seed.agg(F.sum("c")).collect()[0][0]
+    if not total0:  # empty corpus / no trainable words
+        return empty
     pieces0 = seed.select("piece", _lpq(F.col("c"), int(total0)).alias("lpq"))
 
     used1 = _viterbi_used(_cost_columns(words, pieces0))

@@ -141,3 +141,20 @@ def test_ahash_pairs_empty(spark):
 
     empty = spark.createDataFrame([], "asset_id long, ahash long")
     assert ahash_near_dup_pairs(empty).count() == 0
+
+
+def test_round9_ops_on_empty(spark):
+    """decontaminate, DSIR keys, and the unigram trainer on an empty
+    corpus: well-formed empty results, no driver-side int(None)."""
+    from data_frame_demo_etl_spark.dedup.contamination import decontaminate
+    from data_frame_demo_etl_spark.functions.lm import dsir_importance_keys
+    from data_frame_demo_etl_spark.functions.unigram import unigram_lm_train
+
+    docs = _empty_docs(spark)
+    assert decontaminate(docs, docs).count() == 0
+    keys = dsir_importance_keys(docs, F.lit(False))
+    assert keys.count() == 0
+    assert set(keys.columns) == {"doc_id", "n_bigrams", "score_q", "dsir_key"}
+    vocab = unigram_lm_train(docs)
+    assert vocab.count() == 0
+    assert set(vocab.columns) == {"piece", "n_used", "lpq"}
