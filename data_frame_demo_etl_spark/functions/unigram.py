@@ -277,10 +277,11 @@ def unigram_lm_vocab(spark, sf_dir: str) -> DataFrame:
     return unigram_lm_train(load_table(spark, "documents", sf_dir))
 
 
-def _iteration_sql(pieces_cte: str, n: int) -> str:
+def _iteration_sql(pieces_cte: str, n, positions: str = "positions") -> str:
     """One Viterbi iteration as SQL CTEs: cost matrix (3 LEFT JOINs
     against ``pieces_cte``), the list-fold suffix DP, the forward
-    walk, and frequency-weighted usage counts — suffixed ``{n}``."""
+    walk, and frequency-weighted usage counts — suffixed ``{n}``,
+    reading (w, f, len, i) rows from the ``positions`` CTE."""
     chosen = (
         f"CASE WHEN acc[1] + 2 <= len AND cm[CAST(acc[1] AS INT)][3] "
         f"+ bl[CAST(acc[1] + 3 AS INT)] = bl[CAST(acc[1] AS INT)] THEN 3 "
@@ -296,7 +297,7 @@ cm{n} AS (
        COALESCE(-a.lpq, {BIG}) AS ck1,
        CASE WHEN p.i + 1 <= p.len THEN COALESCE(-b.lpq, {BIG}) ELSE {BIG} END AS ck2,
        CASE WHEN p.i + 2 <= p.len THEN COALESCE(-c.lpq, {BIG}) ELSE {BIG} END AS ck3
-    FROM positions p
+    FROM {positions} p
     LEFT JOIN {pieces_cte} a ON a.piece = SUBSTR(p.w, CAST(p.i AS INT), 1)
     LEFT JOIN {pieces_cte} b ON b.piece = SUBSTR(p.w, CAST(p.i AS INT), 2)
     LEFT JOIN {pieces_cte} c ON c.piece = SUBSTR(p.w, CAST(p.i AS INT), 3)
@@ -343,8 +344,9 @@ counts{n} AS (
 )"""
 
 
-UNIGRAM_LM_VOCAB_SQL = f"""
-WITH toks AS (
+#: The trainer as shared CTEs (through counts2/t2) — consumed by the
+#: vocabulary gate and the encoder gate below.
+_TRAINER_CTES = f"""toks AS (
   SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x != '') AS tk
   FROM documents
 ),
@@ -379,9 +381,142 @@ p1 AS (
          CAST(FLOOR((LN(CAST(n_used AS DOUBLE)) - LN(CAST(t AS DOUBLE))) * {LP_SCALE} + 0.5) AS BIGINT) AS lpq
   FROM counts1 CROSS JOIN t1
 ),{_iteration_sql("p1", 2)},
-t2 AS (SELECT SUM(n_used) AS t FROM counts2)
+t2 AS (SELECT SUM(n_used) AS t FROM counts2)"""
+
+
+UNIGRAM_LM_VOCAB_SQL = f"""
+WITH {_TRAINER_CTES}
 SELECT piece, n_used,
        CAST(FLOOR((LN(CAST(n_used AS DOUBLE)) - LN(CAST(t AS DOUBLE))) * {LP_SCALE} + 0.5) AS BIGINT) AS lpq
 FROM counts2 CROSS JOIN t2
 ORDER BY piece
+"""
+
+
+# --- the APPLY half: encode documents with a trained vocabulary ------------
+
+def unigram_encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_tokens, n_unk): per-document token counts segmenting
+    every word with a TRAINED unigram vocabulary (piece, lpq) — the
+    L12-for-L10 pairing applied to L17: train once, encode the corpus.
+
+    Words longer than MAX_WORD are pre-split into MAX_WORD-char blocks
+    (deterministic in both engines — the max-input-length pre-split
+    every production tokenizer applies), each block Viterbi-segmented
+    by the same static-unroll DP as training. A piece the walk emits
+    whose string is NOT in the vocabulary (possible where every
+    covering piece was pruned during training) counts as n_unk — the
+    number an encoding rollout checks before trusting the vocab.
+
+    Scale shape: the DP runs per DISTINCT block string (vocabulary-
+    sized); the corpus-sized work is one tokenize pass + two
+    vocabulary joins back (word → block counts → doc)."""
+    occ = docs.select(
+        id_col, F.explode(_tokens(F.col(text_col))).alias("w0")
+    ).persist()
+    raw_words = occ.select("w0").distinct()
+    blocks = raw_words.select(
+        "w0",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w0"), F.lit(MAX_WORD)),
+                lambda s: F.col("w0").substr(s, F.lit(MAX_WORD)),
+            )
+        ).alias("w"),
+    ).persist()
+    bwords = (
+        blocks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("len", F.length("w").cast("int"))
+    )
+    pieces = vocab.select("piece", "lpq")
+    used = _viterbi_used(_cost_columns(bwords, pieces))
+    per_block = (
+        used.join(pieces.withColumnRenamed("piece", "p2"), used.piece == F.col("p2"), "left")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("bt"),
+            F.count_if(F.col("p2").isNull()).alias("bu"),
+        )
+    )
+    per_word = (
+        blocks.join(per_block, "w")
+        .groupBy("w0")
+        .agg(F.sum("bt").alias("wt"), F.sum("bu").alias("wu"))
+    )
+    return (
+        occ.join(per_word, "w0")
+        .groupBy(id_col)
+        .agg(
+            F.sum("wt").cast("long").alias("n_tokens"),
+            F.sum("wu").cast("long").alias("n_unk"),
+        )
+    )
+
+
+def docs_unigram_tokens(spark, sf_dir: str) -> DataFrame:
+    """Gate: train the unigram vocabulary on `documents` (L17), then
+    ENCODE the same corpus with it — per-document token and unknown
+    counts. The acting half of the tokenizer-training family."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = unigram_lm_train(docs)
+    return (
+        unigram_encode_tokens(docs, vocab)
+        .select("doc_id", "n_tokens", "n_unk")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_UNIGRAM_TOKENS_SQL = f"""
+WITH {_TRAINER_CTES},
+final AS (SELECT piece FROM counts2),
+fcost AS (
+  SELECT c.piece,
+         CAST(FLOOR((LN(CAST(c.n_used AS DOUBLE)) - LN(CAST(t2.t AS DOUBLE))) * {LP_SCALE} + 0.5) AS BIGINT) AS lpq
+  FROM counts2 c CROSS JOIN t2
+),
+toks_d AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x != '') AS tk
+  FROM documents
+),
+occ AS (SELECT doc_id, UNNEST(tk) AS w0 FROM toks_d),
+blocks AS (
+  SELECT w0, SUBSTR(w0, CAST(s AS INT), {MAX_WORD}) AS w
+  FROM (SELECT DISTINCT w0 FROM occ) r,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w0), {MAX_WORD})) AS s) ss
+),
+bwords AS (
+  SELECT w, COUNT(*) AS f, CAST(LEN(w) AS BIGINT) AS len
+  FROM blocks GROUP BY w
+),
+positions_e AS (
+  SELECT w, f, len, i
+  FROM bwords, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len)) AS i) i
+),{_iteration_sql("fcost", "e", positions="positions_e")},
+per_block AS (
+  SELECT u.w, COUNT(*) AS bt,
+         COUNT(CASE WHEN v.piece IS NULL THEN 1 END) AS bu
+  FROM (SELECT w, SUBSTR(w, CAST(start AS INT), CAST(k AS INT)) AS piece
+        FROM usede WHERE k > 0) u
+  LEFT JOIN final v ON v.piece = u.piece
+  GROUP BY u.w
+),
+per_word AS (
+  SELECT b.w0, SUM(pb.bt) AS wt, SUM(pb.bu) AS wu
+  FROM blocks b JOIN per_block pb ON pb.w = b.w
+  GROUP BY b.w0
+)
+SELECT o.doc_id, CAST(SUM(pw.wt) AS BIGINT) AS n_tokens,
+       CAST(SUM(pw.wu) AS BIGINT) AS n_unk
+FROM occ o JOIN per_word pw ON pw.w0 = o.w0
+GROUP BY o.doc_id
+ORDER BY doc_id
 """

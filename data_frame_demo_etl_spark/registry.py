@@ -259,9 +259,15 @@ register("contamination_check", contamination_check, CONTAMINATION_CHECK_SQL)
 register("docs_decontaminate", docs_decontaminate, DOCS_DECONTAMINATE_SQL)
 register("corpus_dsir_sample", lm.corpus_dsir_sample, lm.CORPUS_DSIR_SAMPLE_SQL)
 
-from .functions.unigram import UNIGRAM_LM_VOCAB_SQL, unigram_lm_vocab  # noqa: E402
+from .functions.unigram import (  # noqa: E402
+    DOCS_UNIGRAM_TOKENS_SQL,
+    UNIGRAM_LM_VOCAB_SQL,
+    docs_unigram_tokens,
+    unigram_lm_vocab,
+)
 
 register("unigram_lm_vocab", unigram_lm_vocab, UNIGRAM_LM_VOCAB_SQL)
+register("docs_unigram_tokens", docs_unigram_tokens, DOCS_UNIGRAM_TOKENS_SQL)
 register("dedup_simhash", dedup_gate.dedup_simhash, dedup_gate.DEDUP_SIMHASH_SQL)
 
 # (The physical tier-1 block above is the ROUND-5 window; the round-6
@@ -800,6 +806,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "docs_decontaminate",
     "corpus_dsir_sample",
     "unigram_lm_vocab",
+    "docs_unigram_tokens",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -837,7 +844,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "orders_above_customer_avg",
-    "customers_without_orders",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

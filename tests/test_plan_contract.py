@@ -68,6 +68,9 @@ CARTESIAN_ALLOWED = {
     # crossJoin(broadcast(1-row total-usage aggregate)) for the final
     # vocabulary log-probs (functions/unigram.py) — bounded scalar.
     "unigram_lm_vocab",
+    # composes the trainer above (same bounded 1-row cross) before
+    # encoding — same scalar shape (functions/unigram.py).
+    "docs_unigram_tokens",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.

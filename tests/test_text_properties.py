@@ -446,3 +446,29 @@ def test_unigram_lm_viterbi_is_minimal_and_deterministic(spark):
     v1 = sorted((r.piece, r.n_used, r.lpq) for r in unigram_lm_train(docs).collect())
     v2 = sorted((r.piece, r.n_used, r.lpq) for r in unigram_lm_train(docs).collect())
     assert v1 == v2
+
+
+def test_unigram_encode_tokens(spark):
+    """The encoder segments with the trained vocab: 'ab'-built words
+    tokenize at ~len/2 pieces, a >MAX_WORD word is pre-split into
+    12-char blocks and still yields a full segmentation, and n_unk
+    counts exactly the walk pieces absent from the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.functions.unigram import (
+        unigram_encode_tokens,
+        unigram_lm_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abab ababab"), (2, "ab " + "ab" * 13)],  # 26-char word
+        ["doc_id", "text"],
+    )
+    vocab = unigram_lm_train(docs)
+    out = {r.doc_id: (r.n_tokens, r.n_unk) for r in
+           unigram_encode_tokens(docs, vocab).collect()}
+    # doc 1: ab + ab + abab(2) + ababab(3) = 7 pieces, all in vocab
+    assert out[1] == (7, 0)
+    # doc 2: ab (1) + 26-char word split 12+12+2 → 6+6+1 = 13 ab-pieces
+    assert out[2][0] == 1 + 13
+    assert out[2][1] == 0
