@@ -118,6 +118,9 @@ HEADLINE = [
     "docs_decontaminate",
     "corpus_dsir_sample",
     "unigram_lm_vocab",
+    "docs_unigram_tokens",
+    "supplier_communities",
+    "events_user_acf",
 ]
 
 

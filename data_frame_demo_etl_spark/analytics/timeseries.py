@@ -513,3 +513,145 @@ WHERE day <= bounds.hi
 GROUP BY day
 ORDER BY day
 """
+
+
+# ───────────────────────── autocorrelation (K39) ─────────────────────────
+
+ACF_LAGS = (1, 2, 3)
+ACF_MIN_EVENTS = 8
+
+
+def per_key_acf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    lags: tuple[int, ...] = ACF_LAGS,
+    min_events: int = ACF_MIN_EVENTS,
+) -> DataFrame:
+    """Per-key sample autocorrelation of the ordered value series at
+    the given lags — the burstiness / periodicity diagnostic that
+    decides whether a series needs differencing before the trend and
+    anomaly gates (trend.py, robust.py) are trusted.
+
+    r_l = Σ_{t≤n−l}(x_t−μ)(x_{t+l}−μ) / Σ_{t≤n}(x_t−μ)²  with the
+    full-series mean μ — the standard (biased-denominator) sample ACF.
+
+    Engine portability (the PSI/zscore playbook, hardened one step
+    further): the series is quantized to the exact cent grid
+    (ROUND(value·100) — the sums of squares stay inside int64 at any
+    realistic per-key history, unlike the 1e-6 grid whose squares
+    overflow past ~38 terms), every distributed sum (n, S=Σx, Q=Σx²,
+    and per lag P=Σx_t·x_{t+l}, A=Σx_t, B=Σx_{t+l} over the paired
+    prefix) is an EXACT integer, and the single floating step is one
+    fixed-parenthesization combination of those integers:
+
+        num_l·n² = n²·P_l − n·S·(A_l+B_l) + m_l·S²   (m_l = #pairs)
+        den·n²   = n²·Q − n·S²
+        r_l      = num_l / den_l
+
+    +,−,×,÷ on doubles are correctly-rounded IEEE, so identical
+    operand order ⇒ bit-identical r_l in Spark and DuckDB; the output
+    rides the ppm grid (FLOOR(r·1e6 + 0.5)). A constant series has
+    den = 0 → NULL (guarded — ANSI mode).
+
+    Scale: one window shuffle on the high-cardinality key (the
+    sequence_features spec — leads only, no per-key sort beyond the
+    one Exchange), then a partial-aggregable groupBy. No hot-key
+    window: keys are users, not enums.
+    """
+    w = Window.partitionBy("k").orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    xi = F.round(F.col(val_col) * 100).cast("long")
+    x = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(key_col).alias("k"), F.col(ts_col), F.col(id_col), xi.alias("xi")
+    )
+    for lag in lags:
+        x = x.withColumn(f"x{lag}", F.lead("xi", lag).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s"),
+        F.sum(F.col("xi") * F.col("xi")).alias("q"),
+    ]
+    for lag in lags:
+        xl = F.col(f"x{lag}")
+        aggs += [
+            F.sum(F.col("xi") * xl).alias(f"p{lag}"),
+            F.sum(F.when(xl.isNotNull(), F.col("xi"))).alias(f"a{lag}"),
+            F.sum(xl).alias(f"b{lag}"),
+            F.count(xl).alias(f"m{lag}"),
+        ]
+    g = x.groupBy("k").agg(*aggs).filter(F.col("n") >= min_events)
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    den = (nd * nd) * qd - nd * (sd * sd)
+    out_cols = [F.col("k").alias(key_col), F.col("n").cast("long").alias("n")]
+    for lag in lags:
+        pd_ = F.col(f"p{lag}").cast("double")
+        ad = F.col(f"a{lag}").cast("double")
+        bd = F.col(f"b{lag}").cast("double")
+        md = F.col(f"m{lag}").cast("double")
+        num = (nd * nd) * pd_ - (nd * sd) * (ad + bd) + md * (sd * sd)
+        r = F.when(den != F.lit(0.0), num / den)
+        out_cols.append(
+            F.floor(r * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias(f"acf{lag}_ppm")
+        )
+    return g.select(*out_cols)
+
+
+def events_user_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-user lag-1/2/3 autocorrelation of the event value
+    series (users with ≥ 8 events), ordered by user."""
+    events = load_table(spark, "events", sf_dir)
+    return per_key_acf(events).orderBy("user_id")
+
+
+def _acf_sql(lags: tuple[int, ...] = ACF_LAGS, min_events: int = ACF_MIN_EVENTS) -> str:
+    lead_cols = ",\n         ".join(
+        f"LEAD(xi, {lag}) OVER w AS x{lag}" for lag in lags
+    )
+    agg_cols = ",\n         ".join(
+        f"CAST(SUM(xi * x{lag}) AS BIGINT) AS p{lag},\n"
+        f"         CAST(SUM(CASE WHEN x{lag} IS NOT NULL THEN xi END) AS BIGINT) AS a{lag},\n"
+        f"         CAST(SUM(x{lag}) AS BIGINT) AS b{lag},\n"
+        f"         CAST(COUNT(x{lag}) AS BIGINT) AS m{lag}"
+        for lag in lags
+    )
+    # identical operand order to the Spark side: (n²·P − (n·S)·(A+B)) + m·S²
+    # over (n²·Q − n·S²); every CAST lands on the same exact integer.
+    acf_cols = ",\n       ".join(
+        f"""CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) <> 0
+            THEN CAST(FLOOR((((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(p{lag} AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) * (CAST(a{lag} AS DOUBLE) + CAST(b{lag} AS DOUBLE)) + CAST(m{lag} AS DOUBLE) * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+            / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) END AS acf{lag}_ppm"""
+        for lag in lags
+    )
+    return f"""
+WITH x AS (
+  SELECT user_id AS k,
+         CAST(ROUND(value * 100) AS BIGINT) AS xi,
+         {lead_cols}
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xi) AS BIGINT) AS s,
+         CAST(SUM(xi * xi) AS BIGINT) AS q,
+         {agg_cols}
+  FROM x
+  GROUP BY k
+  HAVING COUNT(*) >= {min_events}
+)
+SELECT k AS user_id, n,
+       {acf_cols}
+FROM g
+ORDER BY user_id
+"""
+
+
+EVENTS_USER_ACF_SQL = _acf_sql()

@@ -787,6 +787,17 @@ register(
     sim_gate.EMBEDDINGS_MATRYOSHKA_RECALL_SQL,
 )
 
+from .analytics.communities import (  # noqa: E402
+    SUPPLIER_COMMUNITIES_SQL,
+    supplier_communities,
+)
+
+register("supplier_communities", supplier_communities, SUPPLIER_COMMUNITIES_SQL)
+
+from .analytics.timeseries import EVENTS_USER_ACF_SQL, events_user_acf  # noqa: E402
+
+register("events_user_acf", events_user_acf, EVENTS_USER_ACF_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
@@ -807,6 +818,8 @@ _R9_WINDOW: tuple[str, ...] = (
     "corpus_dsir_sample",
     "unigram_lm_vocab",
     "docs_unigram_tokens",
+    "supplier_communities",
+    "events_user_acf",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -821,7 +834,9 @@ _R9_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (35)
+    #     the r4-era remainder, in registration order (20; the two
+    #     deepest rows displaced by the round-9 additions
+    #     supplier_communities / events_user_acf)
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -842,8 +857,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "q4_order_priority",
     "q6_revenue_forecast",
     "q7_volume_shipping",
-    "q8_market_share",
-    "orders_above_customer_avg",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

@@ -1,0 +1,108 @@
+"""Planted-structure tests for the round-9 additions: label-propagation
+communities (G5) and per-key autocorrelation (K39)."""
+
+from __future__ import annotations
+
+import math
+
+from data_frame_demo_etl_spark.analytics.communities import (
+    label_propagation,
+    supplier_communities,
+)
+from data_frame_demo_etl_spark.analytics.timeseries import (
+    events_user_acf,
+    per_key_acf,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _clique(nodes):
+    return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+
+
+def test_lpa_two_cliques_one_bridge(spark):
+    # Two K4 cliques joined by a single bridge edge: LPA must keep
+    # them as two communities (connected components would merge them).
+    a, b = [1, 2, 3, 4], [10, 11, 12, 13]
+    e = _edges(spark, _clique(a) + _clique(b) + [(4, 10)])
+    got = {r.node: r.label for r in label_propagation(e).collect()}
+    assert {got[n] for n in a} == {1}
+    assert {got[n] for n in b} == {10}
+
+
+def test_lpa_single_clique_collapses_to_min(spark):
+    e = _edges(spark, _clique([5, 6, 7, 8, 9]))
+    got = {r.node: r.label for r in label_propagation(e).collect()}
+    assert set(got.values()) == {5}
+
+
+def test_lpa_deterministic_tie_break(spark):
+    # Path 1-2-3: round 1 gives l(1)=2, l(2)=1 (min of {1,3}), l(3)=2;
+    # fixed synchronous rounds are deterministic — two runs agree.
+    e = _edges(spark, [(1, 2), (2, 3)])
+    r1 = sorted(map(tuple, label_propagation(e).collect()))
+    r2 = sorted(map(tuple, label_propagation(e).collect()))
+    assert r1 == r2
+
+
+def test_supplier_communities_gate_shape(spark, sf_dir):
+    out = supplier_communities(spark, sf_dir)
+    assert out.columns == ["supplier", "community", "n_members"]
+    rows = out.collect()
+    # Each community's size column must equal its actual member count,
+    # and sizes must sum back to the node count.
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.community, []).append(r)
+    for label, members in by_label.items():
+        assert all(m.n_members == len(members) for m in members)
+    assert sum(len(m) for m in by_label.values()) == len(rows)
+
+
+def _acf_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+
+
+def test_acf_alternating_series_exact(spark):
+    # x = +1,-1,... (n=8): mu=0, den=8; r_l = sign * (n-l)/n.
+    rows = [(1, t, t, 1.0 if t % 2 == 0 else -1.0) for t in range(8)]
+    out = per_key_acf(_acf_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 8
+    assert r.acf1_ppm == math.floor(-7 / 8 * 1e6 + 0.5)
+    assert r.acf2_ppm == math.floor(6 / 8 * 1e6 + 0.5)
+    assert r.acf3_ppm == math.floor(-5 / 8 * 1e6 + 0.5)
+
+
+def test_acf_constant_series_is_null(spark):
+    rows = [(2, t, t, 5.0) for t in range(10)]
+    r = per_key_acf(_acf_df(spark, rows)).collect()[0]
+    assert r.acf1_ppm is None and r.acf2_ppm is None and r.acf3_ppm is None
+
+
+def test_acf_min_events_filter(spark):
+    rows = [(3, t, t, float(t)) for t in range(7)]  # 7 < ACF_MIN_EVENTS
+    assert per_key_acf(_acf_df(spark, rows)).count() == 0
+
+
+def test_acf_order_is_ts_then_event_id(spark):
+    # Same alternating series delivered with shuffled row order and a
+    # ts tie on every pair — (ts, event_id) must reconstruct it.
+    vals = [1.0 if t % 2 == 0 else -1.0 for t in range(8)]
+    rows = [(4, t // 2, t, vals[t]) for t in range(8)]
+    out = per_key_acf(_acf_df(spark, list(reversed(rows)))).collect()[0]
+    assert out.acf1_ppm == math.floor(-7 / 8 * 1e6 + 0.5)
+
+
+def test_events_user_acf_gate_shape(spark, sf_dir):
+    out = events_user_acf(spark, sf_dir)
+    assert out.columns == ["user_id", "n", "acf1_ppm", "acf2_ppm", "acf3_ppm"]
+    rows = out.collect()
+    assert all(r.n >= 8 for r in rows)
+    assert all(
+        r.acf1_ppm is None or -1_000_000 <= r.acf1_ppm <= 1_000_000 for r in rows
+    )
