@@ -48,7 +48,6 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_minhash_xxhash64",
     "ann_cosine_topk",
     # ETL operators
     "unpivot_part",
@@ -58,7 +57,6 @@ HEADLINE = [
     # round-over-round; totals compare like-for-like on shared keys)
     "skew_salted_brand_revenue",
     "docs_sequence_packing",
-    "events_session_window",
     "events_hll_rollup",
     "events_interpolate",
     "supplier_triangles",
@@ -76,13 +74,9 @@ HEADLINE = [
     "retrieval_rrf_fusion",
     "brand_association_rules",
     "events_value_drift_psi",
-    "events_type_transitions",
-    "events_rolling_distinct_users",
     "events_trend_slope",
     "customer_rfm_segments",
-    "events_kmv_overlap",
     "events_seasonal_anomaly",
-    "customer_k_anonymity",
     # multimodal_image_dedup / _clusters intentionally NOT headline:
     # their candidate pair space grows quadratically with corpus
     # duplication (SCALING.md round-5 late-additions note) — benching
@@ -114,6 +108,17 @@ HEADLINE = [
     "docs_exact_substring_mass",
     "docs_remove_duplicate_spans",
     "embeddings_matryoshka_recall",
+    # round-9 trim: six sibling/variant entries retired from the LINE
+    # (dedup_minhash_xxhash64 — hash A/B of dedup_minhash_lsh, the A/B
+    # lives in SCALING; events_session_window — native-op variant of
+    # events_sessionize; events_type_transitions / events_kmv_overlap /
+    # events_rolling_distinct_users / customer_k_anonymity — siblings
+    # of headlined family members). All six stay registered, oracle-
+    # verified, and in the pytest suite; the driver's stdout capture is
+    # 2000 chars and at 74 one-decimal entries the compact line
+    # overflows into the totals-only fail-soft, which would cost every
+    # per-query number — six trims buy the round-9 additions their
+    # slots at full per-query visibility.
     # round-9 additions (appended, same comparability rule)
     "docs_decontaminate",
     "corpus_dsir_sample",
