@@ -126,6 +126,7 @@ HEADLINE = [
     "docs_unigram_tokens",
     "supplier_communities",
     "events_user_acf",
+    "embeddings_mmr_rerank",
 ]
 
 

@@ -798,6 +798,10 @@ from .analytics.timeseries import EVENTS_USER_ACF_SQL, events_user_acf  # noqa: 
 
 register("events_user_acf", events_user_acf, EVENTS_USER_ACF_SQL)
 
+from .similarity.mmr import EMBEDDINGS_MMR_RERANK_SQL, embeddings_mmr_rerank  # noqa: E402
+
+register("embeddings_mmr_rerank", embeddings_mmr_rerank, EMBEDDINGS_MMR_RERANK_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
@@ -820,6 +824,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "docs_unigram_tokens",
     "supplier_communities",
     "events_user_acf",
+    "embeddings_mmr_rerank",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -834,9 +839,10 @@ _R9_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (20; the two
+    #     the r4-era remainder, in registration order (19; the three
     #     deepest rows displaced by the round-9 additions
-    #     supplier_communities / events_user_acf)
+    #     supplier_communities / events_user_acf /
+    #     embeddings_mmr_rerank)
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -856,7 +862,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q4_order_priority",
     "q6_revenue_forecast",
-    "q7_volume_shipping",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

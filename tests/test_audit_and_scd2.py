@@ -133,6 +133,9 @@ CARTESIAN_ALLOWED = {
     # the ann_cosine_topk shape) plus a constant (dims × queries)
     # spine cross — all bounded by construction (similarity/gate.py).
     "embeddings_matryoshka_recall",
+    # one broadcast-query-set relevance leg (the ann_cosine_topk
+    # shape) feeding a Q×POOL-bounded greedy rerank (similarity/mmr.py).
+    "embeddings_mmr_rerank",
     # crossJoin(broadcast(1-ROW total-usage aggregate)) for the final
     # vocabulary log-probs (functions/unigram.py) — bounded scalar.
     "unigram_lm_vocab",

@@ -49,6 +49,9 @@ CARTESIAN_ALLOWED = {
     # (dims × queries) spine — r9 rotation target, listed ahead of the
     # rotation per the both-allowlists rule (similarity/gate.py).
     "embeddings_matryoshka_recall",
+    # one broadcast-query-set relevance leg (the ann_cosine_topk
+    # shape) feeding a Q×POOL-bounded greedy rerank (similarity/mmr.py).
+    "embeddings_mmr_rerank",
     # dense (groups × bins × 2) spine — constant-size cross join by
     # construction (analytics/drift.py).
     "events_value_drift_psi",
