@@ -52,6 +52,10 @@ MAX_WORD = 12   #: words longer than this are excluded from training
 MAX_PIECE = 3   #: maximum piece length (fixes the DP branching)
 BIG = 10**15    #: +infinity on the integer cost grid
 
+#: monotone suffix for the one-shot DP temp views (never reused, so a
+#: long-lived session can build concurrent plans without name races)
+_DP_VIEW_N = 0
+
 
 def _word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, f, len): distinct lowercased words with corpus frequency,
@@ -113,24 +117,25 @@ def _cost_columns(words: DataFrame, pieces: DataFrame) -> DataFrame:
     (0-based start i, piece length k): one explode, ONE join against
     the vocabulary, one conditional aggregation back to a row per
     word. Missing pieces (possible from iteration 2 on) cost BIG."""
+    # The unroll is built as GENERATED SQL strings (one selectExpr /
+    # F.expr per logical piece) rather than nested Column objects: the
+    # Column form cost ~2.2 s of driver-side py4j round trips PER
+    # BUILD (×3 builds per encode gate — measured round 9), while the
+    # string form parses JVM-side in a handful of calls. The parsed
+    # expressions are identical, so plans, results, and oracle parity
+    # are unchanged.
     combos = []
     for i in range(MAX_WORD):
         for k in range(1, MAX_PIECE + 1):
             if i + k <= MAX_WORD:
                 combos.append((i, k))
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(k).alias("k"),
-                F.col("w").substr(F.lit(i + 1), F.lit(k)).alias("sub"),
-            )
-            for i, k in combos
-        ]
+    structs = ", ".join(
+        f"named_struct('i', {i}, 'k', {k}, 'sub', substr(w, {i + 1}, {k}))"
+        for i, k in combos
     )
     exploded = (
-        words.select("w", "f", "len", F.explode(sub_structs).alias("s"))
-        .select("w", "f", "len", "s.i", "s.k", "s.sub")
+        words.selectExpr("w", "f", "len", f"explode(array({structs})) AS s")
+        .selectExpr("w", "f", "len", "s.i", "s.k", "s.sub")
         .filter(F.col("i") + F.col("k") <= F.col("len"))
     )
     joined = exploded.join(
@@ -144,9 +149,7 @@ def _cost_columns(words: DataFrame, pieces: DataFrame) -> DataFrame:
         F.coalesce(-F.col("lpq"), F.lit(BIG)).alias("cost"),
     )
     aggs = [
-        F.max(
-            F.when((F.col("i") == i) & (F.col("k") == k), F.col("cost"))
-        ).alias(f"c_{i}_{k}")
+        F.expr(f"max(CASE WHEN i = {i} AND k = {k} THEN cost END) AS c_{i}_{k}")
         for i, k in combos
     ]
     return joined.groupBy("w", "f", "len").agg(*aggs)
@@ -156,70 +159,78 @@ def _viterbi_used(costs: DataFrame) -> DataFrame:
     """(w, f, piece): the pieces of each word's minimum-cost
     segmentation (longest-piece tie-break), via the static-unroll DP.
     Also carries b_0 as ``word_cost`` for likelihood tests."""
-    df = costs
-    bigl = F.lit(BIG)
+    # Generated-SQL unroll, assembled into ONE spark.sql call (see the
+    # _cost_columns note): DataFrames analyze EAGERLY on creation, so
+    # a withColumn/selectExpr chain re-analyzes the growing DP plan at
+    # every stage (~3.4 s of driver time per build in the original
+    # Column form, ~1.1 s as 38 selectExpr stages); a single nested
+    # query is parsed and analyzed once (~0.1 s). The temp view is
+    # dropped immediately — the returned DataFrame's plan is already
+    # resolved, so later view churn cannot redirect it.
+    spark = costs.sparkSession
+    have = set(costs.columns)
 
-    def cost_col(i: int, k: int) -> Column:
+    def cost_sql(i: int, k: int) -> str:
         name = f"c_{i}_{k}"
-        return F.coalesce(F.col(name), bigl) if name in df.columns else bigl
+        return f"coalesce({name}, {BIG})" if name in have else str(BIG)
 
+    global _DP_VIEW_N
+    _DP_VIEW_N += 1
+    vname = f"__unigram_dp_{_DP_VIEW_N}"
+    costs.createOrReplaceTempView(vname)
     # suffix DP, right to left: b_i = min cost to segment w[i+1 .. len]
-    df = df.withColumn(f"b_{MAX_WORD}", F.when(F.col("len") == MAX_WORD, 0).otherwise(bigl))
+    q = (
+        f"SELECT *, CASE WHEN len = {MAX_WORD} THEN 0 ELSE {BIG} END"
+        f" AS b_{MAX_WORD} FROM {vname}"
+    )
     for i in range(MAX_WORD - 1, -1, -1):
-        cands = []
-        for k in range(1, MAX_PIECE + 1):
-            if i + k <= MAX_WORD:
-                cands.append(cost_col(i, k) + F.col(f"b_{i + k}"))
-        m = F.least(*cands) if len(cands) > 1 else cands[0]
-        df = df.withColumn(
-            f"b_{i}",
-            F.when(F.col("len") == i, 0)
-            .when(F.col("len") < i, bigl)
-            .otherwise(m),
+        cands = [
+            f"({cost_sql(i, k)} + b_{i + k})"
+            for k in range(1, MAX_PIECE + 1)
+            if i + k <= MAX_WORD
+        ]
+        m = f"least({', '.join(cands)})" if len(cands) > 1 else cands[0]
+        q = (
+            f"SELECT *, CASE WHEN len = {i} THEN 0 WHEN len < {i} THEN {BIG}"
+            f" ELSE {m} END AS b_{i} FROM ({q})"
         )
         # argmin k, longest piece first on ties (k = MAX_PIECE … 1)
-        k_expr = None
-        for k in range(min(MAX_PIECE, MAX_WORD - i), 0, -1):
-            hit = (cost_col(i, k) + F.col(f"b_{i + k}")) == F.col(f"b_{i}")
-            k_expr = F.when(hit, k) if k_expr is None else k_expr.when(hit, k)
-        df = df.withColumn(
-            f"k_{i}",
-            F.when(F.col("len") <= i, 0).otherwise(k_expr.otherwise(0)),
+        whens = " ".join(
+            f"WHEN ({cost_sql(i, k)} + b_{i + k}) = b_{i} THEN {k}"
+            for k in range(min(MAX_PIECE, MAX_WORD - i), 0, -1)
+        )
+        q = (
+            f"SELECT *, CASE WHEN len <= {i} THEN 0 ELSE (CASE {whens} ELSE 0 END) END"
+            f" AS k_{i} FROM ({q})"
         )
     # forward path membership: position 0 is on the path; position i is
     # on it iff some on-path position i−k chose a k-piece ending at i.
-    df = df.withColumn("on_0", F.lit(True))
+    q = f"SELECT *, true AS on_0 FROM ({q})"
     for i in range(1, MAX_WORD):
-        terms = [
-            (F.col(f"on_{i - k}") & (F.col(f"k_{i - k}") == k))
+        terms = " OR ".join(
+            f"(on_{i - k} AND k_{i - k} = {k})"
             for k in range(1, MAX_PIECE + 1)
             if i - k >= 0
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc | t
-        df = df.withColumn(f"on_{i}", acc)
+        )
+        q = f"SELECT *, ({terms}) AS on_{i} FROM ({q})"
     # emit the used pieces (static 3-way CASE over k_i per position)
     piece_at = []
     for i in range(MAX_WORD):
-        expr = F.when(
-            F.col(f"k_{i}") == 1, F.col("w").substr(F.lit(i + 1), F.lit(1))
+        inner = " ".join(
+            f"WHEN k_{i} = {k} THEN substr(w, {i + 1}, {k})"
+            for k in range(1, MAX_PIECE + 1)
         )
-        for k in range(2, MAX_PIECE + 1):
-            expr = expr.when(
-                F.col(f"k_{i}") == k, F.col("w").substr(F.lit(i + 1), F.lit(k))
-            )
         piece_at.append(
-            F.when(F.col(f"on_{i}") & (F.col(f"k_{i}") > 0) & (F.col("len") > i), expr)
+            f"CASE WHEN on_{i} AND k_{i} > 0 AND len > {i} THEN (CASE {inner} END) END"
         )
-    return df.select(
-        "w",
-        "f",
-        F.col("b_0").alias("word_cost"),
-        F.explode(
-            F.filter(F.array(*piece_at), lambda x: x.isNotNull())
-        ).alias("piece"),
+    final = (
+        "SELECT w, f, b_0 AS word_cost,"
+        f" explode(filter(array({', '.join(piece_at)}), x -> x IS NOT NULL)) AS piece"
+        f" FROM ({q})"
     )
+    out = spark.sql(final)
+    spark.catalog.dropTempView(vname)
+    return out
 
 
 def _mstep(used: DataFrame) -> DataFrame:
@@ -466,7 +477,13 @@ def docs_unigram_tokens(spark, sf_dir: str) -> DataFrame:
     from ..sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    vocab = unigram_lm_train(docs)
+    # Eagerly materialize the trained vocabulary: the encoder consumes
+    # it TWICE (the DP cost join and the unknown-piece check join), and
+    # without a checkpoint the second consumer re-runs the trainer's
+    # entire second EM iteration (the r8 multi-consumer-recompute
+    # lesson; measured here: 13.4 s → see SCALING round-9). The table
+    # is vocabulary-sized — a bounded artifact.
+    vocab = unigram_lm_train(docs).localCheckpoint(eager=True)
     return (
         unigram_encode_tokens(docs, vocab)
         .select("doc_id", "n_tokens", "n_unk")
