@@ -127,6 +127,7 @@ HEADLINE = [
     "supplier_communities",
     "events_user_acf",
     "embeddings_mmr_rerank",
+    "docs_stratified_sample",
 ]
 
 

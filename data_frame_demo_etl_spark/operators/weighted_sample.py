@@ -64,3 +64,131 @@ WHERE n_chars > 0
 ORDER BY skey DESC, doc_id ASC
 LIMIT {SAMPLE_K}
 """
+
+
+# ─────────────── exact-quota stratified sampling (P10) ───────────────
+
+FRAC_PPM = 100_000  # 10% global budget
+
+
+def stratified_quota_sample(
+    docs: DataFrame,
+    frac_ppm: int = FRAC_PPM,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """EXACT-count stratified sample: a global budget of
+    N = floor(total · frac_ppm / 1e6) rows, allocated across strata by
+    the largest-remainder method (floor(N·c_s/total) each, remainders
+    to the largest fractional parts, ties toward the smaller stratum
+    name) — the allocation an eval-set builder needs when "10%" must
+    mean exactly N rows AND per-stratum proportionality to the row.
+    P1 (Bernoulli hash) holds rates only in expectation; P2 targets an
+    EXTERNAL mix; this is the exact-quota sibling.
+
+    Within a stratum rows are picked in md5-grid order (the portable
+    sampler idiom) — deterministic, reproducible, engine-shared.
+
+    Scale shape: the stratum census is a vocabulary-sized aggregate
+    (collected driver-side and turned into exact integer quotas — the
+    triangles-histogram precedent; never a data-sized collect), the
+    pick is the P5 partition-pruned per-key top-n (bounded shuffle:
+    partitions × strata × max-quota rows, not the corpus), and the
+    quota filter is a broadcast join. Caveat for extreme budgets: at
+    frac → 1 the prune bound approaches the corpus — this operator is
+    for sampling, not splitting (P3 hash splits cover that).
+    """
+    from .topn import pruned_topn
+
+    counts = sorted(
+        (r[0], r[1])
+        for r in docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if not total:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], f"{stratum_col} string, {id_col} long, pick_rank long"
+        )
+    budget = total * frac_ppm // 1_000_000
+    base = {s: budget * c // total for s, c in counts}
+    remainder = budget - sum(base.values())
+    by_frac = sorted(counts, key=lambda sc: (-(budget * sc[1] % total), sc[0]))
+    quotas = dict(base)
+    for s, _ in by_frac[:remainder]:
+        quotas[s] += 1
+    max_q = max(quotas.values()) if quotas else 0
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ranked = pruned_topn(
+        docs.select(stratum_col, id_col).withColumn("h", h),
+        [stratum_col],
+        [("h", True), (id_col, True)],
+        max_q,
+    )
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(s, int(q)) for s, q in sorted(quotas.items())],
+        f"{stratum_col} string, __quota long",
+    )
+    return (
+        ranked.join(F.broadcast(qdf), stratum_col)
+        .filter(F.col("rank") <= F.col("__quota"))
+        .select(
+            stratum_col,
+            id_col,
+            F.col("rank").cast("long").alias("pick_rank"),
+        )
+        .orderBy(stratum_col, "pick_rank")
+    )
+
+
+def docs_stratified_sample(spark, sf_dir: str) -> DataFrame:
+    """Gate: exact-quota 10% stratified sample of `documents` by
+    source — largest-remainder allocation, md5-grid picks."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_quota_sample(docs)
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(c) * {FRAC_PPM} // 1000000 AS BIGINT) AS budget
+  FROM counts
+),
+base AS (
+  SELECT source, c,
+         CAST(t.budget * c // t.total AS BIGINT) AS b,
+         CAST(t.budget * c % t.total AS BIGINT) AS frac
+  FROM counts, tot t
+),
+alloc AS (
+  SELECT source, b,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC) AS rn,
+         (SELECT budget FROM tot) - (SELECT SUM(b) FROM base) AS rem
+  FROM base
+),
+quota AS (
+  SELECT source, b + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS q FROM alloc
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS pick_rank
+FROM ranked r JOIN quota USING (source)
+WHERE r.rk <= q
+ORDER BY source, pick_rank
+"""

@@ -802,6 +802,13 @@ from .similarity.mmr import EMBEDDINGS_MMR_RERANK_SQL, embeddings_mmr_rerank  # 
 
 register("embeddings_mmr_rerank", embeddings_mmr_rerank, EMBEDDINGS_MMR_RERANK_SQL)
 
+from .operators.weighted_sample import (  # noqa: E402
+    DOCS_STRATIFIED_SAMPLE_SQL,
+    docs_stratified_sample,
+)
+
+register("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
@@ -825,6 +832,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "supplier_communities",
     "events_user_acf",
     "embeddings_mmr_rerank",
+    "docs_stratified_sample",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -839,10 +847,10 @@ _R9_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (19; the three
+    #     the r4-era remainder, in registration order (18; the four
     #     deepest rows displaced by the round-9 additions
     #     supplier_communities / events_user_acf /
-    #     embeddings_mmr_rerank)
+    #     embeddings_mmr_rerank / docs_stratified_sample)
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -861,7 +869,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q4_order_priority",
-    "q6_revenue_forecast",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

@@ -165,3 +165,59 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = weighted_sample(df, "w", k=10).toPandas()
     assert set(got.doc_id) == {1, 4}
+
+
+# ─────────────── P10: exact-quota stratified sampling ───────────────
+
+
+def _strat_docs(spark, spec):
+    rows = []
+    i = 0
+    for src, n in spec.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", "en", src, 10))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_stratified_quota_exact_budget_and_allocation(spark):
+    from data_frame_demo_etl_spark.operators.weighted_sample import (
+        stratified_quota_sample,
+    )
+
+    # counts 7/2/1, 50% budget → N=5; floors 3/1/0, one remainder goes
+    # to the largest fractional part (tie 5%≡5% between s0 and s2 →
+    # smaller name wins): quotas 4/1/0.
+    docs = _strat_docs(spark, {"s0": 7, "s1": 2, "s2": 1})
+    out = stratified_quota_sample(docs, frac_ppm=500_000).collect()
+    per = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert sum(per.values()) == 5
+    assert per == {"s0": 4, "s1": 1}
+    # pick_rank is 1..quota within each stratum
+    ranks = sorted(r.pick_rank for r in out if r.source == "s0")
+    assert ranks == [1, 2, 3, 4]
+
+
+def test_stratified_quota_deterministic_and_gate(spark, sf_dir):
+    from data_frame_demo_etl_spark.operators.weighted_sample import (
+        docs_stratified_sample,
+    )
+
+    a = sorted(map(tuple, docs_stratified_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, docs_stratified_sample(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stratified_quota_empty(spark):
+    from data_frame_demo_etl_spark.operators.weighted_sample import (
+        stratified_quota_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert stratified_quota_sample(docs).count() == 0
