@@ -88,7 +88,10 @@ HEADLINE = [
     "events_cusum_changepoints",
     "embeddings_int8_quantization",
     "dedup_lsh_threshold_sweep",
-    "docs_token_fertility",
+    # docs_token_fertility trimmed from the LINE with the round-9 six
+    # (token-counting family sibling of text_token_count) — at 70
+    # one-decimal entries the line sat 3 chars under the capture
+    # window; one more trim restores real margin.
     "events_max_concurrency",
     "events_grouping_sets",
     "corpus_temperature_mix",
