@@ -100,7 +100,9 @@ HEADLINE = [
     "lang_id_confusion",
     "funnel_time_to_convert",
     "events_ab_test",
-    "lineitem_supplier_gini",
+    # lineitem_supplier_gini trimmed from the LINE with the round-9
+    # seven (third audit-family member after benford + star-integrity
+    # stay) — keeps the K40 addition below inside the capture budget.
     # round-7 additions (appended, same comparability rule)
     "multimodal_decode_jpeg_progressive",
     "ann_recall_eval",
@@ -131,6 +133,7 @@ HEADLINE = [
     "events_user_acf",
     "embeddings_mmr_rerank",
     "docs_stratified_sample",
+    "events_type_correlation",
 ]
 
 

@@ -655,3 +655,128 @@ ORDER BY user_id
 
 
 EVENTS_USER_ACF_SQL = _acf_sql()
+
+
+# ──────────────── cross-series correlation (K40) ────────────────
+
+
+def type_pair_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Pearson correlation between every PAIR of event types' hourly
+    value series — the co-movement matrix that sits beside K39's ACF
+    (ACF: one series vs its own past; this: two series at the same
+    hour). A missing (hour, type) combination contributes x = 0, so
+    every pair is compared over the SAME dense hour spine (a sparse
+    join would silently drop exactly the hours where co-movement
+    breaks).
+
+    Portability: hourly sums ride the exact cent grid; Σx, Σy, Σxy,
+    Σx², Σy² accumulate as DECIMAL(38,0) (hourly sums are data-sized
+    — their squares overflow int64 at large SF; decimal sums are
+    exact in Spark, HUGEINT in DuckDB), and the only floating step is
+    one fixed-parenthesization combination
+
+        r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx·Sx) · (n·Syy − Sy·Sy))
+
+    — +,−,×,÷,sqrt are all correctly-rounded IEEE, so identical
+    operand order ⇒ bit-identical r; ppm output, zero-variance pairs
+    → NULL. Scale shape: the spine is (distinct hours × type
+    vocabulary) — a bounded cross join by construction; the pair
+    table is hours × C(T,2); the final aggregation is one partial-agg
+    groupBy on the pair key.
+    """
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    hs = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+            F.col(type_col).alias("t"),
+        )
+        .agg(F.sum(cents).alias("x"))
+    )
+    hours = hs.select("h").distinct()
+    types = hs.select("t").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    dense = spine.join(hs, ["h", "t"], "left").select(
+        "h", "t", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    a = dense.select("h", F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = dense.select("h", F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = a.join(b, "h").filter(F.col("ta") < F.col("tb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("xa"))).alias("sx"),
+        F.sum(dec(F.col("xb"))).alias("sy"),
+        F.sum(dec(F.col("xa")) * dec(F.col("xb"))).alias("sxy"),
+        F.sum(dec(F.col("xa")) * dec(F.col("xa"))).alias("sxx"),
+        F.sum(dec(F.col("xb")) * dec(F.col("xb"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    r = F.when((vx > 0) & (vy > 0), (nd * sxy - sx * sy) / F.sqrt(vx * vy))
+    return g.select(
+        "ta",
+        "tb",
+        F.col("n").cast("long").alias("n_hours"),
+        F.floor(r * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("corr_ppm"),
+    ).orderBy("ta", "tb")
+
+
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the hourly co-movement matrix of the five event types."""
+    events = load_table(spark, "events", sf_dir)
+    return type_pair_correlation(events)
+
+
+EVENTS_TYPE_CORRELATION_SQL = """
+WITH hs AS (
+  SELECT DATE_TRUNC('hour', ts) AS h, event_type AS t,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT h, t FROM (SELECT DISTINCT h FROM hs), (SELECT DISTINCT t FROM hs)
+),
+dense AS (
+  SELECT s.h, s.t, COALESCE(hs.x, 0) AS x
+  FROM spine s LEFT JOIN hs ON hs.h = s.h AND hs.t = s.t
+),
+pairs AS (
+  SELECT a.h, a.t AS ta, b.t AS tb, a.x AS xa, b.x AS xb
+  FROM dense a JOIN dense b ON a.h = b.h AND a.t < b.t
+),
+g AS (
+  SELECT ta, tb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(xa AS HUGEINT)) AS sx,
+         SUM(CAST(xb AS HUGEINT)) AS sy,
+         SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
+         SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+         SUM(CAST(xb AS HUGEINT) * xb) AS syy
+  FROM pairs
+  GROUP BY ta, tb
+)
+SELECT ta, tb, n AS n_hours,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS corr_ppm
+FROM g
+ORDER BY ta, tb
+"""

@@ -809,6 +809,13 @@ from .operators.weighted_sample import (  # noqa: E402
 
 register("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL)
 
+from .analytics.timeseries import (  # noqa: E402
+    EVENTS_TYPE_CORRELATION_SQL,
+    events_type_correlation,
+)
+
+register("events_type_correlation", events_type_correlation, EVENTS_TYPE_CORRELATION_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
@@ -833,6 +840,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "events_user_acf",
     "embeddings_mmr_rerank",
     "docs_stratified_sample",
+    "events_type_correlation",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -847,10 +855,11 @@ _R9_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (18; the four
+    #     the r4-era remainder, in registration order (17; the five
     #     deepest rows displaced by the round-9 additions
     #     supplier_communities / events_user_acf /
-    #     embeddings_mmr_rerank / docs_stratified_sample)
+    #     embeddings_mmr_rerank / docs_stratified_sample /
+    #     events_type_correlation)
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -868,7 +877,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "query_builder_filter",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q4_order_priority",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

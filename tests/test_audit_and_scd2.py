@@ -136,6 +136,9 @@ CARTESIAN_ALLOWED = {
     # one broadcast-query-set relevance leg (the ann_cosine_topk
     # shape) feeding a Q×POOL-bounded greedy rerank (similarity/mmr.py).
     "embeddings_mmr_rerank",
+    # dense (distinct hours × type vocabulary) spine — the gapfill
+    # bounded-cross contract (analytics/timeseries.py correlation).
+    "events_type_correlation",
     # crossJoin(broadcast(1-ROW total-usage aggregate)) for the final
     # vocabulary log-probs (functions/unigram.py) — bounded scalar.
     "unigram_lm_vocab",

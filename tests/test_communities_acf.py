@@ -106,3 +106,52 @@ def test_events_user_acf_gate_shape(spark, sf_dir):
     assert all(
         r.acf1_ppm is None or -1_000_000 <= r.acf1_ppm <= 1_000_000 for r in rows
     )
+
+
+# ──────────────── K40: type-pair correlation ────────────────
+
+
+def _corr_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_type_correlation_planted(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import type_pair_correlation
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # per hour h: A sums to h+1, B to 2(h+1) (perfect +corr), C to 8-h
+    # (perfect anti-corr with A). One event per (hour, type).
+    for h in range(8):
+        ts = base + dt.timedelta(hours=h, minutes=5)
+        rows += [
+            (h * 3, ts, 1, "A", float(h + 1)),
+            (h * 3 + 1, ts, 1, "B", float(2 * (h + 1))),
+            (h * 3 + 2, ts, 1, "C", float(8 - h)),
+        ]
+    out = {(r.ta, r.tb): r.corr_ppm for r in type_pair_correlation(_corr_events(spark, rows)).collect()}
+    assert out[("A", "B")] == 1_000_000
+    assert out[("A", "C")] == -1_000_000
+    assert out[("B", "C")] == -1_000_000
+
+
+def test_type_correlation_constant_is_null_and_dense_zero(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import type_pair_correlation
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # D constant 5.0 every hour; E present only in hour 0 — the dense
+    # spine must zero-fill E's other hours, not drop them.
+    for h in range(4):
+        rows.append((h * 2, base + dt.timedelta(hours=h), 1, "D", 5.0))
+    rows.append((100, base, 1, "E", 3.0))
+    out = {(r.ta, r.tb): (r.n_hours, r.corr_ppm) for r in type_pair_correlation(_corr_events(spark, rows)).collect()}
+    n, corr = out[("D", "E")]
+    assert n == 4          # E zero-filled on D's spine
+    assert corr is None    # D has zero variance

@@ -52,6 +52,9 @@ CARTESIAN_ALLOWED = {
     # one broadcast-query-set relevance leg (the ann_cosine_topk
     # shape) feeding a Q×POOL-bounded greedy rerank (similarity/mmr.py).
     "embeddings_mmr_rerank",
+    # dense (distinct hours × type vocabulary) spine — the gapfill
+    # bounded-cross contract (analytics/timeseries.py correlation).
+    "events_type_correlation",
     # dense (groups × bins × 2) spine — constant-size cross join by
     # construction (analytics/drift.py).
     "events_value_drift_psi",
