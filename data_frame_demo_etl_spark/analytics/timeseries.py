@@ -698,6 +698,13 @@ def type_pair_correlation(
         )
         .agg(F.sum(cents).alias("x"))
     )
+    # The ONLY corpus-sized work is the aggregate above, but four
+    # consumers read it (hour spine, type spine, and both pair legs)
+    # — unmaterialized, the corpus agg re-runs per consumer (explain
+    # showed 24 Exchanges; the r8 multi-consumer-recompute lesson).
+    # Its output is (hours × types)-sized — a bounded artifact — so an
+    # eager checkpoint collapses the plan to ONE corpus pass.
+    hs = hs.localCheckpoint(eager=True)
     hours = hs.select("h").distinct()
     types = hs.select("t").distinct()
     spine = hours.crossJoin(F.broadcast(types))
