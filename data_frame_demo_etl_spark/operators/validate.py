@@ -149,6 +149,38 @@ def k_anonymity(
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col,
+    l: int = 3,
+):
+    """l-diversity audit (Machanavalli et al. 2007): beyond k-anonymity,
+    every quasi-identifier equivalence class must contain at least
+    ``l`` DISTINCT values of the sensitive attribute — a class of 50
+    rows that all share one salary band is k-anonymous yet leaks the
+    sensitive value outright (the homogeneity attack k-anonymity
+    misses).
+
+    One aggregation: (QI..., n, n_sensitive, meets_l). The exact
+    per-class distinct count is the point of the audit (an approximate
+    count cannot certify a privacy floor); the distinct expansion is
+    bounded by the QI-domain × sensitive-domain product, not the row
+    count, and partial-aggregates map-side like V5.
+    """
+    from pyspark.sql import functions as F
+
+    qi = [F.col(c) for c in quasi_identifiers]
+    return (
+        df.groupBy(*qi)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(sensitive_col).alias("n_sensitive"),
+        )
+        .withColumn("meets_l", F.col("n_sensitive") >= l)
+    )
+
+
 def customer_k_anonymity(spark, sf_dir: str) -> DataFrame:
     """Gate: k=5 anonymity audit of customers over the
     (market segment, nation) quasi-identifier pair, with each
@@ -165,6 +197,48 @@ def customer_k_anonymity(spark, sf_dir: str) -> DataFrame:
 
 CUSTOMER_K_ANONYMITY_SQL = """
 SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, COUNT(*) >= 5 AS meets_k
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+def customer_l_diversity(spark, sf_dir: str) -> DataFrame:
+    """Gate: l=3 diversity audit of customers over the
+    (market segment, nation) quasi-identifier pair, with account
+    balance banded to $1000 as the sensitive attribute — the
+    homogeneity-attack check V5's size-only audit cannot express.
+    The band rides the exact cent grid (decimal × 100 → integer DIV),
+    so both engines see identical sensitive values."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+
+    # +$1M offset keeps the dividend non-negative: Spark DIV truncates
+    # toward zero while DuckDB // floors, and TPC-H balances go to
+    # −999.99 — on non-negatives the two agree exactly (the repo's
+    # integral-division convention).
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "__band", F.expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000000) DIV 100000")
+    )
+    return (
+        l_diversity(cust, ["c_mktsegment", "c_nationkey"], "__band", l=3)
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_sensitive").cast("long").alias("n_sensitive"),
+            "meets_l",
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+CUSTOMER_L_DIVERSITY_SQL = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT (CAST(c_acctbal * 100 AS BIGINT) + 100000000) // 100000) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT (CAST(c_acctbal * 100 AS BIGINT) + 100000000) // 100000) >= 3 AS meets_l
 FROM customer
 GROUP BY c_mktsegment, c_nationkey
 ORDER BY c_mktsegment, c_nationkey

@@ -816,6 +816,13 @@ from .analytics.timeseries import (  # noqa: E402
 
 register("events_type_correlation", events_type_correlation, EVENTS_TYPE_CORRELATION_SQL)
 
+from .operators.validate import (  # noqa: E402
+    CUSTOMER_L_DIVERSITY_SQL,
+    customer_l_diversity,
+)
+
+register("customer_l_diversity", customer_l_diversity, CUSTOMER_L_DIVERSITY_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
@@ -841,6 +848,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "embeddings_mmr_rerank",
     "docs_stratified_sample",
     "events_type_correlation",
+    "customer_l_diversity",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -855,11 +863,11 @@ _R9_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (17; the five
+    #     the r4-era remainder, in registration order (16; the six
     #     deepest rows displaced by the round-9 additions
     #     supplier_communities / events_user_acf /
     #     embeddings_mmr_rerank / docs_stratified_sample /
-    #     events_type_correlation)
+    #     events_type_correlation / customer_l_diversity)
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -876,7 +884,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "events_approx_stats",
     "query_builder_filter",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

@@ -323,3 +323,28 @@ def test_cms_estimate_absent_key_reads_zero_not_missing(spark):
     got = {r.k: r.est_n for r in cms_estimate(grid, probes).collect()}
     assert got["a"] >= 2
     assert got["definitely-absent-key-xyzzy"] == 0
+
+
+def test_l_diversity_catches_homogeneous_class(spark):
+    """A class can be k-anonymous (big) yet fail l-diversity (all rows
+    share one sensitive value) — the homogeneity attack V5 misses."""
+    from data_frame_demo_etl_spark.operators.validate import l_diversity
+
+    rows = (
+        # class A: 6 rows, 3 distinct sensitive values → passes both
+        [("A", 1, v) for v in (10, 10, 20, 20, 30, 30)]
+        # class B: 6 rows (k-anonymous at k=5) but ONE sensitive value
+        + [("B", 1, 40)] * 6
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int, sens int")
+    out = {(r.seg,): (r.n, r.n_sensitive, r.meets_l) for r in l_diversity(df, ["seg", "nat"], "sens", l=3).collect()}
+    assert out[("A",)] == (6, 3, True)
+    assert out[("B",)] == (6, 1, False)
+
+
+def test_customer_l_diversity_gate(spark, sf_dir):
+    from data_frame_demo_etl_spark.operators.validate import customer_l_diversity
+
+    rows = customer_l_diversity(spark, sf_dir).collect()
+    assert rows and all(r.n_sensitive <= r.n for r in rows)
+    assert all(r.meets_l == (r.n_sensitive >= 3) for r in rows)
