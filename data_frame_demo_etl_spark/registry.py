@@ -823,6 +823,13 @@ from .operators.validate import (  # noqa: E402
 
 register("customer_l_diversity", customer_l_diversity, CUSTOMER_L_DIVERSITY_SQL)
 
+from .analytics.survival import (  # noqa: E402
+    USERS_CHURN_SURVIVAL_SQL,
+    users_churn_survival,
+)
+
+register("users_churn_survival", users_churn_survival, USERS_CHURN_SURVIVAL_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
@@ -849,6 +856,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "docs_stratified_sample",
     "events_type_correlation",
     "customer_l_diversity",
+    "users_churn_survival",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -863,11 +871,12 @@ _R9_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (16; the six
+    #     the r4-era remainder, in registration order (15; the seven
     #     deepest rows displaced by the round-9 additions
     #     supplier_communities / events_user_acf /
     #     embeddings_mmr_rerank / docs_stratified_sample /
-    #     events_type_correlation / customer_l_diversity)
+    #     events_type_correlation / customer_l_diversity /
+    #     users_churn_survival)
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -883,7 +892,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "bpe_encode_documents",
     "events_approx_stats",
     "query_builder_filter",
-    "q3_shipping_priority",
     # --- redefined in r9: the hot-key anti-cap joins (minhash
     #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
     #     leakage/sweep signature caps, incremental index) no longer

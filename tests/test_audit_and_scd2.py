@@ -139,6 +139,10 @@ CARTESIAN_ALLOWED = {
     # dense (distinct hours × type vocabulary) spine — the gapfill
     # bounded-cross contract (analytics/timeseries.py correlation).
     "events_type_correlation",
+    # crossJoin(broadcast(1-ROW max-timestamp aggregate)) for the
+    # right-censor edge — the q22 bounded-scalar shape
+    # (analytics/survival.py).
+    "users_churn_survival",
     # crossJoin(broadcast(1-ROW total-usage aggregate)) for the final
     # vocabulary log-probs (functions/unigram.py) — bounded scalar.
     "unigram_lm_vocab",

@@ -55,6 +55,10 @@ CARTESIAN_ALLOWED = {
     # dense (distinct hours × type vocabulary) spine — the gapfill
     # bounded-cross contract (analytics/timeseries.py correlation).
     "events_type_correlation",
+    # crossJoin(broadcast(1-ROW max-timestamp aggregate)) for the
+    # right-censor edge — the q22 bounded-scalar shape
+    # (analytics/survival.py).
+    "users_churn_survival",
     # dense (groups × bins × 2) spine — constant-size cross join by
     # construction (analytics/drift.py).
     "events_value_drift_psi",
