@@ -583,3 +583,144 @@ SELECT CAST(MIN(n) AS BIGINT) AS n_keys,
 FROM ranked
 HAVING COUNT(*) > 0
 """
+
+
+# ─────────────── Mann–Whitney U rank-sum test (K42) ───────────────
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    key_col: str = "event_type",
+    group_col_expr=None,
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key Mann–Whitney U (Wilcoxon rank-sum) between the same
+    deterministic A/B arms K36 uses — the NONPARAMETRIC location test
+    that stays valid when values are skewed/heavy-tailed and a mean
+    comparison (or K36's proportion test over a thresholded success)
+    would mislead.
+
+    Exact-integer construction: values ride the cent grid; per
+    (key, cents) the engine needs only (t_v = total rows, a_v = arm-A
+    rows) plus the cumulative count BEFORE each distinct value.
+    Average midranks with ties are half-integers, so everything is
+    carried DOUBLED: 2·rank_sum_A = Σ a_v · (2·before_v + t_v + 1)
+    and 2·U_A = that − n_A(n_A+1) — exact integers (DECIMAL(38,0)
+    accumulation: the rank-sum is O(n²) and outgrows int64 at data
+    scale). The tie-corrected normal approximation is the single
+    floating step:
+
+        var(2U) = n_A·n_B · ((n+1) − Σ(t³−t)/(n·(n−1))) / 3
+        z       = (2U_A − n_A·n_B) / sqrt(var(2U))
+
+    fixed parenthesization of correctly-rounded IEEE ops (no
+    continuity correction — documented), z on the 1e-6 grid,
+    degenerate variance (all values tied, or an empty arm) → NULL.
+
+    Scale shape: one map-side-combined (key, cents) aggregation over
+    the corpus, then the two-pass keyed prefix layout for before_v
+    (the distinct-value table is VALUE-DOMAIN-sized; with enum keys a
+    plain Window.partitionBy(key) would one-task each key), then one
+    ≤keys-sized aggregation.
+    """
+    if group_col_expr is None:
+        group_col_expr = F.col("user_id") % 2 == 0
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    cnt = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(key_col).alias("key"), cents.alias("cents"), group_col_expr.alias("is_a"))
+        .groupBy("key", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_a")).alias("av"),
+        )
+    )
+    pre = _keyed_prefix(cnt, ["cents"], "tv")
+    dec = "decimal(38,0)"
+    before = (F.col("cum") - F.col("tv")).cast(dec)
+    term = F.col("av").cast(dec) * (
+        F.lit(2).cast(dec) * before + F.col("tv").cast(dec) + F.lit(1).cast(dec)
+    )
+    tie = F.col("tv").cast(dec) * F.col("tv").cast(dec) * F.col("tv").cast(dec) - F.col(
+        "tv"
+    ).cast(dec)
+    g = (
+        pre.withColumn("r2a_term", term)
+        .withColumn("tie_term", tie)
+        .groupBy("key")
+        .agg(
+            F.first("t").alias("n_rows"),
+            F.sum("av").alias("n_a"),
+            F.sum("r2a_term").alias("r2a"),
+            F.sum("tie_term").alias("ties"),
+        )
+    )
+    na = F.col("n_a").cast(dec)
+    nn = F.col("n_rows").cast(dec)
+    nb_d = nn - na
+    u2 = F.col("r2a") - na * (na + F.lit(1).cast(dec))
+    nad = na.cast("double")
+    nbd = nb_d.cast("double")
+    nd = nn.cast("double")
+    tied = F.col("ties").cast("double")
+    var2 = (
+        (nad * nbd)
+        * ((nd + F.lit(1.0)) - tied / (nd * (nd - F.lit(1.0))))
+        / F.lit(3.0)
+    )
+    z = F.when(var2 > 0, (u2.cast("double") - nad * nbd) / F.sqrt(var2))
+    return g.select(
+        F.col("key").alias(key_col),
+        F.col("n_a").cast("long").alias("n_a"),
+        nb_d.cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        F.floor(z * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("z_micro"),
+    ).orderBy(key_col)
+
+
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-type Mann–Whitney U between the user-parity arms —
+    the nonparametric sibling of `events_ab_test`."""
+    events = load_table(spark, "events", sf_dir)
+    return mannwhitney_u(events)
+
+
+EVENTS_MANNWHITNEY_SQL = """
+WITH cnt AS (
+  SELECT event_type AS key, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS av
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, cents, tv, av,
+         SUM(tv) OVER (PARTITION BY key ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS before_v
+  FROM cnt
+),
+g AS (
+  SELECT key,
+         CAST(SUM(tv) AS HUGEINT) AS n_rows,
+         CAST(SUM(av) AS HUGEINT) AS n_a,
+         SUM(CAST(av AS HUGEINT) * (2 * CAST(before_v AS HUGEINT) + CAST(tv AS HUGEINT) + 1)) AS r2a,
+         SUM(CAST(tv AS HUGEINT) * CAST(tv AS HUGEINT) * CAST(tv AS HUGEINT) - CAST(tv AS HUGEINT)) AS ties
+  FROM pre
+  GROUP BY key
+)
+SELECT key AS event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_rows - n_a AS BIGINT) AS n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CASE WHEN (CAST(n_a AS DOUBLE) * CAST(n_rows - n_a AS DOUBLE))
+                 * ((CAST(n_rows AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0)))
+                 / 3.0 > 0
+            THEN CAST(FLOOR(((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_rows - n_a AS DOUBLE))
+                 / SQRT((CAST(n_a AS DOUBLE) * CAST(n_rows - n_a AS DOUBLE))
+                        * ((CAST(n_rows AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0)))
+                        / 3.0))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS z_micro
+FROM g
+ORDER BY event_type
+"""

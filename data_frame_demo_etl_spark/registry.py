@@ -830,6 +830,13 @@ from .analytics.survival import (  # noqa: E402
 
 register("users_churn_survival", users_churn_survival, USERS_CHURN_SURVIVAL_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_MANNWHITNEY_SQL,
+    events_mannwhitney,
+)
+
+register("events_mannwhitney", events_mannwhitney, EVENTS_MANNWHITNEY_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
@@ -857,6 +864,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "events_type_correlation",
     "customer_l_diversity",
     "users_churn_survival",
+    "events_mannwhitney",
     # --- keeper spine (12)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -871,13 +879,12 @@ _R9_WINDOW: tuple[str, ...] = (
     "pipeline_e2e",
     "sample_documents",
     # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (15; the seven
+    #     the r4-era remainder, in registration order (14; the eight
     #     deepest rows displaced by the round-9 additions
     #     supplier_communities / events_user_acf /
     #     embeddings_mmr_rerank / docs_stratified_sample /
     #     events_type_correlation / customer_l_diversity /
-    #     users_churn_survival)
-    "q11_important_stock",
+    #     users_churn_survival / events_mannwhitney)
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier_relationship",

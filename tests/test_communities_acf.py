@@ -155,3 +155,61 @@ def test_type_correlation_constant_is_null_and_dense_zero(spark):
     n, corr = out[("D", "E")]
     assert n == 4          # E zero-filled on D's spine
     assert corr is None    # D has zero variance
+
+
+# ──────────────── K42: Mann–Whitney U ────────────────
+
+
+def test_mannwhitney_complete_separation(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import mannwhitney_u
+
+    # arm A (even users): values 1,2,3; arm B (odd): 10,20,30 — A is
+    # stochastically smaller, U_A = 0.
+    rows = [
+        (0, None, 0, "X", 1.0), (1, None, 2, "X", 2.0), (2, None, 4, "X", 3.0),
+        (3, None, 1, "X", 10.0), (4, None, 3, "X", 20.0), (5, None, 5, "X", 30.0),
+    ]
+    import datetime as dt
+    rows = [(eid, dt.datetime(2024, 1, 1), uid, t, v) for eid, _, uid, t, v in rows]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = mannwhitney_u(df).collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a) == (3, 3, 0)
+    z = (0 - 9.0) / math.sqrt(9.0 * 7.0 / 3.0)
+    assert r.z_micro == math.floor(z * 1e6 + 0.5)
+
+
+def test_mannwhitney_all_tied_is_null(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import mannwhitney_u
+
+    rows = [(i, dt.datetime(2024, 1, 1), i, "Y", 5.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = mannwhitney_u(df).collect()[0]
+    assert r.z_micro is None  # zero variance: every value tied
+
+
+def test_mannwhitney_u_symmetry(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import mannwhitney_u
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), i, "Z", float(v))
+        for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    a = mannwhitney_u(df).collect()[0]
+    b = mannwhitney_u(df, group_col_expr=F.col("user_id") % 2 == 1).collect()[0]
+    # U_A + U_B = n_a * n_b  (doubled: u2_a + u2_b = 2 n_a n_b)
+    assert a.u2_a + b.u2_a == 2 * a.n_a * a.n_b
