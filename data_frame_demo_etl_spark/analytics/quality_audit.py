@@ -112,7 +112,9 @@ ORDER BY digit
 """
 
 
-def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataFrame:
+def _keyed_prefix(
+    base: DataFrame, order_cols: list[str], val_col: str | list[str]
+) -> DataFrame:
     """Per-key exact prefix sums WITHOUT a per-key global window: the
     two-pass layout (operators/packing.py pattern) generalized to a
     key column. Range-partition by (key, *order_cols), cum-sum within
@@ -133,6 +135,12 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
     total count/sum). Persist is load-bearing: repartitionByRange
     samples boundaries, so pass 2 must see pass 1's exact layout.
 
+    ``val_col`` may be a LIST of columns: the layout, offset collect
+    and window are shared (one shuffle, one bounded collect), and each
+    column ``c`` yields ``cum_<c>`` / ``t_<c>`` instead of the single
+    ``cum`` / ``t`` — the multi-statistic form the KS test needs
+    (cumulative per-arm AND total counts from one pass).
+
     The low-cardinality contract is ENFORCED, not trusted: the offset
     collect is ≤ partitions × distinct keys rows, so a caller passing
     a high-cardinality key would silently blow up the driver — the
@@ -140,6 +148,10 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
     partitions×keys table; if it exceeds ``MAX_OFFSET_ROWS`` the
     helper raises with a pointer at the plain per-key window, which
     parallelizes fine when keys are plentiful)."""
+    single = isinstance(val_col, str)
+    vals: list[str] = [val_col] if single else list(val_col)
+    cum_names = ["cum"] if single else [f"cum_{c}" for c in vals]
+    tot_names = ["t"] if single else [f"t_{c}" for c in vals]
     spark = base.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col("key")] + [F.col(c) for c in order_cols]
@@ -151,7 +163,10 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
     )
     part_tot = (
         laid.groupBy("__pid", "key")
-        .agg(F.count(F.lit(1)).alias("c"), F.sum(val_col).alias("sv"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            *[F.sum(v).alias(f"sv_{i}") for i, v in enumerate(vals)],
+        )
         .limit(MAX_OFFSET_ROWS + 1)
         .collect()
     )
@@ -171,12 +186,18 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
     run: dict = {}
     rows = []
     for r in sorted(part_tot, key=lambda r: r["__pid"]):
-        off_c, off_v = run.get(r["key"], (0, 0))
-        rows.append((int(r["__pid"]), r["key"], int(off_c), int(off_v)))
-        run[r["key"]] = (off_c + r["c"], off_v + (r["sv"] or 0))
+        prev = run.get(r["key"], (0,) + (0,) * len(vals))
+        rows.append((int(r["__pid"]), r["key"]) + tuple(int(x) for x in prev))
+        run[r["key"]] = tuple(
+            a + b
+            for a, b in zip(
+                prev, (r["c"],) + tuple((r[f"sv_{i}"] or 0) for i in range(len(vals)))
+            )
+        )
     # Build the driver-side frames with the INPUT's key type so the
     # join-back never relies on implicit cross-type casts.
     key_type = base.schema["key"].dataType
+    off_v_fields = [StructField(f"__off_v_{i}", LongType()) for i in range(len(vals))]
     off_df = spark.createDataFrame(
         rows,
         StructType(
@@ -184,18 +205,15 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
                 StructField("__pid", IntegerType()),
                 StructField("key", key_type),
                 StructField("__off_c", LongType()),
-                StructField("__off_v", LongType()),
             ]
+            + off_v_fields
         ),
     )
     nt_df = spark.createDataFrame(
-        [(k, int(c), int(v)) for k, (c, v) in run.items()],
+        [(k,) + tuple(int(x) for x in cv) for k, cv in run.items()],
         StructType(
-            [
-                StructField("key", key_type),
-                StructField("n", LongType()),
-                StructField("t", LongType()),
-            ]
+            [StructField("key", key_type), StructField("n", LongType())]
+            + [StructField(t, LongType()) for t in tot_names]
         ),
     )
     w = (
@@ -203,13 +221,14 @@ def _keyed_prefix(base: DataFrame, order_cols: list[str], val_col: str) -> DataF
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         laid.join(F.broadcast(off_df), ["__pid", "key"])
         .join(F.broadcast(nt_df), "key")
         .withColumn("k", F.row_number().over(Window.partitionBy("__pid", "key").orderBy(*order_cols)) + F.col("__off_c"))
-        .withColumn("cum", F.sum(val_col).over(w) + F.col("__off_v"))
-        .drop("__pid", "__off_c", "__off_v")
     )
+    for i, (v, cn) in enumerate(zip(vals, cum_names)):
+        out = out.withColumn(cn, F.sum(v).over(w) + F.col(f"__off_v_{i}"))
+    return out.drop("__pid", "__off_c", *[f"__off_v_{i}" for i in range(len(vals))])
 
 
 def cusum_changepoint(
@@ -721,6 +740,151 @@ SELECT key AS event_type,
                         / 3.0))
                  * 1000000.0 + 0.5) AS BIGINT)
        END AS z_micro
+FROM g
+ORDER BY event_type
+"""
+
+# ─────────────── Kolmogorov–Smirnov two-sample test (K43) ───────────────
+
+
+def ks_two_sample(
+    df: DataFrame,
+    key_col: str = "event_type",
+    group_col_expr=None,
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov–Smirnov test between the same
+    deterministic A/B arms K36/K42 use — the DISTRIBUTION-shape test
+    that completes the A/B family: K36 compares a thresholded
+    proportion, K42 location, KS the whole empirical CDF (it fires on
+    variance/shape changes a location test is blind to).
+
+    Exact-integer construction: values ride the cent grid; per
+    (key, cents) the engine needs (t_v = total rows, a_v = arm-A
+    rows) and BOTH cumulative counts, so the two-pass keyed prefix
+    runs in its multi-column form (one shuffle, one bounded offset
+    collect — NOT two passes). With cumT_v = Σ_{w≤v} t_w and
+    cumA_v = Σ_{w≤v} a_w, the scaled deviation at v is the exact
+    integer
+
+        dev_v = |n·cumA_v − n_A·cumT_v|   (= |n_B·cumA_v − n_A·cumB_v|)
+
+    and D = max_v dev_v / (n_A·n_B). Ties are handled exactly: the
+    empirical CDFs only ever need evaluating at distinct data values,
+    which is precisely the (key, cents) grid. dev is accumulated in
+    decimal(38,0) — n·cum is O(n²) and outgrows int64 at data scale
+    (exact to n ≈ 6·10¹⁵ rows per key on the ppm output grid).
+
+    Outputs per key: n_a, n_b, d_ppm = ⌊10⁶·D⌋ (exact integral
+    division — Spark `div` / DuckDB `//` truncate identically on
+    non-negative operands) and the asymptotic effective statistic
+    λ = D·√(n_A·n_B/n) on the 1e-6 grid — the quantity fed to the
+    Kolmogorov distribution; surfacing λ instead of a p-value keeps
+    the gate inside correctly-rounded IEEE ops (·, /, √ — no
+    cross-engine transcendental exp). Empty arm → both NULL.
+
+    Scale shape: one map-side-combined (key, cents) aggregation, the
+    shared two-pass keyed prefix (range partitions sort in parallel;
+    a plain Window.partitionBy(key) would one-task each enum key),
+    one ≤keys-sized max/first aggregation. No self-joins, no driver
+    loops. No reference analog (/root/reference has no statistical
+    tests); brief-mandated beyond-reference quality analytics.
+    """
+    if group_col_expr is None:
+        group_col_expr = F.col("user_id") % 2 == 0
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    cnt = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(key_col).alias("key"), cents.alias("cents"), group_col_expr.alias("is_a"))
+        .groupBy("key", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_a")).alias("av"),
+        )
+    )
+    pref = _keyed_prefix(cnt, ["cents"], ["tv", "av"])
+    dec = "decimal(38,0)"
+    n = F.col("t_tv").cast(dec)
+    na = F.col("t_av").cast(dec)
+    dev = F.abs(n * F.col("cum_av").cast(dec) - na * F.col("cum_tv").cast(dec))
+    g = (
+        pref.withColumn("dev", dev)
+        .groupBy("key")
+        .agg(
+            F.first("t_tv").alias("n_rows"),
+            F.first("t_av").alias("n_a"),
+            F.max("dev").alias("d_num"),
+        )
+    )
+    na_g = F.col("n_a").cast(dec)
+    nb_g = (F.col("n_rows") - F.col("n_a")).cast(dec)
+    ok = (F.col("n_a") > 0) & (F.col("n_rows") > F.col("n_a"))
+    d_ppm = F.expr(
+        "cast((d_num * cast(1000000 as decimal(38,0)))"
+        " div (cast(n_a as decimal(38,0))"
+        "      * cast(n_rows - n_a as decimal(38,0))) as bigint)"
+    )
+    nad = na_g.cast("double")
+    nbd = nb_g.cast("double")
+    nd = F.col("n_rows").cast("double")
+    d_exact = F.col("d_num").cast("double") / (nad * nbd)
+    lam = d_exact * F.sqrt((nad * nbd) / nd)
+    return g.select(
+        F.col("key").alias(key_col),
+        F.col("n_a").cast("long").alias("n_a"),
+        nb_g.cast("long").alias("n_b"),
+        F.when(ok, d_ppm).alias("d_ppm"),
+        F.when(ok, F.floor(lam * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")).alias(
+            "lambda_micro"
+        ),
+    ).orderBy(key_col)
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-type two-sample KS between the user-parity arms —
+    the distribution-shape sibling of `events_ab_test` (K36) and
+    `events_mannwhitney` (K42)."""
+    events = load_table(spark, "events", sf_dir)
+    return ks_two_sample(events)
+
+
+EVENTS_KS_TEST_SQL = """
+WITH cnt AS (
+  SELECT event_type AS key, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS av
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, tv, av,
+         SUM(tv) OVER (PARTITION BY key ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tv,
+         SUM(av) OVER (PARTITION BY key ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_av,
+         SUM(tv) OVER (PARTITION BY key) AS key_n,
+         SUM(av) OVER (PARTITION BY key) AS key_na
+  FROM cnt
+),
+g AS (
+  SELECT key,
+         CAST(MIN(key_n) AS HUGEINT) AS n_rows,
+         CAST(MIN(key_na) AS HUGEINT) AS n_a,
+         MAX(ABS(CAST(key_n AS HUGEINT) * CAST(cum_av AS HUGEINT)
+                 - CAST(key_na AS HUGEINT) * CAST(cum_tv AS HUGEINT))) AS d_num
+  FROM pre
+  GROUP BY key
+)
+SELECT key AS event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_rows - n_a AS BIGINT) AS n_b,
+       CASE WHEN n_a > 0 AND n_rows > n_a
+            THEN CAST((d_num * 1000000) // (n_a * (n_rows - n_a)) AS BIGINT)
+       END AS d_ppm,
+       CASE WHEN n_a > 0 AND n_rows > n_a
+            THEN CAST(FLOOR((CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_rows - n_a AS DOUBLE)))
+                 * SQRT((CAST(n_a AS DOUBLE) * CAST(n_rows - n_a AS DOUBLE)) / CAST(n_rows AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS lambda_micro
 FROM g
 ORDER BY event_type
 """

@@ -837,6 +837,13 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("events_mannwhitney", events_mannwhitney, EVENTS_MANNWHITNEY_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_KS_TEST_SQL,
+    events_ks_test,
+)
+
+register("events_ks_test", events_ks_test, EVENTS_KS_TEST_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

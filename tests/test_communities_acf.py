@@ -213,3 +213,68 @@ def test_mannwhitney_u_symmetry(spark):
     b = mannwhitney_u(df, group_col_expr=F.col("user_id") % 2 == 1).collect()[0]
     # U_A + U_B = n_a * n_b  (doubled: u2_a + u2_b = 2 n_a n_b)
     assert a.u2_a + b.u2_a == 2 * a.n_a * a.n_b
+
+
+# ──────────────── K43: Kolmogorov–Smirnov two-sample ────────────────
+
+
+def _ks_df(spark, a_vals, b_vals):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 2 * i, "X", float(v))
+        for i, v in enumerate(a_vals)
+    ] + [
+        (1000 + i, dt.datetime(2024, 1, 1), 2 * i + 1, "X", float(v))
+        for i, v in enumerate(b_vals)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_ks_complete_separation(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import ks_two_sample
+
+    # disjoint supports → D = 1 exactly
+    r = ks_two_sample(_ks_df(spark, [1, 2, 3], [10, 20, 30])).collect()[0]
+    assert (r.n_a, r.n_b, r.d_ppm) == (3, 3, 1_000_000)
+    lam = 1.0 * math.sqrt(9.0 / 6.0)
+    assert r.lambda_micro == math.floor(lam * 1e6 + 0.5)
+
+
+def test_ks_identical_distributions(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import ks_two_sample
+
+    # same multiset in each arm (ties included) → CDFs coincide, D = 0
+    r = ks_two_sample(_ks_df(spark, [1, 1, 2, 7], [1, 1, 2, 7])).collect()[0]
+    assert (r.d_ppm, r.lambda_micro) == (0, 0)
+
+
+def test_ks_hand_computed_with_ties(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import ks_two_sample
+
+    # A={1,2,2,5}, B={2,3,5,7}: cumA=1,3,3,4,4 / cumB=0,1,2,3,4 at the
+    # pooled distinct values → dev=4·|cumA−cumB| peaks at 8 → D=0.5
+    r = ks_two_sample(_ks_df(spark, [1, 2, 2, 5], [2, 3, 5, 7])).collect()[0]
+    assert (r.n_a, r.n_b, r.d_ppm) == (4, 4, 500_000)
+    lam = 0.5 * math.sqrt(16.0 / 8.0)
+    assert r.lambda_micro == math.floor(lam * 1e6 + 0.5)
+
+
+def test_ks_empty_arm_is_null(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import ks_two_sample
+
+    rows = [(i, dt.datetime(2024, 1, 1), 2 * i, "X", float(i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = ks_two_sample(df).collect()[0]
+    assert (r.n_a, r.n_b) == (5, 0)
+    assert r.d_ppm is None and r.lambda_micro is None
