@@ -844,6 +844,13 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("events_ks_test", events_ks_test, EVENTS_KS_TEST_SQL)
 
+from .analytics.skyline import (  # noqa: E402
+    PARTS_PARETO_FRONTIER_SQL,
+    parts_pareto_frontier,
+)
+
+register("parts_pareto_frontier", parts_pareto_frontier, PARTS_PARETO_FRONTIER_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

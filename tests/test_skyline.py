@@ -1,0 +1,40 @@
+"""K45 — 2-D Pareto frontier (skyline): planted-geometry tests."""
+
+from data_frame_demo_etl_spark.analytics.skyline import pareto_frontier_2d
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id long, x long, y long")
+
+
+def test_staircase_frontier(spark):
+    # frontier is the strict staircase; interior points dominated
+    rows = [
+        (1, 1, 9),   # frontier
+        (2, 3, 5),   # frontier
+        (3, 6, 2),   # frontier
+        (4, 3, 7),   # dominated by (3,5)
+        (5, 7, 2),   # dominated by (6,2): smaller x, equal y
+        (6, 6, 9),   # dominated by (3,5) and (6,2)
+    ]
+    out = pareto_frontier_2d(_pts(spark, rows), "x", "y", ["id"]).collect()
+    assert sorted(r.id for r in out) == [1, 2, 3]
+
+
+def test_duplicate_frontier_points_all_kept(spark):
+    # an exact tie in BOTH criteria is not strict anywhere → no dominance
+    rows = [(1, 2, 2), (2, 2, 2), (3, 5, 1), (4, 2, 3)]
+    out = pareto_frontier_2d(_pts(spark, rows), "x", "y", ["id"]).collect()
+    assert sorted(r.id for r in out) == [1, 2, 3]
+
+
+def test_equal_one_dim_strict_other_dominates(spark):
+    # (2,5) vs (2,3): same x, strictly larger y → dominated
+    rows = [(1, 2, 3), (2, 2, 5)]
+    out = pareto_frontier_2d(_pts(spark, rows), "x", "y", ["id"]).collect()
+    assert [r.id for r in out] == [1]
+
+
+def test_single_point_and_empty(spark):
+    assert pareto_frontier_2d(_pts(spark, [(1, 4, 4)]), "x", "y", ["id"]).count() == 1
+    assert pareto_frontier_2d(_pts(spark, []), "x", "y", ["id"]).count() == 0
