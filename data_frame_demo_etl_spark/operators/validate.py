@@ -364,3 +364,109 @@ SELECT check_name, n_rows, n_violations,
 FROM (SELECT * FROM pk UNION ALL SELECT * FROM fk)
 ORDER BY check_name
 """
+
+
+# ─────────────── V8: functional-dependency audit (g3) ───────────────
+
+
+def fd_audit(df: DataFrame, candidates: Sequence[tuple[str, str]]) -> DataFrame:
+    """Approximate-functional-dependency profiling: for each candidate
+    FD ``lhs → rhs``, the classic g3 error (Kivinen & Mannila 1995, the
+    measure TANE/Metanome report) — the minimum fraction of rows that
+    must be removed for the dependency to hold exactly:
+
+        g3 = (n − Σ_groups max single-rhs count) / n
+
+    ``violations == 0`` certifies the FD holds on this corpus; the ppm
+    rendering rides the exact integral-division grid (both engines
+    floor on non-negatives). NULL on either side excludes the row (SQL
+    FD semantics are defined over non-null pairs; the excluded count is
+    visible as n_rows differences across candidates).
+
+    Scale shape, per candidate: groupBy(lhs, rhs) count (map-side
+    combined) → groupBy(lhs) sum/max (partial-aggregable) → one
+    global agg; candidates run as a UNION of independent ≤3-stage
+    pipelines — no self-joins, no windows, no driver loops. This is
+    the profiling primitive a warehouse runs before declaring
+    constraints or choosing clustering keys.
+
+    No reference analog (/root/reference profiles types, not
+    dependencies); beyond-reference data-quality surface.
+    """
+    outs = []
+    for lhs, rhs in candidates:
+        pair = (
+            df.filter(F.col(lhs).isNotNull() & F.col(rhs).isNotNull())
+            .groupBy(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        grp = pair.groupBy("l").agg(F.sum("c").alias("tot"), F.max("c").alias("mx"))
+        outs.append(
+            grp.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.coalesce(F.sum("tot"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.sum("tot") - F.sum("mx"), F.lit(0)).alias("violations"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("violations").cast("long").alias("violations"),
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.expr("violations * 1000000 div n_rows"),
+                ).alias("g3_ppm"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("lhs", "rhs")
+
+
+#: The gate's candidate set: a key-implied FD that must hold
+#: (o_orderkey is the primary key), and two realistic non-FDs whose
+#: g3 error the audit quantifies.
+_FD_CANDIDATES: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def orders_fd_audit(spark, sf_dir: str) -> DataFrame:
+    """Gate: g3 functional-dependency audit over the orders fact —
+    the PK-implied FD comes back violations=0, the behavioral
+    candidates report their exact repair distance."""
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    return fd_audit(orders, _FD_CANDIDATES)
+
+
+def _fd_leg(lhs: str, rhs: str) -> str:
+    return f"""
+  SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(COALESCE(SUM(tot), 0) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(tot) - SUM(mx), 0) AS BIGINT) AS violations,
+         CASE WHEN COALESCE(SUM(tot), 0) > 0
+              THEN CAST((SUM(tot) - SUM(mx)) * 1000000 // SUM(tot) AS BIGINT)
+         END AS g3_ppm
+  FROM (
+    SELECT l, SUM(c) AS tot, MAX(c) AS mx
+    FROM (
+      SELECT {lhs} AS l, {rhs} AS r, COUNT(*) AS c
+      FROM orders
+      WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+      GROUP BY 1, 2
+    )
+    GROUP BY l
+  )"""
+
+
+ORDERS_FD_AUDIT_SQL = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(_fd_leg(l, r) for l, r in _FD_CANDIDATES)
+    + "\n) ORDER BY lhs, rhs"
+)

@@ -851,6 +851,13 @@ from .analytics.skyline import (  # noqa: E402
 
 register("parts_pareto_frontier", parts_pareto_frontier, PARTS_PARETO_FRONTIER_SQL)
 
+from .operators.validate import (  # noqa: E402
+    ORDERS_FD_AUDIT_SQL,
+    orders_fd_audit,
+)
+
+register("orders_fd_audit", orders_fd_audit, ORDERS_FD_AUDIT_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

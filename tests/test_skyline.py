@@ -38,3 +38,35 @@ def test_equal_one_dim_strict_other_dominates(spark):
 def test_single_point_and_empty(spark):
     assert pareto_frontier_2d(_pts(spark, [(1, 4, 4)]), "x", "y", ["id"]).count() == 1
     assert pareto_frontier_2d(_pts(spark, []), "x", "y", ["id"]).count() == 0
+
+
+# ──────────────── V8: functional-dependency g3 audit ────────────────
+
+
+def test_fd_audit_planted(spark):
+    from data_frame_demo_etl_spark.operators.validate import fd_audit
+
+    rows = [
+        # a → b holds exactly; a → c violated by one row in group 1
+        (1, "x", "p"),
+        (1, "x", "p"),
+        (1, "x", "q"),   # the one c-violation in group a=1
+        (2, "y", "r"),
+        (2, "y", "r"),
+        (None, "z", "s"),  # null lhs excluded
+    ]
+    df = spark.createDataFrame(rows, "a long, b string, c string")
+    out = {(r.lhs, r.rhs): r for r in fd_audit(df, [("a", "b"), ("a", "c")]).collect()}
+    holds = out[("a", "b")]
+    assert (holds.n_groups, holds.n_rows, holds.violations, holds.g3_ppm) == (2, 5, 0, 0)
+    viol = out[("a", "c")]
+    assert (viol.n_groups, viol.n_rows, viol.violations) == (2, 5, 1)
+    assert viol.g3_ppm == 1_000_000 // 5
+
+
+def test_fd_audit_empty_input(spark):
+    from data_frame_demo_etl_spark.operators.validate import fd_audit
+
+    df = spark.createDataFrame([], "a long, b string")
+    r = fd_audit(df, [("a", "b")]).collect()[0]
+    assert (r.n_groups, r.n_rows, r.violations, r.g3_ppm) == (0, 0, 0, None)
