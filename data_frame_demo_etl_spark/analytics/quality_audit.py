@@ -888,3 +888,136 @@ SELECT key AS event_type,
 FROM g
 ORDER BY event_type
 """
+
+
+# ─────────────── Spearman rank correlation (K44) ───────────────
+
+
+def spearman_rank_corr(pairs: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman's ρ over integer-valued pairs — Pearson on midranks,
+    the monotone-association test that completes the correlation
+    family (K40 Pearson = linear co-movement, K39 ACF = self-lag,
+    K44 = rank agreement, robust to any monotone transform and to
+    heavy tails).
+
+    Exact construction: per VARIABLE, ranks come from the value
+    domain, not the rows — groupBy(value) counts, then the two-pass
+    keyed prefix (constant key: range partitions still split by
+    value, the offset collect is ≤ #partitions rows) gives each
+    distinct value its DOUBLED midrank 2r_v = 2·before_v + t_v + 1,
+    an exact integer under ties; rows join their rank back by value.
+    All sufficient statistics (n, Σ2r_x, Σ2r_y, Σ(2r_x)², Σ(2r_y)²,
+    Σ2r_x·2r_y) accumulate in decimal(38,0) — products are O(n³) and
+    n·Σxy is O(n⁴), exact to ~10⁹ pairs (documented bound; beyond
+    that the doubled grid needs a 128-bit rework). ρ is ONE fixed
+    IEEE combination (·, −, /, √ — all correctly rounded, no
+    transcendentals):
+
+        ρ = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+
+    on the 1e-6 grid; zero variance in either variable → NULL.
+
+    Scale shape: one groupBy per variable (map-side combined), two
+    parallel prefix layouts over value-domain tables, two equi-joins
+    back (AQE picks broadcast when the domain is small), one global
+    aggregation. No per-row window over the full pair table, no
+    driver loops."""
+    dec = "decimal(38,0)"
+
+    def ranked(col: str, out: str) -> DataFrame:
+        dom = (
+            pairs.select(F.col(col).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("tv"))
+            .select(F.lit(1).alias("key"), "v", "tv")
+        )
+        pre = _keyed_prefix(dom, ["v"], "tv")
+        r2 = (F.lit(2) * (F.col("cum") - F.col("tv")) + F.col("tv") + F.lit(1)).cast(
+            "long"
+        )
+        return pre.select(F.col("v").alias(col), r2.alias(out))
+
+    j = (
+        pairs.join(ranked(x_col, "rx2"), x_col)
+        .join(ranked(y_col, "ry2"), y_col)
+        .select(F.col("rx2").cast(dec).alias("rx2"), F.col("ry2").cast(dec).alias("ry2"))
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = num.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.floor(rho * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        ).alias("rho_micro"),
+    )
+
+
+def events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Spearman rank correlation between per-user activity
+    volume (event count) and total spend (value cents) — does rank in
+    engagement agree with rank in monetary value."""
+    events = load_table(spark, "events", sf_dir)
+    users = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        )
+    )
+    return spearman_rank_corr(users, "x", "y")
+
+
+EVENTS_SPEARMAN_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1
+),
+vx AS (SELECT x AS v, COUNT(*) AS tv FROM u GROUP BY 1),
+rx AS (
+  SELECT v,
+         2 * (SUM(tv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv) + tv + 1 AS r2
+  FROM vx
+),
+vy AS (SELECT y AS v, COUNT(*) AS tv FROM u GROUP BY 1),
+ry AS (
+  SELECT v,
+         2 * (SUM(tv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv) + tv + 1 AS r2
+  FROM vy
+),
+j AS (
+  SELECT CAST(rx.r2 AS HUGEINT) AS rx2, CAST(ry.r2 AS HUGEINT) AS ry2
+  FROM u JOIN rx ON u.x = rx.v JOIN ry ON u.y = ry.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(rx2) AS sx, SUM(ry2) AS sy,
+         SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
+         SUM(rx2 * ry2) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS rho_micro
+FROM s
+"""

@@ -858,6 +858,13 @@ from .operators.validate import (  # noqa: E402
 
 register("orders_fd_audit", orders_fd_audit, ORDERS_FD_AUDIT_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_SPEARMAN_SQL,
+    events_spearman,
+)
+
+register("events_spearman", events_spearman, EVENTS_SPEARMAN_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

@@ -278,3 +278,52 @@ def test_ks_empty_arm_is_null(spark):
     r = ks_two_sample(df).collect()[0]
     assert (r.n_a, r.n_b) == (5, 0)
     assert r.d_ppm is None and r.lambda_micro is None
+
+
+# ──────────────── K44: Spearman rank correlation ────────────────
+
+
+def test_spearman_perfect_monotone(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import spearman_rank_corr
+
+    # y = x^3 is a nonlinear but perfectly monotone map → ρ = 1
+    df = spark.createDataFrame([(x, x**3) for x in range(1, 9)], "x long, y long")
+    r = spearman_rank_corr(df, "x", "y").collect()[0]
+    assert (r.n_pairs, r.rho_micro) == (8, 1_000_000)
+
+
+def test_spearman_perfect_antitone(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import spearman_rank_corr
+
+    df = spark.createDataFrame([(x, -(x**3)) for x in range(1, 9)], "x long, y long")
+    r = spearman_rank_corr(df, "x", "y").collect()[0]
+    assert r.rho_micro == -1_000_000
+
+
+def test_spearman_hand_computed_with_ties(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import spearman_rank_corr
+
+    # x = [1,1,2,3], y = [10,20,20,30]: midranks
+    #   rx = 1.5, 1.5, 3, 4 ; ry = 1, 2.5, 2.5, 4
+    xs = [1, 1, 2, 3]
+    ys = [10, 20, 20, 30]
+    rx = [1.5, 1.5, 3, 4]
+    ry = [1, 2.5, 2.5, 4]
+    n = 4
+    num = n * sum(a * b for a, b in zip(rx, ry)) - sum(rx) * sum(ry)
+    den = math.sqrt(n * sum(a * a for a in rx) - sum(rx) ** 2) * math.sqrt(
+        n * sum(b * b for b in ry) - sum(ry) ** 2
+    )
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    r = spearman_rank_corr(df, "x", "y").collect()[0]
+    assert abs(r.rho_micro / 1e6 - num / den) < 2e-6
+
+
+def test_spearman_zero_variance_is_null(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import spearman_rank_corr
+
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
+    r = spearman_rank_corr(df, "x", "y").collect()[0]
+    assert r.rho_micro is None
