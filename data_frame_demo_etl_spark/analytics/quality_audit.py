@@ -1021,3 +1021,133 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
        END AS rho_micro
 FROM s
 """
+
+
+# ─────────────── Chi-square independence test (K47) ───────────────
+
+#: Fixed-point scale for the per-cell O²/(r·c) terms — both engines
+#: floor the SAME integer division, so parity is exact; the grid
+#: truncation itself is bounded by #cells ulps of 1e-12.
+_CHISQ_SCALE = 10**12
+
+
+def chisq_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence over the (row, col)
+    contingency table — the categorical-association member of the
+    test family (K36 proportions, K42/K43 distributions, K44 ranks;
+    this one: are two discrete columns associated at all).
+
+    Exact-integer construction: with observed cell counts O_ij, row
+    totals r_i and column totals c_j, the statistic in the
+    expected-count-free form is
+
+        χ² = n · (Σ_ij O_ij²/(r_i·c_j) − 1)
+
+    Each cell term is floored ONCE onto a 1e-12 fixed-point grid
+    (t_ij = O_ij²·10¹² div r_i·c_j — exact integral division, both
+    engines truncate identically on non-negatives), summed exactly in
+    decimal(38,0), and the final χ² lands on the 1e-6 grid as
+    n·(T − 10¹²) div 10⁶. The grid truncation under-counts by less
+    than #cells·10⁻¹²·n — deterministic and identical across engines
+    (the oracle reproduces every floor), documented in lieu of a
+    cross-engine-unstable float accumulation. Exact to ~3·10¹² rows
+    (O² in decimal38).
+
+    Scale shape: one map-side-combined groupBy(row,col) over the
+    corpus; row/col totals re-aggregate the CELL table (value-domain
+    sized — never a second corpus scan); two broadcast joins onto the
+    cells; one global aggregation. dof = (R−1)(C−1) from the same
+    cell table."""
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("ri"), F.col(col_col).alias("cj"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.groupBy("ri").agg(F.sum("o").alias("r"))
+    colsum = cells.groupBy("cj").agg(F.sum("o").alias("c"))
+    dec = "decimal(38,0)"
+    joined = (
+        cells.join(F.broadcast(rows), "ri")
+        .join(F.broadcast(colsum), "cj")
+        .withColumn(
+            "t",
+            F.expr(
+                f"(cast(o as {dec}) * cast(o as {dec})"
+                f" * cast({_CHISQ_SCALE} as {dec}))"
+                f" div (cast(r as {dec}) * cast(c as {dec}))"
+            ),
+        )
+    )
+    s = joined.agg(
+        F.sum("o").cast(dec).alias("n"),
+        F.count_distinct("ri").alias("r_levels"),
+        F.count_distinct("cj").alias("c_levels"),
+        F.sum("t").alias("tsum"),
+    )
+    # greatest(·, 0): T can floor a hair BELOW the scale on a
+    # perfectly independent table; χ² is mathematically ≥ 0 and the
+    # clamp keeps the integral division on non-negatives, where Spark
+    # `div` (truncate) and DuckDB `//` (floor) agree.
+    chi2 = F.expr(
+        f"(n * greatest(tsum - cast({_CHISQ_SCALE} as decimal(38,0)),"
+        f" cast(0 as decimal(38,0)))) div 1000000"
+    )
+    dof = F.when(
+        (F.col("r_levels") > 0) & (F.col("c_levels") > 0),
+        (F.col("r_levels") - 1) * (F.col("c_levels") - 1),
+    ).otherwise(F.lit(0))
+    return s.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.col("r_levels").cast("long").alias("r_levels"),
+        F.col("c_levels").cast("long").alias("c_levels"),
+        dof.cast("long").alias("dof"),
+        F.when(dof > 0, chi2.cast("long")).alias("chi2_micro"),
+    )
+
+
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: is event type associated with ISO weekday — the
+    seasonality-of-mix screen (a drifted weekday mix breaks
+    train/serve assumptions even when daily volume is flat)."""
+    events = load_table(spark, "events", sf_dir)
+    df = events.select(
+        F.col("event_type"), F.expr("weekday(ts)").alias("dow")
+    )
+    return chisq_independence(df, "event_type", "dow")
+
+
+EVENTS_CHISQ_INDEPENDENCE_SQL = f"""
+WITH cells AS (
+  SELECT event_type AS ri, isodow(ts) - 1 AS cj, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT ri, SUM(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT cj, SUM(o) AS c FROM cells GROUP BY 1),
+j AS (
+  SELECT cells.o,
+         (CAST(cells.o AS HUGEINT) * cells.o * {_CHISQ_SCALE})
+           // (CAST(r.r AS HUGEINT) * c.c) AS t,
+         cells.ri, cells.cj
+  FROM cells JOIN r USING (ri) JOIN c USING (cj)
+),
+s AS (
+  SELECT CAST(SUM(o) AS HUGEINT) AS n,
+         COUNT(DISTINCT ri) AS r_levels,
+         COUNT(DISTINCT cj) AS c_levels,
+         SUM(t) AS tsum
+  FROM j
+)
+SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       CAST(r_levels AS BIGINT) AS r_levels,
+       CAST(c_levels AS BIGINT) AS c_levels,
+       CAST(CASE WHEN r_levels > 0 AND c_levels > 0
+                 THEN (r_levels - 1) * (c_levels - 1) ELSE 0 END AS BIGINT) AS dof,
+       CASE WHEN r_levels > 1 AND c_levels > 1
+            THEN CAST((n * GREATEST(tsum - {_CHISQ_SCALE}, 0)) // 1000000 AS BIGINT)
+       END AS chi2_micro
+FROM s
+"""

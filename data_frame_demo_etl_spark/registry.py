@@ -865,6 +865,17 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("events_spearman", events_spearman, EVENTS_SPEARMAN_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_CHISQ_INDEPENDENCE_SQL,
+    events_chisq_independence,
+)
+
+register(
+    "events_chisq_independence",
+    events_chisq_independence,
+    EVENTS_CHISQ_INDEPENDENCE_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

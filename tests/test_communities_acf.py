@@ -327,3 +327,35 @@ def test_spearman_zero_variance_is_null(spark):
     df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
     r = spearman_rank_corr(df, "x", "y").collect()[0]
     assert r.rho_micro is None
+
+
+# ──────────────── K47: chi-square independence ────────────────
+
+
+def test_chisq_independent_table_is_zero(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import chisq_independence
+
+    # perfectly proportional 2x2 (counts 10/20 in both rows) → χ² = 0
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 10 + [("b", "y")] * 20
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chisq_independence(df, "r", "c").collect()[0]
+    assert (out.n, out.dof) == (60, 1)
+    assert out.chi2_micro == 0
+
+
+def test_chisq_hand_computed_2x2(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import chisq_independence
+
+    # table [[10, 0], [0, 10]]: complete association, χ² = n = 20
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chisq_independence(df, "r", "c").collect()[0]
+    assert (out.n, out.r_levels, out.c_levels, out.dof) == (20, 2, 2, 1)
+    assert abs(out.chi2_micro - 20_000_000) <= 20  # grid truncation ≤ cells·n·1e-12
+    # single-level column → dof 0, statistic NULL
+    deg = chisq_independence(
+        spark.createDataFrame([("a", "x"), ("b", "x")], "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert deg.dof == 0 and deg.chi2_micro is None
