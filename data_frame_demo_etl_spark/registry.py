@@ -876,6 +876,13 @@ register(
     EVENTS_CHISQ_INDEPENDENCE_SQL,
 )
 
+from .analytics.bfs import (  # noqa: E402
+    SUPPLIER_REACH_HOPS_SQL,
+    supplier_reach_hops,
+)
+
+register("supplier_reach_hops", supplier_reach_hops, SUPPLIER_REACH_HOPS_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

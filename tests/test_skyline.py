@@ -70,3 +70,41 @@ def test_fd_audit_empty_input(spark):
     df = spark.createDataFrame([], "a long, b string")
     r = fd_audit(df, [("a", "b")]).collect()[0]
     assert (r.n_groups, r.n_rows, r.violations, r.g3_ppm) == (0, 0, 0, None)
+
+
+# ──────────────── G6: multi-source BFS hop distance ────────────────
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_bfs_path_graph_caps_at_max_hops(spark):
+    from data_frame_demo_etl_spark.analytics.bfs import bfs_hops
+
+    # path 1-2-3-4-5-6, seed {1}, max 3 hops → 5 and 6 unreached
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    out = {r.node: r.hops for r in bfs_hops(e, _seeds(spark, [1]), 3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_distance_over_diamond(spark):
+    from data_frame_demo_etl_spark.analytics.bfs import bfs_hops
+
+    # 1→2→4 and 1→3→4 plus long way 1→5→6→4: node 4 is at hops 2
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (1, 5), (5, 6), (6, 4)])
+    out = {r.node: r.hops for r in bfs_hops(e, _seeds(spark, [1]), 3).collect()}
+    assert out[4] == 2 and out[6] == 2
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    from data_frame_demo_etl_spark.analytics.bfs import bfs_hops
+
+    # path 1-2-3-4-5, seeds {1, 5}: 3 is 2 from both, 4 is 1 from 5
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = {r.node: r.hops for r in bfs_hops(e, _seeds(spark, [1, 5]), 3).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
