@@ -883,6 +883,17 @@ from .analytics.bfs import (  # noqa: E402
 
 register("supplier_reach_hops", supplier_reach_hops, SUPPLIER_REACH_HOPS_SQL)
 
+from .similarity.gate import (  # noqa: E402
+    EMBEDDINGS_HARD_NEGATIVES_SQL,
+    embeddings_hard_negatives,
+)
+
+register(
+    "embeddings_hard_negatives",
+    embeddings_hard_negatives,
+    EMBEDDINGS_HARD_NEGATIVES_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

@@ -216,3 +216,69 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive-retrieval training: for
+    each query, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the "hard" negatives (similar embedding, wrong
+    class) that make dense retrievers learn (the in-batch-random
+    negative is easy; the near-miss is the training signal — the
+    BM25/ANCE mining step re-expressed over the labeled corpus).
+
+    ``queries`` must carry (query_id_col, vec_col, query_label); the
+    label-mismatch predicate filters BEFORE the per-query top-k
+    window, so negatives-only ranks are exact. Same scale shape as
+    ``brute_force_topk``: broadcast query panel, one corpus scan, no
+    corpus shuffle; the rank window partitions by query id (bounded
+    by the query panel size, never corpus-sized)."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col("query_label"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    denom = F.col("__qnorm") * F.col("__cnorm")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("query_label"))
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col),
+            F.round(
+                F.when(denom > 0, dot(F.col("__qvec"), F.col(vec_col)) / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "rank",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            "cosine",
+        )
+    )

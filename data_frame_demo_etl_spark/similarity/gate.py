@@ -390,3 +390,43 @@ SELECT p.i, p.j,
 FROM prod p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j
 ORDER BY p.i, p.j
 """
+
+
+# ─────────────── X13: hard-negative mining ───────────────
+
+
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: top-5 hard negatives (most-similar OTHER-label corpus
+    vectors) for the first 10 labeled queries — the contrastive-
+    training mining pass; exact cosine, broadcast query panel, one
+    corpus scan (similarity/ann.py hard_negative_topk)."""
+    from .ann import hard_negative_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("query_label"),
+    )
+    return hard_negative_topk(emb, queries, k=K).orderBy("query_id", "rank")
+
+
+EMBEDDINGS_HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS negative_id, e.label AS negative_label,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q, embeddings e
+  WHERE e.label != q.qlabel
+)
+SELECT query_id, rank, negative_id, negative_label, cosine FROM (
+  SELECT query_id, negative_id, negative_label, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {K}
+ORDER BY query_id, rank
+"""

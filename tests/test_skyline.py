@@ -108,3 +108,30 @@ def test_bfs_multi_source_takes_nearest_seed(spark):
     e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
     out = {r.node: r.hops for r in bfs_hops(e, _seeds(spark, [1, 5]), 3).collect()}
     assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+# ──────────────── X13: hard-negative mining ────────────────
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from data_frame_demo_etl_spark.similarity.ann import hard_negative_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.14], 0),   # same label: must NOT appear
+            (2, [0.9, 0.43], 1),    # nearest other-label
+            (3, [0.0, 1.0], 1),     # orthogonal other-label
+            (4, [0.7, 0.71], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "query_id long, embedding array<double>, query_label int"
+    )
+    out = hard_negative_topk(corpus, q, k=3).collect()
+    ids = [r.negative_id for r in out]
+    assert 1 not in ids and 0 not in ids
+    assert ids[0] == 2            # hardest negative first
+    assert all(r.negative_label != 0 for r in out)
+    assert [r.rank for r in out] == [1, 2, 3]
