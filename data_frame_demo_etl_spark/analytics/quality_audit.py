@@ -1151,3 +1151,144 @@ SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
        END AS chi2_micro
 FROM s
 """
+
+
+# ─────────────── Mutual information audit (K48) ───────────────
+
+
+def mutual_information(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Mutual information (nats) between two discrete columns plus
+    both marginal entropies — the information-theoretic companion to
+    K47's chi-square: χ² answers "associated at all?", MI "how many
+    nats does knowing X give about Y" (and MI/min(H) is the usual
+    normalized dependence score; both entropies are surfaced so the
+    caller can normalize either way).
+
+    Cross-engine portability (the lm.py covariance-gate trick): each
+    cell's log term ln(n·O_ij/(r_i·c_j)) — a correctly-rounded double
+    of a ratio of exact integers — is quantized to the 1e-6 grid
+    BEFORE the O-weighted summation, so the aggregate is exact integer
+    arithmetic in both engines; libm ulp differences sit ~9 orders
+    below the grid. Sums accumulate in decimal(38,0); the final
+    division is exact integral `div`/`//` on non-negatives (MI ≥ 0 and
+    H ≥ 0 mathematically; the ≤cells-ulp quantization residual is
+    clamped at 0).
+
+    Scale shape: one map-side-combined groupBy(row,col) corpus pass;
+    marginals re-aggregate the value-domain cell table; two broadcast
+    joins; one global agg. Same skeleton as chisq_independence — the
+    two audits share their physical plan shape by design."""
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("ri"), F.col(col_col).alias("cj"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.groupBy("ri").agg(F.sum("o").alias("r"))
+    colsum = cells.groupBy("cj").agg(F.sum("o").alias("c"))
+    dec = "decimal(38,0)"
+    n_col = F.sum("o").over(Window.partitionBy())
+    # ln of a double-division of exact integers, quantized per cell.
+    joined = (
+        cells.join(F.broadcast(rows), "ri")
+        .join(F.broadcast(colsum), "cj")
+        .withColumn("n", n_col)
+        .withColumn(
+            "lq",
+            F.floor(
+                F.log(
+                    (F.col("n") * F.col("o")).cast("double")
+                    / (F.col("r") * F.col("c")).cast("double")
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast(dec),
+        )
+    )
+    mi_s = joined.agg(
+        F.coalesce(F.sum(F.col("o").cast(dec) * F.col("lq")), F.lit(0).cast(dec)).alias(
+            "mi_sum"
+        ),
+        F.coalesce(F.sum("o"), F.lit(0)).cast(dec).alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+    def entropy(marg: DataFrame, cnt_col: str) -> DataFrame:
+        tot = F.sum(cnt_col).over(Window.partitionBy())
+        lq = F.floor(
+            F.log(F.col(cnt_col).cast("double") / F.col("__tot").cast("double"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast(dec)
+        return (
+            marg.withColumn("__tot", tot)
+            .withColumn("lq", lq)
+            .agg(
+                F.coalesce(
+                    -F.sum(F.col(cnt_col).cast(dec) * F.col("lq")), F.lit(0).cast(dec)
+                ).alias(f"h_{cnt_col}_sum")
+            )
+        )
+
+    out = (
+        mi_s.crossJoin(F.broadcast(entropy(rows, "r")))
+        .crossJoin(F.broadcast(entropy(colsum, "c")))
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("greatest(mi_sum, cast(0 as decimal(38,0))) div n").cast("long"),
+        ).alias("mi_micro"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("greatest(h_r_sum, cast(0 as decimal(38,0))) div n").cast("long"),
+        ).alias("h_row_micro"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("greatest(h_c_sum, cast(0 as decimal(38,0))) div n").cast("long"),
+        ).alias("h_col_micro"),
+    )
+
+
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: MI between event type and hour-of-day — how much the
+    clock tells you about the traffic mix (the diurnal-pattern
+    strength K47's weekday test screens on a different axis)."""
+    events = load_table(spark, "events", sf_dir)
+    df = events.select("event_type", F.hour("ts").alias("hr"))
+    return mutual_information(df, "event_type", "hr")
+
+
+EVENTS_MUTUAL_INFORMATION_SQL = """
+WITH cells AS (
+  SELECT event_type AS ri, EXTRACT(hour FROM ts) AS cj, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT ri, SUM(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT cj, SUM(o) AS c FROM cells GROUP BY 1),
+n AS (SELECT SUM(o) AS n, COUNT(*) AS n_cells FROM cells),
+mi AS (
+  SELECT COALESCE(SUM(CAST(cells.o AS HUGEINT)
+           * CAST(FLOOR(LN(CAST(n.n * cells.o AS DOUBLE) / CAST(r.r * c.c AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)), 0) AS mi_sum
+  FROM cells JOIN r USING (ri) JOIN c USING (cj) CROSS JOIN n
+),
+hr AS (
+  SELECT COALESCE(-SUM(CAST(r AS HUGEINT)
+           * CAST(FLOOR(LN(CAST(r AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)), 0) AS h_r_sum
+  FROM r
+),
+hc AS (
+  SELECT COALESCE(-SUM(CAST(c AS HUGEINT)
+           * CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)), 0) AS h_c_sum
+  FROM c
+)
+SELECT CAST(COALESCE(n.n, 0) AS BIGINT) AS n,
+       CAST(n.n_cells AS BIGINT) AS n_cells,
+       CASE WHEN n.n > 0 THEN CAST(GREATEST(mi.mi_sum, 0) // n.n AS BIGINT) END AS mi_micro,
+       CASE WHEN n.n > 0 THEN CAST(GREATEST(hr.h_r_sum, 0) // n.n AS BIGINT) END AS h_row_micro,
+       CASE WHEN n.n > 0 THEN CAST(GREATEST(hc.h_c_sum, 0) // n.n AS BIGINT) END AS h_col_micro
+FROM n CROSS JOIN mi CROSS JOIN hr CROSS JOIN hc
+"""

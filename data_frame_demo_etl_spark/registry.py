@@ -894,6 +894,17 @@ register(
     EMBEDDINGS_HARD_NEGATIVES_SQL,
 )
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_MUTUAL_INFORMATION_SQL,
+    events_mutual_information,
+)
+
+register(
+    "events_mutual_information",
+    events_mutual_information,
+    EVENTS_MUTUAL_INFORMATION_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

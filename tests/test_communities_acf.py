@@ -359,3 +359,42 @@ def test_chisq_hand_computed_2x2(spark):
         spark.createDataFrame([("a", "x"), ("b", "x")], "r string, c string"), "r", "c"
     ).collect()[0]
     assert deg.dof == 0 and deg.chi2_micro is None
+
+
+# ──────────────── K48: mutual information ────────────────
+
+
+def test_mi_independent_is_zero(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import mutual_information
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 10 + [("b", "y")] * 20
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = mutual_information(df, "r", "c").collect()[0]
+    assert out.mi_micro == 0
+    # H(row): p = (1/2, 1/2) → ln 2
+    import math
+    assert abs(out.h_row_micro - math.floor(math.log(2) * 1e6 + 0.5)) <= 2
+
+
+def test_mi_deterministic_relation_equals_entropy(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import mutual_information
+
+    # Y = f(X), uniform over 4 classes → MI = H(X) = H(Y) = ln 4
+    rows = [(str(i % 4), str((i % 4) * 10)) for i in range(40)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = mutual_information(df, "r", "c").collect()[0]
+    ln4 = math.floor(math.log(4) * 1e6 + 0.5)
+    assert abs(out.mi_micro - ln4) <= 4
+    assert abs(out.h_row_micro - ln4) <= 4 and abs(out.h_col_micro - ln4) <= 4
+
+
+def test_mi_single_level_column(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import mutual_information
+
+    df = spark.createDataFrame([("a", "x"), ("b", "x"), ("a", "x")], "r string, c string")
+    out = mutual_information(df, "r", "c").collect()[0]
+    assert out.mi_micro == 0 and out.h_col_micro == 0 and out.h_row_micro > 0
