@@ -315,3 +315,107 @@ SELECT custkey, recency_days, frequency, monetary_cents,
 FROM per_cust
 ORDER BY custkey
 """
+
+
+# ─────────────── P11: smoothed target encoding ───────────────
+
+#: Smoothing pseudo-count m: the encoding of a category with n rows is
+#: pulled toward the global mean with weight m/(n+m) — the standard
+#: empirical-Bayes shrinkage (Micci-Barreca 2001) that keeps rare
+#: categories from memorizing their handful of targets.
+TE_SMOOTHING = 20
+
+
+def target_encode(
+    df: DataFrame, cat_col: str, target_micro_col: str, m: int = TE_SMOOTHING
+) -> DataFrame:
+    """Smoothed mean (target) encoding of a categorical column — the
+    workhorse categorical feature for tabular models:
+
+        enc(c) = (Σ_c target + m · global_mean) / (n_c + m)
+
+    Exact-integer construction: targets arrive on an integer micro
+    grid; global_mean is floored ONCE onto the same grid
+    (Σ·1 div N — exact integral division), then each category's
+    encoding is a second single floor. Both engines reproduce every
+    floor, so the encoding is bit-identical — no float accumulation
+    order to diverge.
+
+    Scale shape: one map-side-combined groupBy(cat) pass, one scalar
+    global aggregate broadcast onto the (value-domain-sized) category
+    table. The per-category table is what ships to the trainer; a
+    per-ROW join-back is the caller's (embarrassingly parallel)
+    composition. Leakage note: this is the fit-on-train artifact —
+    leave-one-out / fold-aware variants refit on the same plan with a
+    fold filter."""
+    cats = (
+        df.filter(F.col(cat_col).isNotNull() & F.col(target_micro_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(target_micro_col).cast("decimal(38,0)").alias("s"),
+        )
+    )
+    glob = cats.agg(
+        F.sum("n").cast("decimal(38,0)").alias("gn"),
+        F.sum("s").alias("gs"),
+    ).select(
+        "gn",
+        F.expr("case when gn > 0 then gs div gn end").alias("gmean"),
+    )
+    enc = F.expr(
+        f"(s + {int(m)} * gmean) div (cast(n as decimal(38,0)) + {int(m)})"
+    )
+    return (
+        cats.crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            F.col("n").cast("long").alias("n"),
+            F.expr("case when n > 0 then s div cast(n as decimal(38,0)) end")
+            .cast("long")
+            .alias("raw_mean_micro"),
+            enc.cast("long").alias("encoded_micro"),
+            F.col("gmean").cast("long").alias("global_mean_micro"),
+        )
+        .orderBy("category")
+    )
+
+
+def customer_segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: smoothed target encoding of customer market segment
+    against order value (cents grid) — the feature a spend model
+    would consume; shrinkage visible as |encoded − raw| shrinking
+    with segment size."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "cents"
+    )
+    return target_encode(df, "c_mktsegment", "cents")
+
+
+CUSTOMER_SEGMENT_TARGET_ENCODING_SQL = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS category,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IS NOT NULL
+),
+cats AS (
+  SELECT category, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(cents) AS HUGEINT) AS s
+  FROM base GROUP BY category
+),
+gtot AS (
+  SELECT SUM(n) AS gn, CASE WHEN SUM(n) > 0 THEN SUM(s) // SUM(n) END AS gmean
+  FROM cats
+)
+SELECT category,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n > 0 THEN s // n END AS BIGINT) AS raw_mean_micro,
+       CAST((s + {TE_SMOOTHING} * gmean) // (n + {TE_SMOOTHING}) AS BIGINT) AS encoded_micro,
+       CAST(gmean AS BIGINT) AS global_mean_micro
+FROM cats CROSS JOIN gtot
+ORDER BY category
+"""

@@ -905,6 +905,17 @@ register(
     EVENTS_MUTUAL_INFORMATION_SQL,
 )
 
+from .analytics.features import (  # noqa: E402
+    CUSTOMER_SEGMENT_TARGET_ENCODING_SQL,
+    customer_segment_target_encoding,
+)
+
+register(
+    "customer_segment_target_encoding",
+    customer_segment_target_encoding,
+    CUSTOMER_SEGMENT_TARGET_ENCODING_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

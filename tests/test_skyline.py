@@ -135,3 +135,32 @@ def test_hard_negatives_exclude_same_label(spark):
     assert ids[0] == 2            # hardest negative first
     assert all(r.negative_label != 0 for r in out)
     assert [r.rank for r in out] == [1, 2, 3]
+
+
+# ──────────────── P11: smoothed target encoding ────────────────
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    from data_frame_demo_etl_spark.analytics.features import target_encode
+
+    # category "big": 100 rows at 200; "rare": 1 row at 1000
+    rows = [("big", 200)] * 100 + [("rare", 1000)]
+    df = spark.createDataFrame(rows, "cat string, t long")
+    out = {r.category: r for r in target_encode(df, "cat", "t", m=20).collect()}
+    g = (100 * 200 + 1000) // 101
+    assert out["big"].global_mean_micro == g
+    assert out["big"].encoded_micro == (100 * 200 + 20 * g) // 120
+    assert out["rare"].encoded_micro == (1000 + 20 * g) // 21
+    # rare category shrinks much closer to the global mean
+    assert abs(out["rare"].encoded_micro - g) < abs(1000 - g) // 2
+    assert out["rare"].raw_mean_micro == 1000
+
+
+def test_target_encoding_null_rows_excluded(spark):
+    from data_frame_demo_etl_spark.analytics.features import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), (None, 99)], "cat string, t long"
+    )
+    out = target_encode(df, "cat", "t").collect()
+    assert len(out) == 1 and out[0].n == 1 and out[0].raw_mean_micro == 10
