@@ -419,3 +419,69 @@ SELECT category,
 FROM cats CROSS JOIN gtot
 ORDER BY category
 """
+
+
+# ─────────────── K49: sequential pattern mining ───────────────
+
+
+def sequence_trigrams(df: DataFrame) -> DataFrame:
+    """Consecutive event-type trigram mining — the order-3 extension
+    of the K23 transition matrix and the "what do users DO, in
+    sequence" primitive behind next-action models and funnel
+    discovery: every gap-free (t1 → t2 → t3) run inside a user's
+    time-ordered stream, with occurrence and distinct-user support.
+
+    Determinism: the window order carries the (ts, event_id) total
+    tie-break (event_id unique), so every engine forms identical
+    triples. Scale shape: ONE Exchange on user_id serves both leads
+    (same window spec → one Sort+Window operator, the K17 argument —
+    users are plentiful, so the per-key window parallelizes); then a
+    map-side-combined groupBy over the ≤|types|³ trigram domain.
+    count_distinct(user) expands on a value-domain-sized table only."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        df.select("user_id", "ts", "event_id", F.col("event_type").alias("t1"))
+        .withColumn("t2", F.lead("t1", 1).over(w))
+        .withColumn("t3", F.lead("t1", 2).over(w))
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    )
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        .orderBy("t1", "t2", "t3")
+    )
+
+
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: all consecutive event-type trigrams with occurrence and
+    user support — the sequence-mining table a funnel designer reads."""
+    events = load_table(spark, "events", sf_dir)
+    return sequence_trigrams(events)
+
+
+EVENTS_SEQUENCE_TRIGRAMS_SQL = """
+WITH tri AS (
+  SELECT user_id,
+         event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT t1, t2, t3,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY t1, t2, t3
+"""

@@ -916,6 +916,17 @@ register(
     CUSTOMER_SEGMENT_TARGET_ENCODING_SQL,
 )
 
+from .analytics.features import (  # noqa: E402
+    EVENTS_SEQUENCE_TRIGRAMS_SQL,
+    events_sequence_trigrams,
+)
+
+register(
+    "events_sequence_trigrams",
+    events_sequence_trigrams,
+    EVENTS_SEQUENCE_TRIGRAMS_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

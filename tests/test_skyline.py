@@ -164,3 +164,46 @@ def test_target_encoding_null_rows_excluded(spark):
     )
     out = target_encode(df, "cat", "t").collect()
     assert len(out) == 1 and out[0].n == 1 and out[0].raw_mean_micro == 10
+
+
+# ──────────────── K49: sequence trigram mining ────────────────
+
+
+def test_sequence_trigrams_planted(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.features import sequence_trigrams
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, t, s):
+        return (eid, base + dt.timedelta(seconds=s), uid, t, 1.0)
+
+    # user 1: A B C D → ABC, BCD ; user 2: A B C → ABC
+    rows = [
+        ev(1, 1, "A", 0), ev(2, 1, "B", 1), ev(3, 1, "C", 2), ev(4, 1, "D", 3),
+        ev(5, 2, "A", 0), ev(6, 2, "B", 1), ev(7, 2, "C", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r.t1, r.t2, r.t3): (r.n_occurrences, r.n_users) for r in sequence_trigrams(df).collect()}
+    assert out == {("A", "B", "C"): (2, 2), ("B", "C", "D"): (1, 1)}
+
+
+def test_sequence_trigrams_no_cross_user_bleed(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.features import sequence_trigrams
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1 ends ...X Y ; user 2 starts Z... — XYZ must NOT appear
+    rows = [
+        (1, base, 1, "X", 1.0),
+        (2, base + dt.timedelta(seconds=1), 1, "Y", 1.0),
+        (3, base + dt.timedelta(seconds=2), 2, "Z", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert sequence_trigrams(df).count() == 0
