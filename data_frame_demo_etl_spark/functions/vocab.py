@@ -111,3 +111,135 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ─────────────── L19: Zipf-law fit ───────────────
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Weighted OLS fit of ln(frequency) against ln(rank) over the
+    corpus vocabulary — the Zipf-law audit (slope ≈ −1 on natural
+    text; a corpus whose slope drifts is template-heavy, spam-ridden,
+    or synthetic — one number that screens ingest batches).
+
+    Deterministic ranks under ties: every term with equal frequency f
+    shares the MIDRANK of its frequency class, computed on the
+    FREQUENCY HISTOGRAM (value-domain sized: distinct frequency
+    values), so no engine-dependent tie order exists. The histogram's
+    descending prefix runs on the shared two-pass keyed layout; each
+    class contributes its (ln midrank, ln f) point with weight
+    c_f (#terms in the class) — exactly equal to summing over terms.
+
+    Portability: ln() of exact half-integer midranks / integer
+    frequencies is quantized to the 1e-6 grid per CLASS before the
+    weighted sums (the lm.py trick); sums accumulate in
+    decimal(38,0); the final slope/intercept are one fixed IEEE
+    combination over the (correctly-rounded) double casts of those
+    exact sums — products would outgrow decimal38, doubles cannot
+    diverge because every input is bit-identical in both engines.
+
+    Scale shape: tokenize+count (two map-side-combined aggs), a
+    histogram agg, the bounded prefix layout, one global weighted
+    agg. No windows over the vocab table, no joins back to the corpus.
+    """
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    hist = (
+        counts.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(1).alias("key"), (-F.col("f")).alias("nf"), "f", "c")
+    )
+    from ..analytics.quality_audit import _keyed_prefix
+
+    pre = _keyed_prefix(hist, ["nf"], "c")
+    r2 = (F.lit(2) * (F.col("cum") - F.col("c")) + F.col("c") + F.lit(1)).cast("long")
+    qx = F.floor(
+        F.log(r2.cast("double") / F.lit(2.0)) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    qy = F.floor(
+        F.log(F.col("f").cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    dec = "decimal(38,0)"
+    s = (
+        pre.withColumn("qx", qx)
+        .withColumn("qy", qy)
+        .agg(
+            F.sum(F.col("c").cast(dec)).alias("n"),
+            F.sum(F.col("c").cast(dec) * F.col("f").cast(dec)).alias("n_tokens"),
+            F.sum(F.col("c").cast(dec) * F.col("qx")).alias("sx"),
+            F.sum(F.col("c").cast(dec) * F.col("qy")).alias("sy"),
+            F.sum(F.col("c").cast(dec) * F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("c").cast(dec) * F.col("qx") * F.col("qy")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / den
+    intercept = (syd - slope * sxd) / nd
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(den > 0, F.floor(slope * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")).alias(
+            "slope_micro"
+        ),
+        F.when(den > 0, F.floor(intercept + F.lit(0.5)).cast("long")).alias(
+            "intercept_micro"
+        ),
+    )
+
+
+def docs_zipf_fit(spark, sf_dir: str) -> DataFrame:
+    """Gate: Zipf slope/intercept of the documents corpus."""
+    from ..sources.catalog import load_table
+
+    return zipf_fit(load_table(spark, "documents", sf_dir))
+
+
+DOCS_ZIPF_FIT_SQL = r"""
+WITH toks AS (
+  SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w != '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+hist AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM counts GROUP BY f),
+pre AS (
+  SELECT f, c,
+         SUM(c) OVER (ORDER BY f DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+q AS (
+  SELECT f, c,
+         CAST(FLOOR(LN(CAST(2 * (cum - c) + c + 1 AS DOUBLE) / 2.0) * 1000000.0 + 0.5) AS HUGEINT) AS qx,
+         CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) AS qy
+  FROM pre
+),
+s AS (
+  SELECT CAST(SUM(c) AS HUGEINT) AS n,
+         SUM(CAST(c AS HUGEINT) * f) AS n_tokens,
+         SUM(CAST(c AS HUGEINT) * qx) AS sx,
+         SUM(CAST(c AS HUGEINT) * qy) AS sy,
+         SUM(CAST(c AS HUGEINT) * qx * qx) AS sxx,
+         SUM(CAST(c AS HUGEINT) * qx * qy) AS sxy
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS slope_micro,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN CAST(FLOOR(((CAST(sy AS DOUBLE)
+                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS intercept_micro
+FROM s
+"""

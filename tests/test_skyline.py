@@ -207,3 +207,48 @@ def test_sequence_trigrams_no_cross_user_bleed(spark):
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
     )
     assert sequence_trigrams(df).count() == 0
+
+
+# ──────────────── L19: Zipf-law fit ────────────────
+
+
+def test_zipf_exact_power_law(spark):
+    from data_frame_demo_etl_spark.functions.vocab import zipf_fit
+
+    # corpus engineered so term k appears ~C/k times: slope ≈ -1.
+    # distinct frequencies avoid ties entirely → midrank = plain rank.
+    words = []
+    for k, f in enumerate([64, 32, 21, 16, 12, 10, 9, 8], start=1):
+        words += [f"w{k}"] * f
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = zipf_fit(df).collect()[0]
+    assert r.n_terms == 8 and r.n_tokens == sum([64, 32, 21, 16, 12, 10, 9, 8])
+    # ideal 1/k law has slope -1; this discrete approximation is close
+    assert -1_150_000 < r.slope_micro < -850_000
+
+
+def test_zipf_tied_frequencies_midrank(spark):
+    import math
+
+    from data_frame_demo_etl_spark.functions.vocab import zipf_fit
+
+    # two classes: {a:4} rank 1 and {b,c,d:1} sharing midrank (2+3+4)/3=3
+    df = spark.createDataFrame([("a a a a b c d",)], "text string")
+    r = zipf_fit(df).collect()[0]
+    # hand-computed weighted OLS on (ln1, ln4) w=1 and (ln3, ln1)=0 w=3
+    qx1, qy1 = 0, math.floor(math.log(4) * 1e6 + 0.5)
+    qx2, qy2 = math.floor(math.log(3) * 1e6 + 0.5), 0
+    n, sx, sy = 4, qx1 + 3 * qx2, qy1
+    sxx = qx1 * qx1 + 3 * qx2 * qx2
+    sxy = qx1 * qy1 + 3 * qx2 * qy2
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.slope_micro == math.floor(slope * 1e6 + 0.5)
+
+
+def test_zipf_uniform_frequencies_null(spark):
+    from data_frame_demo_etl_spark.functions.vocab import zipf_fit
+
+    # all terms equally frequent → one x value → zero variance → NULL
+    df = spark.createDataFrame([("a b c a b c",)], "text string")
+    r = zipf_fit(df).collect()[0]
+    assert r.slope_micro is None and r.intercept_micro is None
