@@ -1292,3 +1292,125 @@ SELECT CAST(COALESCE(n.n, 0) AS BIGINT) AS n,
        CASE WHEN n.n > 0 THEN CAST(GREATEST(hc.h_c_sum, 0) // n.n AS BIGINT) END AS h_col_micro
 FROM n CROSS JOIN mi CROSS JOIN hr CROSS JOIN hc
 """
+
+
+# ─────────────── Welch's t-test (K50) ───────────────
+
+
+def welch_t_test(
+    df: DataFrame,
+    key_col: str = "event_type",
+    group_col_expr=None,
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key Welch's unequal-variance t-test between the K36/K42/K43
+    arms — the parametric mean comparison that does NOT assume equal
+    variances (the Student pooled test's silent failure mode), closing
+    the A/B family: K36 proportions, K42 location ranks, K43 CDF
+    shape, K50 means.
+
+    Exact sufficient statistics on the cent grid: per (key, arm) only
+    (n, Σv, Σv²) in decimal(38,0) (Σv² is O(n·v²) — exact to ~10¹⁴
+    rows at $10⁶ values). The single floating step is one fixed
+    parenthesization of correctly-rounded IEEE ops (·, −, /, √):
+
+        s²_i = (n_i·Σv²_i − (Σv_i)²) / (n_i·(n_i−1))   [sample var]
+        t    = (mean_A − mean_B) / √(s²_A/n_A + s²_B/n_B)
+        df   = (s²_A/n_A + s²_B/n_B)² /
+               ((s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1))
+
+    t and the Welch–Satterthwaite df land on the 1e-6 grid; arm with
+    <2 rows or zero pooled variance → NULLs.
+
+    Scale shape: ONE map-side-combined conditional aggregation over
+    the corpus (count_if/sum over the arm predicate — no second scan,
+    no join between arms), then arithmetic on a ≤keys-sized table."""
+    if group_col_expr is None:
+        group_col_expr = F.col("user_id") % 2 == 0
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    base = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(key_col).alias("key"), cents.alias("v"), group_col_expr.alias("is_a")
+    )
+    g = base.groupBy("key").agg(
+        F.count_if(F.col("is_a")).alias("na"),
+        F.count_if(~F.col("is_a")).alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("v"))).cast(dec).alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).cast(dec).alias("sb"),
+        F.sum(F.when(F.col("is_a"), F.col("v") * F.col("v"))).cast(dec).alias("qa"),
+        F.sum(F.when(~F.col("is_a"), F.col("v") * F.col("v"))).cast(dec).alias("qb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qad, qbd = F.col("qa").cast("double"), F.col("qb").cast("double")
+    va = (nad * qad - sad * sad) / (nad * (nad - F.lit(1.0)))
+    vb = (nbd * qbd - sbd * sbd) / (nbd * (nbd - F.lit(1.0)))
+    sea = va / nad
+    seb = vb / nbd
+    se2 = sea + seb
+    t = (sad / nad - sbd / nbd) / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        (sea * sea) / (nad - F.lit(1.0)) + (seb * seb) / (nbd - F.lit(1.0))
+    )
+    ok = (F.col("na") > 1) & (F.col("nb") > 1)
+    return g.select(
+        F.col("key").alias(key_col),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.when(ok & (se2 > 0), F.floor(t * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")).alias(
+            "t_micro"
+        ),
+        F.when(
+            ok & (se2 > 0),
+            F.floor(dfree * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        ).alias("df_micro"),
+    ).orderBy(key_col)
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-type Welch's t between the user-parity arms — the
+    parametric sibling of `events_ab_test`/`events_mannwhitney`."""
+    events = load_table(spark, "events", sf_dir)
+    return welch_t_test(events)
+
+
+EVENTS_WELCH_TTEST_SQL = """
+WITH base AS (
+  SELECT event_type AS key, CAST(ROUND(value * 100) AS BIGINT) AS v,
+         (user_id % 2 = 0) AS is_a
+  FROM events
+  WHERE value IS NOT NULL
+),
+g AS (
+  SELECT key,
+         CAST(COUNT(*) FILTER (WHERE is_a) AS HUGEINT) AS na,
+         CAST(COUNT(*) FILTER (WHERE NOT is_a) AS HUGEINT) AS nb,
+         CAST(SUM(v) FILTER (WHERE is_a) AS HUGEINT) AS sa,
+         CAST(SUM(v) FILTER (WHERE NOT is_a) AS HUGEINT) AS sb,
+         CAST(SUM(CAST(v AS HUGEINT) * v) FILTER (WHERE is_a) AS HUGEINT) AS qa,
+         CAST(SUM(CAST(v AS HUGEINT) * v) FILTER (WHERE NOT is_a) AS HUGEINT) AS qb
+  FROM base
+  GROUP BY key
+)
+SELECT key AS event_type,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN na > 1 AND nb > 1 AND
+                 ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE)
+               + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE) > 0
+            THEN CAST(FLOOR(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / SQRT(((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE)
+                      + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS t_micro,
+       CASE WHEN na > 1 AND nb > 1 AND
+                 ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE)
+               + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE) > 0
+            THEN CAST(FLOOR((((((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)) + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))) * (((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)) + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))))
+                 / (((((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE))) * (((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)))) / (CAST(na AS DOUBLE) - 1.0)
+                  + ((((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))) * (((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)))) / (CAST(nb AS DOUBLE) - 1.0)))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS df_micro
+FROM g
+ORDER BY event_type
+"""

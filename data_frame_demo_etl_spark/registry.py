@@ -931,6 +931,13 @@ from .functions.vocab import DOCS_ZIPF_FIT_SQL, docs_zipf_fit  # noqa: E402
 
 register("docs_zipf_fit", docs_zipf_fit, DOCS_ZIPF_FIT_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_WELCH_TTEST_SQL,
+    events_welch_ttest,
+)
+
+register("events_welch_ttest", events_welch_ttest, EVENTS_WELCH_TTEST_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

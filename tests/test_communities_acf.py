@@ -398,3 +398,55 @@ def test_mi_single_level_column(spark):
     df = spark.createDataFrame([("a", "x"), ("b", "x"), ("a", "x")], "r string, c string")
     out = mutual_information(df, "r", "c").collect()[0]
     assert out.mi_micro == 0 and out.h_col_micro == 0 and out.h_row_micro > 0
+
+
+# ──────────────── K50: Welch's t-test ────────────────
+
+
+def test_welch_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import welch_t_test
+
+    # arm A (even uid): 1,2,3,4 ; arm B (odd uid): 10,20,30
+    a_vals, b_vals = [1, 2, 3, 4], [10, 20, 30]
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 2 * i, "X", float(v)) for i, v in enumerate(a_vals)
+    ] + [
+        (100 + i, dt.datetime(2024, 1, 1), 2 * i + 1, "X", float(v))
+        for i, v in enumerate(b_vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = welch_t_test(df).collect()[0]
+    # hand-compute on the cent grid
+    av = [v * 100 for v in a_vals]
+    bv = [v * 100 for v in b_vals]
+    na, nb = len(av), len(bv)
+    va = (na * sum(x * x for x in av) - sum(av) ** 2) / (na * (na - 1))
+    vb = (nb * sum(x * x for x in bv) - sum(bv) ** 2) / (nb * (nb - 1))
+    sea, seb = va / na, vb / nb
+    t = (sum(av) / na - sum(bv) / nb) / math.sqrt(sea + seb)
+    dfree = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.t_micro == math.floor(t * 1e6 + 0.5)
+    assert r.df_micro == math.floor(dfree * 1e6 + 0.5)
+
+
+def test_welch_degenerate_small_arm_is_null(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import welch_t_test
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 0, "X", 1.0),
+        (2, dt.datetime(2024, 1, 1), 2, "X", 2.0),
+        (3, dt.datetime(2024, 1, 1), 1, "X", 9.0),  # arm B has 1 row
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = welch_t_test(df).collect()[0]
+    assert r.t_micro is None and r.df_micro is None
