@@ -21,10 +21,11 @@ precedent). No per-node windows, no driver loops over rows.
 
 Oracle: DuckDB ``WITH RECURSIVE`` over the same strong-edge CTE —
 (node, hops) tuples dedup under UNION recursion (each node appears at
-most MAX_HOPS+1 times), MIN(hops) per node at the end. First
-recursive-CTE oracle in the registry: the Spark side is iterative
-DataFrame joins, the oracle is the declarative fixpoint — two
-structurally different programs, bit-identical answers.
+most MAX_HOPS+1 times), MIN(hops) per node at the end (the dedup_clusters transitive-closure
+oracle set the recursive-CTE precedent; this one recurses a LABELED
+fixpoint): the Spark side is iterative DataFrame joins, the oracle is
+the declarative fixpoint — two structurally different programs,
+bit-identical answers.
 
 No reference analog (/root/reference has no graph module);
 beyond-reference graph surface.
