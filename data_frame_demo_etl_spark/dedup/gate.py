@@ -954,3 +954,40 @@ SELECT CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
 FROM joined
 """
 )
+
+
+# ─────────────── D20: containment near-dup pairs ───────────────
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: directed Broder-containment pairs C(A,B) ≥ 0.9 over the
+    documents corpus — the subset/quote-duplication screen D4's
+    symmetric Jaccard cannot see (dedup/jaccard.py containment_pairs:
+    always-collapse + one-sided prefix filter + exact verify)."""
+    from .jaccard import containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return containment_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+DEDUP_CONTAINMENT_SQL = r"""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc != b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / sa.sz, 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+WHERE c * 1000000 >= sa.sz * 900000
+ORDER BY id_a, id_b
+"""

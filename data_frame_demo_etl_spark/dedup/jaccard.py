@@ -262,3 +262,128 @@ def jaccard_pairs_naive(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id_a, id_b, containment) for all DIRECTED pairs with
+    Broder containment C(A,B) = |A∩B| / |A| ≥ threshold — the
+    ASYMMETRIC near-dup criterion Jaccard misses: a quote, excerpt or
+    boilerplate block fully embedded in a much larger document has
+    C(quote, host) ≈ 1 while Jaccard ≈ |quote|/|host| ≈ 0. This is
+    the subset-duplication screen (the relation JOSIE/LSH-Ensemble
+    index at web scale); D4 answers "same document?", D20 "is one
+    inside the other?".
+
+    Construction: identical texts ALWAYS collapse to a representative
+    first (unlike D4's conditional skip — containment's candidate join
+    is one-sided, so exact copies would multiply full posting lists,
+    not just prefixes); within a text group every directed pair is
+    containment 1.0, cross-group pairs take their representatives'
+    exact score (valid because C(A,B) depends only on the two texts —
+    direction survives expansion). Rep-level candidates use the
+    one-sided prefix filter: with prefix = the first
+    |A| − ⌈t·|A|⌉ + 1 shingles of A in the global rare-first order,
+    C(A,B) ≥ t requires a prefix shingle of A to appear ANYWHERE in B
+    (if all prefix shingles miss, the remaining ⌈t|A|⌉ − 1 shingles
+    cannot reach t|A|) — so the join is A-prefix against the FULL
+    shingle table, then exact sorted-array verification with the
+    threshold compared in integers (inter·10⁶ ≥ |A|·t·10⁶ — no float
+    knife-edge). ⌈t·|A|⌉ uses the same exact integer ceiling as D4.
+
+    Scale note (honest bound): the one-sided join's output is
+    Σ_h prefix_df(h)·df(h). Rare-first ordering keeps prefix_df small
+    on natural corpora, but a document whose EVERY shingle is
+    corpus-ubiquitous puts hot shingles in its prefix — the same
+    boilerplate stress D4 documents; the distinct-text collapse
+    removes the exact-copy version of that blowup, the inherent-
+    boilerplate version is the operator's documented worst case."""
+    from .shingling import word_array
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).filter(F.size(word_array(F.col(text_col))) >= n)
+    w = Window.partitionBy("__tk")
+    marked = (
+        keyed.withColumn("__tk", F.md5("__text"))
+        .withColumn("__rep", F.min("__id").over(w))
+        .persist()
+    )
+    reps = marked.filter(F.col("__id") == F.col("__rep")).select(
+        F.col("__id").alias(id_col), F.col("__text").alias(text_col)
+    )
+
+    sh = _hashed_shingles(reps, id_col, text_col, n).persist()
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    wdoc = Window.partitionBy("doc")
+    ranked = (
+        sh.join(freq, "h")
+        .withColumn(
+            "rn",
+            F.row_number().over(wdoc.orderBy(F.col("freq").asc(), F.col("h").asc())),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+    )
+    scale = 1_000_000
+    t_num = int(round(threshold * scale))
+    ceil_t_sz = F.floor((F.col("sz") * t_num + (scale - 1)) / scale)
+    prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1).select(
+        F.col("doc").alias("__a"), "h"
+    )
+    cand = (
+        prefix.join(sh.select(F.col("doc").alias("__b"), "h"), "h")
+        .filter(F.col("__a") != F.col("__b"))
+        .select(F.col("__a").alias("id_a"), F.col("__b").alias("id_b"))
+        .distinct()
+    )
+    docsets = sh.groupBy("doc").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    da = docsets.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+    db = docsets.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
+    rep_pairs = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            F.size("hs_a").alias("sz_a"),
+        )
+        .filter(F.col("inter") * scale >= F.col("sz_a") * t_num)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter").cast("double") / F.col("sz_a"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+    members = marked.select("__rep", "__id")
+    m1 = members.select(F.col("__rep"), F.col("__id").alias("__da"))
+    m2 = members.select(F.col("__rep"), F.col("__id").alias("__db"))
+    within = (
+        m1.join(m2, "__rep")
+        .filter(F.col("__da") != F.col("__db"))
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("containment"),
+        )
+    )
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__da"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__db"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            "containment",
+        )
+    )
+    return within.unionByName(cross)

@@ -938,6 +938,12 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("events_welch_ttest", events_welch_ttest, EVENTS_WELCH_TTEST_SQL)
 
+register(
+    "dedup_containment",
+    dedup_gate.dedup_containment,
+    dedup_gate.DEDUP_CONTAINMENT_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

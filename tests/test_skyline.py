@@ -252,3 +252,46 @@ def test_zipf_uniform_frequencies_null(spark):
     df = spark.createDataFrame([("a b c a b c",)], "text string")
     r = zipf_fit(df).collect()[0]
     assert r.slope_micro is None and r.intercept_micro is None
+
+
+# ──────────────── D20: containment pairs ────────────────
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from data_frame_demo_etl_spark.dedup.jaccard import containment_pairs, jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    host = quote + " " + " ".join(f"w{i}" for i in range(60))
+    docs = _docs(spark, [(1, quote), (2, host)])
+    cont = {(r.id_a, r.id_b): r.containment for r in containment_pairs(docs, threshold=0.9).collect()}
+    # every shingle of the quote appears in the host → C(quote, host) = 1
+    assert cont.get((1, 2)) == 1.0
+    # host is NOT contained in quote
+    assert (2, 1) not in cont
+    # symmetric Jaccard misses the pair entirely at 0.8
+    assert jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_containment_exact_copies_both_directions(spark):
+    from data_frame_demo_etl_spark.dedup.jaccard import containment_pairs
+
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(spark, [(1, t), (2, t), (3, "unrelated words only here today")])
+    out = {(r.id_a, r.id_b): r.containment for r in containment_pairs(docs).collect()}
+    assert out.get((1, 2)) == 1.0 and out.get((2, 1)) == 1.0
+    assert not any(3 in p for p in out)
+
+
+def test_containment_threshold_boundary(spark):
+    from data_frame_demo_etl_spark.dedup.jaccard import containment_pairs
+
+    # A has 10 shingles (12 words); B shares exactly 9 of them → C = 0.9
+    a_words = [f"a{i}" for i in range(12)]
+    b_words = a_words[:11] + [f"b{i}" for i in range(40)]  # drops last shingle
+    docs = _docs(spark, [(1, " ".join(a_words)), (2, " ".join(b_words))])
+    out = {(r.id_a, r.id_b): r.containment for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert out.get((1, 2)) == 0.9  # exactly at threshold: kept
