@@ -243,3 +243,168 @@ SELECT CAST(n AS BIGINT) AS n_terms,
        END AS intercept_micro
 FROM s
 """
+
+
+# ─────────────── L20: Heaps-law fit ───────────────
+
+#: Curve marks: powers of 4 keep the point count logarithmic in the
+#: corpus while giving the OLS enough spread at small SF.
+HEAPS_MARK_BASE = 4
+HEAPS_MAX_MARKS = 20
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: V(n) — distinct terms seen
+    in the first n tokens of the corpus (doc_id order) — sampled at
+    marks n = 4^k, with the log-log OLS slope β (natural text:
+    β ≈ 0.4–0.6; β → 1 means the corpus never stops minting new
+    terms — OCR noise, ids, random strings; β → 0 means template
+    text). The companion of L19: Zipf is the static frequency law,
+    Heaps the GROWTH law, and the two exponents are theoretically
+    linked (β ≈ 1/α).
+
+    Exactness: the corpus prefix order is (doc_id, in-doc position) —
+    total and engine-identical; each term's FIRST global token index
+    comes from one min-aggregation over the exploded corpus, with
+    global indexes built from the per-doc token-count prefix (the
+    constant-key two-pass layout — never a corpus-sized window).
+    V(mark) is an exact count; the OLS on (ln mark, ln V) quantizes
+    each point's logs to the 1e-6 grid before decimal sums (the L19
+    construction, unweighted over ≤20 points), slope one fixed IEEE
+    combination.
+
+    Scale shape: tokenize (one pass), per-doc counts + bounded prefix,
+    explode with positions → groupBy(term) min (map-side combined) —
+    the only corpus-sized shuffle — then a vocab-sized × marks
+    broadcast-range join and a marks-sized OLS. β lands in every
+    output row next to its curve point (curve rows ARE the gate
+    output, bpe_compression_curve convention)."""
+    from ..analytics.quality_audit import _keyed_prefix
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "").alias(
+            "ws"
+        ),
+    )
+    counts = toks.select(
+        F.lit(1).alias("key"), "doc_id", F.size("ws").alias("c")
+    )
+    pre = _keyed_prefix(counts, ["doc_id"], "c").select(
+        "doc_id", (F.col("cum") - F.col("c")).alias("before"), F.col("t").alias("n_tok")
+    )
+    exploded = (
+        toks.join(pre, "doc_id")
+        .select(
+            "before",
+            F.posexplode("ws").alias("pos", "tok"),
+        )
+        .select(F.col("tok"), (F.col("before") + F.col("pos") + 1).alias("gidx"))
+    )
+    first = exploded.groupBy("tok").agg(F.min("gidx").alias("fidx"))
+    total = pre.select(F.col("n_tok")).limit(1)
+    marks = (
+        total.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {HEAPS_MAX_MARKS}),"
+                    f" k -> cast(power({HEAPS_MARK_BASE}, k) as bigint))"
+                )
+            ).alias("mark"),
+            "n_tok",
+        )
+        .filter(F.col("mark") <= F.col("n_tok"))
+        .select("mark")
+    )
+    curve = (
+        first.join(F.broadcast(marks), F.col("fidx") <= F.col("mark"))
+        .groupBy("mark")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    dec = "decimal(38,0)"
+    q = curve.select(
+        "mark",
+        "vocab",
+        F.floor(F.log(F.col("mark").cast("double")) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast(dec)
+        .alias("qx"),
+        F.floor(F.log(F.col("vocab").cast("double")) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast(dec)
+        .alias("qy"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast(dec).alias("np"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+    )
+    npd = F.col("np").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den = npd * F.col("sxx").cast("double") - sxd * sxd
+    beta = (npd * F.col("sxy").cast("double") - sxd * syd) / den
+    slope = s.select(
+        F.when(den > 0, F.floor(beta * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")).alias(
+            "beta_micro"
+        )
+    )
+    return (
+        q.select("mark", F.col("vocab").cast("long").alias("vocab"))
+        .crossJoin(F.broadcast(slope))
+        .orderBy("mark")
+    )
+
+
+def docs_heaps_fit(spark, sf_dir: str) -> DataFrame:
+    """Gate: Heaps vocabulary-growth curve + β over documents."""
+    from ..sources.catalog import load_table
+
+    return heaps_fit(load_table(spark, "documents", sf_dir))
+
+
+DOCS_HEAPS_FIT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), w -> w != '') AS ws
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, ws,
+         SUM(LEN(ws)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - LEN(ws) AS before,
+         SUM(LEN(ws)) OVER () AS n_tok
+  FROM toks
+),
+exploded AS (
+  SELECT ws[i] AS tok, before + i AS gidx
+  FROM pre, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i)
+),
+first AS (SELECT tok, MIN(gidx) AS fidx FROM exploded GROUP BY tok),
+marks AS (
+  SELECT CAST(POWER({HEAPS_MARK_BASE}, k) AS BIGINT) AS mark
+  FROM (SELECT UNNEST(GENERATE_SERIES(1, {HEAPS_MAX_MARKS})) AS k)
+  WHERE CAST(POWER({HEAPS_MARK_BASE}, k) AS BIGINT) <= (SELECT MIN(n_tok) FROM pre)
+),
+curve AS (
+  SELECT m.mark, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM first f JOIN marks m ON f.fidx <= m.mark
+  GROUP BY m.mark
+),
+q AS (
+  SELECT mark, vocab,
+         CAST(FLOOR(LN(CAST(mark AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) AS qx,
+         CAST(FLOOR(LN(CAST(vocab AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) AS qy
+  FROM curve
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS np, SUM(qx) AS sx, SUM(qy) AS sy,
+         SUM(qx * qx) AS sxx, SUM(qx * qy) AS sxy
+  FROM q
+)
+SELECT q.mark, q.vocab,
+       CASE WHEN CAST(s.np AS DOUBLE) * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) > 0
+            THEN CAST(FLOOR(((CAST(s.np AS DOUBLE) * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                 / (CAST(s.np AS DOUBLE) * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS beta_micro
+FROM q CROSS JOIN s
+ORDER BY q.mark
+"""

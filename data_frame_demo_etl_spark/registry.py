@@ -944,6 +944,10 @@ register(
     dedup_gate.DEDUP_CONTAINMENT_SQL,
 )
 
+from .functions.vocab import DOCS_HEAPS_FIT_SQL, docs_heaps_fit  # noqa: E402
+
+register("docs_heaps_fit", docs_heaps_fit, DOCS_HEAPS_FIT_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

@@ -295,3 +295,40 @@ def test_containment_threshold_boundary(spark):
     docs = _docs(spark, [(1, " ".join(a_words)), (2, " ".join(b_words))])
     out = {(r.id_a, r.id_b): r.containment for r in containment_pairs(docs, threshold=0.9).collect()}
     assert out.get((1, 2)) == 0.9  # exactly at threshold: kept
+
+
+# ──────────────── L20: Heaps-law fit ────────────────
+
+
+def test_heaps_curve_counts_first_occurrences(spark):
+    from data_frame_demo_etl_spark.functions.vocab import heaps_fit
+
+    # doc order is doc_id: tokens = a b a b | c a c d  (8 tokens)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c a c d")], "doc_id long, text string"
+    )
+    out = {r.mark: r.vocab for r in heaps_fit(docs).collect()}
+    # marks 4 and ... 4^2=16 > 8 tokens → only mark 4
+    assert out == {4: 2}  # first 4 tokens: {a, b}
+
+
+def test_heaps_beta_near_one_for_all_new_tokens(spark):
+    from data_frame_demo_etl_spark.functions.vocab import heaps_fit
+
+    # every token distinct → V(n) = n exactly → β = 1
+    words = " ".join(f"w{i}" for i in range(70))
+    docs = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = heaps_fit(docs).collect()
+    marks = {r.mark: r.vocab for r in rows}
+    assert marks == {4: 4, 16: 16, 64: 64}
+    assert abs(rows[0].beta_micro - 1_000_000) <= 2
+
+
+def test_heaps_flat_vocab_beta_zero(spark):
+    from data_frame_demo_etl_spark.functions.vocab import heaps_fit
+
+    # one repeated token → V(n) = 1 at every mark → β = 0
+    docs = spark.createDataFrame([(1, "x " * 70)], "doc_id long, text string")
+    rows = heaps_fit(docs).collect()
+    assert all(r.vocab == 1 for r in rows)
+    assert rows[0].beta_micro == 0
