@@ -1098,12 +1098,26 @@ def chisq_independence(
         (F.col("r_levels") > 0) & (F.col("c_levels") > 0),
         (F.col("r_levels") - 1) * (F.col("c_levels") - 1),
     ).otherwise(F.lit(0))
+    # Cramér's V = sqrt(χ² / (n · min(R−1, C−1))) — the [0,1] effect
+    # size that makes χ² comparable across table shapes and n. One
+    # extra IEEE combination over the already-deterministic inputs
+    # (χ² is read back off its own micro grid, so both engines feed
+    # sqrt the identical double).
+    minq = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    v = F.sqrt(
+        (chi2.cast("double") / F.lit(1_000_000.0))
+        / (F.col("n").cast("double") * minq.cast("double"))
+    )
     return s.select(
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.col("r_levels").cast("long").alias("r_levels"),
         F.col("c_levels").cast("long").alias("c_levels"),
         dof.cast("long").alias("dof"),
         F.when(dof > 0, chi2.cast("long")).alias("chi2_micro"),
+        F.when(
+            (dof > 0) & (F.col("n") > 0),
+            F.floor(v * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        ).alias("cramers_v_micro"),
     )
 
 
@@ -1148,7 +1162,12 @@ SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
                  THEN (r_levels - 1) * (c_levels - 1) ELSE 0 END AS BIGINT) AS dof,
        CASE WHEN r_levels > 1 AND c_levels > 1
             THEN CAST((n * GREATEST(tsum - {_CHISQ_SCALE}, 0)) // 1000000 AS BIGINT)
-       END AS chi2_micro
+       END AS chi2_micro,
+       CASE WHEN r_levels > 1 AND c_levels > 1 AND n > 0
+            THEN CAST(FLOOR(SQRT((CAST((n * GREATEST(tsum - {_CHISQ_SCALE}, 0)) // 1000000 AS DOUBLE) / 1000000.0)
+                 / (CAST(n AS DOUBLE) * CAST(LEAST(r_levels - 1, c_levels - 1) AS DOUBLE)))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS cramers_v_micro
 FROM s
 """
 

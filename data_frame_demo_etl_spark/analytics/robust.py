@@ -204,3 +204,175 @@ FROM dev d JOIN mad m USING (grp)
 GROUP BY d.grp, d.med2, m.mad2
 ORDER BY event_type
 """
+
+
+# ─────────────── K51: Poisson-bootstrap confidence intervals ───────────────
+
+import math as _math
+
+#: Resample count. 32 gives a stable 2nd/31st order-statistic CI
+#: (≈ the 5/95 band) while keeping the replicated aggregation one
+#: map-side-combined pass.
+BOOT_B = 32
+
+#: Poisson(1) inverse-CDF thresholds on the md5 2³²-grid, PRE-COMPUTED
+#: as integer literals (the BENFORD_PPM convention — neither engine
+#: evaluates exp at query time). Weight w = #thresholds ≤ u, capped at
+#: 8 (P(w>8) < 1e-9 — the tail mass lands on w=8, a documented,
+#: deterministic truncation identical in both engines).
+_POIS_CUM = []
+_acc = 0.0
+_pk = _math.exp(-1.0)
+for _k in range(8):
+    _acc += _pk
+    _POIS_CUM.append(min(int(_acc * 4294967296.0), 4294967295))
+    _pk /= _k + 1
+POISSON_THRESHOLDS: tuple[int, ...] = tuple(_POIS_CUM)
+
+
+def _poisson_weight(u):
+    """Poisson(1) draw from a uniform 2³²-grid hash, as a chained
+    comparison CASE (identical structure to the generated SQL)."""
+    w = F.lit(8)
+    for k in range(len(POISSON_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    b: int = BOOT_B,
+) -> DataFrame:
+    """Per-key Poisson-bootstrap confidence interval for the mean —
+    the DISTRIBUTED bootstrap (each row draws an independent
+    Poisson(1) multiplicity per resample, so resampling needs no
+    global n and no data movement; the classical multinomial
+    bootstrap's row-count coupling is exactly what does not scale).
+    Deterministic: the multiplicity of (row, b) comes from the
+    engine-portable md5 grid through a PRE-COMPUTED inverse-CDF
+    threshold ladder — both engines reproduce every draw, so the CI
+    is bit-stable run-to-run and engine-to-engine.
+
+    Cost model (honest): the corpus is logically replicated B times
+    (explode inside the task — no shuffle amplification; the partial
+    aggregation combines map-side, so the exchange carries keys×B
+    rows). One pass, B× the CPU of a plain mean — the standard
+    Poisson-bootstrap price.
+
+    Output: n, mean_micro (full-sample, exact integral division),
+    ci_lo/ci_hi_micro — the 2nd/31st order statistics of the B=32
+    resample means (≈ 5/95 band), selected exactly from the sorted
+    per-key array (B-bounded, never data-sized). A key where any
+    resample drew total weight 0 reports NULL bounds (deterministic;
+    vanishing probability beyond toy inputs)."""
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    base = df.filter(F.col(val_col).isNotNull()).select(
+        F.col(key_col).alias("key"), cents.alias("v"), F.col(id_col).alias("rid")
+    )
+    rep = base.select(
+        "key", "v", "rid", F.explode(F.expr(f"sequence(1, {int(b)})")).alias("b")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("rid").cast("string"), F.col("b").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    dec = "decimal(38,0)"
+    means = (
+        rep.withColumn("w", _poisson_weight(u))
+        .groupBy("key", "b")
+        .agg(
+            F.sum(F.col("w").cast(dec) * F.col("v").cast(dec)).alias("wv"),
+            F.sum(F.col("w").cast(dec)).alias("wsum"),
+        )
+        .select(
+            "key",
+            F.when(
+                F.col("wsum") > 0,
+                F.expr("(wv * cast(1000000 as decimal(38,0))) div wsum").cast("long"),
+            ).alias("m"),
+        )
+    )
+    agg_means = means.groupBy("key").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.count("m").alias("nm"),
+        F.sort_array(F.collect_list("m")).alias("ms"),
+    )
+    full = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+    )
+    ok = F.col("nm") == F.lit(int(b))
+    return (
+        full.join(agg_means, "key")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n").cast("long").alias("n"),
+            F.expr("(s * cast(1000000 as decimal(38,0))) div cast(n as decimal(38,0))")
+            .cast("long")
+            .alias("mean_micro"),
+            F.when(ok, F.element_at("ms", 2)).alias("ci_lo_micro"),
+            F.when(ok, F.element_at("ms", int(b) - 1)).alias("ci_hi_micro"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-type Poisson-bootstrap 2nd/31st-of-32 CI for the mean
+    event value — the uncertainty band the point estimate alone
+    hides."""
+    events = load_table(spark, "events", sf_dir)
+    return bootstrap_mean_ci(events)
+
+
+def _pois_case_sql(u_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(POISSON_THRESHOLDS)
+    )
+    return f"CASE {arms} ELSE 8 END"
+
+
+EVENTS_BOOTSTRAP_CI_SQL = f"""
+WITH base AS (
+  SELECT event_type AS key, CAST(ROUND(value * 100) AS BIGINT) AS v, event_id AS rid
+  FROM events
+  WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT key, v, rid, b.b,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(rid AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+  FROM base CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {BOOT_B})) AS b) b
+),
+means AS (
+  SELECT key, b,
+         CASE WHEN SUM({_pois_case_sql('u')}) > 0
+              THEN (SUM(CAST({_pois_case_sql('u')} AS HUGEINT) * v) * 1000000)
+                   // SUM(CAST({_pois_case_sql('u')} AS HUGEINT))
+         END AS m
+  FROM rep
+  GROUP BY key, b
+),
+am AS (
+  SELECT key, COUNT(*) AS nb, COUNT(m) AS nm, LIST(m ORDER BY m) AS ms
+  FROM means GROUP BY key
+),
+tot AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS HUGEINT) AS s
+  FROM base GROUP BY key
+)
+SELECT tot.key AS event_type,
+       n,
+       CAST((s * 1000000) // n AS BIGINT) AS mean_micro,
+       CASE WHEN nm = {BOOT_B} THEN CAST(ms[2] AS BIGINT) END AS ci_lo_micro,
+       CASE WHEN nm = {BOOT_B} THEN CAST(ms[{BOOT_B} - 1] AS BIGINT) END AS ci_hi_micro
+FROM tot JOIN am ON am.key = tot.key
+ORDER BY event_type
+"""

@@ -948,6 +948,13 @@ from .functions.vocab import DOCS_HEAPS_FIT_SQL, docs_heaps_fit  # noqa: E402
 
 register("docs_heaps_fit", docs_heaps_fit, DOCS_HEAPS_FIT_SQL)
 
+from .analytics.robust import (  # noqa: E402
+    EVENTS_BOOTSTRAP_CI_SQL,
+    events_bootstrap_ci,
+)
+
+register("events_bootstrap_ci", events_bootstrap_ci, EVENTS_BOOTSTRAP_CI_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

@@ -149,6 +149,22 @@ CARTESIAN_ALLOWED = {
     # composes the trainer above (same bounded 1-row cross) before
     # encoding — same scalar shape (functions/unigram.py).
     "docs_unigram_tokens",
+    # crossJoins of 1-ROW aggregates (MI sum × row entropy × column
+    # entropy scalars) — the benford bounded-scalar shape
+    # (analytics/quality_audit.py mutual_information).
+    "events_mutual_information",
+    # broadcast labeled-query panel against the corpus — the
+    # documented ann_cosine_topk shape (similarity/ann.py
+    # hard_negative_topk).
+    "embeddings_hard_negatives",
+    # crossJoin(broadcast(1-ROW global-mean aggregate)) for the
+    # shrinkage target — the q22 bounded-scalar shape
+    # (analytics/features.py target_encode).
+    "customer_segment_target_encoding",
+    # vocab × ≤20-marks broadcast RANGE join (fidx ≤ mark — non-equi
+    # by construction, bounded by the mark ladder) plus the 1-ROW
+    # slope scalar cross (functions/vocab.py heaps_fit).
+    "docs_heaps_fit",
 }
 
 

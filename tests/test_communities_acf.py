@@ -354,11 +354,13 @@ def test_chisq_hand_computed_2x2(spark):
     out = chisq_independence(df, "r", "c").collect()[0]
     assert (out.n, out.r_levels, out.c_levels, out.dof) == (20, 2, 2, 1)
     assert abs(out.chi2_micro - 20_000_000) <= 20  # grid truncation ≤ cells·n·1e-12
+    # complete association → Cramér's V = 1 (within grid truncation)
+    assert abs(out.cramers_v_micro - 1_000_000) <= 2
     # single-level column → dof 0, statistic NULL
     deg = chisq_independence(
         spark.createDataFrame([("a", "x"), ("b", "x")], "r string, c string"), "r", "c"
     ).collect()[0]
-    assert deg.dof == 0 and deg.chi2_micro is None
+    assert deg.dof == 0 and deg.chi2_micro is None and deg.cramers_v_micro is None
 
 
 # ──────────────── K48: mutual information ────────────────

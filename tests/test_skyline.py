@@ -332,3 +332,51 @@ def test_heaps_flat_vocab_beta_zero(spark):
     rows = heaps_fit(docs).collect()
     assert all(r.vocab == 1 for r in rows)
     assert rows[0].beta_micro == 0
+
+
+# ──────────────── K51: Poisson-bootstrap CI ────────────────
+
+
+def _boot_events(spark, vals, key="X"):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), i, key, float(v)) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from data_frame_demo_etl_spark.analytics.robust import bootstrap_mean_ci
+
+    vals = [10, 12, 9, 11, 14, 8, 10, 13, 11, 10, 9, 12, 15, 7, 10, 11] * 4
+    df = _boot_events(spark, vals)
+    r1 = bootstrap_mean_ci(df).collect()[0]
+    r2 = bootstrap_mean_ci(df).collect()[0]
+    assert r1 == r2                       # bit-stable run to run
+    assert r1.n == len(vals)
+    exact_mean = sum(v * 100 for v in vals) * 1_000_000 // (len(vals) * 1)
+    assert r1.mean_micro == exact_mean // 1  # exact integral division
+    assert r1.ci_lo_micro <= r1.mean_micro <= r1.ci_hi_micro
+    assert r1.ci_lo_micro < r1.ci_hi_micro  # non-degenerate band
+
+
+def test_bootstrap_ci_constant_values_degenerate_band(spark):
+    from data_frame_demo_etl_spark.analytics.robust import bootstrap_mean_ci
+
+    # every value 5.0 → every resample mean is exactly 500*1e6 micro
+    df = _boot_events(spark, [5.0] * 64)
+    r = bootstrap_mean_ci(df).collect()[0]
+    assert r.ci_lo_micro == r.ci_hi_micro == 500_000_000 == r.mean_micro
+
+
+def test_poisson_thresholds_are_valid_cdf(spark):
+    from data_frame_demo_etl_spark.analytics.robust import POISSON_THRESHOLDS
+
+    assert list(POISSON_THRESHOLDS) == sorted(POISSON_THRESHOLDS)
+    # P(w=0) = e^-1: the first threshold sits at ~0.3679 of the grid
+    assert abs(POISSON_THRESHOLDS[0] / 4294967296.0 - 0.36787944) < 1e-6
+    # ladder covers ~all mass by w=8
+    assert POISSON_THRESHOLDS[-1] / 4294967296.0 > 0.99998
