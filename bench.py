@@ -68,9 +68,12 @@ HEADLINE = [
     "events_quantile_rollup",
     "events_zorder_stats",
     "events_lag_features",
-    "events_mad_outliers",
+    # events_mad_outliers / events_kmv_distinct trimmed from the LINE
+    # with the round-9b three (robust-family sibling of
+    # events_seasonal_anomaly; sketch-family sibling of the headlined
+    # events_hll_rollup + events_quantile_rollup). Both stay
+    # registered, oracle-verified, and in the pytest suite.
     "events_cms_heavy_hitters",
-    "events_kmv_distinct",
     "retrieval_rrf_fusion",
     "brand_association_rules",
     "events_value_drift_psi",
@@ -99,7 +102,9 @@ HEADLINE = [
     "star_integrity_audit",
     "lang_id_confusion",
     "funnel_time_to_convert",
-    "events_ab_test",
+    # events_ab_test trimmed from the LINE with the round-9b three —
+    # the statistical-test family slot passes to the richer CDF-shape
+    # sibling events_ks_test below; K36 stays registered and verified.
     # lineitem_supplier_gini trimmed from the LINE with the round-9
     # seven (third audit-family member after benford + star-integrity
     # stay) — keeps the K40 addition below inside the capture budget.
@@ -134,6 +139,11 @@ HEADLINE = [
     "embeddings_mmr_rerank",
     "docs_stratified_sample",
     "events_type_correlation",
+    # round-9b additions (appended, same comparability rule; paid for
+    # by the three trims above)
+    "events_ks_test",
+    "dedup_containment",
+    "docs_zipf_fit",
 ]
 
 

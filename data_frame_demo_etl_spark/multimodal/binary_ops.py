@@ -403,10 +403,14 @@ def decode_real(content: bytes) -> tuple[int, int, int, bytes]:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(content)
     raise ValueError(
         "unsupported image format (codecs cover BMP 24-bit, PPM P6, "
-        "8/16-bit RGB PNG incl. Adam7, and baseline JPEG); install "
-        "PIL/ffmpeg and extend decode_real for others"
+        "8/16-bit RGB PNG incl. Adam7, baseline JPEG, and GIF87a/89a); "
+        "install PIL/ffmpeg and extend decode_real for others"
     )
 
 
@@ -1026,4 +1030,68 @@ SELECT x.a AS u, y.a AS v,
 FROM vhash x JOIN vhash y ON x.w = y.w AND x.h = y.h AND x.a < y.a
 WHERE BIT_COUNT(XOR(x.vh, y.vh)) <= 2
 ORDER BY u, v
+"""
+
+
+# ───────────────────── M13: real GIF89a (LZW) ─────────────────────
+
+
+def docs_as_gif_assets(docs: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
+    """Encode each document's leading text bytes as a REAL GIF89a
+    (8-bit indexed, identity grayscale palette, real LZW — see
+    multimodal/gif.py); documents with even doc_id take the
+    INTERLACED path so both row layouts are exercised in one gate."""
+    from .gif import encode_gif
+
+    n_px = width * height
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:n_px]
+                idx = raw + b"\x00" * (n_px - len(raw))
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "media_type": "image/gif",
+                        "content": encode_gif(
+                            width, height, idx, interlace=(int(doc_id) % 2 == 0)
+                        ),
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "channels": 1,
+                            "source": "docs",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "media_type", "content", "meta"])
+
+    return docs.select("doc_id", "text").mapInPandas(encode_batches, ASSET_SCHEMA)
+
+
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: documents → REAL GIF89a encode (true LZW, alternating
+    interlace) → distributed REAL decode (variable-width LZW,
+    deinterlace, palette expansion) → pixel stats. The identity
+    grayscale palette makes the decoded RGB checksum exactly 3× the
+    truncated text-byte sum the oracle computes from the documents
+    table — wrong width growth or a broken KwKwK case shifts the
+    checksum (the SUM is row-order invariant, so interlace ORDER is
+    pinned by the byte-exact pytest roundtrips, not this gate)."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_assets(docs_as_gif_assets(docs), decode="real").orderBy("asset_id")
+
+
+MULTIMODAL_DECODE_GIF_SQL = """
+SELECT doc_id AS asset_id,
+       8 AS width, 6 AS height, 3 AS channels,
+       CAST(144 AS BIGINT) AS n_bytes,
+       CAST(3 * COALESCE(LIST_SUM(LIST_TRANSFORM(SPLIT(SUBSTR(text, 1, 48), ''), c -> ORD(c))), 0) AS BIGINT)
+         % 2147483648 AS checksum
+FROM documents
+ORDER BY asset_id
 """

@@ -955,6 +955,13 @@ from .analytics.robust import (  # noqa: E402
 
 register("events_bootstrap_ci", events_bootstrap_ci, EVENTS_BOOTSTRAP_CI_SQL)
 
+from .multimodal.binary_ops import (  # noqa: E402
+    MULTIMODAL_DECODE_GIF_SQL,
+    multimodal_decode_gif,
+)
+
+register("multimodal_decode_gif", multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
