@@ -19,7 +19,7 @@ the sample never materializes more than k rows per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SAMPLE_K = 200
 SCALE = 1_000_000
@@ -191,4 +191,136 @@ SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS pick_rank
 FROM ranked r JOIN quota USING (source)
 WHERE r.rk <= q
 ORDER BY source, pick_rank
+"""
+
+
+# ─────────────── P12: Horvitz–Thompson estimator audit ───────────────
+
+#: Per-source inclusion probability ladder for the gate: π halves as
+#: the source's corpus share rank grows — stratified "keep less of
+#: the big sources" sampling, the shape a 100 TB pipeline actually
+#: runs. Thresholds live on the md5 2³²-grid so π is EXACTLY T/2³².
+HT_BASE_SHIFT = 1  # π of the largest source = 1/2
+
+
+def ht_estimate(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Horvitz–Thompson total estimation under deterministic
+    stratified Bernoulli sampling — the audit that answers "can the
+    cheap sample stand in for the full scan": per stratum, draw rows
+    whose md5 grid point falls under the stratum's threshold, weight
+    each by the EXACT inverse inclusion probability 2³²/T (T is the
+    integer threshold, so π = T/2³² is exact — no float rate ever
+    enters), and compare the estimate to the exact total.
+
+    Strata thresholds: sources ranked by size (count DESC, name ASC
+    total order); stratum at rank r keeps π = 2^-(r+1) — the big
+    sources get sampled hardest, mirroring the temperature-mix
+    shape. The per-row weighted contribution floors ONCE onto the
+    micro grid ((v·2³²·10⁶) div T — both engines truncate
+    identically), so estimate and error are bit-identical.
+
+    Output per stratum: n_rows, n_sampled, total (exact),
+    ht_total_micro, err_ppm = |est − total|·10⁶ div total. Scale
+    shape: one census agg (value-domain sized), rank via one bounded
+    sort on the census, broadcast thresholds onto the corpus scan,
+    one conditional aggregation — no second corpus pass, no windows
+    over data."""
+    census = (
+        df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("s").asc())
+    # census is value-domain sized: the unpartitioned rank window is
+    # bounded by the stratum vocabulary, never the corpus.
+    ranked = census.withColumn("r", F.row_number().over(wr)).select(
+        "s",
+        "n",
+        F.floor(F.lit(4294967296.0) / F.pow(F.lit(2.0), F.col("r"))).cast("long").alias(
+            "thresh"
+        ),
+    )
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(value_col).alias("v"),
+        h.alias("hh"),
+    ).join(F.broadcast(ranked), "s")
+    kept = F.col("hh") < F.col("thresh")
+    contrib = F.expr(
+        f"(cast(v as {dec}) * cast(4294967296 as {dec})"
+        f" * cast(1000000 as {dec})) div cast(thresh as {dec})"
+    )
+    g = base.groupBy("s").agg(
+        F.first("n").alias("n_rows"),
+        F.count_if(kept).alias("n_sampled"),
+        F.sum(F.col("v").cast(dec)).alias("total"),
+        F.sum(F.when(kept, contrib)).alias("est"),
+    )
+    err = F.expr(
+        "(abs(coalesce(est, cast(0 as decimal(38,0)))"
+        " - total * cast(1000000 as decimal(38,0))) "
+        " * cast(1000000 as decimal(38,0)))"
+        " div (total * cast(1000000 as decimal(38,0)))"
+    )
+    return g.select(
+        F.col("s").alias(stratum_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("total").cast("long").alias("total"),
+        F.coalesce(F.col("est"), F.lit(0).cast(dec)).cast("long").alias("ht_total_micro"),
+        F.when(F.col("total") > 0, err.cast("long")).alias("err_ppm"),
+    ).orderBy(stratum_col)
+
+
+def docs_ht_estimate(spark, sf_dir: str) -> DataFrame:
+    """Gate: HT estimate of total characters per source from the
+    stratified md5 sample vs the exact total."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ht_estimate(docs, "source", "n_chars", "doc_id")
+
+
+DOCS_HT_ESTIMATE_SQL = """
+WITH census AS (
+  SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT s, n,
+         CAST(FLOOR(4294967296.0 / POWER(2.0, ROW_NUMBER() OVER (ORDER BY n DESC, s ASC))) AS BIGINT) AS thresh
+  FROM census
+),
+base AS (
+  SELECT d.source AS s, d.n_chars AS v, r.n, r.thresh,
+         CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+  FROM documents d JOIN ranked r ON r.s = d.source
+),
+g AS (
+  SELECT s, MIN(n) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE hh < thresh) AS BIGINT) AS n_sampled,
+         CAST(SUM(v) AS HUGEINT) AS total,
+         SUM(CASE WHEN hh < thresh
+                  THEN (CAST(v AS HUGEINT) * 4294967296 * 1000000) // thresh END) AS est
+  FROM base
+  GROUP BY s
+)
+SELECT s AS source,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       n_sampled,
+       CAST(total AS BIGINT) AS total,
+       CAST(COALESCE(est, 0) AS BIGINT) AS ht_total_micro,
+       CASE WHEN total > 0
+            THEN CAST((ABS(COALESCE(est, 0) - total * 1000000) * 1000000)
+                 // (total * 1000000) AS BIGINT)
+       END AS err_ppm
+FROM g
+ORDER BY source
 """

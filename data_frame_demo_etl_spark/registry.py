@@ -962,6 +962,13 @@ from .multimodal.binary_ops import (  # noqa: E402
 
 register("multimodal_decode_gif", multimodal_decode_gif, MULTIMODAL_DECODE_GIF_SQL)
 
+from .operators.weighted_sample import (  # noqa: E402
+    DOCS_HT_ESTIMATE_SQL,
+    docs_ht_estimate,
+)
+
+register("docs_ht_estimate", docs_ht_estimate, DOCS_HT_ESTIMATE_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

@@ -380,3 +380,36 @@ def test_poisson_thresholds_are_valid_cdf(spark):
     assert abs(POISSON_THRESHOLDS[0] / 4294967296.0 - 0.36787944) < 1e-6
     # ladder covers ~all mass by w=8
     assert POISSON_THRESHOLDS[-1] / 4294967296.0 > 0.99998
+
+
+# ──────────────── P12: Horvitz–Thompson estimator audit ────────────────
+
+
+def test_ht_estimate_exact_when_all_sampled(spark):
+    from data_frame_demo_etl_spark.operators.weighted_sample import ht_estimate
+
+    # one stratum with rank 1 → π = 1/2; we cannot force "all sampled"
+    # through the hash, so instead verify the IDENTITY on the sampled
+    # subset: est = Σ_sampled v·2/1 exactly (threshold = 2^31).
+    rows = [(i, "s", 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = ht_estimate(df, "source", "n_chars", "doc_id").collect()[0]
+    assert r.n_rows == 200 and r.total == 20000
+    # every sampled row contributes v * 2^32/2^31 = 2v exactly
+    assert r.ht_total_micro == r.n_sampled * 100 * 2 * 1_000_000
+    # π=1/2 over md5 → n_sampled near 100 (law of large numbers, fixed hash)
+    assert 60 < r.n_sampled < 140
+
+
+def test_ht_estimate_rank_order_sets_thresholds(spark):
+    from data_frame_demo_etl_spark.operators.weighted_sample import ht_estimate
+
+    rows = [(i, "big", 10) for i in range(300)] + [
+        (1000 + i, "small", 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.source: r for r in ht_estimate(df, "source", "n_chars", "doc_id").collect()}
+    # big is rank 1 (π=1/2), small rank 2 (π=1/4): sampled shares follow
+    assert out["big"].n_sampled / 300 > out["small"].n_sampled / 50 - 0.25
+    # unbiasedness identity per stratum: est = Σ_sampled v/π exactly
+    assert out["small"].ht_total_micro == out["small"].n_sampled * 10 * 4 * 1_000_000
