@@ -1433,3 +1433,121 @@ SELECT key AS event_type,
 FROM g
 ORDER BY event_type
 """
+
+
+# ─────────────── Wald–Wolfowitz runs test (K52) ───────────────
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str = "event_type",
+    group_col_expr=None,
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-key Wald–Wolfowitz runs test on the TIME ORDER of the A/B
+    arm labels — the serial-randomness audit the rest of the A/B
+    family assumes away: K36/K42/K43/K50 all treat the two arms as
+    independent draws, which is false if assignment was batched
+    (alternating too little) or round-robin (alternating too much).
+    R = number of maximal same-arm runs in (ts, event_id) order;
+
+        E[R]   = 1 + 2·n_A·n_B/n
+        Var[R] = 2·n_A·n_B·(2·n_A·n_B − n) / (n²·(n−1))
+        z      = (R − E[R]) / √Var[R]
+
+    R is an exact integer: the per-key sequence position k comes from
+    the two-pass keyed prefix (enum keys — a plain per-key window
+    would one-task each key), and boundaries are counted by joining
+    position k against k+1 on (key, k) — a fine-grained parallel
+    equi-join, never a sequential scan. Moments are one fixed IEEE
+    combination in doubles of exact decimal(38,0) products. Empty
+    arm, n<2 or zero variance → NULL z.
+    """
+    if group_col_expr is None:
+        group_col_expr = F.col("user_id") % 2 == 0
+    base = df.select(
+        F.col(key_col).alias("key"),
+        *[F.col(c) for c in order_cols],
+        group_col_expr.cast("int").alias("lab"),
+    )
+    laid = _keyed_prefix(base, list(order_cols), "lab")
+    cur = laid.select("key", "k", F.col("lab").alias("l1"), "n", "t")
+    nxt = laid.select("key", (F.col("k") - 1).alias("k"), F.col("lab").alias("l2"))
+    bounds = (
+        cur.join(nxt, ["key", "k"])
+        .select("key", (F.col("l1") != F.col("l2")).cast("long").alias("chg"))
+        .groupBy("key")
+        .agg(F.sum("chg").alias("changes"))
+    )
+    g = (
+        laid.groupBy("key")
+        .agg(F.first("n").alias("n"), F.first("t").alias("n_a"))
+        .join(bounds, "key", "left")
+        .withColumn("runs", F.coalesce(F.col("changes"), F.lit(0)) + F.lit(1))
+    )
+    dec = "decimal(38,0)"
+    na = F.col("n_a").cast(dec)
+    nb = (F.col("n") - F.col("n_a")).cast(dec)
+    nn = F.col("n").cast(dec)
+    two_ab = F.lit(2).cast(dec) * na * nb
+    e_num = two_ab  # E[R] = 1 + two_ab/n
+    nad = na.cast("double")
+    nbd = nb.cast("double")
+    nd = nn.cast("double")
+    tabd = two_ab.cast("double")
+    e_r = F.lit(1.0) + tabd / nd
+    var = (tabd * (tabd - nd)) / (nd * nd * (nd - F.lit(1.0)))
+    z = (F.col("runs").cast("double") - e_r) / F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n") > F.col("n_a")) & (F.col("n") > 1)
+    return g.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("runs").cast("long").alias("runs"),
+        F.when(
+            ok & (var > 0), F.floor(z * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        ).alias("z_micro"),
+    ).orderBy(key_col)
+
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-type runs test of the user-parity arm sequence in
+    event-time order — is the A/B interleave serially random."""
+    events = load_table(spark, "events", sf_dir)
+    return runs_test(events)
+
+
+EVENTS_RUNS_TEST_SQL = """
+WITH base AS (
+  SELECT event_type AS key, ts, event_id,
+         CAST(user_id % 2 = 0 AS INTEGER) AS lab
+  FROM events
+),
+seq AS (
+  SELECT key, lab,
+         LAG(lab) OVER (PARTITION BY key ORDER BY ts, event_id) AS prev
+  FROM base
+),
+g AS (
+  SELECT key,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(lab) AS HUGEINT) AS n_a,
+         CAST(1 + COUNT(*) FILTER (WHERE prev IS NOT NULL AND lab != prev) AS BIGINT) AS runs
+  FROM seq
+  GROUP BY key
+)
+SELECT key AS event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_a AS BIGINT) AS n_a,
+       runs,
+       CASE WHEN n_a > 0 AND n > n_a AND n > 1 AND
+                 (CAST(2 * n_a * (n - n_a) AS DOUBLE) * (CAST(2 * n_a * (n - n_a) AS DOUBLE) - CAST(n AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN CAST(FLOOR(((CAST(runs AS DOUBLE) - (1.0 + CAST(2 * n_a * (n - n_a) AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / SQRT((CAST(2 * n_a * (n - n_a) AS DOUBLE) * (CAST(2 * n_a * (n - n_a) AS DOUBLE) - CAST(n AS DOUBLE)))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS z_micro
+FROM g
+ORDER BY event_type
+"""

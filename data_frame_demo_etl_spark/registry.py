@@ -969,6 +969,13 @@ from .operators.weighted_sample import (  # noqa: E402
 
 register("docs_ht_estimate", docs_ht_estimate, DOCS_HT_ESTIMATE_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_RUNS_TEST_SQL,
+    events_runs_test,
+)
+
+register("events_runs_test", events_runs_test, EVENTS_RUNS_TEST_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

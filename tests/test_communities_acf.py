@@ -452,3 +452,58 @@ def test_welch_degenerate_small_arm_is_null(spark):
     )
     r = welch_t_test(df).collect()[0]
     assert r.t_micro is None and r.df_micro is None
+
+
+# ──────────────── K52: Wald–Wolfowitz runs test ────────────────
+
+
+def _runs_df(spark, labs):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), 2 * i + (1 - l), "X", 1.0)
+        for i, l in enumerate(labs)  # l=1 → even uid (arm A), l=0 → odd
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_runs_hand_computed(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import runs_test
+
+    # sequence A A B B B A → 3 runs, nA=3, nB=3
+    r = runs_test(_runs_df(spark, [1, 1, 0, 0, 0, 1])).collect()[0]
+    assert (r.n, r.n_a, r.runs) == (6, 3, 3)
+    n, two_ab = 6.0, 2.0 * 3 * 3
+    e = 1.0 + two_ab / n
+    var = (two_ab * (two_ab - n)) / (n * n * (n - 1.0))
+    z = (3 - e) / math.sqrt(var)
+    assert r.z_micro == math.floor(z * 1e6 + 0.5)
+
+
+def test_runs_perfect_alternation_max_runs(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import runs_test
+
+    labs = [1, 0] * 10
+    r = runs_test(_runs_df(spark, labs)).collect()[0]
+    assert r.runs == 20            # every adjacent pair switches
+    assert r.z_micro > 0           # far MORE runs than random
+
+
+def test_runs_fully_batched_min_runs(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import runs_test
+
+    labs = [1] * 10 + [0] * 10
+    r = runs_test(_runs_df(spark, labs)).collect()[0]
+    assert r.runs == 2
+    assert r.z_micro < 0           # far FEWER runs than random
+
+
+def test_runs_single_arm_null(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import runs_test
+
+    r = runs_test(_runs_df(spark, [1, 1, 1, 1])).collect()[0]
+    assert r.z_micro is None
