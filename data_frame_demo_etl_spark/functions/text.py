@@ -324,3 +324,126 @@ SELECT doc_id,
 FROM planted
 ORDER BY doc_id
 """
+
+
+# ─────────────── L21: Flesch reading-ease scoring ───────────────
+
+
+def flesch_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row Flesch reading ease on the exact micro grid:
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with the classic heuristics — words = whitespace tokens,
+    sentences = maximal [.!?]+ runs (floored at 1 so headless
+    fragments still score), syllables = [aeiouy]+ vowel groups with a
+    one-per-word floor (the standard cheap proxy). Each rational is
+    ONE exact integral division (`div` / `//`, identical truncation
+    on non-negatives); the coefficients are integer micro literals —
+    no float arithmetic anywhere, so both engines reproduce every
+    score bit-for-bit. The score can be negative for dense legalese:
+    the two subtractions stay in decimal, only the division operands
+    are guaranteed non-negative. NULL when there are no words.
+
+    Adds ``n_words``, ``n_sentences``, ``n_syllables``,
+    ``flesch_micro`` to the input. Pure Column expressions —
+    whole-stage codegen, no UDFs."""
+    t = F.col(text_col)
+    out = (
+        df.withColumn(
+            "n_words",
+            F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")).cast("long"),
+        )
+        .withColumn(
+            "n_sentences",
+            F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)).cast("long"),
+        )
+        .withColumn(
+            "n_syllables",
+            F.greatest(
+                F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")),
+                F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")),
+            ).cast("long"),
+        )
+    )
+    score = F.expr(
+        "cast(206835000 as decimal(38,0))"
+        " - (cast(1015000 as decimal(38,0)) * n_words)"
+        "   div n_sentences"
+        " - (cast(84600000 as decimal(38,0)) * n_syllables)"
+        "   div n_words"
+    )
+    return out.withColumn(
+        "flesch_micro", F.when(F.col("n_words") > 0, score.cast("long"))
+    )
+
+
+def docs_flesch_readability(spark, sf_dir: str) -> DataFrame:
+    """Gate: per-source readability rollup — mean Flesch score (exact
+    integral division of the summed per-doc scores), word/sentence
+    masses. The quality-filter signal C4/Gopher don't carry: a
+    too-hard or too-easy corpus shifts this before it shifts length
+    ratios."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = flesch_scores(docs)
+    return (
+        scored.filter(F.col("flesch_micro").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_sentences").alias("n_sentences"),
+            F.sum(F.col("flesch_micro").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            # +1e9-micro offset before the division: per-doc scores (and
+            # hence the sum) can be negative on dense text, and Spark
+            # `div` truncates where DuckDB `//` floors — the V7 offset
+            # trick keeps the integral division on non-negatives.
+            (
+                F.expr(
+                    "(s + cast(1000000000 as decimal(38,0))"
+                    " * cast(n_docs as decimal(38,0)))"
+                    " div cast(n_docs as decimal(38,0))"
+                )
+                - F.lit(1_000_000_000)
+            )
+            .cast("long")
+            .alias("mean_flesch_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_FLESCH_READABILITY_SQL = r"""
+WITH scored AS (
+  SELECT source,
+         LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '')) AS n_words,
+         GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1) AS n_sentences,
+         GREATEST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')),
+                  LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != ''))) AS n_syllables
+  FROM documents
+),
+per_doc AS (
+  SELECT source, n_words, n_sentences, n_syllables,
+         CAST(206835000 AS HUGEINT)
+           - (CAST(1015000 AS HUGEINT) * n_words) // n_sentences
+           - (CAST(84600000 AS HUGEINT) * n_syllables) // n_words AS flesch_micro
+  FROM scored
+  WHERE n_words > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+       CAST((SUM(flesch_micro) + CAST(1000000000 AS HUGEINT) * COUNT(*)) // COUNT(*) - 1000000000 AS BIGINT) AS mean_flesch_micro
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""

@@ -976,6 +976,17 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("events_runs_test", events_runs_test, EVENTS_RUNS_TEST_SQL)
 
+from .functions.text import (  # noqa: E402
+    DOCS_FLESCH_READABILITY_SQL,
+    docs_flesch_readability,
+)
+
+register(
+    "docs_flesch_readability",
+    docs_flesch_readability,
+    DOCS_FLESCH_READABILITY_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

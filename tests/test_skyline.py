@@ -413,3 +413,43 @@ def test_ht_estimate_rank_order_sets_thresholds(spark):
     assert out["big"].n_sampled / 300 > out["small"].n_sampled / 50 - 0.25
     # unbiasedness identity per stratum: est = Σ_sampled v/π exactly
     assert out["small"].ht_total_micro == out["small"].n_sampled * 10 * 4 * 1_000_000
+
+
+# ──────────────── L21: Flesch readability ────────────────
+
+
+def test_flesch_hand_computed(spark):
+    from data_frame_demo_etl_spark.functions.text import flesch_scores
+
+    # "the cat sat. it ran!" → 5 words, 2 sentences, syllables:
+    # vowel groups: e,a,a,i,a = 5 (each word exactly one)
+    df = spark.createDataFrame([(1, "the cat sat. it ran!")], "id long, text string")
+    r = flesch_scores(df, "text").collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    expect = 206_835_000 - (1_015_000 * 5) // 2 - (84_600_000 * 5) // 5
+    assert r.flesch_micro == expect
+
+
+def test_flesch_syllable_floor_and_fragments(spark):
+    from data_frame_demo_etl_spark.functions.text import flesch_scores
+
+    # "rhythm myth" has no aeiouy groups except y: rhythm→1(y), myth→1(y)
+    # still: the per-word floor guarantees syllables >= words
+    df = spark.createDataFrame(
+        [(1, "xxxx zzzz"), (2, "")], "id long, text string"
+    )
+    rows = {r.id: r for r in flesch_scores(df, "text").collect()}
+    assert rows[1].n_syllables == 2        # floored to word count
+    assert rows[1].n_sentences == 1        # fragment floor
+    assert rows[2].flesch_micro is None    # empty text → no words
+
+
+def test_flesch_negative_score_exact(spark):
+    from data_frame_demo_etl_spark.functions.text import flesch_scores
+
+    # one absurd 40-syllable "word" drives the score negative
+    word = "aba" * 40
+    df = spark.createDataFrame([(1, word)], "id long, text string")
+    r = flesch_scores(df, "text").collect()[0]
+    expect = 206_835_000 - 1_015_000 - (84_600_000 * r.n_syllables) // 1
+    assert r.flesch_micro == expect and r.flesch_micro < 0
