@@ -470,3 +470,88 @@ ORDERS_FD_AUDIT_SQL = (
     + "\n  UNION ALL\n".join(_fd_leg(l, r) for l, r in _FD_CANDIDATES)
     + "\n) ORDER BY lhs, rhs"
 )
+
+
+# ─────────────── V9: calibrated noisy-count release ───────────────
+
+DP_EPSILON_MICRO = 1_000_000  # ε = 1.0
+
+
+def noisy_count_release(
+    df: DataFrame, group_col: str, epsilon_micro: int = DP_EPSILON_MICRO
+) -> DataFrame:
+    """Laplace-mechanism noisy count release per group — the
+    aggregate-publication mechanism (Dwork et al. 2006): counts have
+    sensitivity 1, so adding Laplace(1/ε) noise gives an
+    ε-differentially-private release.
+
+    HONESTY NOTE (load-bearing): the noise here is SEEDED from the
+    group key's md5 grid point so both engines — and every rerun —
+    release the identical value. Seeded noise is NOT differential
+    privacy (an adversary who knows the seed subtracts the noise);
+    what this operator verifies end-to-end is the RELEASE MECHANISM —
+    inverse-CDF transform, scale calibration 1/ε, sign symmetry —
+    bit-for-bit across engines. A production deployment swaps the
+    md5 draw for fresh randomness and keeps every other line.
+
+    Inverse CDF: with u ∈ (0,1),
+        lap = −(1/ε)·sgn(u − ½)·ln(1 − 2·|u − ½|)
+    computed in one fixed IEEE order from the exact integer grid
+    point (u = (h + ½)/2³², exact in doubles), quantized ONCE onto
+    the micro grid (the lm.py trick — the single ln's libm ulp sits
+    far under the grid). Released value = n·10⁶ + noise_micro.
+
+    Scale shape: one map-side-combined count per group, then pure
+    per-row arithmetic on the group-domain-sized table."""
+    eps = epsilon_micro / 1_000_000.0
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    h = F.conv(F.substring(F.md5(F.col("g").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    mag = F.abs(centered)
+    lap = (
+        F.lit(-1.0 / eps)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * mag)
+    )
+    noise_micro = F.floor(lap * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return counts.select(
+        F.col("g").alias(group_col),
+        (F.col("n") * F.lit(1_000_000) + noise_micro).cast("long").alias(
+            "released_count_micro"
+        ),
+        F.lit(int(epsilon_micro)).cast("long").alias("epsilon_micro"),
+    ).orderBy(group_col)
+
+
+def docs_dp_release(spark, sf_dir: str) -> DataFrame:
+    """Gate: ε=1 Laplace noisy per-source document counts — the
+    publication mechanism, seeded for cross-engine verification (see
+    noisy_count_release's honesty note)."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return noisy_count_release(docs, "source")
+
+
+DOCS_DP_RELEASE_SQL = """
+WITH counts AS (
+  SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+noise AS (
+  SELECT g, n,
+         (CAST(CAST(CONCAT('0x', SUBSTR(MD5(CAST(g AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM counts
+)
+SELECT g AS source,
+       CAST(n * 1000000
+            + FLOOR((-1.0) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)) * 1000000.0 + 0.5)
+         AS BIGINT) AS released_count_micro,
+       CAST(1000000 AS BIGINT) AS epsilon_micro
+FROM noise
+ORDER BY source
+"""

@@ -987,6 +987,13 @@ register(
     DOCS_FLESCH_READABILITY_SQL,
 )
 
+from .operators.validate import (  # noqa: E402
+    DOCS_DP_RELEASE_SQL,
+    docs_dp_release,
+)
+
+register("docs_dp_release", docs_dp_release, DOCS_DP_RELEASE_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

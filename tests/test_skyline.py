@@ -453,3 +453,35 @@ def test_flesch_negative_score_exact(spark):
     r = flesch_scores(df, "text").collect()[0]
     expect = 206_835_000 - 1_015_000 - (84_600_000 * r.n_syllables) // 1
     assert r.flesch_micro == expect and r.flesch_micro < 0
+
+
+# ──────────────── V9: calibrated noisy-count release ────────────────
+
+
+def test_noisy_release_matches_inverse_cdf(spark):
+    import hashlib
+    import math
+
+    from data_frame_demo_etl_spark.operators.validate import noisy_count_release
+
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "g string")
+    out = {r.g: r.released_count_micro for r in noisy_count_release(df, "g").collect()}
+    for g, n in (("a", 7), ("b", 3)):
+        h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        lap = -1.0 * math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5))
+        expect = n * 1_000_000 + math.floor(lap * 1e6 + 0.5)
+        assert abs(out[g] - expect) <= 1  # 1-micro tolerance: single libm ln
+
+
+def test_noisy_release_scale_calibration(spark):
+    from data_frame_demo_etl_spark.operators.validate import noisy_count_release
+
+    df = spark.createDataFrame([("a",)] * 5, "g string")
+    n1 = noisy_count_release(df, "g", epsilon_micro=1_000_000).collect()[0]
+    n2 = noisy_count_release(df, "g", epsilon_micro=2_000_000).collect()[0]
+    noise1 = n1.released_count_micro - 5_000_000
+    noise2 = n2.released_count_micro - 5_000_000
+    # same seed, double epsilon → exactly half the noise (±1 micro floor)
+    assert abs(noise1 - 2 * noise2) <= 2
+    assert noise1 != 0  # the draw actually perturbs
