@@ -787,3 +787,99 @@ SELECT ta, tb, n AS n_hours,
 FROM g
 ORDER BY ta, tb
 """
+
+
+# ─────────────── K53: business-day latency ───────────────
+
+
+def _weekdays_before(days_col):
+    """Number of WEEKDAYS in [Monday origin, origin + days_col):
+    closed-form (x div 7)·5 + least(x mod 7, 5) — pure integer
+    arithmetic, identical in both engines for non-negative x."""
+    return F.floor(days_col / 7).cast("long") * 5 + F.least(days_col % 7, F.lit(5))
+
+
+def business_day_latency(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Mean BUSINESS-day (Mon–Fri) latency from order date to first
+    shipment, per order priority — the SLA metric a calendar-day mean
+    overstates by ~2/7: weekends don't count against fulfilment.
+
+    Exact closed form, no calendar table and no per-day explode: with
+    x = days since the Monday 1970-01-05, the weekday count before x
+    is (x div 7)·5 + min(x mod 7, 5), so the business days between
+    order and ship is one subtraction of two integer expressions —
+    engine-identical (TPC-H dates are all ≥ 1992, x stays positive).
+    Per-order first ship is a map-side-combined min; the mean rides
+    the exact integral-division micro grid.
+
+    Scale shape: one lineitem groupBy(orderkey) min, one equi-join to
+    orders (AQE picks the strategy), one ≤priorities-sized agg."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    monday = F.lit("1970-01-05").cast("date")
+    j = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), monday).alias("xa"),
+        F.datediff(F.col("first_ship"), monday).alias("xb"),
+    )
+    bdays = _weekdays_before(F.col("xb")) - _weekdays_before(F.col("xa"))
+    g = (
+        j.withColumn("bdays", bdays)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("bdays").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    return g.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("s").cast("long").alias("business_days_total"),
+        F.expr(
+            "(s * cast(1000000 as decimal(38,0)))"
+            " div cast(n_orders as decimal(38,0))"
+        )
+        .cast("long")
+        .alias("mean_business_days_micro"),
+    ).orderBy("o_orderpriority")
+
+
+def orders_business_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: mean business-day order→first-ship latency per priority."""
+    from ..sources.catalog import load_table
+
+    return business_day_latency(
+        load_table(spark, "orders", sf_dir), load_table(spark, "lineitem", sf_dir)
+    )
+
+
+ORDERS_BUSINESS_LATENCY_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority,
+         DATE_DIFF('day', DATE '1970-01-05', CAST(o.o_orderdate AS DATE)) AS xa,
+         DATE_DIFF('day', DATE '1970-01-05', CAST(f.first_ship AS DATE)) AS xb
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+),
+g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(((xb // 7) * 5 + LEAST(xb % 7, 5))
+                - ((xa // 7) * 5 + LEAST(xa % 7, 5))) AS HUGEINT) AS s
+  FROM j
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       n_orders,
+       CAST(s AS BIGINT) AS business_days_total,
+       CAST((s * 1000000) // n_orders AS BIGINT) AS mean_business_days_micro
+FROM g
+ORDER BY o_orderpriority
+"""

@@ -994,6 +994,17 @@ from .operators.validate import (  # noqa: E402
 
 register("docs_dp_release", docs_dp_release, DOCS_DP_RELEASE_SQL)
 
+from .analytics.timeseries import (  # noqa: E402
+    ORDERS_BUSINESS_LATENCY_SQL,
+    orders_business_latency,
+)
+
+register(
+    "orders_business_latency",
+    orders_business_latency,
+    ORDERS_BUSINESS_LATENCY_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

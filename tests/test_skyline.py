@@ -485,3 +485,54 @@ def test_noisy_release_scale_calibration(spark):
     # same seed, double epsilon → exactly half the noise (±1 micro floor)
     assert abs(noise1 - 2 * noise2) <= 2
     assert noise1 != 0  # the draw actually perturbs
+
+
+# ──────────────── K53: business-day latency ────────────────
+
+
+def test_business_days_closed_form(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import business_day_latency
+
+    # Mon 2024-01-01 → Mon 2024-01-08: exactly 5 business days.
+    # Fri 2024-01-05 → Mon 2024-01-08: exactly 1 (Sat+Sun skipped).
+    # Sat 2024-01-06 → Sun 2024-01-07: 0.
+    orders = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), "P1"),
+            (2, dt.date(2024, 1, 5), "P2"),
+            (3, dt.date(2024, 1, 6), "P3"),
+        ],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 8)),
+            (2, dt.date(2024, 1, 8)),
+            (3, dt.date(2024, 1, 7)),
+        ],
+        "l_orderkey long, l_shipdate date",
+    )
+    out = {r.o_orderpriority: r for r in business_day_latency(orders, li).collect()}
+    assert out["P1"].business_days_total == 5
+    assert out["P2"].business_days_total == 1
+    assert out["P3"].business_days_total == 0
+    assert out["P1"].mean_business_days_micro == 5_000_000
+
+
+def test_business_days_first_ship_is_min(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import business_day_latency
+
+    orders = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), "X")],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10)), (1, dt.date(2024, 1, 3)), (1, dt.date(2024, 1, 20))],
+        "l_orderkey long, l_shipdate date",
+    )
+    r = business_day_latency(orders, li).collect()[0]
+    assert r.business_days_total == 2  # Mon 1st → Wed 3rd
