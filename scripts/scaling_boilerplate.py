@@ -132,7 +132,22 @@ def main() -> None:
 
         return run
 
+    def containment(_plan):
+        # D20: one-sided prefix join — the rare-first defense is what
+        # this corpus stresses: every doc's 30 boilerplate words make
+        # ~70% of its shingles corpus-hot, and the prefix (10% of
+        # shingles at t=0.9) must stay on the 10 doc-unique words for
+        # the candidate join to stay linear.
+        def run(sf_dir):
+            from data_frame_demo_etl_spark.dedup.jaccard import containment_pairs
+
+            docs = load_table(spark, "documents", sf_dir)
+            materialize(containment_pairs(docs, threshold=0.9))
+
+        return run
+
     jobs = [
+        ("dedup_containment", containment, ["anti"]),
         ("docs_winnowing_matches", winnow, args.plans.split(",")),
         ("minhash_lsh_pairs", minhash, args.plans.split(",")),
         ("docs_exact_substring_mass", substring, ["anti"]),
