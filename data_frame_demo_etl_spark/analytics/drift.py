@@ -178,3 +178,142 @@ WHERE r.slice = 0
 GROUP BY r.grp, r.n, c.n
 ORDER BY event_type
 """
+
+
+# ─────────────── ST12/K54: windowed drift monitor ───────────────
+
+
+def windowed_psi(events: DataFrame, n_bins: int = N_BINS) -> DataFrame:
+    """Per-(hour window, type) PSI against the full-corpus reference —
+    the PRODUCTION form of the drift monitor psi_by_group's docstring
+    promises (its parity split is the deterministic stand-in; this is
+    the time-window monitor itself): every hour of traffic is scored
+    against the corpus distribution, so a drifting hour surfaces with
+    its own PSI instead of diluting a single global number.
+
+    Same determinism contract as K22: integer binning on the micro
+    grid against exact global bounds, Laplace-smoothed proportions,
+    per-bin terms quantized BEFORE the fold. The counts stage —
+    groupBy(window, type, bin) — is the streaming-compatible part
+    (identical expression under readStream; the PSI finish runs in
+    foreachBatch over the bin counts, the standard two-stage monitor
+    deployment — pytest drives exactly that and pins stream == batch).
+
+    Scale shape: ONE corpus aggregation for the reference histogram,
+    ONE for the windowed histograms (both map-side combined,
+    ≤ types·bins and windows·types·bins rows), dense spines bounded
+    by (calendar hours × type vocabulary × bins), one join on
+    (type, bin). No corpus self-joins, no per-row windows."""
+    spark = events.sparkSession
+    v = F.round(F.col("value") * SCALE).cast("long")
+    base = events.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("hour", F.col("ts")).alias("w"),
+        v.alias("v"),
+    )
+    bounds = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo = int(bounds["lo"]) if bounds["lo"] is not None else 0
+    hi = int(bounds["hi"]) if bounds["hi"] is not None else 0
+    span = max(hi - lo + 1, 1)
+    binned = base.withColumn(
+        "bin", F.floor((F.col("v") - F.lit(lo)) * n_bins / F.lit(span)).cast("long")
+    )
+    ref_counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    ref_totals = binned.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    cur_counts = binned.groupBy("w", "grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    cur_totals = binned.groupBy("w", "grp").agg(F.count(F.lit(1)).alias("n"))
+    bins = spark_range_df(binned, n_bins)
+    ref_dense = (
+        binned.select("grp")
+        .distinct()
+        .crossJoin(bins)
+        .join(ref_counts, ["grp", "bin"], "left")
+        .join(ref_totals, ["grp"])
+        .select(
+            "grp",
+            "bin",
+            ((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / (F.col("n") + F.lit(float(n_bins)))).alias("p_ref"),
+            F.col("n").alias("n_ref"),
+        )
+    )
+    cur_dense = (
+        cur_totals.select("w", "grp", "n")
+        .crossJoin(bins)
+        .join(cur_counts, ["w", "grp", "bin"], "left")
+        .select(
+            "w",
+            "grp",
+            "bin",
+            ((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / (F.col("n") + F.lit(float(n_bins)))).alias("p_cur"),
+            F.col("n").alias("n_cur"),
+        )
+    )
+    term = (F.col("p_ref") - F.col("p_cur")) * F.log(F.col("p_ref") / F.col("p_cur"))
+    term_micro = F.floor(term * SCALE + 0.5).cast("long")
+    return (
+        cur_dense.join(F.broadcast(ref_dense), ["grp", "bin"])
+        .groupBy("w", "grp", "n_ref", "n_cur")
+        .agg(F.sum(term_micro).cast("long").alias("psi_micro"))
+        .select(
+            F.col("w").alias("window_start"),
+            F.col("grp").alias("event_type"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_window"),
+            "psi_micro",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: hourly PSI drift of event values against the corpus
+    reference, per type — the deployed monitor's batch backfill."""
+    events = load_table(spark, "events", sf_dir)
+    return windowed_psi(events)
+
+
+EVENTS_WINDOWED_PSI_SQL = f"""
+WITH base AS (
+  SELECT event_type AS grp, DATE_TRUNC('hour', ts) AS w,
+         CAST(ROUND(value * {SCALE}) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT MIN(v) AS lo, GREATEST(MAX(v) - MIN(v) + 1, 1) AS span FROM base
+),
+binned AS (
+  SELECT grp, w, CAST(FLOOR((v - b.lo) * {N_BINS} / b.span) AS BIGINT) AS bin
+  FROM base, bounds b
+),
+ref_counts AS (SELECT grp, bin, COUNT(*) AS c FROM binned GROUP BY grp, bin),
+ref_totals AS (SELECT grp, COUNT(*) AS n FROM binned GROUP BY grp),
+cur_counts AS (SELECT w, grp, bin, COUNT(*) AS c FROM binned GROUP BY w, grp, bin),
+cur_totals AS (SELECT w, grp, COUNT(*) AS n FROM binned GROUP BY w, grp),
+bins AS (SELECT UNNEST(RANGE({N_BINS})) AS bin),
+ref_dense AS (
+  SELECT g.grp, b.bin,
+         (COALESCE(c.c, 0) + 1.0) / (t.n + {N_BINS}.0) AS p_ref,
+         t.n AS n_ref
+  FROM (SELECT DISTINCT grp FROM binned) g
+  CROSS JOIN bins b
+  LEFT JOIN ref_counts c ON c.grp = g.grp AND c.bin = b.bin
+  JOIN ref_totals t ON t.grp = g.grp
+),
+cur_dense AS (
+  SELECT ct.w, ct.grp, b.bin,
+         (COALESCE(c.c, 0) + 1.0) / (ct.n + {N_BINS}.0) AS p_cur,
+         ct.n AS n_cur
+  FROM cur_totals ct
+  CROSS JOIN bins b
+  LEFT JOIN cur_counts c ON c.w = ct.w AND c.grp = ct.grp AND c.bin = b.bin
+)
+SELECT cd.w AS window_start,
+       cd.grp AS event_type,
+       CAST(rd.n_ref AS BIGINT) AS n_ref,
+       CAST(cd.n_cur AS BIGINT) AS n_window,
+       CAST(SUM(CAST(FLOOR((rd.p_ref - cd.p_cur) * LN(rd.p_ref / cd.p_cur) * {SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS psi_micro
+FROM cur_dense cd
+JOIN ref_dense rd ON rd.grp = cd.grp AND rd.bin = cd.bin
+GROUP BY cd.w, cd.grp, rd.n_ref, cd.n_cur
+ORDER BY window_start, event_type
+"""

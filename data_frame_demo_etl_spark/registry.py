@@ -1005,6 +1005,13 @@ register(
     ORDERS_BUSINESS_LATENCY_SQL,
 )
 
+from .analytics.drift import (  # noqa: E402
+    EVENTS_WINDOWED_PSI_SQL,
+    events_windowed_psi,
+)
+
+register("events_windowed_psi", events_windowed_psi, EVENTS_WINDOWED_PSI_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

@@ -522,3 +522,99 @@ def test_interval_join_multi_epoch_state_and_expiry(spark, tmp_path):
     # exactly one null emission per non-converter across all epochs
     all_rows = list(e1) + list(e2)
     assert sum(1 for t in all_rows if t[0] == 2) == 1
+
+
+# ──────────────── ST12: windowed PSI drift monitor ────────────────
+
+
+def test_windowed_psi_stream_counts_match_batch(spark, sf_dir):
+    """The monitor's streaming deployment: the (window, type, bin)
+    COUNTS stage runs under readStream (identical expression), the
+    PSI finish runs over the materialized counts — stream must equal
+    the batch gate bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.drift import SCALE, N_BINS, windowed_psi
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+    from data_frame_demo_etl_spark.streaming.events import read_events_stream
+
+    batch_events = load_table(spark, "events", sf_dir)
+    want = {
+        (r.window_start, r.event_type): (r.n_ref, r.n_window, r.psi_micro)
+        for r in windowed_psi(batch_events).collect()
+    }
+
+    # static bounds (yesterday's batch artifact in production)
+    v = F.round(F.col("value") * SCALE).cast("long")
+    b = (
+        batch_events.filter(F.col("value").isNotNull())
+        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+        .collect()[0]
+    )
+    lo, span = int(b["lo"]), max(int(b["hi"]) - int(b["lo"]) + 1, 1)
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = (
+        stream.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("hour", F.col("ts")).alias("w"),
+            F.floor((v - F.lit(lo)) * N_BINS / F.lit(span)).cast("long").alias("bin"),
+        )
+        .groupBy("w", "grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("psi_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_counts = spark.sql("SELECT * FROM psi_counts")
+    # batch-side counts from the SAME binning must agree row-for-row
+    batch_counts = (
+        batch_events.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("hour", F.col("ts")).alias("w"),
+            F.floor((v - F.lit(lo)) * N_BINS / F.lit(span)).cast("long").alias("bin"),
+        )
+        .groupBy("w", "grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {(r.w, r.grp, r.bin): r.c for r in got_counts.collect()}
+    wantc = {(r.w, r.grp, r.bin): r.c for r in batch_counts.collect()}
+    assert got == wantc
+    # and the batch gate over the same corpus produced PSI rows for
+    # exactly the windows the stream saw
+    assert {(w, g) for (w, g, _) in got} == {(w, g) for (w, g) in want}
+
+
+def test_windowed_psi_flags_planted_drift(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.drift import windowed_psi
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10 calm hours with values 1..10 cycling, then one RARE drifted
+    # hour at value 100 — rare, so the corpus reference stays calm
+    # and the drifted hour alone diverges from it
+    for h in range(10):
+        for i in range(100):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), 1, "X", float(1 + i % 10)))
+            eid += 1
+    for i in range(30):
+        rows.append((eid, base + dt.timedelta(hours=10, seconds=i), 1, "X", 100.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.window_start.hour: r.psi_micro for r in windowed_psi(df).collect()}
+    calm = max(out[h] for h in range(10))
+    assert out[10] > 4 * max(calm, 1)  # the drifted hour dominates
+    assert out[10] > 250_000           # above the classic 0.25 action line
