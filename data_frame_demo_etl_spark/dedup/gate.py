@@ -991,3 +991,64 @@ JOIN sizes sa ON sa.doc = id_a
 WHERE c * 1000000 >= sa.sz * 900000
 ORDER BY id_a, id_b
 """
+
+
+# ─────────────── D21: containment sketch eval ───────────────
+
+
+def dedup_containment_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: bottom-32 min-wise containment estimates vs D20 exact on
+    every directed pair ≥ 0.5 — the measured sketch-vs-exact trade of
+    the containment scale path (jaccard.containment_sketch_eval)."""
+    from .jaccard import containment_sketch_eval
+
+    docs = load_table(spark, "documents", sf_dir)
+    return containment_sketch_eval(docs, threshold=0.5)
+
+
+DEDUP_CONTAINMENT_SKETCH_EVAL_SQL = r"""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), w -> w != '') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 0))) AS i)
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc != b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(FLOOR(ROUND(CAST(c AS DOUBLE) / sa.sz, 6) * 1000000 + 0.5) AS BIGINT) AS exact_ppm
+  FROM inter JOIN sizes sa ON sa.doc = id_a
+  WHERE c * 1000000 >= sa.sz * 500000
+),
+sampled AS (
+  SELECT doc AS id_a, shingle FROM (
+    SELECT doc, shingle,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc
+             ORDER BY CAST(CONCAT('0x', SUBSTR(MD5(shingle), 1, 8)) AS BIGINT) ASC, shingle ASC
+           ) AS rn
+    FROM sh
+  ) WHERE rn <= 32
+),
+ks AS (SELECT id_a, COUNT(*) AS ks FROM sampled GROUP BY id_a),
+hits AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS hits
+  FROM pairs p
+  JOIN sampled s ON s.id_a = p.id_a
+  WHERE EXISTS (SELECT 1 FROM sh b WHERE b.doc = p.id_b AND b.shingle = s.shingle)
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b, p.exact_ppm,
+       CAST(CAST(COALESCE(h.hits, 0) AS HUGEINT) * 1000000 // k.ks AS BIGINT) AS est_ppm,
+       CAST(ABS(p.exact_ppm - CAST(COALESCE(h.hits, 0) AS HUGEINT) * 1000000 // k.ks) AS BIGINT) AS abs_err_ppm
+FROM pairs p
+LEFT JOIN hits h ON h.id_a = p.id_a AND h.id_b = p.id_b
+JOIN ks k ON k.id_a = p.id_a
+ORDER BY p.id_a, p.id_b
+"""

@@ -387,3 +387,82 @@ def containment_pairs(
         )
     )
     return within.unionByName(cross)
+
+
+#: Bottom-k sample size for the containment sketch (D21).
+CONTAINMENT_SKETCH_K = 32
+
+
+def containment_sketch_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = CONTAINMENT_SKETCH_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sketch-vs-exact evaluation of CONTAINMENT estimation — D20's
+    scale path, measured (the D15 convention): at 100 TB you don't
+    verify every candidate with a full sorted-array intersection; you
+    sample each document's k smallest-hash shingles (Broder's min-wise
+    sample) and probe them against the other side's shingle SET —
+    Ĉ(A,B) = hits/k is an unbiased estimate of |A∩B|/|A| because the
+    bottom-k by a uniform hash is a uniform sample of A's shingles.
+
+    Layering: the EXACT side is the D20 operator itself
+    (containment_pairs at the eval threshold — prefix-filtered, no
+    pair scan); the estimate probes each pair's sampled A-shingles
+    against B's shingle set, bounded by pairs·k rows. Sample hashes
+    ride the engine-portable md5 grid with a (hash, shingle) total
+    tie-break, so both engines draw the identical sample; estimates
+    are exact integers (hits·10⁶ div k, with ks = min(k, |A|)).
+
+    Scale shape: D20's plan for the pairs, one shingle explode over
+    the pair-participating docs (semi-join bounded), a per-DOC
+    bottom-k row_number window (documents are plentiful — the
+    high-cardinality case where the per-key window parallelizes),
+    one (doc, shingle) equi-join probe. No cross joins anywhere."""
+    pairs = containment_pairs(df, id_col, text_col, n, threshold).select(
+        "id_a", "id_b", F.floor(F.col("containment") * 1_000_000 + F.lit(0.5)).cast("long").alias("exact_ppm")
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias("d"))
+        .unionByName(pairs.select(F.col("id_b").alias("d")))
+        .distinct()
+    )
+    eligible = df.join(ids, df[id_col] == ids.d, "left_semi")
+    sh = shingle_table(eligible, id_col, text_col, n).persist()
+    hashed = sh.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long"),
+    )
+    wdoc = Window.partitionBy("doc").orderBy(F.col("h").asc(), F.col("shingle").asc())
+    sampled = (
+        hashed.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= k)
+        .select(F.col("doc").alias("id_a"), "shingle")
+    )
+    probe = pairs.select("id_a", "id_b").join(sampled, "id_a")
+    b_side = sh.select(F.col("doc").alias("id_b"), "shingle")
+    hits = (
+        probe.join(b_side, ["id_b", "shingle"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    n_sampled = sampled.groupBy("id_a").agg(F.count(F.lit(1)).alias("ks"))
+    return (
+        pairs.join(hits, ["id_a", "id_b"], "left")
+        .join(n_sampled, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            "exact_ppm",
+            F.expr(
+                "cast(coalesce(hits, 0) as decimal(38,0)) * 1000000 div ks"
+            )
+            .cast("long")
+            .alias("est_ppm"),
+        )
+        .withColumn("abs_err_ppm", F.abs(F.col("exact_ppm") - F.col("est_ppm")))
+        .orderBy("id_a", "id_b")
+    )

@@ -1012,6 +1012,12 @@ from .analytics.drift import (  # noqa: E402
 
 register("events_windowed_psi", events_windowed_psi, EVENTS_WINDOWED_PSI_SQL)
 
+register(
+    "dedup_containment_sketch_eval",
+    dedup_gate.dedup_containment_sketch_eval,
+    dedup_gate.DEDUP_CONTAINMENT_SKETCH_EVAL_SQL,
+)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

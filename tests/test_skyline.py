@@ -536,3 +536,39 @@ def test_business_days_first_ship_is_min(spark):
     )
     r = business_day_latency(orders, li).collect()[0]
     assert r.business_days_total == 2  # Mon 1st → Wed 3rd
+
+
+# ──────────────── D21: containment sketch eval ────────────────
+
+
+def test_containment_sketch_exact_when_doc_fits_in_sample(spark):
+    from data_frame_demo_etl_spark.dedup.jaccard import containment_sketch_eval
+
+    # |A| = 10 shingles ≤ k=32 → the "sample" is ALL of A → est == exact
+    a_words = [f"a{i}" for i in range(12)]
+    host = " ".join(a_words) + " " + " ".join(f"h{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, host)], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r for r in containment_sketch_eval(docs, threshold=0.5).collect()}
+    r = out[(1, 2)]
+    assert r.exact_ppm == 1_000_000 and r.est_ppm == 1_000_000 and r.abs_err_ppm == 0
+
+
+def test_containment_sketch_subsamples_large_docs(spark):
+    from data_frame_demo_etl_spark.dedup.jaccard import containment_sketch_eval
+
+    # |A| = 98 shingles (100 words), B contains all of them → exact 1.0
+    # and every sampled shingle hits → est 1.0 despite k < |A|
+    a_words = [f"w{i}" for i in range(100)]
+    host = " ".join(a_words) + " " + " ".join(f"x{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, host)], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r for r in containment_sketch_eval(docs, threshold=0.5).collect()}
+    assert out[(1, 2)].est_ppm == 1_000_000
+    # partial-containment direction: host → quote has exact < 1; its
+    # estimate is a k-sample proportion — still deterministic
+    if (2, 1) in out:
+        r = out[(2, 1)]
+        assert 0 <= r.est_ppm <= 1_000_000
