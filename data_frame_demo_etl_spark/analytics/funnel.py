@@ -224,3 +224,84 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
        CAST(COALESCE(2 * QUANTILE_CONT(d_us, 0.5), 0) AS BIGINT) AS median2_us
 FROM d
 """
+
+
+# ─────────────── A11: user journey paths ───────────────
+
+from pyspark.sql import Window  # noqa: E402
+
+JOURNEY_LEN = 5
+TOP_PATHS = 50
+
+
+def user_journey_paths(events: DataFrame, depth: int = JOURNEY_LEN) -> DataFrame:
+    """Top entry journeys: each user's FIRST ``depth`` event types in
+    (ts, event_id) order joined into a path string, counted across
+    users — the Sankey/top-paths view a funnel designer reads before
+    committing to a fixed funnel (K49's trigrams answer "what
+    sub-sequences are common ANYWHERE"; this answers "how do journeys
+    START").
+
+    Determinism: the per-user order carries the (ts, event_id) total
+    tie-break; the path is built from sort_array over (position,
+    type) structs, so the string is engine-identical. Top-k is a
+    TakeOrdered with the (count DESC, path ASC) total order.
+
+    Scale shape: ONE Exchange on user_id (row_number + filter ≤ depth
+    inside the sorted partition — users are plentiful, the per-key
+    window parallelizes), one groupBy(user) collect of ≤ depth
+    structs, one map-side-combined groupBy(path) count, one
+    distributed TakeOrdered. No collect_list ever exceeds ``depth``
+    elements per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= depth)
+    )
+    paths = (
+        firsts.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("k"), F.col("event_type").alias("t")))
+            ).alias("steps")
+        )
+        .select(
+            F.array_join(F.transform(F.col("steps"), lambda s: s["t"]), ">").alias(
+                "path"
+            )
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(TOP_PATHS)
+        .select("path", F.col("n_users").cast("long").alias("n_users"))
+    )
+
+
+def events_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: top 50 first-5-event journey paths with user support."""
+    events = load_table(spark, "events", sf_dir)
+    return user_journey_paths(events)
+
+
+EVENTS_USER_JOURNEYS_SQL = f"""
+WITH firsts AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+  FROM events
+),
+paths AS (
+  SELECT user_id, STRING_AGG(event_type, '>' ORDER BY k) AS path
+  FROM firsts
+  WHERE k <= {JOURNEY_LEN}
+  GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {TOP_PATHS}
+"""

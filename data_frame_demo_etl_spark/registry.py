@@ -1018,6 +1018,13 @@ register(
     dedup_gate.DEDUP_CONTAINMENT_SKETCH_EVAL_SQL,
 )
 
+from .analytics.funnel import (  # noqa: E402
+    EVENTS_USER_JOURNEYS_SQL,
+    events_user_journeys,
+)
+
+register("events_user_journeys", events_user_journeys, EVENTS_USER_JOURNEYS_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

@@ -572,3 +572,48 @@ def test_containment_sketch_subsamples_large_docs(spark):
     if (2, 1) in out:
         r = out[(2, 1)]
         assert 0 <= r.est_ppm <= 1_000_000
+
+
+# ──────────────── A11: user journey paths ────────────────
+
+
+def test_user_journeys_first_depth_only(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.funnel import user_journey_paths
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, t, s):
+        return (eid, base + dt.timedelta(seconds=s), uid, t, 1.0)
+
+    rows = (
+        [ev(i, 1, t, i) for i, t in enumerate("ABCDEFG")]  # user 1: 7 events
+        + [ev(100 + i, 2, t, i) for i, t in enumerate("ABCDE")]  # user 2: exactly 5
+        + [ev(200 + i, 3, t, i) for i, t in enumerate("AB")]  # user 3: short journey
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.path: r.n_users for r in user_journey_paths(df, depth=5).collect()}
+    # users 1 and 2 share the truncated first-5 path; user 3 keeps its short one
+    assert out == {"A>B>C>D>E": 2, "A>B": 1}
+
+
+def test_user_journeys_order_is_time_not_id(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.funnel import user_journey_paths
+
+    base = dt.datetime(2024, 1, 1)
+    # event_ids descending while time ascends: path must follow TIME
+    rows = [
+        (9, base + dt.timedelta(seconds=0), 1, "X", 1.0),
+        (5, base + dt.timedelta(seconds=1), 1, "Y", 1.0),
+        (1, base + dt.timedelta(seconds=2), 1, "Z", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = [r.path for r in user_journey_paths(df).collect()]
+    assert out == ["X>Y>Z"]
