@@ -221,3 +221,115 @@ WHERE s IS NOT NULL
 GROUP BY grp
 ORDER BY event_type
 """
+
+
+# ─────────────── K55: log-log elasticity regression ───────────────
+
+
+def loglog_elasticity(
+    li: DataFrame, part: DataFrame, group_col: str = "p_brand"
+) -> DataFrame:
+    """Per-group log-log OLS of quantity on unit price — the
+    elasticity regression (slope of ln q on ln p IS the price
+    elasticity of demand), the econometric member of the trend family
+    (K25 fits level-on-time, K30 robust level-on-time; K55 fits
+    log-on-log across items). On synthetic TPC-H data the slope
+    audits the MACHINERY, not the economy — documented.
+
+    Exactness: unit price lands on the cent grid by exact integral
+    division (extended price cents div quantity — TPC-H quantities
+    are integral), both logs quantize to the 1e-6 grid per row BEFORE
+    the decimal(38,0) sufficient-statistic sums (the L19
+    construction), slope/intercept one fixed IEEE combination.
+    Zero/degenerate variance → NULL.
+
+    Scale shape: one equi-join lineitem⋈part (AQE strategy), one
+    map-side-combined groupBy over the brand vocabulary. No windows,
+    no collects."""
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col(group_col).alias("g"),
+        F.expr(
+            "cast(round(l_extendedprice * 100) as decimal(38,0))"
+            " div cast(l_quantity as decimal(38,0))"
+        ).cast("long").alias("unit_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).filter((F.col("unit_cents") > 0) & (F.col("qty") > 0))
+    dec = "decimal(38,0)"
+    qx = F.floor(
+        F.log(F.col("unit_cents").cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast(dec)
+    qy = F.floor(
+        F.log(F.col("qty").cast("double")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast(dec)
+    s = (
+        j.withColumn("qx", qx)
+        .withColumn("qy", qy)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("qy").alias("sy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / den
+    intercept = (syd - slope * sxd) / nd
+    return s.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.when(den > 0, F.floor(slope * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")).alias(
+            "elasticity_micro"
+        ),
+        F.when(den > 0, F.floor(intercept + F.lit(0.5)).cast("long")).alias(
+            "intercept_micro"
+        ),
+    ).orderBy(group_col)
+
+
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-brand log-log quantity-on-unit-price OLS."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return loglog_elasticity(li, part)
+
+
+BRAND_PRICE_ELASTICITY_SQL = """
+WITH j AS (
+  SELECT p.p_brand AS g,
+         CAST(CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT) // CAST(l.l_quantity AS HUGEINT) AS BIGINT) AS unit_cents,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity > 0
+),
+q AS (
+  SELECT g,
+         CAST(FLOOR(LN(CAST(unit_cents AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) AS qx,
+         CAST(FLOOR(LN(CAST(qty AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) AS qy
+  FROM j
+  WHERE unit_cents > 0 AND qty > 0
+),
+s AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(qx) AS sx, SUM(qy) AS sy, SUM(qx * qx) AS sxx, SUM(qx * qy) AS sxy
+  FROM q GROUP BY g
+)
+SELECT g AS p_brand,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS elasticity_micro,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN CAST(FLOOR(((CAST(sy AS DOUBLE)
+                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS intercept_micro
+FROM s
+ORDER BY p_brand
+"""

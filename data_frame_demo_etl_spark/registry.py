@@ -1025,6 +1025,13 @@ from .analytics.funnel import (  # noqa: E402
 
 register("events_user_journeys", events_user_journeys, EVENTS_USER_JOURNEYS_SQL)
 
+from .analytics.trend import (  # noqa: E402
+    BRAND_PRICE_ELASTICITY_SQL,
+    brand_price_elasticity,
+)
+
+register("brand_price_elasticity", brand_price_elasticity, BRAND_PRICE_ELASTICITY_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

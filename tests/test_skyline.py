@@ -617,3 +617,39 @@ def test_user_journeys_order_is_time_not_id(spark):
     )
     out = [r.path for r in user_journey_paths(df).collect()]
     assert out == ["X>Y>Z"]
+
+
+# ──────────────── K55: log-log elasticity ────────────────
+
+
+def test_elasticity_exact_power_law(spark):
+    import math
+
+    from data_frame_demo_etl_spark.analytics.trend import loglog_elasticity
+
+    # q = 1000/p exactly → slope = −1 in log-log space
+    rows = []
+    for i, p in enumerate([1, 2, 4, 5, 10]):
+        rows.append((i, 100 + i, float(p * (1000 // p)), 1000 // p))
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double, l_quantity long"
+    )
+    part = spark.createDataFrame(
+        [(100 + i, "B1") for i in range(5)], "p_partkey long, p_brand string"
+    )
+    r = loglog_elasticity(li, part).collect()[0]
+    # unit price = extendedprice/qty = p dollars = 100p cents exactly
+    # ln(q) = ln(1000) − ln(p) = ln(100000) − ln(100p) → slope −1
+    assert abs(r.elasticity_micro + 1_000_000) <= 3
+
+
+def test_elasticity_degenerate_single_price_null(spark):
+    from data_frame_demo_etl_spark.analytics.trend import loglog_elasticity
+
+    li = spark.createDataFrame(
+        [(1, 7, 500.0, 5), (2, 7, 900.0, 9)],  # unit price $100 in both
+        "l_orderkey long, l_partkey long, l_extendedprice double, l_quantity long",
+    )
+    part = spark.createDataFrame([(7, "B9")], "p_partkey long, p_brand string")
+    r = loglog_elasticity(li, part).collect()[0]
+    assert r.elasticity_micro is None  # zero price variance
