@@ -335,7 +335,9 @@ def target_encode(
         enc(c) = (Σ_c target + m · global_mean) / (n_c + m)
 
     Exact-integer construction: targets arrive on an integer micro
-    grid; global_mean is floored ONCE onto the same grid
+    grid and must be NON-NEGATIVE (the integral divisions floor ==
+    truncate only then; signed targets take the V7 +offset trick);
+    global_mean is floored ONCE onto the same grid
     (Σ·1 div N — exact integral division), then each category's
     encoding is a second single floor. Both engines reproduce every
     floor, so the encoding is bit-identical — no float accumulation

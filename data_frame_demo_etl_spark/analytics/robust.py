@@ -262,6 +262,11 @@ def bootstrap_mean_ci(
     rows). One pass, B× the CPU of a plain mean — the standard
     Poisson-bootstrap price.
 
+    Sign contract: the integral divisions assume NON-NEGATIVE values
+    (Spark `div` truncates, DuckDB `//` floors — they diverge on
+    negatives; a signed-value deployment applies the V7 +offset trick
+    to both sums before dividing).
+
     Output: n, mean_micro (full-sample, exact integral division),
     ci_lo/ci_hi_micro — the 2nd/31st order statistics of the B=32
     resample means (≈ 5/95 band), selected exactly from the sorted
