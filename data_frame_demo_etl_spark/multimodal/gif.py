@@ -209,6 +209,15 @@ def decode_gif(content: bytes) -> tuple[int, int, int, bytes]:
     extensions skipped."""
     if content[:6] not in GIF_SIGS:
         raise ValueError("not a GIF87a/GIF89a stream")
+    try:
+        return _decode_gif_body(content)
+    except (struct.error, IndexError) as exc:
+        # Corrupt/truncated container: surface the codec contract's
+        # ValueError, not a parser internal.
+        raise ValueError(f"GIF: truncated or corrupt stream ({exc})") from exc
+
+
+def _decode_gif_body(content: bytes) -> tuple[int, int, int, bytes]:
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
     pos = 13
     gct: bytes | None = None

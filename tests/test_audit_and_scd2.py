@@ -112,6 +112,9 @@ CARTESIAN_ALLOWED = {
     # dense (groups × bins × 2) spine — constant-size cross join by
     # construction (analytics/drift.py).
     "events_value_drift_psi",
+    # same bounded bins-spine contract, windowed form: (windows ×
+    # types × bins) dense spines (analytics/drift.py windowed_psi).
+    "events_windowed_psi",
     # type-pair spine (C(T,2) over the type vocabulary) and the
     # OR-membership join of hashes into their pairs — both bounded by
     # the type domain, never by users (analytics/cms.py overlap gate).

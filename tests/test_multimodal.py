@@ -228,6 +228,10 @@ def test_decode_real_sniffs_png_and_names_unsupported():
     with _pytest.raises(ValueError):
         decode_real(b"\xff\xd8\xff\xe0 fake jpeg bytes")
     with _pytest.raises(ValueError, match="JPEG"):
+        decode_real(b"RIFFxxxxWEBP not a supported format")
+    # GIF now dispatches to the real LZW decoder; garbage after the
+    # signature fails INSIDE it with the codec's ValueError.
+    with _pytest.raises(ValueError, match="GIF"):
         decode_real(b"GIF89a not a supported format")
 
 
