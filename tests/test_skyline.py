@@ -653,3 +653,32 @@ def test_elasticity_degenerate_single_price_null(spark):
     part = spark.createDataFrame([(7, "B9")], "p_partkey long, p_brand string")
     r = loglog_elasticity(li, part).collect()[0]
     assert r.elasticity_micro is None  # zero price variance
+
+
+# ──────────────── E6: dynamic partition overwrite ────────────────
+
+
+def test_dynamic_partition_overwrite_replaces_only_written_partitions(spark, tmp_path):
+    """The warehouse sink contract a naive overwrite breaks: with
+    partitionOverwriteMode=dynamic, INSERT OVERWRITE replaces ONLY the
+    partitions present in the incoming frame — static mode would wipe
+    partition 'a' while writing 'b'."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dynpart")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        base = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 10)], "part string, v long"
+        )
+        base.write.partitionBy("part").mode("overwrite").parquet(path)
+        patch = spark.createDataFrame([("b", 99)], "part string, v long")
+        patch.write.partitionBy("part").mode("overwrite").parquet(path)
+        got = {
+            (r.part, r.v) for r in spark.read.parquet(path).collect()
+        }
+        # 'a' rows survive untouched; 'b' fully replaced by the patch
+        assert got == {("a", 1), ("a", 2), ("b", 99)}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
