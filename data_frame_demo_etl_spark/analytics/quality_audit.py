@@ -1551,3 +1551,80 @@ SELECT key AS event_type,
 FROM g
 ORDER BY event_type
 """
+
+
+# ─────────────── Lorenz curve points (K56) ───────────────
+
+
+def lorenz_points(df: DataFrame, key_col: str, n_points: int = 10) -> DataFrame:
+    """Decile points of the Lorenz curve of per-key row counts — the
+    CURVE behind K37's single Gini number (auditors plot L(p) to see
+    WHERE the skew lives: a hockey-stick at the top decile is a
+    hot-key problem, a uniform bow is organic spread).
+
+    Exact construction: per-key counts ascend through the two-pass
+    constant-key prefix layout (rank k, cumulative count cum, totals
+    n/t all exact integers); decile d reads the prefix row at
+    position p_d = max(1, (n·d) div n_points) — an equi-join of the
+    ≤n_points positions against the laid table, never a second sort.
+    Shares land on the exact integral-division ppm grid. The curve is
+    tie-stable: equal counts sort arbitrarily BETWEEN engines, but
+    cum at any fixed position is invariant over permutations of equal
+    values (the prefix-sum-over-ties argument the layout documents).
+
+    Scale shape: one map-side-combined groupBy(key) count, the
+    bounded prefix layout over the KEY table (not the corpus), one
+    broadcast join of n_points positions. Output is n_points rows.
+    The (count, key) order carries the key as tie-break, so the rank
+    is a TOTAL order — engine-identical at every position, stronger
+    than the tie-invariance the layout needs elsewhere."""
+    counts = (
+        df.groupBy(F.col(key_col).alias("kk"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select(F.lit(1).alias("key"), "kk", "x")
+    )
+    laid = _keyed_prefix(counts, ["x", "kk"], "x")
+    deciles = laid.sparkSession.createDataFrame(
+        [(d,) for d in range(1, n_points + 1)], "decile int"
+    )
+    pos = F.greatest(F.lit(1), F.expr("cast(n * decile as long) div " + str(n_points)))
+    return (
+        laid.join(F.broadcast(deciles), F.col("k") == pos)
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("k").cast("long").alias("n_keys_cum"),
+            F.expr("k * 1000000 div n").cast("long").alias("pop_share_ppm"),
+            F.expr("cum * 1000000 div t").cast("long").alias("mass_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def lineitem_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Lorenz deciles of lineitem rows per supplier — the curve
+    whose area K37 summarizes as the supplier Gini."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return lorenz_points(li, "l_suppkey")
+
+
+LINEITEM_LORENZ_CURVE_SQL = """
+WITH counts AS (
+  SELECT l_suppkey AS kk, CAST(COUNT(*) AS BIGINT) AS x FROM lineitem GROUP BY l_suppkey
+),
+laid AS (
+  SELECT kk, x,
+         ROW_NUMBER() OVER (ORDER BY x, kk) AS k,
+         SUM(x) OVER (ORDER BY x, kk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER () AS n,
+         SUM(x) OVER () AS t
+  FROM counts
+),
+deciles AS (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS decile)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(l.k AS BIGINT) AS n_keys_cum,
+       CAST(l.k * 1000000 // l.n AS BIGINT) AS pop_share_ppm,
+       CAST(l.cum * 1000000 // l.t AS BIGINT) AS mass_share_ppm
+FROM laid l
+JOIN deciles d ON l.k = GREATEST(1, (l.n * d.decile) // 10)
+ORDER BY decile
+"""

@@ -1032,6 +1032,13 @@ from .analytics.trend import (  # noqa: E402
 
 register("brand_price_elasticity", brand_price_elasticity, BRAND_PRICE_ELASTICITY_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    LINEITEM_LORENZ_CURVE_SQL,
+    lineitem_lorenz_curve,
+)
+
+register("lineitem_lorenz_curve", lineitem_lorenz_curve, LINEITEM_LORENZ_CURVE_SQL)
+
 # ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation

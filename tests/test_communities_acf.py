@@ -507,3 +507,31 @@ def test_runs_single_arm_null(spark):
 
     r = runs_test(_runs_df(spark, [1, 1, 1, 1])).collect()[0]
     assert r.z_micro is None
+
+
+# ──────────────── K56: Lorenz curve deciles ────────────────
+
+
+def test_lorenz_uniform_is_diagonal(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import lorenz_points
+
+    # 10 keys with equal counts → L(p) = p exactly at every decile
+    rows = [(k, i) for k in range(10) for i in range(7)]
+    df = spark.createDataFrame(rows, "g long, i long")
+    out = {r.decile: r for r in lorenz_points(df, "g").collect()}
+    assert len(out) == 10
+    for d in range(1, 11):
+        assert out[d].pop_share_ppm == d * 100_000
+        assert out[d].mass_share_ppm == d * 100_000
+
+
+def test_lorenz_extreme_skew_hockey_stick(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import lorenz_points
+
+    # 9 keys with 1 row, 1 key with 91 → bottom 90% of keys hold 9%
+    rows = [(k, 0) for k in range(9)] + [(99, i) for i in range(91)]
+    df = spark.createDataFrame(rows, "g long, i long")
+    out = {r.decile: r for r in lorenz_points(df, "g").collect()}
+    assert out[9].mass_share_ppm == 90_000     # 9/100
+    assert out[10].mass_share_ppm == 1_000_000
+    assert out[1].mass_share_ppm == 10_000     # 1/100
