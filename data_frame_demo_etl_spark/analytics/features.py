@@ -335,9 +335,10 @@ def target_encode(
         enc(c) = (Σ_c target + m · global_mean) / (n_c + m)
 
     Exact-integer construction: targets arrive on an integer micro
-    grid and must be NON-NEGATIVE (the integral divisions floor ==
-    truncate only then; signed targets take the V7 +offset trick);
-    global_mean is floored ONCE onto the same grid
+    grid, signed or not (Spark `div` and DuckDB `//` BOTH truncate
+    toward zero — measured, pinned with negative targets by
+    tests/test_signed_divisions.py; the r9 non-negative contract is
+    retired); global_mean is truncated ONCE onto the same grid
     (Σ·1 div N — exact integral division), then each category's
     encoding is a second single floor. Both engines reproduce every
     floor, so the encoding is bit-identical — no float accumulation

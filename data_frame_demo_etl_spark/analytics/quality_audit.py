@@ -1565,16 +1565,20 @@ def lorenz_points(df: DataFrame, key_col: str, n_points: int = 10) -> DataFrame:
     Exact construction: per-key counts ascend through the two-pass
     constant-key prefix layout (rank k, cumulative count cum, totals
     n/t all exact integers); decile d reads the prefix row at
-    position p_d = max(1, (n·d) div n_points) — an equi-join of the
-    ≤n_points positions against the laid table, never a second sort.
-    Shares land on the exact integral-division ppm grid. The curve is
-    tie-stable: equal counts sort arbitrarily BETWEEN engines, but
-    cum at any fixed position is invariant over permutations of equal
-    values (the prefix-sum-over-ties argument the layout documents).
+    position p_d = max(1, (n·d) div n_points). Rather than joining a
+    decile table on that non-equi condition (which plans as a
+    BroadcastNestedLoopJoin — the r9 cartesian audit rightly flags
+    it), each laid row computes the ≤n_points deciles that land on
+    its position with filter(sequence(1, n_points)) and explodes —
+    a narrow map over the laid table, NO join at all. Shares land on
+    the exact integral-division ppm grid. The curve is tie-stable:
+    equal counts sort arbitrarily BETWEEN engines, but cum at any
+    fixed position is invariant over permutations of equal values
+    (the prefix-sum-over-ties argument the layout documents).
 
     Scale shape: one map-side-combined groupBy(key) count, the
     bounded prefix layout over the KEY table (not the corpus), one
-    broadcast join of n_points positions. Output is n_points rows.
+    O(n_points) filter per laid row. Output is n_points rows.
     The (count, key) order carries the key as tie-break, so the rank
     is a TOTAL order — engine-identical at every position, stronger
     than the tie-invariance the layout needs elsewhere."""
@@ -1584,12 +1588,12 @@ def lorenz_points(df: DataFrame, key_col: str, n_points: int = 10) -> DataFrame:
         .select(F.lit(1).alias("key"), "kk", "x")
     )
     laid = _keyed_prefix(counts, ["x", "kk"], "x")
-    deciles = laid.sparkSession.createDataFrame(
-        [(d,) for d in range(1, n_points + 1)], "decile int"
+    hits = F.expr(
+        f"filter(sequence(1, {n_points}), "
+        f"d -> greatest(1L, (n * cast(d as long)) div {n_points}) = k)"
     )
-    pos = F.greatest(F.lit(1), F.expr("cast(n * decile as long) div " + str(n_points)))
     return (
-        laid.join(F.broadcast(deciles), F.col("k") == pos)
+        laid.select(F.explode(hits).alias("decile"), "k", "cum", "n", "t")
         .select(
             F.col("decile").cast("long").alias("decile"),
             F.col("k").cast("long").alias("n_keys_cum"),

@@ -262,10 +262,12 @@ def bootstrap_mean_ci(
     rows). One pass, B× the CPU of a plain mean — the standard
     Poisson-bootstrap price.
 
-    Sign contract: the integral divisions assume NON-NEGATIVE values
-    (Spark `div` truncates, DuckDB `//` floors — they diverge on
-    negatives; a signed-value deployment applies the V7 +offset trick
-    to both sums before dividing).
+    Sign-total: the integral divisions are engine-identical for
+    SIGNED values too — Spark `div` (long and decimal(38,0)) and
+    DuckDB `//` (BIGINT and HUGEINT) both truncate toward zero
+    (measured; pinned by tests/test_signed_divisions.py, which runs
+    this operator on negative means against the literal DuckDB
+    translation). The r9 non-negative contract is retired.
 
     Output: n, mean_micro (full-sample, exact integral division),
     ci_lo/ci_hi_micro — the 2nd/31st order statistics of the B=32
