@@ -14,18 +14,19 @@ stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
 As of round 6 the rotation is expressed as an explicit name list
-(``_R9_WINDOW`` at the bottom of this module) that REORDERS the
+(``_R10_WINDOW`` at the bottom of this module) that REORDERS the
 registry dict after all registrations — the physical layout of the
 ``register()`` calls no longer encodes the window, the list does.
-Round-9 window composition:
-- the 3 round-8 additions registered after the r8 window froze
-  (never externally verified; judge-verified 3/3 in the r8 verdict
-  session), plus every gate added or redefined during round 9;
+Round-10 window composition:
+- the 26 round-9-continuation additions registered after the r9
+  window froze (never externally verified; judge-verified 26/26 in
+  the r9 verdict session), plus every gate added or redefined during
+  round 10;
 - the 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
   streaming, temporal, sources, sampling, the LLM flagship);
 - backfill rows whose newest external green is oldest (the r4-era
-  remainder, in registration order).
-Every other query is driver-green r3–r8 against its current
+  remainder the r9 rotation displaced, in registration order).
+Every other query is driver-green r3–r9 against its current
 definition and sits in tier 2, still fully covered by pytest + the
 local oracle harness.
 """
@@ -1039,35 +1040,47 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("lineitem_lorenz_curve", lineitem_lorenz_curve, LINEITEM_LORENZ_CURVE_SQL)
 
-# ═══════════════ ROUND-9 DRIVER WINDOW (explicit rotation) ═══════════════
+# ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
-# round-9 window (TIER_ROTATION.md "Round-9 window draft"). Rotation
-# targets first (the 3 round-8 additions registered after the r8
-# window froze — none has an external green row; judge-verified 3/3
-# in the r8 verdict session — plus every gate added or redefined in
-# round 9), then the keeper spine, then backfill whose newest green
-# row is oldest (the r4-era remainder, in registration order).
-_R9_WINDOW: tuple[str, ...] = (
-    # --- rotation targets: r8 additions, never externally verified (3)
-    #     (D17/D18 redefined in r9: 62-bit two-limb Karp–Rabin modulus
-    #     replaces the 31-bit one — collision-hardened; fresh rows)
-    "docs_exact_substring_mass",
-    "docs_remove_duplicate_spans",
-    "embeddings_matryoshka_recall",
-    # --- new in r9 (never externally verified)
-    "docs_decontaminate",
-    "corpus_dsir_sample",
-    "unigram_lm_vocab",
-    "docs_unigram_tokens",
-    "supplier_communities",
-    "events_user_acf",
-    "embeddings_mmr_rerank",
-    "docs_stratified_sample",
-    "events_type_correlation",
-    "customer_l_diversity",
-    "users_churn_survival",
-    "events_mannwhitney",
-    # --- keeper spine (12)
+# round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation
+# targets first (the 26 round-9-continuation additions registered
+# AFTER _R9_WINDOW froze — judge-verified 26/26 in the r9 verdict
+# session but no external green row yet — plus every gate added or
+# redefined in round 10), then the keeper spine, then backfill whose
+# newest green row is oldest (the r4-era remainder the r9 rotation
+# displaced, in registration order).
+_R10_WINDOW: tuple[str, ...] = (
+    # --- rotation targets: r9b additions, never externally verified (26)
+    #     (lineitem_lorenz_curve redefined in r10: the decile lookup is
+    #     now filter(sequence)+explode — narrow map, no nested-loop
+    #     join; identical 10 rows, fresh plan ⇒ fresh external row)
+    "events_ks_test",
+    "events_spearman",
+    "parts_pareto_frontier",
+    "events_chisq_independence",
+    "events_mutual_information",
+    "events_sequence_trigrams",
+    "orders_fd_audit",
+    "supplier_reach_hops",
+    "embeddings_hard_negatives",
+    "customer_segment_target_encoding",
+    "docs_zipf_fit",
+    "events_welch_ttest",
+    "dedup_containment",
+    "docs_heaps_fit",
+    "events_bootstrap_ci",
+    "multimodal_decode_gif",
+    "docs_ht_estimate",
+    "events_runs_test",
+    "docs_flesch_readability",
+    "docs_dp_release",
+    "orders_business_latency",
+    "events_windowed_psi",
+    "dedup_containment_sketch_eval",
+    "events_user_journeys",
+    "brand_price_elasticity",
+    "lineitem_lorenz_curve",
+    # --- keeper spine (12, unchanged from r9)
     "q1_pricing_summary",
     "revenue_by_region",
     "llm_prep_pipeline",
@@ -1080,51 +1093,27 @@ _R9_WINDOW: tuple[str, ...] = (
     "ingest_csv_template",
     "pipeline_e2e",
     "sample_documents",
-    # --- backfill: newest external green row is oldest —
-    #     the r4-era remainder, in registration order (14; the eight
-    #     deepest rows displaced by the round-9 additions
-    #     supplier_communities / events_user_acf /
-    #     embeddings_mmr_rerank / docs_stratified_sample /
-    #     events_type_correlation / customer_l_diversity /
-    #     users_churn_survival / events_mannwhitney)
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "rolling_30d_customer_revenue",
-    "lapsed_customers_except",
-    "events_cube_summary",
-    "text_repetition_signals",
-    "bpe_encode_documents",
-    "events_approx_stats",
-    "query_builder_filter",
-    # --- redefined in r9: the hot-key anti-cap joins (minhash
-    #     cap_hot_buckets, fuzzy _capped_blocks, winnowing, the
-    #     leakage/sweep signature caps, incremental index) no longer
-    #     FORCE F.broadcast(hot) — the over-cap key set is bounded by
-    #     postings/cap, not a constant, so the strategy is left to AQE
-    #     (broadcast when runtime size allows, shuffled anti when a
-    #     boilerplate-heavy corpus would blow the driver). Identical
-    #     results; physical plan change ⇒ fresh external rows.
-    "dedup_clusters_minhash",
-    "dedup_clusters_keep_best",
-    "dedup_sketch_eval",
-    "split_leakage_check",
-    "dedup_lsh_threshold_sweep",
-    "supplier_fuzzy_matches",
-    "supplier_er_scores",
-    "docs_winnowing_matches",
-    "dedup_incremental",
+    # --- backfill: newest external green row is oldest — the twelve
+    #     r4-era rows the r9 rotation displaced, in registration order
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_stock",
+    "top_parts_per_brand",
+    "window_running_total",
+    "churned_customers",
+    "customers_without_orders",
+    "orders_above_customer_avg",
 )
 
-assert len(_R9_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R9_WINDOW)}"
-_missing = [n for n in _R9_WINDOW if n not in _REGISTRY]
+assert len(_R10_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R10_WINDOW)}"
+_missing = [n for n in _R10_WINDOW if n not in _REGISTRY]
 assert not _missing, f"window names not registered: {_missing}"
 
-_rotated = {n: _REGISTRY[n] for n in _R9_WINDOW}
+_rotated = {n: _REGISTRY[n] for n in _R10_WINDOW}
 _rotated.update({n: e for n, e in _REGISTRY.items() if n not in _rotated})
 _REGISTRY.clear()
 _REGISTRY.update(_rotated)
@@ -1132,4 +1121,4 @@ _REGISTRY.update(_rotated)
 #: The driver-window queries, in (post-rotation) registration order
 #: (consumed by the plan-contract test, which holds every windowed
 #: plan to the scan/join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = _R9_WINDOW
+TIER1_NAMES: tuple[str, ...] = _R10_WINDOW

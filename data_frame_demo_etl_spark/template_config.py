@@ -45,7 +45,7 @@ def parse_skiprows(raw: str | None) -> list[int]:
 class TemplateConfig:
     """Unified template (field names match the reference JSON format)."""
 
-    source_type: str = "csv"  # csv | excel | jsonl | parquet | sql
+    source_type: str = "csv"  # csv | excel | jsonl | parquet | orc | avro | sql
     sheet: str | int | None = None
     sheets: list = field(default_factory=list)
     header_row: int = 0

@@ -458,3 +458,46 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r.id: (r.a, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     assert set(df.columns) == {"id", "a", "score"}
+
+
+# ──────────────── Avro source (availability-gated) ────────────────
+
+
+def test_avro_gate_named_error_when_module_absent(spark, tmp_path):
+    """spark-avro is an external module this container does not deploy;
+    the gate must (a) detect that without I/O and (b) turn Spark's
+    opaque 'Failed to find data source' into a named, actionable error
+    carrying the --packages coordinate. If a future image ships the
+    jar, the same test proves the round-trip instead."""
+    from data_frame_demo_etl_spark.sources.readers import (
+        AVRO_PACKAGE,
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    if avro_available(spark):
+        p = str(tmp_path / "avro_rt")
+        write_avro(df, p)
+        back = read_avro(spark, p)
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ModuleNotFoundError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "nope"))
+        with _pytest.raises(ModuleNotFoundError, match="--packages"):
+            write_avro(df, str(tmp_path / "nope"))
+
+
+def test_avro_template_routes_through_gate(spark, tmp_path):
+    from data_frame_demo_etl_spark.sources.readers import avro_available, read_with_template
+    from data_frame_demo_etl_spark.template_config import TemplateConfig
+
+    import pytest as _pytest
+
+    tpl = TemplateConfig(source_type="avro")
+    if not avro_available(spark):
+        with _pytest.raises(ModuleNotFoundError, match="spark-avro"):
+            read_with_template(spark, str(tmp_path / "x.avro"), tpl)
