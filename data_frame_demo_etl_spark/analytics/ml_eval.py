@@ -1,0 +1,522 @@
+"""Model-evaluation primitives — the metrics a training-data pipeline
+computes AFTER the model (or a heuristic scorer) runs: ROC-AUC,
+inter-rater agreement, the best single-split stump, and CUPED
+variance-reduced A/B means.
+
+Reference parity: the reference's analytics layer stops at funnel /
+engagement aggregates (src/analytics.py); this family extends the
+engine to the evaluation metrics its users compute downstream, the
+same way the K-family extends the statistical audits. Everything is
+exact integer arithmetic on the cent/ppm grids (the K42 doubled-rank
+and V7 count-algebra conventions), so every gate is fully
+DuckDB-oracled with no float knife-edges.
+
+Scale shapes: AUC rides the (key, cents) value-domain aggregation +
+two-pass keyed prefix (never a per-row global window); kappa and CUPED
+are one map-side-combined aggregation each; the stump enumerates the
+VALUE-DOMAIN (distinct cents) as split candidates, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+from .quality_audit import _keyed_prefix
+
+DEC = "decimal(38,0)"
+
+
+# ─────────────── ROC-AUC (rank-sum, tie-exact) ───────────────
+
+
+def roc_auc(
+    df: DataFrame,
+    key_col,
+    label_col,
+    score_cents_col,
+) -> DataFrame:
+    """Per-key ROC-AUC of an integer score against a binary label —
+    the probability a random positive outscores a random negative,
+    ties counted half. Computed EXACTLY via the Mann–Whitney identity
+    (AUC = U⁺/(n⁺·n⁻)) on doubled rank sums, so ties need no float
+    midranks: 2·ranksum⁺ = Σ_v p_v·(2·before_v + t_v + 1) over the
+    distinct-score table, U2 = 2·ranksum⁺ − n⁺(n⁺+1), and
+    auc_ppm = U2·10⁶ div (2·n⁺·n⁻) — integers end to end (K42's
+    construction, reused for the metric instead of the test).
+
+    Scale: one (key, score) map-side-combined aggregation (value-
+    domain-sized output), the two-pass keyed prefix, one ≤keys agg."""
+    cnt = (
+        df.select(
+            key_col.alias("key"),
+            score_cents_col.alias("cents"),
+            label_col.alias("is_pos"),
+        )
+        .filter(F.col("cents").isNotNull() & F.col("is_pos").isNotNull())
+        .groupBy("key", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_pos")).alias("pv"),
+        )
+    )
+    pre = _keyed_prefix(cnt, ["cents"], "tv")
+    before = (F.col("cum") - F.col("tv")).cast(DEC)
+    term = F.col("pv").cast(DEC) * (
+        F.lit(2).cast(DEC) * before + F.col("tv").cast(DEC) + F.lit(1).cast(DEC)
+    )
+    g = (
+        pre.withColumn("r2p_term", term)
+        .groupBy("key")
+        .agg(
+            F.first("t").alias("n_rows"),
+            F.sum("pv").alias("n_pos"),
+            F.sum("r2p_term").alias("r2p"),
+        )
+    )
+    npos = F.col("n_pos").cast(DEC)
+    nneg = F.col("n_rows").cast(DEC) - npos
+    u2 = F.col("r2p") - npos * (npos + F.lit(1).cast(DEC))
+    return g.select(
+        F.col("key"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        nneg.cast("long").alias("n_neg"),
+        u2.cast("long").alias("u2_pos"),
+        F.when(
+            (npos > 0) & (nneg > 0),
+            F.expr("(r2p - cast(n_pos as decimal(38,0)) * (cast(n_pos as decimal(38,0)) + 1)) * 1000000")
+            .cast(DEC),
+        ).alias("__num"),
+        (F.lit(2).cast(DEC) * npos * nneg).alias("__den"),
+    ).select(
+        "key",
+        "n_pos",
+        "n_neg",
+        "u2_pos",
+        F.when(F.col("__den") > 0, F.expr("__num div __den")).cast("long").alias("auc_ppm"),
+    )
+
+
+def events_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: does event value predict a purchase? ROC-AUC of the cent
+    score against the purchase label, per user-parity arm (the same
+    arms K36/K42 test — here they measure metric stability: two arms
+    of the same traffic should show the same AUC)."""
+    events = load_table(spark, "events", sf_dir)
+    return roc_auc(
+        events.filter(F.col("value").isNotNull()),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+        F.col("event_type") == F.lit("purchase"),
+        F.round(F.col("value") * 100).cast("long"),
+    ).withColumnRenamed("key", "arm").orderBy("arm")
+
+
+EVENTS_VALUE_AUC_SQL = """
+WITH cnt AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS key,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS pv
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, tv, pv,
+         SUM(tv) OVER (PARTITION BY key ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS before_v
+  FROM cnt
+),
+g AS (
+  SELECT key,
+         CAST(SUM(tv) AS HUGEINT) AS n_rows,
+         CAST(SUM(pv) AS HUGEINT) AS n_pos,
+         SUM(CAST(pv AS HUGEINT) * (2 * CAST(before_v AS HUGEINT) + CAST(tv AS HUGEINT) + 1)) AS r2p
+  FROM pre GROUP BY key
+)
+SELECT key AS arm,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_rows - n_pos AS BIGINT) AS n_neg,
+       CAST(r2p - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+       CASE WHEN n_pos > 0 AND n_rows - n_pos > 0
+            THEN CAST((r2p - n_pos * (n_pos + 1)) * 1000000
+                      // (2 * n_pos * (n_rows - n_pos)) AS BIGINT)
+       END AS auc_ppm
+FROM g
+ORDER BY arm
+"""
+
+
+# ─────────────── Cohen's kappa (two deterministic raters) ───────────────
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a_col, rater_b_col
+) -> DataFrame:
+    """Chance-corrected agreement between two binary raters:
+
+        κ = (p_o − p_e) / (1 − p_e)
+          = (n·agree − (r1·c1 + r0·c0)) / (n² − (r1·c1 + r0·c0))
+
+    — one count algebra, no floats: kappa_ppm is a single integral
+    division of exact integers (numerator may be negative — worse-
+    than-chance agreement — which both engines truncate identically,
+    tests/test_signed_divisions.py). One map-side-combined pass."""
+    g = (
+        df.select(rater_a_col.alias("ra"), rater_b_col.alias("rb"))
+        .filter(F.col("ra").isNotNull() & F.col("rb").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("ra") & F.col("rb")).alias("n11"),
+            F.count_if(F.col("ra") & ~F.col("rb")).alias("n10"),
+            F.count_if(~F.col("ra") & F.col("rb")).alias("n01"),
+        )
+    )
+    n = F.col("n").cast(DEC)
+    n11 = F.col("n11").cast(DEC)
+    n10 = F.col("n10").cast(DEC)
+    n01 = F.col("n01").cast(DEC)
+    n00 = n - n11 - n10 - n01
+    r1 = n11 + n10
+    c1 = n11 + n01
+    r0 = n - r1
+    c0 = n - c1
+    pe_num = r1 * c1 + r0 * c0
+    num = (n * (n11 + n00) - pe_num) * F.lit(1_000_000).cast(DEC)
+    den = n * n - pe_num
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n_both"),
+        (n11 + n00).cast("long").alias("n_agree"),
+        F.when(den > 0, num.cast(DEC))
+        .alias("__num"),
+        den.alias("__den"),
+    ).select(
+        "n",
+        "n_both",
+        "n_agree",
+        F.when(F.col("__den") > 0, F.expr("__num div __den"))
+        .cast("long")
+        .alias("kappa_ppm"),
+    )
+
+
+def events_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: κ between the 'high-value' rater (value ≥ 50) and the
+    'conversion-intent' rater (type ∈ {click, purchase}) — the
+    label-quality audit run before trusting either as training
+    signal."""
+    events = load_table(spark, "events", sf_dir)
+    return cohens_kappa(
+        events.filter(F.col("value").isNotNull()),
+        F.round(F.col("value") * 100).cast("long") >= 5000,
+        F.col("event_type").isin("click", "purchase"),
+    )
+
+
+EVENTS_RATER_AGREEMENT_SQL = """
+WITH g AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100) AS BIGINT) >= 5000
+                                 AND event_type IN ('click', 'purchase')) AS HUGEINT) AS n11,
+         CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100) AS BIGINT) >= 5000
+                                 AND event_type NOT IN ('click', 'purchase')) AS HUGEINT) AS n10,
+         CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100) AS BIGINT) < 5000
+                                 AND event_type IN ('click', 'purchase')) AS HUGEINT) AS n01
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS n_both,
+       CAST(n11 + (n - n11 - n10 - n01) AS BIGINT) AS n_agree,
+       CASE WHEN n * n - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01)) > 0
+            THEN CAST((n * (n11 + (n - n11 - n10 - n01))
+                       - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01))) * 1000000
+                      // (n * n - ((n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01)))
+                 AS BIGINT)
+       END AS kappa_ppm
+FROM g
+"""
+
+
+# ─────────────── decision stump (best single split by Gini) ───────────────
+
+STUMP_TOP = 5
+
+
+def gini_stump(
+    df: DataFrame, label_col, score_cents_col, top: int = STUMP_TOP
+) -> DataFrame:
+    """The best `top` split thresholds on an integer score for a
+    binary label, by weighted Gini impurity — the depth-1 tree that
+    answers "is this feature worth anything?" before training spends
+    real compute on it.
+
+    A split at threshold v sends cents < v left, ≥ v right. Both
+    sides' class counts come from ONE prefix pass over the distinct-
+    cents table (candidates = value domain, never the corpus). The
+    impurity is scored on a deterministic ppm grid:
+
+        gini_ppm(v) = (L² − Lp² − Ln²)·10⁶ div (L·n)
+                    + (R² − Rp² − Rn²)·10⁶ div (R·n)
+
+    (two explicit floors — the GRID is the definition, so both
+    engines agree bit-for-bit; the float form differs from it by
+    < 2 ppm which never flips a comparison that matters at corpus
+    sizes). Ties rank by smaller threshold."""
+    cnt = (
+        df.select(
+            F.lit(1).alias("key"),
+            score_cents_col.alias("cents"),
+            label_col.alias("is_pos"),
+        )
+        .filter(F.col("cents").isNotNull() & F.col("is_pos").isNotNull())
+        .groupBy("key", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_pos")).alias("pv"),
+        )
+    )
+    pre = _keyed_prefix(cnt, ["cents"], ["tv", "pv"])
+    lt = (F.col("cum_tv") - F.col("tv")).cast(DEC)  # rows strictly below v
+    lp = (F.col("cum_pv") - F.col("pv")).cast(DEC)
+    n = F.col("t_tv").cast(DEC)
+    tp = F.col("t_pv").cast(DEC)
+    rt = n - lt
+    rp = tp - lp
+    ln_ = lt - lp
+    rn_ = rt - rp
+    side = lambda tot, pos, neg: (tot * tot - pos * pos - neg * neg) * F.lit(  # noqa: E731
+        1_000_000
+    ).cast(DEC)
+    gini = F.when(
+        (lt > 0) & (rt > 0),
+        F.expr(
+            "(__ls div __ld) + (__rs div __rd)"
+        ),
+    )
+    scored = (
+        pre.withColumn("__ls", side(lt, lp, ln_))
+        .withColumn("__ld", (lt * n))
+        .withColumn("__rs", side(rt, rp, rn_))
+        .withColumn("__rd", (rt * n))
+        .withColumn("gini_ppm", gini.cast("long"))
+        .filter(F.col("gini_ppm").isNotNull())
+        .select(F.col("cents").alias("threshold_cents"), "gini_ppm")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy(
+        F.col("gini_ppm").asc(), F.col("threshold_cents").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("threshold_cents").cast("long").alias("threshold_cents"),
+            "gini_ppm",
+        )
+        .orderBy("rank")
+    )
+
+
+def events_purchase_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the 5 best value thresholds separating purchases from
+    the rest — the one-feature baseline every fancier model must
+    beat."""
+    events = load_table(spark, "events", sf_dir)
+    return gini_stump(
+        events.filter(F.col("value").isNotNull()),
+        F.col("event_type") == F.lit("purchase"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+EVENTS_PURCHASE_STUMP_SQL = f"""
+WITH cnt AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS pv
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+pre AS (
+  SELECT cents, tv, pv,
+         CAST(SUM(tv) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS HUGEINT) AS lt,
+         CAST(SUM(pv) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pv AS HUGEINT) AS lp,
+         CAST(SUM(tv) OVER () AS HUGEINT) AS n,
+         CAST(SUM(pv) OVER () AS HUGEINT) AS tp
+  FROM cnt
+),
+scored AS (
+  SELECT cents AS threshold_cents,
+         CAST(((lt * lt - lp * lp - (lt - lp) * (lt - lp)) * 1000000 // (lt * n))
+              + (((n - lt) * (n - lt) - (tp - lp) * (tp - lp)
+                  - ((n - lt) - (tp - lp)) * ((n - lt) - (tp - lp))) * 1000000 // ((n - lt) * n))
+           AS BIGINT) AS gini_ppm
+  FROM pre
+  WHERE lt > 0 AND n - lt > 0
+)
+SELECT CAST(rank AS BIGINT) AS rank, threshold_cents, gini_ppm FROM (
+  SELECT threshold_cents, gini_ppm,
+         ROW_NUMBER() OVER (ORDER BY gini_ppm ASC, threshold_cents ASC) AS rank
+  FROM scored
+) WHERE rank <= {STUMP_TOP}
+ORDER BY rank
+"""
+
+
+# ─────────────── CUPED variance-reduced A/B means ───────────────
+
+
+def cuped_adjusted_means(
+    pre_post: DataFrame,
+) -> DataFrame:
+    """CUPED (Deng et al. 2013): shrink each arm's post-period mean by
+    θ·(its pre-period mean − the global pre mean), θ = cov(pre, post)
+    / var(pre) fit on ALL units — removing the variance explained by
+    pre-experiment behavior without biasing the contrast.
+
+    Input: one row per unit (unit_id, arm, pre_cents, post_cents).
+    Grid arithmetic: θ lands once on the ppm grid
+    (θ_ppm = (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − Σx²) — numerator signed,
+    truncation parity verified); each arm's adjusted mean is then
+
+        adj_micro = post_mean_micro − θ_ppm·(pre_mean_micro −
+                    global_pre_mean_micro) div 10⁶
+
+    — every intermediate an exact integer, so both engines agree
+    bit-for-bit. Scale: one global agg + one per-arm agg, both
+    map-side-combined; the join is a broadcast of one scalar row."""
+    units = pre_post.select(
+        "arm",
+        F.col("pre_cents").cast("long").alias("x"),
+        F.col("post_cents").cast("long").alias("y"),
+    )
+    glob = units.agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum("x").cast(DEC).alias("sx"),
+        F.sum("y").cast(DEC).alias("sy"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC)).alias("sxx"),
+        F.sum(F.col("x").cast(DEC) * F.col("y").cast(DEC)).alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+            F.expr(
+                "((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+            ),
+        ).alias("theta_ppm"),
+        F.expr("(sx * 1000000) div n").alias("gpre_micro"),
+    )
+    arms = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(DEC).alias("na"),
+        F.sum("x").cast(DEC).alias("sxa"),
+        F.sum("y").cast(DEC).alias("sya"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(glob))
+        .select(
+            "arm",
+            F.col("na").cast("long").alias("n_units"),
+            F.expr("(sya * 1000000) div na").cast("long").alias("post_mean_micro"),
+            F.col("theta_ppm").cast("long").alias("theta_ppm"),
+            F.when(
+                F.col("theta_ppm").isNotNull(),
+                F.expr(
+                    "(sya * 1000000) div na"
+                    " - (theta_ppm * ((sxa * 1000000) div na - gpre_micro)) div 1000000"
+                ),
+            )
+            .cast("long")
+            .alias("adj_mean_micro"),
+        )
+        .orderBy("arm")
+    )
+
+
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: CUPED-adjusted per-arm mean event value. Units are users;
+    pre = each user's value sum in the first half of the observed
+    window, post = second half (split at the midpoint timestamp,
+    computed as an exact epoch-second integral midpoint); arms are
+    user parity."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    bounds = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .withColumn("__mid", F.expr("(lo + hi) div 2"))
+        .groupBy(F.col("user_id"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_timestamp("ts") <= F.col("__mid"),
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("pre_cents"),
+            F.sum(
+                F.when(
+                    F.unix_timestamp("ts") > F.col("__mid"),
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("post_cents"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+            "pre_cents",
+            "post_cents",
+        )
+    )
+    return cuped_adjusted_means(per_user)
+
+
+EVENTS_CUPED_ADJUSTMENT_SQL = """
+WITH bounds AS (
+  SELECT CAST(MIN(EPOCH(ts)) AS BIGINT) AS lo, CAST(MAX(EPOCH(ts)) AS BIGINT) AS hi
+  FROM events WHERE value IS NOT NULL
+),
+units AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CASE WHEN CAST(EPOCH(ts) AS BIGINT) <= (lo + hi) // 2
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+         CAST(SUM(CASE WHEN CAST(EPOCH(ts) AS BIGINT) > (lo + hi) // 2
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
+  FROM events CROSS JOIN bounds
+  WHERE value IS NOT NULL
+  GROUP BY user_id
+),
+glob AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM units
+),
+g2 AS (
+  SELECT n, sx,
+         CASE WHEN n * sxx - sx * sx > 0
+              THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+         END AS theta_ppm,
+         (sx * 1000000) // n AS gpre_micro
+  FROM glob
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS HUGEINT) AS na,
+         CAST(SUM(x) AS HUGEINT) AS sxa, CAST(SUM(y) AS HUGEINT) AS sya
+  FROM units GROUP BY arm
+)
+SELECT arm,
+       CAST(na AS BIGINT) AS n_units,
+       CAST((sya * 1000000) // na AS BIGINT) AS post_mean_micro,
+       CAST(theta_ppm AS BIGINT) AS theta_ppm,
+       CASE WHEN theta_ppm IS NOT NULL
+            THEN CAST((sya * 1000000) // na
+                      - (theta_ppm * ((sxa * 1000000) // na - gpre_micro)) // 1000000
+                 AS BIGINT)
+       END AS adj_mean_micro
+FROM arms CROSS JOIN g2
+ORDER BY arm
+"""

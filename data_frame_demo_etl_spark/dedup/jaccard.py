@@ -270,6 +270,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.9,
+    prefix_df_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, containment) for all DIRECTED pairs with
     Broder containment C(A,B) = |A∩B| / |A| ≥ threshold — the
@@ -296,13 +297,24 @@ def containment_pairs(
     threshold compared in integers (inter·10⁶ ≥ |A|·t·10⁶ — no float
     knife-edge). ⌈t·|A|⌉ uses the same exact integer ceiling as D4.
 
-    Scale note (honest bound): the one-sided join's output is
+    Scale note (MEASURED bound, scripts/scaling_boilerplate.py
+    --corpus hostile): the one-sided join's output is
     Σ_h prefix_df(h)·df(h). Rare-first ordering keeps prefix_df small
-    on natural corpora, but a document whose EVERY shingle is
-    corpus-ubiquitous puts hot shingles in its prefix — the same
-    boilerplate stress D4 documents; the distinct-text collapse
-    removes the exact-copy version of that blowup, the inherent-
-    boilerplate version is the operator's documented worst case."""
+    on natural corpora, but a corpus whose docs are DISTINCT texts
+    built entirely from a tiny hot vocabulary (every shingle
+    corpus-ubiquitous — the all-boilerplate worst case the distinct-
+    text collapse cannot shield) makes the candidate join Θ(n²/k³):
+    measured step ratios ≈ (size ratio)², SCALING.md. That blowup is
+    inherent to EXACT prefix-filter containment (any pair sharing a
+    prefix token must be verified); the 100 TB treatment is
+    ``prefix_df_cap`` — the K8 hot-block discipline: a rep whose
+    prefix contains ANY shingle with document frequency above the cap
+    is DIVERTED (its candidates are unprunable), reported with
+    containment = NULL as a (id, NULL, NULL) quarantine row, never
+    silently dropped; all other pairs stay exact. A pipeline handling
+    quarantined docs removes their boilerplate first (D18) and
+    re-runs. Default None = exact everywhere (the oracle-backed gate
+    shape)."""
     from .shingling import word_array
 
     keyed = df.select(
@@ -332,9 +344,22 @@ def containment_pairs(
     scale = 1_000_000
     t_num = int(round(threshold * scale))
     ceil_t_sz = F.floor((F.col("sz") * t_num + (scale - 1)) / scale)
-    prefix = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1).select(
-        F.col("doc").alias("__a"), "h"
+    prefix_full = ranked.filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1).select(
+        F.col("doc").alias("__a"), "h", "freq"
     )
+    quarantined = None
+    if prefix_df_cap is not None:
+        # K8 hot-block treatment: a rep with ANY over-cap prefix
+        # shingle cannot be pruned (its candidate list is Θ(df) ≥ cap
+        # per hot token) — divert it, account for it, keep the rest
+        # exact. The diverted rep still serves as id_b for others.
+        quarantined = (
+            prefix_full.filter(F.col("freq") > prefix_df_cap)
+            .select(F.col("__a"))
+            .distinct()
+        )
+        prefix_full = prefix_full.join(quarantined, "__a", "left_anti")
+    prefix = prefix_full.select("__a", "h")
     cand = (
         prefix.join(sh.select(F.col("doc").alias("__b"), "h"), "h")
         .filter(F.col("__a") != F.col("__b"))
@@ -386,7 +411,18 @@ def containment_pairs(
             "containment",
         )
     )
-    return within.unionByName(cross)
+    out = within.unionByName(cross)
+    if quarantined is not None:
+        id_b_type = dict(out.dtypes)["id_b"]
+        quar_rows = quarantined.join(
+            members.select(F.col("__rep").alias("__a"), "__id"), "__a"
+        ).select(
+            F.col("__id").alias("id_a"),
+            F.lit(None).cast(id_b_type).alias("id_b"),
+            F.lit(None).cast("double").alias("containment"),
+        )
+        out = out.unionByName(quar_rows)
+    return out
 
 
 #: Bottom-k sample size for the containment sketch (D21).

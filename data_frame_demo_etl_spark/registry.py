@@ -1040,6 +1040,15 @@ from .analytics.quality_audit import (  # noqa: E402
 
 register("lineitem_lorenz_curve", lineitem_lorenz_curve, LINEITEM_LORENZ_CURVE_SQL)
 
+# ─────────────────────────── round-10 additions ───────────────────────────
+
+from .similarity.ivf import (  # noqa: E402
+    ANN_IVF_NPROBE_SWEEP_SQL,
+    ann_ivf_nprobe_sweep,
+)
+
+register("ann_ivf_nprobe_sweep", ann_ivf_nprobe_sweep, ANN_IVF_NPROBE_SWEEP_SQL)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

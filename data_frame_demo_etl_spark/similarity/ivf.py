@@ -114,3 +114,214 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, queries_pd, k=5, nprobe=len(centroids)).orderBy(
         "query_id", "rank"
     )
+
+
+# ─────────────── X14: recall-vs-nprobe sweep (fully oracled) ───────────────
+
+#: The sweep's probe counts. nprobe = SWEEP_CENTROIDS makes IVF exact
+#: by construction, so the last row is a built-in self-check: its
+#: recall is 1e6 ppm or the machinery is broken.
+NPROBE_SWEEP = (1, 2, 4, 8)
+SWEEP_CENTROIDS = 8
+SWEEP_K = 5
+SWEEP_QUERIES = 10
+
+
+def ivf_nprobe_recall_sweep(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    n_queries: int = SWEEP_QUERIES,
+    k: int = SWEEP_K,
+    sweep: tuple[int, ...] = NPROBE_SWEEP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k as a function of nprobe — the table a deployment
+    actually reads to pick its speed/recall operating point (FAISS
+    calls this the nprobe sweep; the reference exposes the same dial).
+
+    One candidate table serves every sweep point: each corpus vector
+    lives in exactly ONE posting list, whose per-query probe rank pr
+    is the rank of that centroid by distance to the query — so the
+    top-k under nprobe = p is a rank over candidates with pr ≤ p, and
+    the sweep is |sweep| windows over ONE persisted frame (the corpus
+    is scanned once, not once per sweep point).
+
+    Exactness & oracle: centroids are deterministic literals in both
+    engines (the D8 anchor-centroid policy — a KMeans fit is not
+    SQL-reproducible, the sweep's MEASUREMENT machinery is); cosine
+    rounds to 6dp before ranking with id tiebreak, the same total
+    order as X1. Output: (nprobe, n_queries, hits, recall_ppm), hits
+    = Σ_q |IVF top-k ∩ exact top-k|, recall on the exact ppm grid.
+
+    Scale shape: assignment is one narrow scan against a k×d literal;
+    candidates are ONE broadcast join of Q·k_cent probe rows against
+    the corpus (no corpus shuffle); exact baseline is X1's broadcast
+    brute force. Q and the sweep are constants, so every window
+    partition is per-query-bounded."""
+    from .ann import brute_force_topk
+    from .semdedup import assign_clusters
+
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), vec_col
+    )
+    assigned = assign_clusters(emb, centroids, vec_col=vec_col, id_col=id_col)
+
+    cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    from ..functions.vectors import l2_distance
+
+    qexp = queries.select(
+        "query_id",
+        F.col(vec_col).alias("__qvec"),
+        F.posexplode(cent_lit).alias("cluster", "__cent"),
+    ).select(
+        "query_id",
+        "__qvec",
+        "cluster",
+        l2_distance(F.col("__qvec").cast("array<double>"), F.col("__cent")).alias("__d"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
+    qrank = qexp.withColumn("pr", F.row_number().over(wq)).select(
+        "query_id", "cluster", "pr", "__qvec"
+    )
+
+    qn = norm(F.col("__qvec"))
+    cn = norm(F.col(vec_col))
+    denom = qn * cn
+    cand = (
+        assigned.join(F.broadcast(qrank), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            "pr",
+            F.round(
+                F.when(denom > 0, dot(F.col("__qvec"), F.col(vec_col)) / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .persist()
+    )
+
+    exact = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias(id_col)
+    )
+
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    approx = None
+    for p in sweep:
+        topp = (
+            cand.filter(F.col("pr") <= p)
+            .withColumn("__rn", F.row_number().over(wtop))
+            .filter(F.col("__rn") <= k)
+            .select(F.lit(p).alias("nprobe"), "query_id", id_col)
+        )
+        approx = topp if approx is None else approx.unionByName(topp)
+
+    hits = approx.join(exact, ["query_id", id_col]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    expected = n_queries * k
+    base = emb.sparkSession.createDataFrame([(p,) for p in sweep], "nprobe int")
+    return (
+        base.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.lit(n_queries).cast("long").alias("n_queries"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"coalesce(hits, 0) * 1000000 div {expected}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def ann_ivf_nprobe_sweep(spark, sf_dir: str) -> DataFrame:
+    """Gate: recall@5 vs nprobe ∈ {1,2,4,8} over 8 anchor centroids
+    for the first 10 queries — fully DuckDB-oracled via the D8
+    literal-centroid policy (resolves SURVEY §19.2's open question:
+    the 100%-oracle-backed invariant holds AND the deployment gets
+    its recall dial)."""
+    from ..sources.catalog import load_table
+    from .semdedup import anchor_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_nprobe_recall_sweep(
+        emb, anchor_centroids(k=SWEEP_CENTROIDS, seed=7)
+    )
+
+
+def _sweep_centroid_values() -> str:
+    from .semdedup import _centroid_sql_values, anchor_centroids
+
+    return _centroid_sql_values(anchor_centroids(k=SWEEP_CENTROIDS, seed=7))
+
+
+ANN_IVF_NPROBE_SWEEP_SQL = f"""
+WITH cent(cluster, cv) AS (VALUES {{CENTS}}),
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.cv) ASC, c.cluster ASC
+           ) AS rk
+    FROM embeddings e, cent c
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {SWEEP_QUERIES}
+),
+qrank AS (
+  SELECT query_id, cluster, qv,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY LIST_DISTANCE(CAST(qv AS DOUBLE[]), cv) ASC, cluster ASC
+         ) AS pr
+  FROM q, cent
+),
+cand AS (
+  SELECT r.query_id, a.vec_id, r.pr,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(r.qv AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS cosine
+  FROM qrank r JOIN assigned a ON a.cluster = r.cluster
+  WHERE a.vec_id != r.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id ASC
+           ) AS rn
+    FROM q, embeddings e WHERE e.vec_id != q.query_id
+  ) WHERE rn <= {SWEEP_K}
+),
+sweep(nprobe) AS (VALUES (1), (2), (4), (8)),
+approx AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT s.nprobe, c.query_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.nprobe, c.query_id
+             ORDER BY c.cosine DESC, c.vec_id ASC
+           ) AS rn
+    FROM sweep s JOIN cand c ON c.pr <= s.nprobe
+  ) WHERE rn <= {SWEEP_K}
+),
+hits AS (
+  SELECT a.nprobe, COUNT(*) AS hits
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.neighbor_id
+  GROUP BY a.nprobe
+)
+SELECT CAST(s.nprobe AS BIGINT) AS nprobe,
+       CAST({SWEEP_QUERIES} AS BIGINT) AS n_queries,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {SWEEP_QUERIES * SWEEP_K} AS BIGINT) AS recall_ppm
+FROM sweep s LEFT JOIN hits h ON h.nprobe = s.nprobe
+ORDER BY nprobe
+""".replace("{CENTS}", _sweep_centroid_values())

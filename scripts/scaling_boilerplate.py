@@ -65,6 +65,44 @@ def build_corpus(spark, n_docs: int) -> str:
     return str(out)
 
 
+#: Hostile vocabulary: 10 words → 1000 possible word-trigrams. Docs
+#: are DISTINCT pseudorandom 40-word sequences over this vocabulary,
+#: so EVERY shingle of every doc is corpus-hot (df ≈ 0.038·n) and no
+#: doc-unique shingle exists for the rare-first prefix to hide in —
+#: the all-boilerplate worst case the shared-block corpus above
+#: cannot express (there the 10 unique words kept the prefix cold).
+HOSTILE_VOCAB = [f"hw{i}" for i in range(10)]
+
+
+def build_hostile_corpus(spark, n_docs: int) -> str:
+    out = ROOT / ".tmp" / "hostile" / str(n_docs)
+    marker = out / "_DONE"
+    if not marker.exists():
+        # word_j(i) = V[ murmur3(i, j) mod 10 ] — deterministic,
+        # pseudorandom spread; distinct texts w.h.p. (space 10^40),
+        # and the distinct-text collapse removes any collision anyway.
+        words = [
+            F.element_at(
+                F.array(*[F.lit(w) for w in HOSTILE_VOCAB]),
+                (F.pmod(F.hash(F.col("id"), F.lit(j)), F.lit(10)) + 1).cast("int"),
+            )
+            for j in range(40)
+        ]
+        docs = (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", *words).alias("text"),
+                F.lit("en").alias("lang"),
+                F.lit("hostile").alias("source"),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        docs.repartition(32).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+        marker.touch()
+    return str(out)
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -76,12 +114,19 @@ def main() -> None:
     ap.add_argument("--sizes", default="4000,40000,400000")
     ap.add_argument("--plans", default="window,anti")
     ap.add_argument("--queries", default="", help="comma filter on query names")
+    ap.add_argument(
+        "--corpus",
+        default="shared",
+        choices=["shared", "hostile"],
+        help="shared = 30 boilerplate + 10 unique words; hostile = 100%% hot vocabulary",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
     spark = get_spark(app_name="scaling_boilerplate")
     spark.sparkContext.setLogLevel("ERROR")
-    dirs = {n: build_corpus(spark, n) for n in sizes}
+    builder = build_hostile_corpus if args.corpus == "hostile" else build_corpus
+    dirs = {n: builder(spark, n) for n in sizes}
 
     from data_frame_demo_etl_spark.dedup.minhash import minhash_near_dup_pairs
     from data_frame_demo_etl_spark.dedup.winnowing import docs_winnowing_matches
@@ -146,8 +191,22 @@ def main() -> None:
 
         return run
 
+    def containment_capped(_plan):
+        # D20 with the K8 hot-block cap: reps whose prefix holds an
+        # over-cap shingle are diverted to quarantine rows instead of
+        # exploding the candidate join — the 100 TB posture on an
+        # all-boilerplate corpus (exact results for every other doc).
+        def run(sf_dir):
+            from data_frame_demo_etl_spark.dedup.jaccard import containment_pairs
+
+            docs = load_table(spark, "documents", sf_dir)
+            materialize(containment_pairs(docs, threshold=0.9, prefix_df_cap=1000))
+
+        return run
+
     jobs = [
         ("dedup_containment", containment, ["anti"]),
+        ("dedup_containment_capped", containment_capped, ["anti"]),
         ("docs_winnowing_matches", winnow, args.plans.split(",")),
         ("minhash_lsh_pairs", minhash, args.plans.split(",")),
         ("docs_exact_substring_mass", substring, ["anti"]),

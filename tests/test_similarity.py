@@ -416,3 +416,31 @@ def test_ivfpq_recall_monotone_in_nprobe(spark, sf_oracle_dir):
     enc.unpersist()
     assert r2 <= r8 + 1e-9 and r8 <= r16 + 1e-9, (r2, r8, r16)
     assert r16 >= 0.3, f"full-probe recall collapsed: {r16}"
+
+
+# ──────────────── X14: recall-vs-nprobe sweep ────────────────
+
+
+def test_nprobe_sweep_monotone_and_exact_at_full_probe(spark, sf_dir):
+    from data_frame_demo_etl_spark.similarity.ivf import ann_ivf_nprobe_sweep
+
+    rows = ann_ivf_nprobe_sweep(spark, sf_dir).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall_ppm for r in rows]
+    # recall is monotone in nprobe (probing more lists never loses a hit)
+    assert recalls == sorted(recalls)
+    # full probe (= all 8 lists) IS exact by construction
+    assert recalls[-1] == 1_000_000
+    assert all(r.n_queries == 10 for r in rows)
+    assert all(0 <= r.hits <= 50 for r in rows)
+
+
+def test_nprobe_sweep_partial_probe_loses_something_on_spread_data(spark, sf_dir):
+    """On near-orthogonal synthetic embeddings the true top-5 is spread
+    across posting lists, so nprobe=1 should not be perfect — the dial
+    must actually move (guards against a degenerate assignment where
+    every vector lands in one cluster and the sweep is flat)."""
+    from data_frame_demo_etl_spark.similarity.ivf import ann_ivf_nprobe_sweep
+
+    rows = {r.nprobe: r.recall_ppm for r in ann_ivf_nprobe_sweep(spark, sf_dir).collect()}
+    assert rows[1] < 1_000_000

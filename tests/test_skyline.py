@@ -682,3 +682,52 @@ def test_dynamic_partition_overwrite_replaces_only_written_partitions(spark, tmp
         assert got == {("a", 1), ("a", 2), ("b", 99)}
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_containment_prefix_df_cap_quarantines_hot_docs(spark):
+    """The all-boilerplate worst case: every shingle of every doc is
+    corpus-hot, so the rare-first prefix cannot stay cold. With
+    prefix_df_cap set, those reps are DIVERTED as (id, NULL, NULL)
+    quarantine rows (never silently dropped); cold docs stay exact."""
+    from data_frame_demo_etl_spark.dedup.jaccard import containment_pairs
+
+    # 30 DISTINCT 12-word texts over a 2-word vocabulary (doc i spells
+    # i in binary): only 8 trigram types exist and each has df > 3, so
+    # every doc's rare-first prefix is over-cap. Plus two cold docs
+    # (a quote inside a host).
+    hot = [
+        (i, " ".join("b" + bit for bit in format(i, "012b")))
+        for i in range(30)
+    ]
+    quote = "the quick brown fox jumps over the lazy dog"
+    host = quote + " " + " ".join(f"w{k}" for k in range(60))
+    docs = _docs(spark, hot + [(100, quote), (101, host)])
+
+    out = containment_pairs(docs, threshold=0.9, prefix_df_cap=3).collect()
+    quarantined = {r.id_a for r in out if r.id_b is None}
+    pairs = {(r.id_a, r.id_b): r.containment for r in out if r.id_b is not None}
+    hot_ids = {i for i, _ in hot}
+    # every distinct hot text is quarantined (exact copies collapse
+    # first; their reps are hot, members inherit the quarantine row)
+    distinct_hot_reps = {min(i for i, t2 in hot if t2 == t) for _, t in hot}
+    assert distinct_hot_reps <= quarantined
+    # the cold pair is still exact
+    assert pairs.get((100, 101)) == 1.0
+    assert 100 not in quarantined and 101 not in quarantined
+    # quarantine rows carry NULL containment (accounted, not scored)
+    assert all(r.containment is None for r in out if r.id_b is None)
+
+
+def test_containment_generous_cap_equals_exact(spark):
+    from data_frame_demo_etl_spark.dedup.jaccard import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    host = quote + " " + " ".join(f"w{k}" for k in range(60))
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [(1, quote), (2, host), (3, t), (4, t)])
+    exact = {(r.id_a, r.id_b): r.containment for r in containment_pairs(docs, threshold=0.9).collect()}
+    capped_rows = containment_pairs(docs, threshold=0.9, prefix_df_cap=10_000).collect()
+    capped = {(r.id_a, r.id_b): r.containment for r in capped_rows}
+    assert capped == exact  # no doc hits the cap -> bit-identical
+    assert all(r.id_b is not None for r in capped_rows)  # empty quarantine
+
