@@ -317,3 +317,131 @@ JOIN ref_dense rd ON rd.grp = cd.grp AND rd.bin = cd.bin
 GROUP BY cd.w, cd.grp, rd.n_ref, cd.n_cur
 ORDER BY window_start, event_type
 """
+
+
+# ─────────────── Jensen–Shannon divergence (K57) ───────────────
+
+
+def jsd_categorical(
+    a: DataFrame, b: DataFrame, cat_col: str
+) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between the two frames'
+    categorical distributions — PSI's bounded, symmetric sibling
+    (JSD ∈ [0, ln 2], finite even when a category exists in only one
+    slice, so no Laplace smoothing is needed: the mixture M =
+    (P+Q)/2 is positive wherever either side is).
+
+        JSD = ½·KL(P‖M) + ½·KL(Q‖M)
+        per-category p term: ln(p_i/m_i) = ln(2·a_i·B / (a_i·B + b_i·A))
+
+    — a correctly-rounded double of a ratio of exact integers,
+    quantized to the 1e-6 grid per category BEFORE the count-weighted
+    sum (the K48 MI convention), so both engines fold exact integers.
+    Each KL half is clamped at 0 (mathematically ≥ 0; quantization
+    residue ≤ categories·ulp). One map-side-combined aggregation over
+    the union, one value-domain-sized fold."""
+    both = (
+        a.select(F.col(cat_col).alias("cat"), F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(
+            b.select(F.col(cat_col).alias("cat"), F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        )
+        .filter(F.col("cat").isNotNull())
+        .groupBy("cat")
+        .agg(F.sum("ia").alias("ai"), F.sum("ib").alias("bi"))
+    )
+    dec = "decimal(38,0)"
+    tot = both.agg(
+        F.sum("ai").cast(dec).alias("A"),
+        F.sum("bi").cast(dec).alias("B"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    j = both.crossJoin(F.broadcast(tot))
+    lq_p = F.floor(
+        F.log(
+            (F.lit(2).cast(dec) * F.col("ai").cast(dec) * F.col("B")).cast("double")
+            / (F.col("ai").cast(dec) * F.col("B") + F.col("bi").cast(dec) * F.col("A")).cast(
+                "double"
+            )
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast(dec)
+    lq_q = F.floor(
+        F.log(
+            (F.lit(2).cast(dec) * F.col("bi").cast(dec) * F.col("A")).cast("double")
+            / (F.col("ai").cast(dec) * F.col("B") + F.col("bi").cast(dec) * F.col("A")).cast(
+                "double"
+            )
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast(dec)
+    sums = j.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ai") > 0, F.col("ai").cast(dec) * lq_p)), F.lit(0).cast(dec)
+        ).alias("sp"),
+        F.coalesce(
+            F.sum(F.when(F.col("bi") > 0, F.col("bi").cast(dec) * lq_q)), F.lit(0).cast(dec)
+        ).alias("sq"),
+        F.first("A").alias("A"),
+        F.first("B").alias("B"),
+        F.first("n_categories").alias("n_categories"),
+    )
+    return sums.select(
+        F.col("A").cast("long").alias("n_a"),
+        F.col("B").cast("long").alias("n_b"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.when(
+            (F.col("A") > 0) & (F.col("B") > 0),
+            F.expr(
+                "(greatest(sp div A, cast(0 as decimal(38,0)))"
+                " + greatest(sq div B, cast(0 as decimal(38,0)))) div 2"
+            ),
+        )
+        .cast("long")
+        .alias("jsd_micro"),
+    )
+
+
+def events_jsd_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: JSD between the user-parity arms' event-type mixes — the
+    A/A sanity check a traffic split runs before trusting any A/B
+    readout (two arms of the same traffic should sit at ≈ 0 nats)."""
+    events = load_table(spark, "events", sf_dir)
+    return jsd_categorical(
+        events.filter(F.col("user_id") % 2 == 0),
+        events.filter(F.col("user_id") % 2 != 0),
+        "event_type",
+    )
+
+
+EVENTS_JSD_ARMS_SQL = """
+WITH both_slices AS (
+  SELECT event_type AS cat,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS HUGEINT) AS ai,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 != 0) AS HUGEINT) AS bi
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type
+),
+tot AS (
+  SELECT SUM(ai) AS A, SUM(bi) AS B, COUNT(*) AS n_categories FROM both_slices
+),
+terms AS (
+  SELECT
+    CASE WHEN ai > 0
+         THEN ai * CAST(FLOOR(LN(CAST(2 * ai * B AS DOUBLE) / CAST(ai * B + bi * A AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)
+         ELSE 0 END AS tp,
+    CASE WHEN bi > 0
+         THEN bi * CAST(FLOOR(LN(CAST(2 * bi * A AS DOUBLE) / CAST(ai * B + bi * A AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)
+         ELSE 0 END AS tq,
+    A, B, n_categories
+  FROM both_slices CROSS JOIN tot
+)
+SELECT CAST(MAX(A) AS BIGINT) AS n_a,
+       CAST(MAX(B) AS BIGINT) AS n_b,
+       CAST(MAX(n_categories) AS BIGINT) AS n_categories,
+       CASE WHEN MAX(A) > 0 AND MAX(B) > 0
+            THEN CAST((GREATEST(SUM(tp) // MAX(A), 0) + GREATEST(SUM(tq) // MAX(B), 0)) // 2 AS BIGINT)
+       END AS jsd_micro
+FROM terms
+"""

@@ -488,3 +488,112 @@ WHERE t2 IS NOT NULL AND t3 IS NOT NULL
 GROUP BY t1, t2, t3
 ORDER BY t1, t2, t3
 """
+
+
+# ─────────────── K58: Markov transition entropy ───────────────
+
+
+def transition_entropy(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Entropy rate of the first-order journey chain: the conditional
+    entropy H(next | prev) = −Σ_ij (c_ij/C)·ln(c_ij/r_i) over K23's
+    transition counts, next to the marginal H(prev) — their gap is
+    exactly the mutual information the chain exploits, so
+    h_cond ≈ h_marg means journeys are memoryless (sequence models
+    won't beat a popularity baseline) and h_cond ≪ h_marg means
+    order matters.
+
+    Same quantized-log convention as K48: each ln of an exact-integer
+    ratio lands on the 1e-6 grid BEFORE the count-weighted integer
+    fold; entropies clamp at 0. Scale: one lag window on the key
+    (high-cardinality → parallel), one vocab²-bounded agg, folds over
+    vocab-sized tables."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    steps = df.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = steps.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("c"))
+    rows = cells.groupBy("prev_type").agg(F.sum("c").alias("r"))
+    dec = "decimal(38,0)"
+    tot = rows.agg(F.sum("r").cast(dec).alias("C"), F.count(F.lit(1)).alias("n_states"))
+    lq_cond = F.floor(
+        F.log(F.col("c").cast("double") / F.col("r").cast("double")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast(dec)
+    cond = (
+        cells.join(F.broadcast(rows), "prev_type")
+        .agg(F.coalesce(-F.sum(F.col("c").cast(dec) * lq_cond), F.lit(0).cast(dec)).alias("hc"))
+    )
+    lq_marg = F.floor(
+        F.log(F.col("r").cast("double") / F.col("C").cast("double")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast(dec)
+    marg = (
+        rows.crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(-F.sum(F.col("r").cast(dec) * lq_marg), F.lit(0).cast(dec)).alias("hm"),
+            F.first("C").alias("C"),
+            F.first("n_states").alias("n_states"),
+        )
+    )
+    return marg.crossJoin(F.broadcast(cond)).select(
+        F.col("C").cast("long").alias("n_transitions"),
+        F.col("n_states").cast("long").alias("n_states"),
+        F.when(
+            F.col("C") > 0,
+            F.expr("greatest(hc, cast(0 as decimal(38,0))) div C"),
+        )
+        .cast("long")
+        .alias("h_cond_micro"),
+        F.when(
+            F.col("C") > 0,
+            F.expr("greatest(hm, cast(0 as decimal(38,0))) div C"),
+        )
+        .cast("long")
+        .alias("h_marginal_micro"),
+    )
+
+
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: entropy rate of the per-user event-type chain vs the
+    marginal type entropy — how much knowing the current step tells
+    you about the next."""
+    events = load_table(spark, "events", sf_dir)
+    return transition_entropy(events)
+
+
+EVENTS_TRANSITION_ENTROPY_SQL = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+cells AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+r_tot AS (
+  SELECT prev_type, SUM(c) AS r FROM cells GROUP BY prev_type
+),
+tot AS (SELECT SUM(r) AS C, COUNT(*) AS n_states FROM r_tot),
+hc AS (
+  SELECT COALESCE(-SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)), 0) AS hc
+  FROM cells JOIN r_tot USING (prev_type)
+),
+hm AS (
+  SELECT COALESCE(-SUM(r * CAST(FLOOR(LN(CAST(r AS DOUBLE) / CAST(C AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)), 0) AS hm
+  FROM r_tot CROSS JOIN tot
+)
+SELECT CAST(C AS BIGINT) AS n_transitions,
+       CAST(n_states AS BIGINT) AS n_states,
+       CASE WHEN C > 0 THEN CAST(GREATEST(hc, 0) // C AS BIGINT) END AS h_cond_micro,
+       CASE WHEN C > 0 THEN CAST(GREATEST(hm, 0) // C AS BIGINT) END AS h_marginal_micro
+FROM tot CROSS JOIN hc CROSS JOIN hm
+"""

@@ -476,20 +476,20 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_CUPED_ADJUSTMENT_SQL = """
 WITH bounds AS (
-  SELECT CAST(MIN(EPOCH(ts)) AS BIGINT) AS lo, CAST(MAX(EPOCH(ts)) AS BIGINT) AS hi
+  SELECT CAST(FLOOR(MIN(EPOCH(ts))) AS BIGINT) AS lo, CAST(FLOOR(MAX(EPOCH(ts))) AS BIGINT) AS hi
   FROM events WHERE value IS NOT NULL
 ),
 units AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-         CAST(SUM(CASE WHEN CAST(EPOCH(ts) AS BIGINT) <= (lo + hi) // 2
+         CAST(SUM(CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) <= (lo + hi) // 2
                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
-         CAST(SUM(CASE WHEN CAST(EPOCH(ts) AS BIGINT) > (lo + hi) // 2
+         CAST(SUM(CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) > (lo + hi) // 2
                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
   FROM events CROSS JOIN bounds
   WHERE value IS NOT NULL
   GROUP BY user_id
 ),
-glob AS (
+gall AS (
   SELECT CAST(COUNT(*) AS HUGEINT) AS n,
          SUM(x) AS sx, SUM(y) AS sy,
          SUM(x * x) AS sxx, SUM(x * y) AS sxy
@@ -501,7 +501,7 @@ g2 AS (
               THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
          END AS theta_ppm,
          (sx * 1000000) // n AS gpre_micro
-  FROM glob
+  FROM gall
 ),
 arms AS (
   SELECT arm, CAST(COUNT(*) AS HUGEINT) AS na,

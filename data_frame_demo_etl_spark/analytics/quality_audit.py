@@ -1632,3 +1632,87 @@ FROM laid l
 JOIN deciles d ON l.k = GREATEST(1, (l.n * d.decile) // 10)
 ORDER BY decile
 """
+
+
+# ─────────────── Theil T inequality index (K59) ───────────────
+
+
+def theil_index(df: DataFrame, key_col: str) -> DataFrame:
+    """Theil T index of per-key row counts — the DECOMPOSABLE
+    inequality measure next to K37's Gini and K56's Lorenz curve
+    (Theil splits exactly into between-group + within-group terms, so
+    a sharded audit can attribute skew to shards; Gini cannot):
+
+        T = (1/n) Σ_i (x_i/μ)·ln(x_i/μ),  μ = t/n
+
+    Grouping by COUNT VALUE first makes the fold value-domain-sized:
+    per distinct count x, term = m_x·x·lq(x) with
+    lq = ⌊ln(x·n/t)·10⁶ + ½⌋ (exact-integer ratio → one double ln →
+    1e-6 grid, the K48 convention), then
+
+        theil_micro = greatest(Σ term, 0) div t
+
+    (T ≥ 0 mathematically; grid residue clamps). Scale: one map-side-
+    combined groupBy(key) count, one groupBy(count) collapse, one
+    scalar fold."""
+    counts = df.groupBy(F.col(key_col).alias("kk")).agg(F.count(F.lit(1)).alias("x"))
+    byval = counts.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    dec = "decimal(38,0)"
+    tot = byval.agg(
+        F.sum("m").cast(dec).alias("n"),
+        F.sum(F.col("m").cast(dec) * F.col("x").cast(dec)).alias("t"),
+    )
+    lq = F.floor(
+        F.log(
+            (F.col("x").cast(dec) * F.col("n")).cast("double") / F.col("t").cast("double")
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast(dec)
+    return (
+        byval.crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("m").cast(dec) * F.col("x").cast(dec) * lq), F.lit(0).cast(dec)
+            ).alias("s"),
+            F.first("n").alias("n"),
+            F.first("t").alias("t"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_keys"),
+            F.col("t").cast("long").alias("n_rows"),
+            F.when(
+                F.col("t") > 0,
+                F.expr("greatest(s, cast(0 as decimal(38,0))) div t"),
+            )
+            .cast("long")
+            .alias("theil_micro"),
+        )
+    )
+
+
+def lineitem_supplier_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Theil T of lineitem rows per supplier — the decomposable
+    companion to the supplier Gini (K37) and Lorenz deciles (K56)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return theil_index(li, "l_suppkey")
+
+
+LINEITEM_SUPPLIER_THEIL_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS HUGEINT) AS x FROM lineitem GROUP BY l_suppkey
+),
+byval AS (
+  SELECT x, CAST(COUNT(*) AS HUGEINT) AS m FROM counts GROUP BY x
+),
+tot AS (SELECT SUM(m) AS n, SUM(m * x) AS t FROM byval),
+folded AS (
+  SELECT COALESCE(SUM(m * x * CAST(FLOOR(LN(CAST(x * n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)), 0) AS s,
+         MAX(n) AS n, MAX(t) AS t
+  FROM byval CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_keys,
+       CAST(t AS BIGINT) AS n_rows,
+       CASE WHEN t > 0 THEN CAST(GREATEST(s, 0) // t AS BIGINT) END AS theil_micro
+FROM folded
+"""

@@ -1049,6 +1049,37 @@ from .similarity.ivf import (  # noqa: E402
 
 register("ann_ivf_nprobe_sweep", ann_ivf_nprobe_sweep, ANN_IVF_NPROBE_SWEEP_SQL)
 
+from .analytics.ml_eval import (  # noqa: E402
+    EVENTS_CUPED_ADJUSTMENT_SQL,
+    EVENTS_PURCHASE_STUMP_SQL,
+    EVENTS_RATER_AGREEMENT_SQL,
+    EVENTS_VALUE_AUC_SQL,
+    events_cuped_adjustment,
+    events_purchase_stump,
+    events_rater_agreement,
+    events_value_auc,
+)
+
+from .analytics.drift import EVENTS_JSD_ARMS_SQL, events_jsd_arms  # noqa: E402
+from .analytics.features import (  # noqa: E402
+    EVENTS_TRANSITION_ENTROPY_SQL,
+    events_transition_entropy,
+)
+from .analytics.quality_audit import (  # noqa: E402
+    LINEITEM_SUPPLIER_THEIL_SQL,
+    lineitem_supplier_theil,
+)
+
+register("events_jsd_arms", events_jsd_arms, EVENTS_JSD_ARMS_SQL)
+register(
+    "events_transition_entropy", events_transition_entropy, EVENTS_TRANSITION_ENTROPY_SQL
+)
+register("lineitem_supplier_theil", lineitem_supplier_theil, LINEITEM_SUPPLIER_THEIL_SQL)
+register("events_value_auc", events_value_auc, EVENTS_VALUE_AUC_SQL)
+register("events_rater_agreement", events_rater_agreement, EVENTS_RATER_AGREEMENT_SQL)
+register("events_purchase_stump", events_purchase_stump, EVENTS_PURCHASE_STUMP_SQL)
+register("events_cuped_adjustment", events_cuped_adjustment, EVENTS_CUPED_ADJUSTMENT_SQL)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

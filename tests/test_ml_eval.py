@@ -1,0 +1,166 @@
+"""ML-evaluation family: ROC-AUC, Cohen's kappa, Gini stump, CUPED."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_auc_perfect_separation(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import roc_auc
+
+    # positives all score above negatives → AUC = 1
+    rows = [("k", 100 + i, True) for i in range(5)] + [
+        ("k", i, False) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
+    r = roc_auc(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_ppm) == (5, 5, 1_000_000)
+
+
+def test_auc_ties_count_half(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import roc_auc
+
+    # every score identical → AUC = exactly 1/2
+    rows = [("k", 7, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
+    r = roc_auc(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    assert r.auc_ppm == 500_000
+
+
+def test_auc_known_value(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import roc_auc
+
+    # pos scores {3, 1}, neg scores {2, 0}: pairs won 3 of 4 → 0.75
+    rows = [("k", 3, True), ("k", 1, True), ("k", 2, False), ("k", 0, False)]
+    df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
+    r = roc_auc(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    assert r.auc_ppm == 750_000
+
+
+def test_kappa_perfect_and_chance(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import cohens_kappa
+
+    # perfect agreement → κ = 1
+    rows = [(True, True)] * 6 + [(False, False)] * 4
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    assert cohens_kappa(df, F.col("a"), F.col("b")).collect()[0].kappa_ppm == 1_000_000
+
+    # independent raters at 50/50 → κ = 0 (exactly, by count algebra)
+    rows = [(True, True), (True, False), (False, True), (False, False)] * 3
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    assert cohens_kappa(df, F.col("a"), F.col("b")).collect()[0].kappa_ppm == 0
+
+
+def test_kappa_worse_than_chance_is_negative(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import cohens_kappa
+
+    rows = [(True, False)] * 5 + [(False, True)] * 5
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    assert cohens_kappa(df, F.col("a"), F.col("b")).collect()[0].kappa_ppm < 0
+
+
+def test_stump_finds_planted_threshold(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import gini_stump
+
+    # labels flip exactly at 50: the best split must be cents = 50
+    rows = [(i, False) for i in range(50)] + [(i, True) for i in range(50, 100)]
+    df = spark.createDataFrame(rows, "cents long, pos boolean")
+    out = gini_stump(df, F.col("pos"), F.col("cents")).collect()
+    assert out[0].threshold_cents == 50
+    assert out[0].gini_ppm == 0  # both sides pure
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_cuped_reduces_to_post_mean_when_theta_zero(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import cuped_adjusted_means
+
+    # pre is CONSTANT → var(pre) = 0 → theta undefined → adj NULL,
+    # post mean still exact
+    rows = [("A", 10, 100), ("A", 10, 200), ("B", 10, 300), ("B", 10, 500)]
+    df = spark.createDataFrame(rows, "arm string, pre_cents long, post_cents long")
+    out = {r.arm: r for r in cuped_adjusted_means(df).collect()}
+    assert out["A"].post_mean_micro == 150_000_000
+    assert out["A"].theta_ppm is None and out["A"].adj_mean_micro is None
+
+
+def test_cuped_removes_pre_period_bias(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import cuped_adjusted_means
+
+    # post = pre exactly (theta = 1): arm A pre-biased high, arm B low.
+    # Adjustment moves both arms' means toward the global mean by
+    # exactly their pre-period offset → adjusted means equal.
+    rows = [("A", 100, 100), ("A", 120, 120), ("B", 60, 60), ("B", 80, 80)]
+    df = spark.createDataFrame(rows, "arm string, pre_cents long, post_cents long")
+    out = {r.arm: r for r in cuped_adjusted_means(df).collect()}
+    assert out["A"].theta_ppm == 1_000_000
+    assert out["A"].adj_mean_micro == out["B"].adj_mean_micro == 90_000_000
+    assert out["A"].post_mean_micro != out["B"].post_mean_micro
+
+
+# ──────────────── K57–K59: JSD, transition entropy, Theil ────────────────
+
+
+def test_jsd_identical_distributions_is_zero(spark):
+    from data_frame_demo_etl_spark.analytics.drift import jsd_categorical
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 4, "cat string")
+    b = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "cat string")
+    r = jsd_categorical(a, b, "cat").collect()[0]
+    assert r.jsd_micro == 0 and r.n_categories == 2
+
+
+def test_jsd_disjoint_distributions_is_ln2(spark):
+    from data_frame_demo_etl_spark.analytics.drift import jsd_categorical
+
+    a = spark.createDataFrame([("x",)] * 5, "cat string")
+    b = spark.createDataFrame([("y",)] * 5, "cat string")
+    r = jsd_categorical(a, b, "cat").collect()[0]
+    assert abs(r.jsd_micro - 693_147) <= 1  # ln 2 on the micro grid
+
+
+def test_jsd_symmetric(spark):
+    from data_frame_demo_etl_spark.analytics.drift import jsd_categorical
+
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "cat string")
+    b = spark.createDataFrame([("x",)] * 2 + [("y",)] * 8, "cat string")
+    r1 = jsd_categorical(a, b, "cat").collect()[0]
+    r2 = jsd_categorical(b, a, "cat").collect()[0]
+    assert r1.jsd_micro == r2.jsd_micro > 0
+
+
+def test_transition_entropy_deterministic_chain_is_zero(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.features import transition_entropy
+
+    base = dt.datetime(2024, 1, 1)
+    # A→B→A→B...: next is fully determined by prev → H(next|prev) = 0,
+    # but the marginal over prev is uniform {A,B} → H(prev) = ln 2
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "A" if i % 2 == 0 else "B", 1.0)
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = transition_entropy(df).collect()[0]
+    assert r.h_cond_micro == 0
+    assert abs(r.h_marginal_micro - 693_147) <= 2
+    assert r.n_transitions == 20 and r.n_states == 2
+
+
+def test_theil_uniform_counts_is_zero_and_skew_positive(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import theil_index
+
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(5) for i in range(10)], "k long, i long"
+    )
+    r = theil_index(uniform, "k").collect()[0]
+    assert r.theil_micro == 0 and r.n_keys == 5 and r.n_rows == 50
+
+    skew = spark.createDataFrame(
+        [(0, i) for i in range(46)] + [(k, 0) for k in range(1, 5)], "k long, i long"
+    )
+    assert theil_index(skew, "k").collect()[0].theil_micro > 1_000_000  # > 1 nat
