@@ -305,3 +305,107 @@ GROUP BY path
 ORDER BY n_users DESC, path ASC
 LIMIT {TOP_PATHS}
 """
+
+
+# ─────────────── A12: cohort lifetime-value curves ───────────────
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cumulative revenue per acquisition cohort — the LTV curve that
+    tells finance when a cohort pays back: customers are grouped by
+    their FIRST order's year, each cohort's revenue is bucketed by
+    years-since-acquisition, and cumulated along the offset axis.
+    A8's retention counts heads; this follows the money.
+
+    Shapes: cohort assignment is one min() window over the customer
+    key (high-cardinality → parallel, no collect); the curve table is
+    (cohort_year × offsets) — value-domain-sized — so the cumulative
+    window over it is trivially bounded. Revenue rides the exact cent
+    grid; the mean-LTV-per-customer lands once on the micro grid."""
+    w = Window.partitionBy(cust_col)
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    marked = orders.select(
+        F.col(cust_col).alias("cust"),
+        F.year(date_col).alias("yr"),
+        cents.alias("cents"),
+    ).withColumn("cohort_year", F.min("yr").over(Window.partitionBy("cust")))
+    curve = (
+        marked.groupBy(
+            "cohort_year", (F.col("yr") - F.col("cohort_year")).alias("year_offset")
+        )
+        .agg(
+            F.countDistinct("cust").alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    cohort_size = (
+        marked.filter(F.col("yr") == F.col("cohort_year"))
+        .groupBy("cohort_year")
+        .agg(F.countDistinct("cust").alias("cohort_customers"))
+    )
+    wc = Window.partitionBy("cohort_year").orderBy("year_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        curve.join(F.broadcast(cohort_size), "cohort_year")
+        .withColumn("cum_revenue_cents", F.sum("revenue_cents").over(wc))
+        .select(
+            F.col("cohort_year").cast("long").alias("cohort_year"),
+            F.col("year_offset").cast("long").alias("year_offset"),
+            F.col("cohort_customers").cast("long").alias("cohort_customers"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("cum_revenue_cents").cast("long").alias("cum_revenue_cents"),
+            F.expr("cum_revenue_cents * 10000 div cohort_customers")
+            .cast("long")
+            .alias("ltv_per_customer_micro"),
+        )
+        .orderBy("cohort_year", "year_offset")
+    )
+
+
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: yearly-cohort cumulative LTV over orders."""
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    return cohort_ltv(orders)
+
+
+CUSTOMER_COHORT_LTV_SQL = """
+WITH marked AS (
+  SELECT o_custkey AS cust,
+         YEAR(o_orderdate) AS yr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         MIN(YEAR(o_orderdate)) OVER (PARTITION BY o_custkey) AS cohort_year
+  FROM orders
+),
+curve AS (
+  SELECT cohort_year, yr - cohort_year AS year_offset,
+         CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_active,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM marked GROUP BY 1, 2
+),
+cohort_size AS (
+  SELECT cohort_year, CAST(COUNT(DISTINCT cust) AS BIGINT) AS cohort_customers
+  FROM marked WHERE yr = cohort_year GROUP BY 1
+)
+SELECT CAST(c.cohort_year AS BIGINT) AS cohort_year,
+       CAST(c.year_offset AS BIGINT) AS year_offset,
+       s.cohort_customers,
+       c.n_active,
+       c.revenue_cents,
+       CAST(SUM(c.revenue_cents) OVER (PARTITION BY c.cohort_year ORDER BY c.year_offset
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents,
+       CAST(CAST(SUM(c.revenue_cents) OVER (PARTITION BY c.cohort_year ORDER BY c.year_offset
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+            * 10000 // s.cohort_customers AS BIGINT) AS ltv_per_customer_micro
+FROM curve c JOIN cohort_size s USING (cohort_year)
+ORDER BY cohort_year, year_offset
+"""

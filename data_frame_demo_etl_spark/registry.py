@@ -1070,6 +1070,20 @@ from .analytics.quality_audit import (  # noqa: E402
     lineitem_supplier_theil,
 )
 
+from .similarity.gate import (  # noqa: E402
+    EMBEDDINGS_RP_RECALL_SQL,
+    embeddings_rp_recall,
+)
+
+register("embeddings_rp_recall", embeddings_rp_recall, EMBEDDINGS_RP_RECALL_SQL)
+
+from .analytics.funnel import CUSTOMER_COHORT_LTV_SQL, customer_cohort_ltv  # noqa: E402
+
+register("customer_cohort_ltv", customer_cohort_ltv, CUSTOMER_COHORT_LTV_SQL)
+
+from .functions.keywords import DOCS_RAKE_KEYWORDS_SQL, docs_rake_keywords  # noqa: E402
+
+register("docs_rake_keywords", docs_rake_keywords, DOCS_RAKE_KEYWORDS_SQL)
 register("events_jsd_arms", events_jsd_arms, EVENTS_JSD_ARMS_SQL)
 register(
     "events_transition_entropy", events_transition_entropy, EVENTS_TRANSITION_ENTROPY_SQL

@@ -430,3 +430,120 @@ SELECT query_id, rank, negative_id, negative_label, cosine FROM (
 WHERE rank <= {K}
 ORDER BY query_id, rank
 """
+
+
+# ─────────────── X15: random-projection (JL) recall ───────────────
+
+RP_OUT_DIM = 16
+RP_SEED = 11
+
+
+def rp_matrix(dim: int = DIM, out_dim: int = RP_OUT_DIM, seed: int = RP_SEED):
+    """Deterministic Gaussian Johnson–Lindenstrauss projection rows,
+    scaled 1/√out_dim (data-independent, same policy as the LSH
+    hyperplanes and D8 anchor centroids — reproducible in generated
+    SQL)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(out_dim, dim)) / np.sqrt(out_dim)
+    return [[float(v) for v in row] for row in m]
+
+
+def _project(emb: DataFrame, rows) -> DataFrame:
+    from ..functions.vectors import dot
+
+    proj = F.array(
+        *[
+            dot(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(float(v)) for v in row]),
+            )
+            for row in rows
+        ]
+    )
+    return emb.select("vec_id", proj.alias("embedding"))
+
+
+def embeddings_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: recall@5 after a 64→16 Gaussian random projection — the
+    ROTATION-based compression eval next to X11's truncation
+    (Matryoshka drops trained-to-be-suffix dims; JL projects through
+    a random rotation and works on any embedding). Both engines
+    compute the projection from the SAME literal matrix, the
+    projected dot products fold left-to-right identically, and the
+    recall machinery is X10/X11's oracled brute force. Output
+    (query_id, n_hit, recall_ppm) per query — the decision table for
+    'can we serve at 1/4 the bandwidth?'."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = rp_matrix()
+    full = brute_force_topk(emb, _queries(emb), k=K).select("query_id", "neighbor_id")
+    proj = _project(emb, rows)
+    topp = brute_force_topk(proj, _queries(proj), k=K).select("query_id", "neighbor_id")
+    hits = (
+        topp.join(full, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    spine = spark.range(N_QUERIES).select(F.col("id").cast("long").alias("query_id"))
+    return (
+        spine.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(f"coalesce(n_hit, 0) * 1000000 div {K}").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _rp_matrix_sql() -> str:
+    legs = []
+    for row in rp_matrix():
+        lits = ", ".join(repr(v) for v in row)
+        legs.append(f"LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), [{lits}])")
+    return "[" + ", ".join(legs) + "]"
+
+
+EMBEDDINGS_RP_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+         embeddings e
+    WHERE e.vec_id != q.query_id
+  ) WHERE rank <= {K}
+),
+proj AS (
+  SELECT vec_id, {_rp_matrix_sql()} AS pe FROM embeddings
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(q.qv, e.pe), 6) DESC,
+                      e.vec_id ASC
+           ) AS rank
+    FROM (SELECT vec_id AS query_id, pe AS qv FROM proj WHERE vec_id < {N_QUERIES}) q,
+         proj e
+    WHERE e.vec_id != q.query_id
+  ) WHERE rank <= {K}
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY a.query_id
+),
+spine AS (SELECT UNNEST(GENERATE_SERIES(0, {N_QUERIES - 1})) AS query_id)
+SELECT CAST(s.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) * 1000000 // {K} AS BIGINT) AS recall_ppm
+FROM spine s LEFT JOIN hits h ON s.query_id = h.query_id
+ORDER BY query_id
+"""

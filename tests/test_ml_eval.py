@@ -164,3 +164,78 @@ def test_theil_uniform_counts_is_zero_and_skew_positive(spark):
         [(0, i) for i in range(46)] + [(k, 0) for k in range(1, 5)], "k long, i long"
     )
     assert theil_index(skew, "k").collect()[0].theil_micro > 1_000_000  # > 1 nat
+
+
+# ──────────── X15 / A12 / L22: RP recall, cohort LTV, RAKE ────────────
+
+
+def test_rp_projection_preserves_scaled_norms_roughly(spark, sf_dir):
+    from data_frame_demo_etl_spark.similarity.gate import embeddings_rp_recall
+
+    rows = embeddings_rp_recall(spark, sf_dir).collect()
+    assert len(rows) == 10 and [r.query_id for r in rows] == list(range(10))
+    # On near-orthogonal synthetic vectors 64→16 JL keeps only part of
+    # the (noise-thin) neighbor margin — the measured number IS the
+    # point of the gate. Structural floor: some hit survives, every
+    # count is in range, and the ppm grid is exact.
+    assert sum(r.n_hit for r in rows) >= 1
+    assert all(0 <= r.n_hit <= 5 for r in rows)
+    assert all(r.recall_ppm == r.n_hit * 200_000 for r in rows)
+
+
+def test_rp_matrix_deterministic(spark):
+    from data_frame_demo_etl_spark.similarity.gate import rp_matrix
+
+    a, b = rp_matrix(), rp_matrix()
+    assert a == b and len(a) == 16 and len(a[0]) == 64
+
+
+def test_cohort_ltv_planted(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.funnel import cohort_ltv
+
+    # cust 1 first orders 2020 (100), again 2021 (50); cust 2 joins 2021 (30)
+    rows = [
+        (1, dt.date(2020, 3, 1), 100.0),
+        (1, dt.date(2021, 5, 1), 50.0),
+        (2, dt.date(2021, 7, 1), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate date, o_totalprice double")
+    out = {(r.cohort_year, r.year_offset): r for r in cohort_ltv(df).collect()}
+    assert out[(2020, 0)].revenue_cents == 10000
+    assert out[(2020, 1)].cum_revenue_cents == 15000
+    assert out[(2020, 1)].ltv_per_customer_micro == 150_000_000  # $150 for 1 cust
+    assert out[(2021, 0)].cohort_customers == 1
+    assert out[(2021, 0)].revenue_cents == 3000
+
+
+def test_rake_scores_multiword_phrase_above_frequent_single(spark):
+    from data_frame_demo_etl_spark.functions.keywords import rake_keywords
+
+    # "deep learning" co-occurs as a phrase; "data" is frequent but
+    # always alone → RAKE must rank the phrase first (degree effect).
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning is the future of data"),
+            (2, "deep learning and data"),
+            (3, "data is data and data"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(docs).collect()
+    assert out[0].phrase == "deep learning"
+    assert out[0].n_words == 2 and out[0].n_occurrences == 2
+    single = {r.phrase: r for r in out}
+    assert single["deep learning"].score_ppm > single["data"].score_ppm
+
+
+def test_rake_stopwords_never_appear(spark):
+    from data_frame_demo_etl_spark.functions.keywords import RAKE_STOPWORDS, rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat is on the mat")], "doc_id long, text string"
+    )
+    for r in rake_keywords(docs).collect():
+        for w in r.phrase.split(" "):
+            assert w not in RAKE_STOPWORDS
