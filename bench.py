@@ -89,7 +89,10 @@ HEADLINE = [
     "split_leakage_check",
     "orders_benford_audit",
     "events_cusum_changepoints",
-    "embeddings_int8_quantization",
+    # embeddings_int8_quantization trimmed from the LINE with the
+    # round-10 two — the representation-compression slot is carried by
+    # the headlined embeddings_matryoshka_recall (int8 stays
+    # registered, oracle-verified, and in the pytest suite).
     "dedup_lsh_threshold_sweep",
     # docs_token_fertility trimmed from the LINE with the round-9 six
     # (token-counting family sibling of text_token_count) — at 70
@@ -97,7 +100,10 @@ HEADLINE = [
     # window; one more trim restores real margin.
     "events_max_concurrency",
     "events_grouping_sets",
-    "corpus_temperature_mix",
+    # corpus_temperature_mix trimmed from the LINE with the round-10
+    # two — the sampling family keeps corpus_dsir_sample +
+    # docs_stratified_sample in the line (temperature mix stays
+    # registered, oracle-verified, and in the pytest suite).
     "supplier_er_scores",
     "star_integrity_audit",
     "lang_id_confusion",
@@ -144,6 +150,11 @@ HEADLINE = [
     "events_ks_test",
     "dedup_containment",
     "docs_zipf_fit",
+    # round-10 additions (appended, same comparability rule; paid for
+    # by the two trims above): the ML-evaluation family representative
+    # and the keyword-extraction op.
+    "events_value_auc",
+    "docs_rake_keywords",
 ]
 
 

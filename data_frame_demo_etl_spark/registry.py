@@ -1134,6 +1134,20 @@ _R10_WINDOW: tuple[str, ...] = (
     "events_user_journeys",
     "brand_price_elasticity",
     "lineitem_lorenz_curve",
+    # --- new in r10 (never externally verified): the IVF recall dial,
+    #     the ML-evaluation family, the info-theory audits, and the
+    #     text/funnel/similarity additions (11)
+    "ann_ivf_nprobe_sweep",
+    "events_value_auc",
+    "events_rater_agreement",
+    "events_purchase_stump",
+    "events_cuped_adjustment",
+    "events_jsd_arms",
+    "events_transition_entropy",
+    "lineitem_supplier_theil",
+    "embeddings_rp_recall",
+    "customer_cohort_ltv",
+    "docs_rake_keywords",
     # --- keeper spine (12, unchanged from r9)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -1147,20 +1161,10 @@ _R10_WINDOW: tuple[str, ...] = (
     "ingest_csv_template",
     "pipeline_e2e",
     "sample_documents",
-    # --- backfill: newest external green row is oldest — the twelve
-    #     r4-era rows the r9 rotation displaced, in registration order
+    # --- backfill: newest external green row is oldest — the r4-era
+    #     remainder, in registration order (11 of the 12 displaced by
+    #     the round-10 additions above; all 12 keep their r4 greens)
     "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_stock",
-    "top_parts_per_brand",
-    "window_running_total",
-    "churned_customers",
-    "customers_without_orders",
-    "orders_above_customer_avg",
 )
 
 assert len(_R10_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R10_WINDOW)}"

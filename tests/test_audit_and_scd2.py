@@ -168,6 +168,28 @@ CARTESIAN_ALLOWED = {
     # by construction, bounded by the mark ladder) plus the 1-ROW
     # slope scalar cross (functions/vocab.py heaps_fit).
     "docs_heaps_fit",
+    # exact-baseline leg broadcasts the 10-query set against the
+    # corpus — the documented ann_cosine_topk shape (similarity/ivf.py
+    # ivf_nprobe_recall_sweep).
+    "ann_ivf_nprobe_sweep",
+    # crossJoin(broadcast(1-ROW epoch-midpoint bounds)) then
+    # crossJoin(broadcast(1-ROW theta/global-mean aggregate)) — the
+    # q22 bounded-scalar shape twice (analytics/ml_eval.py).
+    "events_cuped_adjustment",
+    # crossJoin(broadcast(1-ROW A/B-total aggregate)) — bounded scalar
+    # (analytics/drift.py jsd_categorical).
+    "events_jsd_arms",
+    # crossJoins of 1-ROW aggregates (totals × conditional-entropy
+    # scalar) — the mutual-information shape
+    # (analytics/features.py transition_entropy).
+    "events_transition_entropy",
+    # crossJoin(broadcast(1-ROW n/t totals)) — bounded scalar
+    # (analytics/quality_audit.py theil_index).
+    "lineitem_supplier_theil",
+    # full + projected brute-force legs, each a broadcast 10-query set
+    # against the corpus — the ann_cosine_topk shape twice
+    # (similarity/gate.py embeddings_rp_recall).
+    "embeddings_rp_recall",
 }
 
 

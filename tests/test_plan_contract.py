@@ -81,6 +81,37 @@ CARTESIAN_ALLOWED = {
     # composes the trainer above (same bounded 1-row cross) before
     # encoding — same scalar shape (functions/unigram.py).
     "docs_unigram_tokens",
+    # --- r10 window rotation: r9b gates now inside the window, each
+    #     already justified in the whole-registry audit allowlist
+    #     (tests/test_audit_and_scd2.py) with the same bounded shape
+    "events_mutual_information",
+    "embeddings_hard_negatives",
+    "customer_segment_target_encoding",
+    "docs_heaps_fit",
+    "events_windowed_psi",
+    # --- r10 additions
+    # exact-baseline leg broadcasts the 10-query set against the
+    # corpus — the documented ann_cosine_topk shape (similarity/ivf.py
+    # ivf_nprobe_recall_sweep).
+    "ann_ivf_nprobe_sweep",
+    # crossJoin(broadcast(1-ROW epoch-midpoint bounds)) then
+    # crossJoin(broadcast(1-ROW theta/global-mean aggregate)) — the
+    # q22 bounded-scalar shape twice (analytics/ml_eval.py).
+    "events_cuped_adjustment",
+    # crossJoin(broadcast(1-ROW A/B-total aggregate)) — bounded scalar
+    # (analytics/drift.py jsd_categorical).
+    "events_jsd_arms",
+    # crossJoins of 1-ROW aggregates (totals × conditional-entropy
+    # scalar) — the mutual-information shape
+    # (analytics/features.py transition_entropy).
+    "events_transition_entropy",
+    # crossJoin(broadcast(1-ROW n/t totals)) — bounded scalar
+    # (analytics/quality_audit.py theil_index).
+    "lineitem_supplier_theil",
+    # full + projected brute-force legs, each a broadcast 10-query set
+    # against the corpus — the ann_cosine_topk shape twice
+    # (similarity/gate.py embeddings_rp_recall).
+    "embeddings_rp_recall",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.
