@@ -597,3 +597,89 @@ SELECT CAST(C AS BIGINT) AS n_transitions,
        CASE WHEN C > 0 THEN CAST(GREATEST(hm, 0) // C AS BIGINT) END AS h_marginal_micro
 FROM tot CROSS JOIN hc CROSS JOIN hm
 """
+
+
+# ─────────────── K62: RFM segment migration matrix ───────────────
+
+RFM_SPLIT_DATE = "1998-07-01"
+
+
+def rfm_migration(
+    orders: DataFrame,
+    split_date: str = RFM_SPLIT_DATE,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Customer VALUE-segment migration matrix: monetary quintile in
+    the period before ``split_date`` vs the period after, for
+    customers active in BOTH — the lifecycle readout behind
+    upgrade/churn-risk programs (K27 scores a snapshot; this is the
+    snapshot's time derivative). Each half's quintile comes from the
+    K27 machinery (exact closed-form NTILE over the distributed
+    two-pass rank — no single-partition window), so the matrix is
+    bit-deterministic. Output: (m_before, m_after, n_customers) over
+    the ≤25-cell quintile² domain, plus each cell's share of the
+    matched population on the ppm grid."""
+    before = rfm_segments(
+        orders.filter(F.col(date_col) < F.lit(split_date)),
+        cust_col=cust_col,
+        date_col=date_col,
+        amount_col=amount_col,
+    ).select(F.col("custkey"), F.col("m_score").alias("m_before"))
+    after = rfm_segments(
+        orders.filter(F.col(date_col) >= F.lit(split_date)),
+        cust_col=cust_col,
+        date_col=date_col,
+        amount_col=amount_col,
+    ).select(F.col("custkey"), F.col("m_score").alias("m_after"))
+    cells = before.join(after, "custkey").groupBy("m_before", "m_after").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    tot = cells.agg(F.sum("n_customers").alias("matched"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m_before").cast("long").alias("m_before"),
+            F.col("m_after").cast("long").alias("m_after"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.expr("n_customers * 1000000 div matched").cast("long").alias("share_ppm"),
+        )
+        .orderBy("m_before", "m_after")
+    )
+
+
+def customer_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: monetary-quintile migration across the mid-history
+    1998-07-01 split of the order window."""
+    orders = load_table(spark, "orders", sf_dir)
+    return rfm_migration(orders)
+
+
+def _rfm_half_sql(pred: str, alias: str) -> str:
+    return f"""
+  SELECT custkey, CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, custkey ASC) AS INTEGER) AS {alias}
+  FROM (
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+    FROM orders WHERE {pred}
+    GROUP BY o_custkey
+  )"""
+
+
+CUSTOMER_RFM_MIGRATION_SQL = f"""
+WITH before_half AS ({_rfm_half_sql(f"o_orderdate < DATE '{RFM_SPLIT_DATE}'", "m_before")}),
+after_half AS ({_rfm_half_sql(f"o_orderdate >= DATE '{RFM_SPLIT_DATE}'", "m_after")}),
+cells AS (
+  SELECT m_before, m_after, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM before_half JOIN after_half USING (custkey)
+  GROUP BY m_before, m_after
+),
+tot AS (SELECT SUM(n_customers) AS matched FROM cells)
+SELECT CAST(m_before AS BIGINT) AS m_before,
+       CAST(m_after AS BIGINT) AS m_after,
+       n_customers,
+       CAST(n_customers * 1000000 // matched AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN tot
+ORDER BY m_before, m_after
+"""

@@ -520,3 +520,88 @@ SELECT arm,
 FROM arms CROSS JOIN g2
 ORDER BY arm
 """
+
+
+# ─────────────── calibration curve (reliability diagram) ───────────────
+
+CAL_BINS = 10
+
+
+def calibration_curve(
+    df: DataFrame, label_col, score_cents_col, n_bins: int = CAL_BINS
+) -> DataFrame:
+    """Reliability diagram of an integer score against a binary label:
+    equal-width score bins, each reporting its mean score and observed
+    positive rate — the table that says WHERE a scorer is over- or
+    under-confident (AUC says only that ranking works overall).
+
+    Binning is the PSI convention: exact integer arithmetic against
+    the observed [lo, hi] bounds — bin = least(bins−1,
+    (cents−lo)·bins div (hi−lo+1)) — so both engines bucket every row
+    identically; per-bin mean score and positive rate land once each
+    on the micro/ppm grids. Only non-empty bins appear (the curve is
+    read bin-by-bin; a zero row has no rate). One bounds aggregate +
+    one map-side-combined binned aggregation."""
+    base = df.select(
+        score_cents_col.alias("cents"), label_col.alias("is_pos")
+    ).filter(F.col("cents").isNotNull() & F.col("is_pos").isNotNull())
+    bounds = base.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"(cents - lo) * {n_bins} div (hi - lo + 1)"),
+        ).alias("bin"),
+        "cents",
+        "is_pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast(DEC)).alias("s"),
+            F.count_if(F.col("is_pos")).alias("pos"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            F.expr("(s * 10000) div cast(n as decimal(38,0))")
+            .cast("long")
+            .alias("mean_score_micro"),
+            F.expr("pos * 1000000 div n").cast("long").alias("positive_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def events_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: reliability of event value as a purchase predictor — the
+    binned companion of events_value_auc (AUC says value ranks
+    purchases above the rest; this says at WHICH value levels)."""
+    events = load_table(spark, "events", sf_dir)
+    return calibration_curve(
+        events.filter(F.col("value").isNotNull()),
+        F.col("event_type") == F.lit("purchase"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+EVENTS_VALUE_CALIBRATION_SQL = f"""
+WITH base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_type = 'purchase' AS is_pos
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM base),
+binned AS (
+  SELECT LEAST({CAL_BINS - 1}, (cents - lo) * {CAL_BINS} // (hi - lo + 1)) AS bin,
+         cents, is_pos
+  FROM base CROSS JOIN bounds
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((SUM(CAST(cents AS HUGEINT)) * 10000) // COUNT(*) AS BIGINT) AS mean_score_micro,
+       CAST(COUNT(*) FILTER (WHERE is_pos) * 1000000 // COUNT(*) AS BIGINT) AS positive_rate_ppm
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""

@@ -1716,3 +1716,109 @@ SELECT CAST(n AS BIGINT) AS n_keys,
        CASE WHEN t > 0 THEN CAST(GREATEST(s, 0) // t AS BIGINT) END AS theil_micro
 FROM folded
 """
+
+
+# ─────────────── K61: ABC (Pareto) classification ───────────────
+
+#: Cumulative revenue-share boundaries (ppm): A ≤ 80%, B ≤ 95%, C rest.
+ABC_A_PPM = 800_000
+ABC_B_PPM = 950_000
+
+
+def abc_classification(
+    df: DataFrame, key_col: str, cents_col
+) -> DataFrame:
+    """ABC / Pareto inventory classification of keys by value mass:
+    rank keys by revenue DESC, class A = keys inside the first 80% of
+    cumulative revenue, B to 95%, C the tail — the stock-policy
+    operator behind "20% of parts are 80% of the money" (the acting
+    sibling of K56's Lorenz CURVE: same prefix machinery, but the
+    output is the classification a planner applies).
+
+    Exact: per-key cents through the constant-key two-pass prefix in
+    (−revenue, key) total order; class boundaries compared in pure
+    integers (cum·10⁶ ≤ t·boundary — no division, no knife-edge).
+    Output is the 3-row class summary (n_keys, revenue, exact ppm
+    share of keys and revenue)."""
+    counts = (
+        df.groupBy(F.col(key_col).alias("kk"))
+        .agg(F.sum(cents_col).alias("x"))
+        .select(F.lit(1).alias("key"), "kk", F.col("x").cast("long").alias("x"))
+        .withColumn("negx", -F.col("x"))
+    )
+    laid = _keyed_prefix(counts, ["negx", "kk"], "x")
+    dec = "decimal(38,0)"
+    cls = (
+        F.when(
+            F.col("cum").cast(dec) * F.lit(1_000_000).cast(dec)
+            <= F.col("t").cast(dec) * F.lit(ABC_A_PPM).cast(dec),
+            F.lit("A"),
+        )
+        .when(
+            F.col("cum").cast(dec) * F.lit(1_000_000).cast(dec)
+            <= F.col("t").cast(dec) * F.lit(ABC_B_PPM).cast(dec),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+    )
+    return (
+        laid.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("x").alias("revenue_cents"),
+            F.first("n").alias("n_all"),
+            F.first("t").alias("t_all"),
+        )
+        .select(
+            "abc_class",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.expr("n_keys * 1000000 div n_all").cast("long").alias("key_share_ppm"),
+            F.expr(
+                "(cast(revenue_cents as decimal(38,0)) * 1000000) div cast(t_all as decimal(38,0))"
+            )
+            .cast("long")
+            .alias("revenue_share_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: ABC classes of parts by lineitem revenue — the
+    80/15/5 stock policy table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return abc_classification(li, "l_partkey", rev)
+
+
+PARTS_ABC_CLASSIFICATION_SQL = f"""
+WITH counts AS (
+  SELECT l_partkey AS kk,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY l_partkey
+),
+laid AS (
+  SELECT kk, x,
+         SUM(x) OVER (ORDER BY -x, kk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER () AS n,
+         SUM(x) OVER () AS t
+  FROM counts
+),
+classed AS (
+  SELECT *,
+         CASE WHEN CAST(cum AS HUGEINT) * 1000000 <= CAST(t AS HUGEINT) * {ABC_A_PPM} THEN 'A'
+              WHEN CAST(cum AS HUGEINT) * 1000000 <= CAST(t AS HUGEINT) * {ABC_B_PPM} THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM laid
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(x) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) * 1000000 // MAX(n) AS BIGINT) AS key_share_ppm,
+       CAST((CAST(SUM(x) AS HUGEINT) * 1000000) // CAST(MAX(t) AS HUGEINT) AS BIGINT) AS revenue_share_ppm
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""

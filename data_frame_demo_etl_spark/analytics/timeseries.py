@@ -883,3 +883,127 @@ SELECT o_orderpriority,
 FROM g
 ORDER BY o_orderpriority
 """
+
+
+# ─────────────── K60: lagged cross-correlation ───────────────
+
+CCF_MAX_LAG = 3
+
+
+def cross_correlation(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    max_lag: int = CCF_MAX_LAG,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Lead/lag cross-correlation between two event types' hourly
+    count series: corr(count_a[t], count_b[t+lag]) for lag 0..max_lag
+    — the "does A lead B?" question K40's same-hour matrix cannot
+    answer (a 2-hour view→purchase lag shows ZERO same-hour
+    correlation and a spike at lag 2).
+
+    Same conventions as K40: dense 0-filled hour spine (sparse joins
+    drop exactly the hours where co-movement breaks), exact integer
+    counts, decimal(38,0) sufficient statistics, ONE fixed IEEE
+    combination per lag, ppm grid, zero-variance → NULL. The lag join
+    is per-lag hour-shifted equi (union of max_lag+1 legs over the
+    checkpointed hours×2 series table — bounded, never corpus work)."""
+    hs = (
+        df.filter(F.col(type_col).isin(type_a, type_b))
+        .groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+            F.col(type_col).alias("t"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    ).localCheckpoint(eager=True)
+    hours = hs.select("h").distinct()
+    dense = lambda t: hours.join(  # noqa: E731
+        hs.filter(F.col("t") == t).select("h", "x"), "h", "left"
+    ).select("h", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    a = dense(type_a).select("h", F.col("x").alias("xa"))
+    b = dense(type_b)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    legs = None
+    for lag in range(max_lag + 1):
+        shifted = b.select(
+            (F.col("h") - F.expr(f"INTERVAL {lag} HOURS")).alias("h"),
+            F.col("x").alias("xb"),
+        )
+        leg = a.join(shifted, "h").select(
+            F.lit(lag).alias("lag"), "xa", "xb"
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    g = legs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("xa"))).alias("sx"),
+        F.sum(dec(F.col("xb"))).alias("sy"),
+        F.sum(dec(F.col("xa")) * dec(F.col("xb"))).alias("sxy"),
+        F.sum(dec(F.col("xa")) * dec(F.col("xa"))).alias("sxx"),
+        F.sum(dec(F.col("xb")) * dec(F.col("xb"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    r = F.when((vx > 0) & (vy > 0), (nd * sxy - sx * sy) / F.sqrt(vx * vy))
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.floor(r * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("corr_ppm"),
+    ).orderBy("lag")
+
+
+def events_view_purchase_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: does viewing LEAD purchasing? Hourly view→purchase
+    cross-correlation at lags 0–3."""
+    events = load_table(spark, "events", sf_dir)
+    return cross_correlation(events, "view", "purchase")
+
+
+EVENTS_VIEW_PURCHASE_CCF_SQL = f"""
+WITH hs AS (
+  SELECT DATE_TRUNC('hour', ts) AS h, event_type AS t, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+hours AS (SELECT DISTINCT h FROM hs),
+da AS (
+  SELECT hours.h, COALESCE(hs.x, 0) AS xa
+  FROM hours LEFT JOIN hs ON hs.h = hours.h AND hs.t = 'view'
+),
+db AS (
+  SELECT hours.h, COALESCE(hs.x, 0) AS xb
+  FROM hours LEFT JOIN hs ON hs.h = hours.h AND hs.t = 'purchase'
+),
+lags(lag) AS (VALUES (0), (1), (2), (3)),
+legs AS (
+  SELECT l.lag, a.xa, b.xb
+  FROM lags l
+  JOIN da a ON TRUE
+  JOIN db b ON b.h = a.h + l.lag * INTERVAL 1 HOUR
+),
+g AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(xa AS HUGEINT)) AS sx, SUM(CAST(xb AS HUGEINT)) AS sy,
+         SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
+         SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+         SUM(CAST(xb AS HUGEINT) * xb) AS syy
+  FROM legs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_hours,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000.0 + 0.5) AS BIGINT)
+       END AS corr_ppm
+FROM g
+ORDER BY lag
+"""

@@ -1084,6 +1084,28 @@ register("customer_cohort_ltv", customer_cohort_ltv, CUSTOMER_COHORT_LTV_SQL)
 from .functions.keywords import DOCS_RAKE_KEYWORDS_SQL, docs_rake_keywords  # noqa: E402
 
 register("docs_rake_keywords", docs_rake_keywords, DOCS_RAKE_KEYWORDS_SQL)
+
+from .analytics.timeseries import (  # noqa: E402
+    EVENTS_VIEW_PURCHASE_CCF_SQL,
+    events_view_purchase_ccf,
+)
+from .analytics.ml_eval import (  # noqa: E402
+    EVENTS_VALUE_CALIBRATION_SQL,
+    events_value_calibration,
+)
+from .analytics.quality_audit import (  # noqa: E402
+    PARTS_ABC_CLASSIFICATION_SQL,
+    parts_abc_classification,
+)
+from .analytics.features import (  # noqa: E402
+    CUSTOMER_RFM_MIGRATION_SQL,
+    customer_rfm_migration,
+)
+
+register("events_view_purchase_ccf", events_view_purchase_ccf, EVENTS_VIEW_PURCHASE_CCF_SQL)
+register("events_value_calibration", events_value_calibration, EVENTS_VALUE_CALIBRATION_SQL)
+register("parts_abc_classification", parts_abc_classification, PARTS_ABC_CLASSIFICATION_SQL)
+register("customer_rfm_migration", customer_rfm_migration, CUSTOMER_RFM_MIGRATION_SQL)
 register("events_jsd_arms", events_jsd_arms, EVENTS_JSD_ARMS_SQL)
 register(
     "events_transition_entropy", events_transition_entropy, EVENTS_TRANSITION_ENTROPY_SQL
@@ -1148,6 +1170,7 @@ _R10_WINDOW: tuple[str, ...] = (
     "embeddings_rp_recall",
     "customer_cohort_ltv",
     "docs_rake_keywords",
+    "events_view_purchase_ccf",
     # --- keeper spine (12, unchanged from r9)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -1161,10 +1184,11 @@ _R10_WINDOW: tuple[str, ...] = (
     "ingest_csv_template",
     "pipeline_e2e",
     "sample_documents",
-    # --- backfill: newest external green row is oldest — the r4-era
-    #     remainder, in registration order (11 of the 12 displaced by
-    #     the round-10 additions above; all 12 keep their r4 greens)
-    "q3_shipping_priority",
+    # (no backfill slots left: 26 r9b + 12 r10 rotation targets fill
+    # the window beside the 12-keeper spine. The three r10 additions
+    # registered past the budget — events_value_calibration,
+    # parts_abc_classification, customer_rfm_migration — are the
+    # first round-11 rotation targets, TIER_ROTATION.md.)
 )
 
 assert len(_R10_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R10_WINDOW)}"

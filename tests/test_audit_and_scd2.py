@@ -190,6 +190,14 @@ CARTESIAN_ALLOWED = {
     # against the corpus — the ann_cosine_topk shape twice
     # (similarity/gate.py embeddings_rp_recall).
     "embeddings_rp_recall",
+    # crossJoin(broadcast(1-ROW min/max score bounds)) for the binning
+    # grid — the PSI bounded-scalar shape (analytics/ml_eval.py
+    # calibration_curve).
+    "events_value_calibration",
+    # crossJoin(broadcast(1-ROW matched-total aggregate)) for the cell
+    # shares, plus rfm_segments' internal 1-row anchor — bounded
+    # scalars (analytics/features.py rfm_migration).
+    "customer_rfm_migration",
 }
 
 

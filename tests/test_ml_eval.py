@@ -239,3 +239,83 @@ def test_rake_stopwords_never_appear(spark):
     for r in rake_keywords(docs).collect():
         for w in r.phrase.split(" "):
             assert w not in RAKE_STOPWORDS
+
+
+# ──────────── K60–K62 + E-CAL: CCF, calibration, ABC, migration ────────────
+
+
+def test_ccf_detects_planted_lag(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import cross_correlation
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # views pulse on even hours; purchases mirror the pulse 2h later →
+    # CCF must peak at lag 2
+    for h in range(48):
+        n_views = 10 if h % 2 == 0 else 1
+        for _ in range(n_views):
+            rows.append((eid, base + dt.timedelta(hours=h), eid, "view", 1.0)); eid += 1
+        n_buys = 10 if (h - 2) % 2 == 0 else 1
+        for _ in range(n_buys):
+            rows.append((eid, base + dt.timedelta(hours=h), eid, "purchase", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.lag: r.corr_ppm for r in cross_correlation(df, "view", "purchase").collect()}
+    assert out[2] == max(out.values()) and out[2] > 900_000
+    assert out[1] < 0  # anti-phase at odd lag
+
+
+def test_calibration_monotone_on_perfect_scorer(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import calibration_curve
+    from pyspark.sql import functions as F
+
+    # label = cents >= 50: low bins pure negative, high bins pure positive
+    rows = [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "cents long").withColumn(
+        "pos", F.col("cents") >= 50
+    )
+    out = calibration_curve(df, F.col("pos"), F.col("cents")).collect()
+    assert [r.bin for r in out] == list(range(10))
+    rates = [r.positive_rate_ppm for r in out]
+    assert rates[:5] == [0] * 5 and rates[5:] == [1_000_000] * 5
+    assert sum(r.n for r in out) == 100
+    assert out[0].mean_score_micro == 45_000  # mean(0..9) = 4.5 cents
+
+
+def test_abc_planted_pareto(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import abc_classification
+    from pyspark.sql import functions as F
+
+    # one whale (800), three mid (50 each), six minnows (~8.33 each)
+    rows = [(0, 800)] + [(k, 50) for k in (1, 2, 3)] + [
+        (k, 9) for k in range(4, 10)
+    ]
+    df = spark.createDataFrame(rows, "k long, cents long")
+    out = {r.abc_class: r for r in abc_classification(df, "k", F.col("cents")).collect()}
+    # total = 1004; whale cum 800/1004 = 79.7% ≤ 80% → A alone
+    assert out["A"].n_keys == 1 and out["A"].revenue_cents == 800
+    # next: 850/1004=84.7% (B), 900/1004=89.6% (B), 950/1004=94.6% (B)
+    assert out["B"].n_keys == 3
+    assert out["C"].n_keys == 6
+    assert sum(r.revenue_share_ppm for r in out.values()) >= 999_997  # ppm floors
+
+
+def test_rfm_migration_square_and_conserves_customers(spark, sf_dir):
+    from data_frame_demo_etl_spark.analytics.features import rfm_migration
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = rfm_migration(orders).collect()
+    assert all(1 <= r.m_before <= 5 and 1 <= r.m_after <= 5 for r in out)
+    total = sum(r.n_customers for r in out)
+    assert total > 0
+    assert sum(r.share_ppm for r in out) <= 1_000_000  # integral floors
+    # quintiles are balanced within ±1 in each margin
+    from collections import Counter
+    before = Counter()
+    for r in out:
+        before[r.m_before] += r.n_customers
