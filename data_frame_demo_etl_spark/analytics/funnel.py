@@ -19,7 +19,7 @@ both gates carry full DuckDB oracles with no quantization tricks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.catalog import load_table
 
@@ -408,4 +408,171 @@ SELECT CAST(c.cohort_year AS BIGINT) AS cohort_year,
             * 10000 // s.cohort_customers AS BIGINT) AS ltv_per_customer_micro
 FROM curve c JOIN cohort_size s USING (cohort_year)
 ORDER BY cohort_year, year_offset
+"""
+
+
+# ───────────────────────── linear multi-touch attribution ─────────────────────────
+
+#: Lookback window for attribution: touches at-or-before a purchase
+#: within this many seconds share its revenue.
+ATTRIBUTION_WINDOW_S = 7 * 24 * 3600
+
+
+def linear_touch_attribution(
+    events: DataFrame, window_s: int = ATTRIBUTION_WINDOW_S
+) -> DataFrame:
+    """Linear multi-touch revenue attribution — the marketing-science
+    step past `asof_view_before_purchase`'s last-touch answer: every
+    view/click in the 7-day window before a purchase shares that
+    purchase's revenue EQUALLY (reference has per-type engagement
+    summaries only, src/youtube.py; attribution is what a channel
+    budget actually reads).
+
+    Spark-first shape: NO interval join. Each purchase learns its
+    in-window touch counts from two conditional RANGE-frame windows
+    over the user's epoch-second timeline (partitioned by the
+    high-cardinality user key — parallel at any corpus size, state
+    per task bounded by one user's 7-day activity), then ONE
+    map-side-combined aggregation folds per-purchase integral shares.
+
+    Exactness: shares are integral cent divisions (view_cents =
+    cents·n_view div total). Truncation remainders are NOT smeared —
+    they surface as an explicit `rounding_remainder` row, so
+    Σ attributed_cents across the four output rows ≡ Σ purchase cents
+    (a conservation contract the pytest pins). Purchases with NULL
+    value are excluded; `none` carries full cents of touchless
+    purchases.
+    """
+    base = events.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-int(window_s), 0)
+    )
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).over(w)  # noqa: E731
+    touched = base.select(
+        "*",
+        cnt("view").alias("n_view"),
+        cnt("click").alias("n_click"),
+    )
+    p = touched.filter(
+        (F.col("event_type") == "purchase") & F.col("cents").isNotNull()
+    ).withColumn("n_touch", F.col("n_view") + F.col("n_click"))
+    p = p.select(
+        "cents",
+        "n_view",
+        "n_click",
+        "n_touch",
+        F.when(
+            F.col("n_touch") > 0,
+            F.expr("(cents * n_view) div n_touch"),
+        ).alias("view_cents"),
+        F.when(
+            F.col("n_touch") > 0,
+            F.expr("(cents * n_click) div n_touch"),
+        ).alias("click_cents"),
+    )
+    agg = p.agg(
+        F.coalesce(F.sum("view_cents"), F.lit(0)).cast("long").alias("sv"),
+        F.coalesce(F.sum("click_cents"), F.lit(0)).cast("long").alias("sc"),
+        F.coalesce(F.sum(F.when(F.col("n_touch") == 0, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("sn"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_touch") > 0,
+                    F.col("cents") - F.col("view_cents") - F.col("click_cents"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sr"),
+        F.sum(F.when(F.col("n_view") > 0, 1).otherwise(0)).cast("long").alias("nv"),
+        F.sum(F.when(F.col("n_click") > 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("n_touch") == 0, 1).otherwise(0)).cast("long").alias("nn"),
+        F.sum(F.when(F.col("n_touch") > 0, 1).otherwise(0)).cast("long").alias("nr"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("channel"),
+                    F.col("nv").alias("n_purchases"),
+                    F.col("sv").alias("attributed_cents"),
+                ),
+                F.struct(
+                    F.lit("click").alias("channel"),
+                    F.col("nc").alias("n_purchases"),
+                    F.col("sc").alias("attributed_cents"),
+                ),
+                F.struct(
+                    F.lit("none").alias("channel"),
+                    F.col("nn").alias("n_purchases"),
+                    F.col("sn").alias("attributed_cents"),
+                ),
+                F.struct(
+                    F.lit("rounding_remainder").alias("channel"),
+                    F.col("nr").alias("n_purchases"),
+                    F.col("sr").alias("attributed_cents"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.channel", "r.n_purchases", "r.attributed_cents")
+    return rows.orderBy("channel")
+
+
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: linear multi-touch attribution of purchase revenue to the
+    view/click touches in each purchase's trailing 7-day window."""
+    events = load_table(spark, "events", sf_dir)
+    return linear_touch_attribution(events)
+
+
+PURCHASE_TOUCH_ATTRIBUTION_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(epoch(ts) AS BIGINT) AS ts_sec,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+touched AS (
+  SELECT *,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN {ATTRIBUTION_WINDOW_S} PRECEDING AND CURRENT ROW) AS n_view,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN {ATTRIBUTION_WINDOW_S} PRECEDING AND CURRENT ROW) AS n_click
+  FROM base
+),
+p AS (
+  SELECT cents, n_view, n_click, n_view + n_click AS n_touch,
+         CASE WHEN n_view + n_click > 0 THEN (cents * n_view) // (n_view + n_click) END AS view_cents,
+         CASE WHEN n_view + n_click > 0 THEN (cents * n_click) // (n_view + n_click) END AS click_cents
+  FROM touched
+  WHERE event_type = 'purchase' AND cents IS NOT NULL
+),
+agg AS (
+  SELECT COALESCE(SUM(view_cents), 0) AS sv,
+         COALESCE(SUM(click_cents), 0) AS sc,
+         COALESCE(SUM(CASE WHEN n_touch = 0 THEN cents END), 0) AS sn,
+         COALESCE(SUM(CASE WHEN n_touch > 0 THEN cents - view_cents - click_cents END), 0) AS sr,
+         COALESCE(SUM(CASE WHEN n_view > 0 THEN 1 ELSE 0 END), 0) AS nv,
+         COALESCE(SUM(CASE WHEN n_click > 0 THEN 1 ELSE 0 END), 0) AS nc,
+         COALESCE(SUM(CASE WHEN n_touch = 0 THEN 1 ELSE 0 END), 0) AS nn,
+         COALESCE(SUM(CASE WHEN n_touch > 0 THEN 1 ELSE 0 END), 0) AS nr
+  FROM p
+)
+SELECT 'view' AS channel, CAST(nv AS BIGINT) AS n_purchases, CAST(sv AS BIGINT) AS attributed_cents FROM agg
+UNION ALL SELECT 'click', CAST(nc AS BIGINT), CAST(sc AS BIGINT) FROM agg
+UNION ALL SELECT 'none', CAST(nn AS BIGINT), CAST(sn AS BIGINT) FROM agg
+UNION ALL SELECT 'rounding_remainder', CAST(nr AS BIGINT), CAST(sr AS BIGINT) FROM agg
+ORDER BY channel
 """

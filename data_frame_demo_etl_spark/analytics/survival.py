@@ -143,3 +143,108 @@ FROM cum
 WHERE churn_d > 0
 ORDER BY duration_hours
 """
+
+
+# ─────────────── A14: Nelson–Aalen cumulative hazard ───────────────
+
+
+def na_cum_hazard(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_hours: int = CENSOR_HOURS,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the same censored-lifetime
+    model as `km_survival` — the estimator a reliability read prefers
+    when risk sets get small (K-M's product collapses to 0 the moment
+    one full risk set churns; N-A's sum H(d) = Σ churn(d')/at_risk(d')
+    stays finite and its slope IS the hazard rate).
+
+    Fully exact integers end-to-end — unlike K-M there is NO log:
+    each increment is one integral division churn·10⁶ div at_risk,
+    and the curve is a prefix sum of those exact terms (truncation
+    ≤ #durations·1e-6, identical in both engines by construction).
+
+    Same scale shape as K-M: one corpus-sized span aggregation; every
+    window runs on the calendar-span-bounded duration table."""
+    spans = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    edge = spans.agg(F.max("last_ts").alias("gmax"))
+    per_user = spans.crossJoin(F.broadcast(edge)).select(
+        F.expr(
+            "(unix_timestamp(date_trunc('hour', last_ts))"
+            " - unix_timestamp(date_trunc('hour', first_ts))) DIV 3600"
+        ).alias("dur"),
+        (
+            F.col("last_ts")
+            > F.col("gmax") - F.expr(f"INTERVAL {int(censor_hours)} HOURS")
+        ).alias("censored"),
+    )
+    tab = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("total_d"),
+        F.count_if(~F.col("censored")).alias("churn_d"),
+    )
+    w_suffix = Window.orderBy("dur").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_prefix = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        tab.withColumn("n_risk", F.sum("total_d").over(w_suffix))
+        .withColumn(
+            "haz",
+            F.expr("(churn_d * 1000000) div n_risk"),
+        )
+        .withColumn("cum_hazard_micro", F.sum("haz").over(w_prefix))
+        .filter(F.col("churn_d") > 0)
+        .select(
+            F.col("dur").cast("int").alias("duration_hours"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("churn_d").cast("long").alias("n_churn"),
+            F.col("haz").cast("long").alias("hazard_micro"),
+            F.col("cum_hazard_micro").cast("long").alias("cum_hazard_micro"),
+        )
+        .orderBy("duration_hours")
+    )
+    return out
+
+
+def users_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the Nelson–Aalen cumulative-hazard curve over `events`
+    (hour granularity, 12-hour right-censor window)."""
+    events = load_table(spark, "events", sf_dir)
+    return na_cum_hazard(events)
+
+
+USERS_CHURN_HAZARD_SQL = f"""
+WITH spans AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events GROUP BY user_id
+),
+edge AS (SELECT MAX(last_ts) AS gmax FROM spans),
+per_user AS (
+  SELECT (EPOCH(DATE_TRUNC('hour', last_ts)) - EPOCH(DATE_TRUNC('hour', first_ts))) // 3600 AS dur,
+         last_ts > gmax - INTERVAL {CENSOR_HOURS} HOUR AS censored
+  FROM spans, edge
+),
+tab AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS total_d,
+         CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS churn_d
+  FROM per_user GROUP BY dur
+),
+risk AS (
+  SELECT dur, total_d, churn_d,
+         CAST(SUM(total_d) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM tab
+),
+haz AS (
+  SELECT dur, n_risk, churn_d,
+         (churn_d * 1000000) // n_risk AS haz
+  FROM risk
+)
+SELECT CAST(dur AS INTEGER) AS duration_hours,
+       n_risk,
+       churn_d AS n_churn,
+       CAST(haz AS BIGINT) AS hazard_micro,
+       CAST(SUM(haz) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro
+FROM haz
+WHERE churn_d > 0
+ORDER BY duration_hours
+"""

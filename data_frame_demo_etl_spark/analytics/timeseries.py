@@ -1007,3 +1007,112 @@ SELECT CAST(lag AS BIGINT) AS lag, n AS n_hours,
 FROM g
 ORDER BY lag
 """
+
+
+# ───────────────────── repurchase cadence (inter-order gaps) ─────────────────────
+
+#: Exact percentiles surfaced by the cadence gate.
+CADENCE_QS = (25, 50, 75, 90)
+
+
+def repurchase_cadence(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-segment repurchase cadence: exact quantiles of the gaps (in
+    days) between a customer's consecutive orders — the
+    inter-purchase-time read a replenishment/CRM calendar is built on
+    (A10's Kaplan–Meier asks IF customers come back; this asks HOW
+    OFTEN while they do).
+
+    Spark-first shape: consecutive gaps from ONE lag window over the
+    high-cardinality customer key (parallel at any scale), then the
+    quantiles run entirely on the (segment × distinct-gap) VALUE
+    DOMAIN — per-(segment, gap) counts through the `_keyed_prefix`
+    two-pass layout (segments are low-cardinality: a plain per-segment
+    window would one-task each segment's history), and percentile q is
+    the smallest gap whose cumulative count clears q% of the segment
+    total (exact integer cross-multiplication cum·100 ≥ t·q, no float
+    interpolation — both engines agree bit-for-bit).
+
+    Gaps are date-subtraction integers; the only division is the
+    exact integral mean (Σ gap·count · 10⁶ div t)."""
+    from .quality_audit import _keyed_prefix
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderdate").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select("o_custkey", F.datediff("o_orderdate", "prev").alias("gap"))
+    )
+    seg = gaps.join(
+        customer.select(F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment")),
+        "o_custkey",
+    ).select(F.col("c_mktsegment").alias("key"), "gap")
+    cnt = seg.groupBy("key", "gap").agg(F.count(F.lit(1)).alias("c"))
+    pre = _keyed_prefix(cnt, ["gap"], "c")
+    qs = [
+        F.min(F.when(F.col("cum") * 100 >= F.col("t") * q, F.col("gap")))
+        .cast("long")
+        .alias(f"p{q}_days")
+        for q in CADENCE_QS
+    ]
+    means = cnt.groupBy("key").agg(
+        F.sum(F.col("gap").cast(dec) * F.col("c").cast(dec)).alias("gs")
+    )
+    out = (
+        pre.groupBy("key")
+        .agg(F.max("t").cast("long").alias("n_gaps"), *qs)
+        .join(means, "key")
+    )
+    return out.select(
+        F.col("key").alias("segment"),
+        "n_gaps",
+        *[f"p{q}_days" for q in CADENCE_QS],
+        F.expr("cast((gs * 1000000) div cast(n_gaps as decimal(38,0)) as long)").alias(
+            "mean_days_micro"
+        ),
+    ).orderBy("segment")
+
+
+def customer_repurchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: inter-order gap quantiles per market segment."""
+    return repurchase_cadence(
+        load_table(spark, "orders", sf_dir), load_table(spark, "customer", sf_dir)
+    )
+
+
+CUSTOMER_REPURCHASE_CADENCE_SQL = """
+WITH lagged AS (
+  SELECT o_custkey, o_orderdate,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+gaps AS (
+  SELECT c_mktsegment AS seg, datediff('day', prev, o_orderdate) AS gap
+  FROM lagged JOIN customer ON c_custkey = o_custkey
+  WHERE prev IS NOT NULL
+),
+cnt AS (SELECT seg, gap, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY 1, 2),
+laid AS (
+  SELECT seg, gap, c,
+         SUM(c) OVER (PARTITION BY seg ORDER BY gap) AS cum,
+         SUM(c) OVER (PARTITION BY seg) AS t,
+         SUM(CAST(gap AS HUGEINT) * c) OVER (PARTITION BY seg) AS gs
+  FROM cnt
+)
+SELECT seg AS segment,
+       CAST(MAX(t) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cum * 100 >= t * 25 THEN gap END) AS BIGINT) AS p25_days,
+       CAST(MIN(CASE WHEN cum * 100 >= t * 50 THEN gap END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cum * 100 >= t * 75 THEN gap END) AS BIGINT) AS p75_days,
+       CAST(MIN(CASE WHEN cum * 100 >= t * 90 THEN gap END) AS BIGINT) AS p90_days,
+       CAST(MAX(gs) * 1000000 // MAX(t) AS BIGINT) AS mean_days_micro
+FROM laid
+GROUP BY seg
+ORDER BY seg
+"""

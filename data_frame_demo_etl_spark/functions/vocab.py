@@ -408,3 +408,226 @@ SELECT q.mark, q.vocab,
 FROM q CROSS JOIN s
 ORDER BY q.mark
 """
+
+
+# ───────────────────────── collocation extraction (PMI) ─────────────────────────
+
+#: A bigram must occur this often to be scored (rare pairs make PMI
+#: explode — the standard Church & Hanks guard).
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 20
+
+
+def collocation_pmi(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990) — the phrase-discovery layer next to RAKE's
+    stopword-boundary keywords (L22): PMI = ln(p(xy)/(p(x)p(y)))
+    scores how much more often two words co-occur ADJACENTLY than
+    independence predicts.
+
+    Spark-first shape: bigrams are built INSIDE the token array
+    (transform over 1..len-1 — a narrow map, no window, no shuffle
+    before the count aggregation), so the corpus is scanned once and
+    the only shuffles are two vocabulary-sized groupBys. The unigram
+    table joins onto the bigram table twice via broadcast (vocab is
+    value-domain-sized at any corpus scale).
+
+    Exactness: pmi term = ln(c_xy·N² / (Nb·c_x·c_y)) — one division
+    of two exact DECIMAL(38,0) products each correctly rounded to
+    double, quantized to the 1e-6 grid (the K48 convention); N ≈ 10¹²
+    tokens keeps c_xy·N² < 10³⁸. Top-k under a (pmi, w1, w2) total
+    order."""
+    dec = "decimal(38,0)"
+    arr = docs.select(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "").alias("l")
+    )
+    uni = (
+        arr.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast(dec).alias("N"))
+    big = (
+        # size >= 2 guard is load-bearing: Spark's sequence(1, 0) runs
+        # DESCENDING, which would fabricate a null bigram per short doc
+        arr.filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> struct(l[i - 1] AS w1, l[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast(dec).alias("cxy"))
+    )
+    nb_tot = big.agg(F.sum("cxy").cast(dec).alias("NB"))
+    scored = (
+        big.filter(F.col("cxy") >= PMI_MIN_PAIR)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(nb_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("long").alias("pair_count"),
+            F.floor(
+                F.log(
+                    (F.col("cxy") * F.col("N") * F.col("N")).cast("double")
+                    / (F.col("NB") * F.col("cx") * F.col("cy")).cast("double")
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(PMI_TOP_K)
+
+
+def docs_collocation_pmi(spark, sf_dir: str) -> DataFrame:
+    """Gate: top-20 adjacent-word collocations by PMI over the
+    documents corpus."""
+    from ..sources.catalog import load_table
+
+    return collocation_pmi(load_table(spark, "documents", sf_dir))
+
+
+DOCS_COLLOCATION_PMI_SQL = rf"""
+WITH arr AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS l
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM (SELECT unnest(l) AS w FROM arr) GROUP BY w
+),
+ntot AS (SELECT SUM(c) AS N FROM uni),
+big AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2, CAST(COUNT(*) AS HUGEINT) AS cxy
+  FROM (
+    SELECT unnest(list_transform(range(2, len(l) + 1),
+                                 i -> {{'w1': l[i - 1], 'w2': l[i]}})) AS p
+    FROM arr
+  )
+  GROUP BY 1, 2
+),
+nbtot AS (SELECT SUM(cxy) AS NB FROM big)
+SELECT w1, w2, CAST(cxy AS BIGINT) AS pair_count,
+       CAST(FLOOR(LN(CAST(cxy * N * N AS DOUBLE) / CAST(NB * cx * cy AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+FROM big
+JOIN (SELECT w AS w1, c AS cx FROM uni) USING (w1)
+JOIN (SELECT w AS w2, c AS cy FROM uni) USING (w2)
+CROSS JOIN ntot CROSS JOIN nbtot
+WHERE cxy >= {PMI_MIN_PAIR}
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
+# ───────────────────── per-source vocabulary KL divergence ─────────────────────
+
+
+def source_vocab_kl(docs: DataFrame, by_col: str = "source", text_col: str = "text") -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions — the
+    domain-shift audit a corpus-mixing step reads (K22's PSI watches a
+    numeric column drift over time; this watches each SOURCE's
+    vocabulary diverge from the blend it feeds): a source with a high
+    KL dominates the mix on words the rest of the corpus rarely uses.
+
+    Finite by construction: every source word is a corpus word, so
+    q > 0 wherever p > 0 — no smoothing needed. Per-(source, word)
+    term ln(c_sw·N / (N_s·c_w)) is a correctly-rounded double of
+    exact-integer ratios, quantized to the 1e-6 grid BEFORE the
+    count-weighted fold (the K48 convention), the fold clamped ≥ 0.
+
+    Shape: ONE (source × vocab) aggregation; corpus counts re-aggregate
+    that table (no second scan); totals broadcast. Everything after
+    the first groupBy is value-domain-sized."""
+    dec = "decimal(38,0)"
+    sw = (
+        docs.select(
+            F.col(by_col).alias("src"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            ).alias("w"),
+        )
+        .groupBy("src", "w")
+        .agg(F.count(F.lit(1)).cast(dec).alias("csw"))
+    )
+    per_src = sw.groupBy("src").agg(
+        F.sum("csw").alias("ns"), F.count(F.lit(1)).alias("n_words")
+    )
+    per_word = sw.groupBy("w").agg(F.sum("csw").alias("cw"))
+    tot = per_word.agg(F.sum("cw").alias("N"))
+    q = F.floor(
+        F.log(
+            (F.col("csw") * F.col("N")).cast("double")
+            / (F.col("ns") * F.col("cw")).cast("double")
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast(dec)
+    terms = (
+        sw.join(F.broadcast(per_src), "src")
+        .join(F.broadcast(per_word), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("src")
+        .agg(
+            F.sum(F.col("csw") * q).alias("s"),
+            F.first("ns").alias("ns"),
+            F.first("n_words").alias("n_words"),
+        )
+    )
+    return terms.select(
+        F.col("src").alias("source"),
+        F.col("ns").cast("long").alias("n_tokens"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.expr("cast(greatest(s div ns, cast(0 as decimal(38,0))) as long)").alias(
+            "kl_micro"
+        ),
+    ).orderBy("source")
+
+
+def docs_source_vocab_kl(spark, sf_dir: str) -> DataFrame:
+    """Gate: per-source unigram KL divergence from the corpus blend."""
+    from ..sources.catalog import load_table
+
+    return source_vocab_kl(load_table(spark, "documents", sf_dir))
+
+
+DOCS_SOURCE_VOCAB_KL_SQL = r"""
+WITH sw AS (
+  SELECT source AS src, w, CAST(COUNT(*) AS HUGEINT) AS csw
+  FROM (
+    SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x != '')) AS w
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+per_src AS (SELECT src, SUM(csw) AS ns, COUNT(*) AS n_words FROM sw GROUP BY src),
+per_word AS (SELECT w, SUM(csw) AS cw FROM sw GROUP BY w),
+tot AS (SELECT SUM(cw) AS N FROM per_word),
+terms AS (
+  SELECT src,
+         SUM(csw * CAST(FLOOR(LN(CAST(csw * N AS DOUBLE) / CAST(ns * cw AS DOUBLE))
+                              * 1000000.0 + 0.5) AS HUGEINT)) AS s,
+         MAX(ns) AS ns, MAX(n_words) AS n_words
+  FROM sw JOIN per_src USING (src) JOIN per_word USING (w) CROSS JOIN tot
+  GROUP BY src
+)
+SELECT src AS source,
+       CAST(ns AS BIGINT) AS n_tokens,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(GREATEST(s // ns, 0) AS BIGINT) AS kl_micro
+FROM terms
+ORDER BY source
+"""

@@ -1116,6 +1116,56 @@ register("events_rater_agreement", events_rater_agreement, EVENTS_RATER_AGREEMEN
 register("events_purchase_stump", events_purchase_stump, EVENTS_PURCHASE_STUMP_SQL)
 register("events_cuped_adjustment", events_cuped_adjustment, EVENTS_CUPED_ADJUSTMENT_SQL)
 
+from .analytics.funnel import (  # noqa: E402
+    PURCHASE_TOUCH_ATTRIBUTION_SQL,
+    purchase_touch_attribution,
+)
+
+register(
+    "purchase_touch_attribution", purchase_touch_attribution, PURCHASE_TOUCH_ATTRIBUTION_SQL
+)
+
+from .functions.vocab import (  # noqa: E402
+    DOCS_COLLOCATION_PMI_SQL,
+    docs_collocation_pmi,
+)
+
+register("docs_collocation_pmi", docs_collocation_pmi, DOCS_COLLOCATION_PMI_SQL)
+
+from .analytics.timeseries import (  # noqa: E402
+    CUSTOMER_REPURCHASE_CADENCE_SQL,
+    customer_repurchase_cadence,
+)
+
+register(
+    "customer_repurchase_cadence",
+    customer_repurchase_cadence,
+    CUSTOMER_REPURCHASE_CADENCE_SQL,
+)
+
+from .functions.vocab import (  # noqa: E402
+    DOCS_SOURCE_VOCAB_KL_SQL,
+    docs_source_vocab_kl,
+)
+
+register("docs_source_vocab_kl", docs_source_vocab_kl, DOCS_SOURCE_VOCAB_KL_SQL)
+
+from .similarity.gate import (  # noqa: E402
+    EMBEDDINGS_CENTROID_DRIFT_SQL,
+    embeddings_centroid_drift,
+)
+
+register(
+    "embeddings_centroid_drift", embeddings_centroid_drift, EMBEDDINGS_CENTROID_DRIFT_SQL
+)
+
+from .analytics.survival import (  # noqa: E402
+    USERS_CHURN_HAZARD_SQL,
+    users_churn_hazard,
+)
+
+register("users_churn_hazard", users_churn_hazard, USERS_CHURN_HAZARD_SQL)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

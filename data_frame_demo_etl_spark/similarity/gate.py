@@ -547,3 +547,94 @@ SELECT CAST(s.query_id AS BIGINT) AS query_id,
 FROM spine s LEFT JOIN hits h ON s.query_id = h.query_id
 ORDER BY query_id
 """
+
+
+# ─────────────── X16: per-label centroid-cosine corpus audit ───────────────
+
+
+def centroid_cosine_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Cosine of each label's centroid to the CORPUS centroid — the
+    one-number-per-class separation/drift audit (a class whose mean
+    vector points away from the blend is over-represented in a
+    direction the rest of the corpus doesn't share; the scalar read
+    on top of `embeddings_label_stats`' raw components).
+
+    Exactness: components quantized to 1e-6 integers ONCE (CAST of a
+    float to double is exact widening, so both engines quantize the
+    same values), per-label sums exact DECIMAL(38,0); cosine is
+    scale-invariant so raw SUMS stand in for means; dot/norms fold
+    over the dim-bounded centroid table in decimal, with one
+    fixed-parenthesization double combination (correctly-rounded
+    sqrt/mul/div) onto the ppm grid.
+
+    Shape: one posexplode + map-side-combined (label × dim) agg; the
+    corpus centroid re-aggregates that table (no second scan); the
+    dim-sized global vector broadcasts back. Nothing downstream of
+    the first agg exceeds labels × dims rows."""
+    dec = "decimal(38,0)"
+    q = emb.select(
+        "label", F.posexplode(vec_col).alias("i", "v")
+    ).select(
+        "label",
+        "i",
+        F.floor(F.col("v").cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast(dec)
+        .alias("q"),
+    )
+    sli = q.groupBy("label", "i").agg(F.sum("q").alias("s"))
+    n_l = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    g = sli.groupBy("i").agg(F.sum("s").alias("gi"))
+    b2 = g.agg(F.sum(F.col("gi") * F.col("gi")).alias("b2"))
+    per_label = (
+        sli.join(F.broadcast(g), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("gi")).alias("dot"),
+            F.sum(F.col("s") * F.col("s")).alias("a2"),
+        )
+        .crossJoin(F.broadcast(b2))
+        .join(F.broadcast(n_l), "label")
+    )
+    return per_label.select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.floor(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("a2").cast("double")) * F.sqrt(F.col("b2").cast("double")))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cos_to_corpus_ppm"),
+    ).orderBy("label")
+
+
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: per-label centroid cosine to the corpus centroid."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return centroid_cosine_audit(emb)
+
+
+EMBEDDINGS_CENTROID_DRIFT_SQL = """
+WITH q AS (
+  SELECT label, i - 1 AS i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i)
+),
+sli AS (SELECT label, i, SUM(q) AS s FROM q GROUP BY label, i),
+nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label),
+g AS (SELECT i, SUM(s) AS gi FROM sli GROUP BY i),
+b2 AS (SELECT SUM(gi * gi) AS b2 FROM g),
+per_label AS (
+  SELECT label, SUM(s * gi) AS dot, SUM(s * s) AS a2
+  FROM sli JOIN g USING (i)
+  GROUP BY label
+)
+SELECT label, n_vecs,
+       CAST(FLOOR(CAST(dot AS DOUBLE)
+                  / (SQRT(CAST(a2 AS DOUBLE)) * SQRT(CAST(b2 AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS cos_to_corpus_ppm
+FROM per_label JOIN nl USING (label) CROSS JOIN b2
+ORDER BY label
+"""

@@ -122,6 +122,13 @@ CARTESIAN_ALLOWED = {
     # broadcast of a 1-ROW total for the ppm shares — the scalar-
     # aggregate shape (analytics/quality_audit.py).
     "orders_benford_audit",
+    # broadcasts of 1-ROW token/bigram totals (N, NB) onto the
+    # vocab-sized PMI table — the scalar-aggregate shape twice
+    # (functions/vocab.py collocation_pmi).
+    "docs_collocation_pmi",
+    # broadcast of the 1-ROW corpus token total onto the
+    # (source × vocab) term table (functions/vocab.py source_vocab_kl).
+    "docs_source_vocab_kl",
     # broadcast of a 1-ROW global-min count for the temperature
     # thresholds — same scalar-aggregate shape (operators/gate.py).
     "corpus_temperature_mix",
@@ -198,6 +205,13 @@ CARTESIAN_ALLOWED = {
     # shares, plus rfm_segments' internal 1-row anchor — bounded
     # scalars (analytics/features.py rfm_migration).
     "customer_rfm_migration",
+    # crossJoin(broadcast(1-ROW corpus-norm aggregate b2)) — bounded
+    # scalar (similarity/gate.py centroid_cosine_audit).
+    "embeddings_centroid_drift",
+    # crossJoin(broadcast(1-ROW max-timestamp aggregate)) for the
+    # right-censor edge — the users_churn_survival shape
+    # (analytics/survival.py na_cum_hazard).
+    "users_churn_hazard",
 }
 
 
