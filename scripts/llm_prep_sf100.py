@@ -1,0 +1,79 @@
+"""sf100 stretch for the composed corpus-prep flagship (r9 verdict
+item 9): one more decade past the r8 sf10 measurement, making the
+100 TB extrapolation two-point.
+
+Synthesizes .tmp/sf100/documents.parquet (10 key-shifted copies of
+the scaling100 sf10 documents — a 1000×-duplicated corpus vs sf0.1,
+~50M docs) and times `llm_prep_pipeline` at sf10 → sf100. Only
+documents is built: the pipeline reads nothing else.
+
+Usage: python scripts/llm_prep_sf100.py
+Prints one JSON line {"sf10": s, "sf100": s, "ratio": r, "rows": n}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from data_frame_demo_etl_spark import registry
+from data_frame_demo_etl_spark.session import get_spark, materialize
+from data_frame_demo_etl_spark.sources.catalog import load_table
+
+SF10 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf10")
+SF100 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf100")
+# clear of scaling100's SHIFT10 range (10 copies × 5e10)
+SHIFT100 = 1_000_000_000_000
+
+
+def build_sf100_documents(spark) -> None:
+    out = f"{SF100}/documents.parquet"
+    if Path(out).exists():
+        return
+    Path(SF100).mkdir(parents=True, exist_ok=True)
+    df = load_table(spark, "documents", SF10)
+    copies = [
+        df.withColumn("doc_id", F.col("doc_id") + F.lit(k * SHIFT100)) for k in range(10)
+    ]
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(out)
+    print("built sf100/documents", file=sys.stderr)
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(
+        app_name="llm_prep_sf100",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not Path(f"{SF10}/documents.parquet").exists():
+        print("run scripts/scaling100.py first (needs .tmp/sf10)", file=sys.stderr)
+        sys.exit(1)
+    build_sf100_documents(spark)
+
+    q = registry.queries()["llm_prep_pipeline"]
+    times = {}
+    for label, d in (("sf10", SF10), ("sf100", SF100)):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = materialize(q(spark, d))
+        times[label] = round(time.perf_counter() - t0, 2)
+        times[f"rows_{label}"] = n
+        print(f"{label}: {times[label]}s rows={n}", file=sys.stderr)
+    times["ratio"] = round(times["sf100"] / max(times["sf10"], 1e-9), 1)
+    print(json.dumps(times))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
