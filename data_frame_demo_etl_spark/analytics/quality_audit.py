@@ -1822,3 +1822,86 @@ FROM classed
 GROUP BY abc_class
 ORDER BY abc_class
 """
+
+
+# ─────────────── K64: market concentration (HHI + CRk) ───────────────
+
+
+def market_concentration(df: DataFrame, key_col: str, cents_col) -> DataFrame:
+    """Herfindahl–Hirschman index + 4/8-firm concentration ratios of a
+    revenue column — the antitrust-style concentration read next to
+    the skew family (K37 Gini and K56 Lorenz measure inequality of the
+    whole distribution; HHI and CRk are what a risk/compliance review
+    quotes: DOJ calls > 0.25 'highly concentrated').
+
+    Exactness without per-entity truncation: HHI = Σ(xᵢ/t)² =
+    (Σ xᵢ²)/t² — numerator and denominator exact DECIMAL(38,0), ONE
+    integral division onto the ppm grid (cents² · entities stays
+    under 10³⁸ through ~10⁹ entities at 10⁹-cent books). CRk sums the
+    top-k revenues under a (x desc, key) TOTAL order — a TakeOrdered,
+    never a global sort — over one more integral division each.
+
+    Shape: one map-side-combined groupBy(key); the Σx²/t/n aggregate
+    and the 8-row top table cross as 1-row broadcasts."""
+    dec = "decimal(38,0)"
+    rev = df.groupBy(F.col(key_col).alias("kk")).agg(
+        F.sum(cents_col).cast(dec).alias("x")
+    )
+    agg = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    top8 = rev.orderBy(F.col("x").desc(), F.col("kk").asc()).limit(8)
+    w = Window.orderBy(F.col("x").desc(), F.col("kk").asc())
+    tops = (
+        top8.withColumn("rn", F.row_number().over(w))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("rn") <= 4, F.col("x"))), F.lit(0).cast(dec)).alias(
+                "s4"
+            ),
+            F.coalesce(F.sum("x"), F.lit(0).cast(dec)).alias("s8"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(tops)).select(
+        F.col("n").cast("long").alias("n_entities"),
+        F.col("t").cast("long").alias("total_cents"),
+        F.expr("cast((sx2 * 1000000) div (t * t) as long)").alias("hhi_ppm"),
+        F.expr("cast((s4 * 1000000) div t as long)").alias("cr4_ppm"),
+        F.expr("cast((s8 * 1000000) div t as long)").alias("cr8_ppm"),
+    )
+
+
+def customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: HHI + CR4/CR8 of order revenue across customers."""
+    orders = load_table(spark, "orders", sf_dir)
+    return market_concentration(
+        orders, "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+
+
+CUSTOMER_CONCENTRATION_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS kk,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS x
+  FROM orders GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS t, SUM(x * x) AS sx2 FROM rev
+),
+top AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, kk ASC) AS rn
+  FROM rev ORDER BY x DESC, kk ASC LIMIT 8
+),
+tops AS (
+  SELECT COALESCE(SUM(CASE WHEN rn <= 4 THEN x END), 0) AS s4,
+         COALESCE(SUM(x), 0) AS s8
+  FROM top
+)
+SELECT n AS n_entities,
+       CAST(t AS BIGINT) AS total_cents,
+       CAST((sx2 * 1000000) // (t * t) AS BIGINT) AS hhi_ppm,
+       CAST((s4 * 1000000) // t AS BIGINT) AS cr4_ppm,
+       CAST((s8 * 1000000) // t AS BIGINT) AS cr8_ppm
+FROM agg CROSS JOIN tops
+"""

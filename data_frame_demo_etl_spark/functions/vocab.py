@@ -631,3 +631,103 @@ SELECT src AS source,
 FROM terms
 ORDER BY source
 """
+
+
+# ───────────────────── token-budget truncation curve ─────────────────────
+
+BUDGET_POINTS = 10
+
+
+def token_budget_curve(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Context-length planning table: if every document is TRUNCATED
+    at cap L, what share of the corpus's tokens survives? One row per
+    doc-count decile — cap_len is that decile's document length, and
+    tokens_kept counts full short docs plus cap·(longer docs): the
+    curve a pipeline reads to pick max_seq_len (P6's packer then
+    consumes the choice).
+
+    Exact integers end to end: the length histogram is value-domain
+    sized, its doc/token prefix sums run through the constant-key
+    two-pass layout, decile rows are picked by the K56 filter+explode
+    idiom (first histogram row crossing each decile — a narrow map,
+    no non-equi join), and both shares are single integral divisions
+    on the ppm grid.
+
+    Shape: one corpus scan (token count per doc), one histogram agg,
+    everything after is distinct-length sized."""
+    from ..analytics.quality_audit import _keyed_prefix
+
+    lens = docs.select(
+        F.size(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("len")
+    )
+    dom = (
+        lens.groupBy("len")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.lit(1).alias("key"),
+            "len",
+            "c",
+            (F.col("len").cast("decimal(38,0)") * F.col("c")).alias("m"),
+        )
+    )
+    laid = _keyed_prefix(dom, ["len"], ["c", "m"])
+    hits = F.expr(
+        f"filter(sequence(1, {BUDGET_POINTS}), "
+        f"d -> cum_c * {BUDGET_POINTS} >= t_c * cast(d as long)"
+        f" and (cum_c - c) * {BUDGET_POINTS} < t_c * cast(d as long))"
+    )
+    return (
+        laid.select(
+            F.explode(hits).alias("decile"), "len", "cum_c", "cum_m", "t_c", "t_m"
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("len").cast("long").alias("cap_len"),
+            F.expr("cast((cum_c * 1000000) div t_c as long)").alias("docs_within_ppm"),
+            F.expr(
+                "cast(((cum_m + cast(len as decimal(38,0)) * (t_c - cum_c)) * 1000000)"
+                " div t_m as long)"
+            ).alias("tokens_kept_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def docs_token_budget_curve(spark, sf_dir: str) -> DataFrame:
+    """Gate: token survival under per-decile document-length caps."""
+    from ..sources.catalog import load_table
+
+    return token_budget_curve(load_table(spark, "documents", sf_dir))
+
+
+DOCS_TOKEN_BUDGET_CURVE_SQL = rf"""
+WITH lens AS (
+  SELECT len(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS l
+  FROM documents
+),
+dom AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS c FROM lens GROUP BY l),
+laid AS (
+  SELECT l, c,
+         SUM(c) OVER (ORDER BY l) AS cum_c,
+         SUM(CAST(l AS HUGEINT) * c) OVER (ORDER BY l) AS cum_m,
+         SUM(c) OVER () AS t_c,
+         SUM(CAST(l AS HUGEINT) * c) OVER () AS t_m
+  FROM dom
+),
+deciles AS (SELECT UNNEST(GENERATE_SERIES(1, {BUDGET_POINTS})) AS d),
+hits AS (
+  SELECT d, l, c, cum_c, cum_m, t_c, t_m
+  FROM laid JOIN deciles
+    ON cum_c * {BUDGET_POINTS} >= t_c * d
+   AND (cum_c - c) * {BUDGET_POINTS} < t_c * d
+)
+SELECT CAST(d AS BIGINT) AS decile,
+       CAST(l AS BIGINT) AS cap_len,
+       CAST((cum_c * 1000000) // t_c AS BIGINT) AS docs_within_ppm,
+       CAST(((cum_m + CAST(l AS HUGEINT) * (t_c - cum_c)) * 1000000) // t_m AS BIGINT)
+         AS tokens_kept_ppm
+FROM hits
+ORDER BY decile
+"""

@@ -1166,6 +1166,18 @@ from .analytics.survival import (  # noqa: E402
 
 register("users_churn_hazard", users_churn_hazard, USERS_CHURN_HAZARD_SQL)
 
+from .analytics.quality_audit import (  # noqa: E402
+    CUSTOMER_CONCENTRATION_SQL,
+    customer_concentration,
+)
+from .functions.vocab import (  # noqa: E402
+    DOCS_TOKEN_BUDGET_CURVE_SQL,
+    docs_token_budget_curve,
+)
+
+register("customer_concentration", customer_concentration, CUSTOMER_CONCENTRATION_SQL)
+register("docs_token_budget_curve", docs_token_budget_curve, DOCS_TOKEN_BUDGET_CURVE_SQL)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

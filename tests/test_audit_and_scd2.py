@@ -212,6 +212,9 @@ CARTESIAN_ALLOWED = {
     # right-censor edge — the users_churn_survival shape
     # (analytics/survival.py na_cum_hazard).
     "users_churn_hazard",
+    # crossJoin of two 1-ROW aggregates (Σx²/t/n × top-8 CRk sums) —
+    # bounded scalars (analytics/quality_audit.py market_concentration).
+    "customer_concentration",
 }
 
 
