@@ -1178,6 +1178,24 @@ from .functions.vocab import (  # noqa: E402
 register("customer_concentration", customer_concentration, CUSTOMER_CONCENTRATION_SQL)
 register("docs_token_budget_curve", docs_token_budget_curve, DOCS_TOKEN_BUDGET_CURVE_SQL)
 
+from .streaming.events import (  # noqa: E402
+    EVENTS_SESSION_STATS_SQL,
+    events_session_stats,
+)
+
+register("events_session_stats", events_session_stats, EVENTS_SESSION_STATS_SQL)
+
+from .similarity.gate import (  # noqa: E402
+    EMBEDDINGS_LABEL_SEPARATION_SQL,
+    embeddings_label_separation,
+)
+
+register(
+    "embeddings_label_separation",
+    embeddings_label_separation,
+    EMBEDDINGS_LABEL_SEPARATION_SQL,
+)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

@@ -638,3 +638,90 @@ SELECT label, n_vecs,
 FROM per_label JOIN nl USING (label) CROSS JOIN b2
 ORDER BY label
 """
+
+
+# ─────────────── X17: inter-label centroid separation matrix ───────────────
+
+
+def label_separation_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine between label CENTROIDS — the confusion-risk
+    matrix next to X16's one-number-per-class drift audit (X16 says
+    how far each class sits from the blend; this says which class
+    PAIRS a nearest-class-mean classifier would confuse: cosine near
+    1 = overlapping classes, near 0 = orthogonal).
+
+    Same exactness contract as X16: 1e-6-quantized integer component
+    sums in DECIMAL(38,0) (cosine is scale-invariant, raw sums stand
+    in for means), dot/norms folded in decimal, one fixed IEEE
+    combination per pair onto the ppm grid.
+
+    Shape: one posexplode + (label × dim) agg; the pair matrix is a
+    labels²×dims self-equi-join on the dim key of that TINY table —
+    bounded by the label vocabulary at any corpus size."""
+    dec = "decimal(38,0)"
+    sli = (
+        emb.select("label", F.posexplode(vec_col).alias("i", "v"))
+        .select(
+            "label",
+            "i",
+            F.floor(F.col("v").cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast(dec)
+            .alias("s"),
+        )
+        .groupBy("label", "i")
+        .agg(F.sum("s").alias("s"))
+    )
+    a2 = sli.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("a2"))
+    a = sli.select(F.col("label").alias("la"), "i", F.col("s").alias("sa"))
+    b = sli.select(F.col("label").alias("lb"), "i", F.col("s").alias("sb"))
+    pairs = (
+        a.join(b, "i")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+        .join(F.broadcast(a2.select(F.col("label").alias("la"), F.col("a2").alias("n2a"))), "la")
+        .join(F.broadcast(a2.select(F.col("label").alias("lb"), F.col("a2").alias("n2b"))), "lb")
+    )
+    return pairs.select(
+        F.col("la").alias("label_a"),
+        F.col("lb").alias("label_b"),
+        F.floor(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double")))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    ).orderBy("label_a", "label_b")
+
+
+def embeddings_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: pairwise label-centroid cosine matrix."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return label_separation_matrix(emb)
+
+
+EMBEDDINGS_LABEL_SEPARATION_SQL = """
+WITH sli AS (
+  SELECT label, i - 1 AS i,
+         SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i)
+  GROUP BY label, i - 1
+),
+a2 AS (SELECT label, SUM(s * s) AS a2 FROM sli GROUP BY label),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb, SUM(a.s * b.s) AS dot
+  FROM sli a JOIN sli b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT la AS label_a, lb AS label_b,
+       CAST(FLOOR(CAST(dot AS DOUBLE)
+                  / (SQRT(CAST(x.a2 AS DOUBLE)) * SQRT(CAST(y.a2 AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+FROM pairs
+JOIN a2 x ON x.label = la
+JOIN a2 y ON y.label = lb
+ORDER BY label_a, label_b
+"""

@@ -522,3 +522,135 @@ JOIN events p
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 ORDER BY v.user_id, view_id, purchase_id
 """
+
+
+# ─────────────── ST13: session summary statistics ───────────────
+
+
+def session_stats(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """One-row corpus summary over `sessionize`'s session table — the
+    product-health dashboard numbers (bounce rate, session depth and
+    length) a team reads before any per-session drill-down.
+
+    Exact integers: bounce/mean are integral ppm/micro divisions;
+    depth and duration quantiles use the cadence convention (smallest
+    value whose cumulative count clears q% — exact cross-
+    multiplication) over VALUE-DOMAIN tables (distinct depths /
+    distinct whole-second durations), whose single-partition ordered
+    windows are bounded by the value domain, not the corpus — the
+    survival.py duration-table argument.
+
+    Shape: sessionize's one per-user window + session groupBy, then
+    two domain-sized aggregations."""
+    sess = sessionize(events, gap_minutes).select(
+        "n_events",
+        F.floor(
+            epoch_seconds(F.col("session_end")) - epoch_seconds(F.col("session_start"))
+        )
+        .cast("long")
+        .alias("dur_s"),
+    )
+    base = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.count_if(F.col("n_events") == 1).alias("bounces"),
+    )
+
+    def _q(dom: DataFrame, col: str, qs: tuple[int, ...]) -> DataFrame:
+        cnt = dom.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w_pre = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        laid = cnt.withColumn("cum", F.sum("c").over(w_pre)).withColumn(
+            "t", F.sum("c").over(Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        )
+        return laid.agg(
+            *[
+                F.min(F.when(F.col("cum") * 100 >= F.col("t") * q, F.col(col)))
+                .cast("long")
+                .alias(f"p{q}_{col}")
+                for q in qs
+            ]
+        )
+
+    depth = _q(sess, "n_events", (50, 90))
+    dur = _q(sess, "dur_s", (50, 90))
+    return (
+        base.crossJoin(F.broadcast(depth))
+        .crossJoin(F.broadcast(dur))
+        .select(
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("total_events").cast("long").alias("total_events"),
+            F.expr("cast((bounces * 1000000) div n_sessions as long)").alias("bounce_ppm"),
+            F.expr("cast((total_events * 1000000) div n_sessions as long)").alias(
+                "mean_events_micro"
+            ),
+            "p50_n_events",
+            "p90_n_events",
+            "p50_dur_s",
+            "p90_dur_s",
+        )
+    )
+
+
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: corpus session summary (bounce rate, depth/length quantiles)."""
+    events = load_table(spark, "events", sf_dir)
+    return session_stats(events)
+
+
+EVENTS_SESSION_STATS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {{gap}}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id,
+    ts
+  FROM flagged
+),
+sess AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(FLOOR(EPOCH(MAX(ts)) - EPOCH(MIN(ts))) AS BIGINT) AS dur_s
+  FROM sessions GROUP BY user_id, session_id
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS total_events,
+         CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS bounces
+  FROM sess
+),
+dd AS (
+  SELECT n_events AS v, COUNT(*) AS c FROM sess GROUP BY 1
+),
+dl AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS t FROM dd
+),
+depth AS (
+  SELECT CAST(MIN(CASE WHEN cum * 100 >= t * 50 THEN v END) AS BIGINT) AS p50_n_events,
+         CAST(MIN(CASE WHEN cum * 100 >= t * 90 THEN v END) AS BIGINT) AS p90_n_events
+  FROM dl
+),
+ud AS (
+  SELECT dur_s AS v, COUNT(*) AS c FROM sess GROUP BY 1
+),
+ul AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS t FROM ud
+),
+dur AS (
+  SELECT CAST(MIN(CASE WHEN cum * 100 >= t * 50 THEN v END) AS BIGINT) AS p50_dur_s,
+         CAST(MIN(CASE WHEN cum * 100 >= t * 90 THEN v END) AS BIGINT) AS p90_dur_s
+  FROM ul
+)
+SELECT n_sessions, total_events,
+       CAST((bounces * 1000000) // n_sessions AS BIGINT) AS bounce_ppm,
+       CAST((total_events * 1000000) // n_sessions AS BIGINT) AS mean_events_micro,
+       p50_n_events, p90_n_events, p50_dur_s, p90_dur_s
+FROM base CROSS JOIN depth CROSS JOIN dur
+""".replace("{gap}", str(SESSION_GAP_MIN * 60))

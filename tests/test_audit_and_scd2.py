@@ -215,6 +215,10 @@ CARTESIAN_ALLOWED = {
     # crossJoin of two 1-ROW aggregates (Σx²/t/n × top-8 CRk sums) —
     # bounded scalars (analytics/quality_audit.py market_concentration).
     "customer_concentration",
+    # crossJoins of two 1-ROW quantile aggregates (depth × duration)
+    # onto the 1-ROW base summary — bounded scalars
+    # (streaming/events.py session_stats).
+    "events_session_stats",
 }
 
 
