@@ -141,3 +141,133 @@ FROM r3
 ORDER BY rank_units DESC, node_type ASC, key ASC
 LIMIT {TOP_K}
 """
+
+
+# ─────────────── G7: personalized PageRank (seeded teleport) ───────────────
+
+PPR_SEED_SUPPKEYS = (1, 2, 3)
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, n_rounds: int = N_ROUNDS
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass lands ONLY on the seed
+    set, so rank measures PROXIMITY TO THE SEEDS rather than global
+    centrality — the random-walk-with-restart recommendation primitive
+    ('entities most connected to this cohort', Haveliwala 2002) the
+    global gate (G2) cannot answer.
+
+    Same exact-integer contract as `pagerank`: ranks on the SCALE
+    grid, update r'(v) = [v ∈ seeds]·BASE + (85·Σ r(u) div deg(u))
+    div 100 — floor division only, bit-identical across engines; r0
+    puts SCALE on each seed and 0 elsewhere, so mass diffuses outward
+    through the trade graph round by round.
+
+    Scale shape identical to G2: per round one edges⋈ranks equi-join
+    + one groupBy(dst); the seed table is a broadcast-sized literal."""
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    with_deg = edges.join(deg, "src").persist()
+    nodes = deg.select(F.col("src").alias("node")).join(
+        F.broadcast(seeds.select(F.col("node").alias("node"), F.lit(1).alias("is_seed"))),
+        "node",
+        "left",
+    )
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(SCALE).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("r"),
+    )
+    for _ in range(n_rounds):
+        contrib = (
+            with_deg.join(ranks, F.col("src") == F.col("node"))
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(BASE).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                    + F.expr(f"{DAMP_NUM} * coalesce(inflow, 0L) DIV {DAMP_DEN}")
+                ).alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: top-20 trade-graph nodes by proximity to the supplier
+    seed cohort {1, 2, 3} after 3 integer PPR rounds (seeds excluded
+    from the output — the RECOMMENDATIONS, not the cohort)."""
+    seeds_nodes = [2 * s + 1 for s in PPR_SEED_SUPPKEYS]
+    spark_seeds = spark.createDataFrame(
+        [(n,) for n in seeds_nodes], "node long"
+    )
+    ranks = personalized_pagerank(trade_edges(spark, sf_dir), spark_seeds)
+    return (
+        ranks.filter(~F.col("node").isin(seeds_nodes))
+        .filter(F.col("rank_units") > 0)
+        .select(
+            F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("node_type"),
+            F.expr("node DIV 2").alias("key"),
+            "rank_units",
+        )
+        .orderBy(F.col("rank_units").desc(), F.col("node_type").asc(), F.col("key").asc())
+        .limit(TOP_K)
+    )
+
+
+def _ppr_round_cte(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node IN (SELECT node FROM seeds) THEN {BASE} ELSE 0 END
+              + ({DAMP_NUM} * COALESCE(i.inflow, 0)) // {DAMP_DEN} AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) i ON i.node = n.node
+)"""
+
+
+_PPR_SEEDS_SQL = ", ".join(f"({2 * s + 1})" for s in PPR_SEED_SUPPKEYS)
+
+GRAPH_PERSONALIZED_PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+seeds(node) AS (VALUES {_PPR_SEEDS_SQL}),
+r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node IN (SELECT node FROM seeds) THEN {SCALE} ELSE 0 END AS BIGINT) AS r
+  FROM nodes
+),
+{_ppr_round_cte("r0", "r1")},
+{_ppr_round_cte("r1", "r2")},
+{_ppr_round_cte("r2", "r3")}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS key,
+       r AS rank_units
+FROM r3
+WHERE node NOT IN (SELECT node FROM seeds) AND r > 0
+ORDER BY rank_units DESC, node_type ASC, key ASC
+LIMIT {TOP_K}
+"""

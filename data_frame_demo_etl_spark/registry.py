@@ -1196,6 +1196,17 @@ register(
     EMBEDDINGS_LABEL_SEPARATION_SQL,
 )
 
+from .analytics.pagerank import (  # noqa: E402
+    GRAPH_PERSONALIZED_PAGERANK_SQL,
+    graph_personalized_pagerank,
+)
+
+register(
+    "graph_personalized_pagerank",
+    graph_personalized_pagerank,
+    GRAPH_PERSONALIZED_PAGERANK_SQL,
+)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation
