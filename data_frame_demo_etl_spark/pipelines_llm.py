@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .dedup.clusters import connected_components
 from .dedup.jaccard import jaccard_pairs
 from .functions import text as T
-from .operators.dedupe import dedup_exact
 from .operators.sampling import pack_by_budget, split_by_hash
 from .sources.catalog import load_table
 
@@ -42,11 +41,28 @@ def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
     highest-quality member (the Dolma/CCNet production rule), compared
     on the 1e-6 integer quality grid with doc_id ASC tie-break so the
     choice is engine-exact."""
-    # Redact FIRST, then score the redacted text (matches the oracle's
-    # `feats FROM redacted` CTE). A single select would score the
-    # ORIGINAL column — sibling aliases don't resolve within a select —
-    # silently diverging on any PII-bearing corpus.
-    redacted = docs.withColumn("text", T.redact_pii(F.col("text")))
+    # r10 re-plan: on a heavily duplicated corpus (the 1000×-copied
+    # sf100 stretch; any real crawl), running the regex-heavy
+    # redact/score pass over EVERY copy is duplication-factor × wasted
+    # work. Redaction and scoring are TEXT-PURE, so collapse to
+    # distinct RAW texts first (struct-min keeps the min-doc_id row's
+    # attributes), regex each distinct text once, then collapse again
+    # on the REDACTED text — raw-distinct texts whose differences sat
+    # inside redacted spans merge here, exactly as the old
+    # redact-everything → dedup_exact flow merged them. The min-id
+    # winner is preserved bit-for-bit (min over a merged group = min
+    # over its subgroup minima; copies share text ⇒ share score ⇒
+    # pass the quality filter together), so the ORACLE IS UNCHANGED —
+    # regex work drops from Θ(corpus) to Θ(distinct texts) while the
+    # corpus-sized work is one hash-collapse scan.
+    # (Scoring still happens on the REDACTED text, matching the
+    # oracle's `feats FROM redacted` CTE.)
+    first = (
+        docs.groupBy("text")
+        .agg(F.min(F.struct("doc_id", "source", "n_chars")).alias("w"))
+        .select("text", "w.doc_id", "w.source", "w.n_chars")
+    )
+    redacted = first.withColumn("text", T.redact_pii(F.col("text")))
     scored = redacted.select(
         "doc_id",
         "text",
@@ -55,13 +71,24 @@ def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
         F.round(T.quality_score(F.col("text")), 6).alias("quality"),
         T.lang_id(F.col("text")).alias("lang_pred"),
     )
-    # Persist before the self-joining dedup: every downstream branch
-    # (winner groupBy, rejoin, shingling, final anti-join) would
-    # otherwise re-execute the regex-heavy scoring.
     filtered = scored.filter(
         (F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred").isin(*KEEP_LANGS))
-    ).persist()
-    exact = dedup_exact(filtered, text_col="text", id_col="doc_id").persist()
+    )
+    # Persist before the self-joining near-dup stage: every downstream
+    # branch (shingling, winner groupBy, final anti-join) would
+    # otherwise re-execute the collapse + scoring.
+    exact = (
+        filtered.groupBy("text")
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "n_chars", "quality", "lang_pred")
+            ).alias("w")
+        )
+        .select(
+            "w.doc_id", "text", "w.source", "w.n_chars", "w.quality", "w.lang_pred"
+        )
+        .persist()
+    )
 
     pairs = jaccard_pairs(exact, threshold=JACCARD_THRESHOLD)
     comps = connected_components(pairs)

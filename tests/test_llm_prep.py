@@ -117,3 +117,42 @@ def test_llm_prep_keep_best_winner_differs_from_min_id(spark, tmp_path):
     min_id = sorted(r.doc_id for r in prepare_corpus(docs).collect())
     assert best == [30, 99]
     assert min_id == [10, 99]
+
+
+def test_prepare_corpus_merges_texts_that_redact_identically(spark):
+    """The r10 two-collapse re-plan must keep the old semantics: raw
+    texts that differ ONLY inside redacted spans are the same document
+    after redaction, and the min doc_id across the MERGED group wins."""
+    from data_frame_demo_etl_spark.pipelines_llm import prepare_corpus
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps going "
+        "with plenty of ordinary english words to pass the quality bar "
+    ) * 3
+    rows = [
+        (7, body + "contact alice@example.com today", "web", 100),
+        (3, body + "contact bob@other.org today", "web", 100),  # min id
+        (9, body + "contact alice@example.com today", "web", 100),  # exact copy of 7
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    out = prepare_corpus(docs).collect()
+    assert [r.doc_id for r in out] == [3]
+
+
+def test_prepare_corpus_duplicated_corpus_matches_unduplicated(spark):
+    """Copies must not change the output at all (the property that
+    makes the distinct-first re-plan safe at any duplication factor)."""
+    from data_frame_demo_etl_spark.pipelines_llm import prepare_corpus
+
+    base = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta " * 5, "a", 50),
+        (2, "one two three four five six seven eight nine ten " * 5, "b", 60),
+    ]
+    copies = base + [(i + 100, t, s, n) for (i, t, s, n) in base for _ in (0,)]
+    one = {(r.doc_id, r.quality) for r in prepare_corpus(
+        spark.createDataFrame(base, "doc_id long, text string, source string, n_chars long")
+    ).collect()}
+    many = {(r.doc_id, r.quality) for r in prepare_corpus(
+        spark.createDataFrame(copies, "doc_id long, text string, source string, n_chars long")
+    ).collect()}
+    assert one == many
