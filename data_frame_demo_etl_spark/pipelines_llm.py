@@ -57,10 +57,28 @@ def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
     # corpus-sized work is one hash-collapse scan.
     # (Scoring still happens on the REDACTED text, matching the
     # oracle's `feats FROM redacted` CTE.)
+    # Collapse keyed on sha2(text) — the dedup_exact scale path: the
+    # winner shuffle moves (64-byte hash, id, attrs), never document
+    # bytes; the rejoin is the one place full text crosses the wire
+    # (same shape the old dedup_exact rejoin had). A groupBy on the
+    # raw text column would both shuffle every document's bytes AND
+    # hash-aggregate on multi-KB string keys.
+    hashed = docs.select(
+        F.sha2(F.col("text"), 256).alias("__h"), "doc_id", "source", "n_chars"
+    )
+    winners = hashed.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "source", "n_chars")).alias("w")
+    )
     first = (
-        docs.groupBy("text")
-        .agg(F.min(F.struct("doc_id", "source", "n_chars")).alias("w"))
-        .select("text", "w.doc_id", "w.source", "w.n_chars")
+        docs.select(F.sha2(F.col("text"), 256).alias("__h"), "doc_id", "text")
+        .join(
+            winners.select(
+                "__h", F.col("w.doc_id").alias("doc_id"), "w.source", "w.n_chars"
+            ),
+            ["__h", "doc_id"],
+            "inner",
+        )
+        .drop("__h")
     )
     redacted = first.withColumn("text", T.redact_pii(F.col("text")))
     scored = redacted.select(
