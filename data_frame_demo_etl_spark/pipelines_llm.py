@@ -69,6 +69,15 @@ def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
     winners = hashed.groupBy("__h").agg(
         F.min(F.struct("doc_id", "source", "n_chars")).alias("w")
     )
+    # The persist() below is LOAD-BEARING, not a courtesy cache:
+    # without the materialization boundary Catalyst pushes the
+    # quality/lang filter — including its regex expression trees —
+    # through the join back onto the corpus-sized docs branch
+    # (PushPredicateThroughJoin: `text` resolves to the left side), and
+    # the whole Θ(distinct) saving silently evaporates. jstack on the
+    # sf100 run showed every executor thread back in RegExpReplace
+    # over 50M rows. With the boundary, redact/score/filter evaluate
+    # on the CACHED distinct-winner rows only.
     first = (
         docs.select(F.sha2(F.col("text"), 256).alias("__h"), "doc_id", "text")
         .join(
@@ -79,6 +88,7 @@ def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
             "inner",
         )
         .drop("__h")
+        .persist()
     )
     redacted = first.withColumn("text", T.redact_pii(F.col("text")))
     scored = redacted.select(

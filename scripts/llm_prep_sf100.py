@@ -62,14 +62,16 @@ def main() -> None:
     build_sf100_documents(spark)
 
     q = registry.queries()["llm_prep_pipeline"]
+    # warm the JVM (codegen compile, parquet reader init) so leg 1
+    # isn't charged the cold-start the other legs don't pay
+    materialize(q(spark, SF10))
     times = {}
     for label, d in (("sf10", SF10), ("sf100", SF100)):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n = materialize(q(spark, d))
+        materialize(q(spark, d))
         times[label] = round(time.perf_counter() - t0, 2)
-        times[f"rows_{label}"] = n
-        print(f"{label}: {times[label]}s rows={n}", file=sys.stderr)
+        print(f"{label}: {times[label]}s", file=sys.stderr)
     times["ratio"] = round(times["sf100"] / max(times["sf10"], 1e-9), 1)
     print(json.dumps(times))
     spark.stop()
