@@ -109,3 +109,61 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ─────────────── D23: exact-duplication profile ───────────────
+
+
+def duplication_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Histogram of exact-duplicate group sizes — the corpus-health
+    read a crawl audit opens with (what share of documents are copies,
+    and does the mass sit in a few mega-groups or a long tail of
+    pairs?): one row per observed group size with the group count and
+    the exact ppm of documents living at that size. size=1 row = the
+    unique share; Σ doc_share_ppm ≈ 10⁶.
+
+    Exact integers end to end; the histogram is value-domain sized
+    (distinct group sizes). One sha2-keyed groupBy (dedup_exact's
+    shuffle shape — 64-byte hashes, never document bytes), one
+    histogram re-agg, one 1-row total broadcast."""
+    sizes = (
+        docs.select(F.sha2(F.col(text_col), 256).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    hist = sizes.groupBy("s").agg(F.count(F.lit(1)).alias("n_groups"))
+    tot = hist.agg(
+        F.sum(F.col("s") * F.col("n_groups")).cast("decimal(38,0)").alias("t")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").cast("long").alias("group_size"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.expr(
+                "cast((cast(s as decimal(38,0)) * n_groups * 1000000) div t as long)"
+            ).alias("doc_share_ppm"),
+        )
+        .orderBy("group_size")
+    )
+
+
+def docs_duplication_profile(spark, sf_dir: str) -> DataFrame:
+    """Gate: exact-duplicate group-size histogram over documents."""
+    from ..sources.catalog import load_table
+
+    return duplication_profile(load_table(spark, "documents", sf_dir))
+
+
+DOCS_DUPLICATION_PROFILE_SQL = """
+WITH sizes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s
+  FROM documents GROUP BY sha256(text)
+),
+hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_groups FROM sizes GROUP BY s),
+tot AS (SELECT SUM(CAST(s AS HUGEINT) * n_groups) AS t FROM hist)
+SELECT s AS group_size, n_groups,
+       CAST((CAST(s AS HUGEINT) * n_groups * 1000000) // t AS BIGINT) AS doc_share_ppm
+FROM hist CROSS JOIN tot
+ORDER BY group_size
+"""

@@ -731,3 +731,126 @@ SELECT CAST(d AS BIGINT) AS decile,
 FROM hits
 ORDER BY decile
 """
+
+
+# ───────────────────── per-source keyness (Dunning G²) ─────────────────────
+
+KEYNESS_MIN_COUNT = 5
+KEYNESS_TOP_K = 20
+
+
+def source_keyness(docs: DataFrame, by_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Top-k (source, word) pairs by Dunning log-likelihood keyness
+    (G², Dunning 1993) — WHICH words make a source diverge, where L24's
+    KL says only BY HOW MUCH: for each word and source, the 2×2 table
+    (word-in-source / word-elsewhere / other-in-source /
+    other-elsewhere) scored G² = 2·Σ O·ln(O/E); only OVER-represented
+    pairs (O_a·N > n_s·c_w) surface — the corpus-linguistics keyword
+    statistic, robust at low expected counts where chi-square breaks.
+
+    Exactness: every cell's ln(O/E) is a correctly-rounded double of
+    exact-integer ratios (O·N / margin-product), quantized to the 1e-6
+    grid per cell BEFORE the O-weighted sum (K48 convention); empty
+    cells contribute exactly 0; the total is clamped ≥ 0.
+
+    Shape: ONE (source × vocab) aggregation; word and source margins
+    re-aggregate it; margins broadcast. Output bounded at top-k under
+    a (g², source, word) total order."""
+    dec = "decimal(38,0)"
+    sw = (
+        docs.select(
+            F.col(by_col).alias("src"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            ).alias("w"),
+        )
+        .groupBy("src", "w")
+        .agg(F.count(F.lit(1)).cast(dec).alias("a"))
+    )
+    per_src = sw.groupBy("src").agg(F.sum("a").alias("ns"))
+    per_word = sw.groupBy("w").agg(F.sum("a").alias("cw"))
+    tot = per_word.agg(F.sum("cw").alias("N"))
+
+    def qln(num, den):
+        # floor(ln(num/den)·1e6 + 0.5) of exact-decimal operands
+        return F.floor(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast(dec)
+
+    j = (
+        sw.filter(F.col("a") >= KEYNESS_MIN_COUNT)
+        .join(F.broadcast(per_src), "src")
+        .join(F.broadcast(per_word), "w")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.col("a")
+    b = F.col("cw") - F.col("a")
+    c = F.col("ns") - F.col("a")
+    d = F.col("N") - F.col("ns") - F.col("cw") + F.col("a")
+    n = F.col("N")
+    ns, cw = F.col("ns"), F.col("cw")
+    term = (
+        F.when(a > 0, a * qln(a * n, ns * cw)).otherwise(F.lit(0).cast(dec))
+        + F.when(b > 0, b * qln(b * n, (n - ns) * cw)).otherwise(F.lit(0).cast(dec))
+        + F.when(c > 0, c * qln(c * n, ns * (n - cw))).otherwise(F.lit(0).cast(dec))
+        + F.when(d > 0, d * qln(d * n, (n - ns) * (n - cw))).otherwise(F.lit(0).cast(dec))
+    )
+    scored = (
+        j.filter(a * n > ns * cw)  # over-represented only (keyness direction)
+        .select(
+            F.col("src").alias("source"),
+            F.col("w").alias("word"),
+            F.col("a").cast("long").alias("n_in_source"),
+            F.greatest(F.lit(2).cast(dec) * term, F.lit(0).cast(dec))
+            .cast("long")
+            .alias("g2_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("g2_micro").desc(), F.col("source").asc(), F.col("word").asc()
+    ).limit(KEYNESS_TOP_K)
+
+
+def docs_source_keyness(spark, sf_dir: str) -> DataFrame:
+    """Gate: top-20 over-represented (source, word) pairs by G²."""
+    from ..sources.catalog import load_table
+
+    return source_keyness(load_table(spark, "documents", sf_dir))
+
+
+DOCS_SOURCE_KEYNESS_SQL = rf"""
+WITH sw AS (
+  SELECT source AS src, w, CAST(COUNT(*) AS HUGEINT) AS a
+  FROM (
+    SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x != '')) AS w
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+per_src AS (SELECT src, SUM(a) AS ns FROM sw GROUP BY src),
+per_word AS (SELECT w, SUM(a) AS cw FROM sw GROUP BY w),
+tot AS (SELECT SUM(cw) AS N FROM per_word),
+j AS (
+  SELECT src, w, a, ns, cw, N,
+         cw - a AS b, ns - a AS c, N - ns - cw + a AS d
+  FROM sw JOIN per_src USING (src) JOIN per_word USING (w) CROSS JOIN tot
+  WHERE a >= {KEYNESS_MIN_COUNT}
+),
+scored AS (
+  SELECT src AS source, w AS word, CAST(a AS BIGINT) AS n_in_source,
+         CAST(GREATEST(2 * (
+             (CASE WHEN a > 0 THEN a * CAST(FLOOR(LN(CAST(a * N AS DOUBLE) / CAST(ns * cw AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) ELSE 0 END)
+           + (CASE WHEN b > 0 THEN b * CAST(FLOOR(LN(CAST(b * N AS DOUBLE) / CAST((N - ns) * cw AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) ELSE 0 END)
+           + (CASE WHEN c > 0 THEN c * CAST(FLOOR(LN(CAST(c * N AS DOUBLE) / CAST(ns * (N - cw) AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) ELSE 0 END)
+           + (CASE WHEN d > 0 THEN d * CAST(FLOOR(LN(CAST(d * N AS DOUBLE) / CAST((N - ns) * (N - cw) AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) ELSE 0 END)
+         ), 0) AS BIGINT) AS g2_micro
+  FROM j
+  WHERE a * N > ns * cw
+)
+SELECT source, word, n_in_source, g2_micro
+FROM scored
+ORDER BY g2_micro DESC, source ASC, word ASC
+LIMIT {KEYNESS_TOP_K}
+"""

@@ -1207,6 +1207,20 @@ register(
     GRAPH_PERSONALIZED_PAGERANK_SQL,
 )
 
+from .dedup.novelty import (  # noqa: E402
+    DOCS_DUPLICATION_PROFILE_SQL,
+    docs_duplication_profile,
+)
+from .functions.vocab import (  # noqa: E402
+    DOCS_SOURCE_KEYNESS_SQL,
+    docs_source_keyness,
+)
+
+register("docs_source_keyness", docs_source_keyness, DOCS_SOURCE_KEYNESS_SQL)
+register(
+    "docs_duplication_profile", docs_duplication_profile, DOCS_DUPLICATION_PROFILE_SQL
+)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

@@ -219,6 +219,12 @@ CARTESIAN_ALLOWED = {
     # onto the 1-ROW base summary — bounded scalars
     # (streaming/events.py session_stats).
     "events_session_stats",
+    # crossJoin(broadcast(1-ROW corpus-token total)) onto the
+    # vocab-sized G² table (functions/vocab.py source_keyness).
+    "docs_source_keyness",
+    # crossJoin(broadcast(1-ROW doc total)) onto the group-size
+    # histogram (dedup/novelty.py duplication_profile).
+    "docs_duplication_profile",
 }
 
 

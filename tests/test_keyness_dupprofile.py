@@ -1,0 +1,55 @@
+"""Round-10 additions: Dunning G² keyness, duplication profile."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_keyness_planted_marker_word(spark):
+    from data_frame_demo_etl_spark.functions.vocab import source_keyness
+
+    # source A uses "zebra" constantly; the shared filler is uniform.
+    filler = "common words shared by both sources here "
+    docs = spark.createDataFrame(
+        [("A", filler + "zebra zebra zebra zebra zebra")] * 3
+        + [("B", filler + "yak yak yak yak yak")] * 3,
+        "source string, text string",
+    )
+    rows = source_keyness(docs).collect()
+    top = rows[0]
+    # the planted markers dominate; both appear (symmetric corpus)
+    marked = {(r.source, r.word) for r in rows[:2]}
+    assert marked == {("A", "zebra"), ("B", "yak")}
+    assert top.n_in_source == 15
+    # shared filler words are NOT over-represented anywhere → absent
+    assert all(r.word not in filler.split() for r in rows)
+    # exact G² for the 2x2 table: 12 tokens/doc × 3 docs/source →
+    # ns=36, N=72, cw=15 ⇒ a=15, b=0, c=21, d=36
+    N, ns, cw, a = 72, 36, 15, 15
+    b, c, d = cw - a, ns - a, N - ns - cw + a
+
+    def q(o, e_num, e_den):
+        return o * math.floor(math.log(o * N / (e_num * e_den)) * 1e6 + 0.5)
+
+    g2 = 2 * (
+        q(a, ns, cw)
+        + (q(b, N - ns, cw) if b else 0)
+        + (q(c, ns, N - cw) if c else 0)
+        + (q(d, N - ns, N - cw) if d else 0)
+    )
+    assert top.g2_micro == g2
+
+
+def test_duplication_profile_planted_groups(spark):
+    from data_frame_demo_etl_spark.dedup.novelty import duplication_profile
+
+    docs = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)],
+        "text string",
+    )
+    rows = {r.group_size: r for r in duplication_profile(docs).collect()}
+    assert rows[1].n_groups == 1 and rows[3].n_groups == 2 and rows[5].n_groups == 1
+    # 12 docs total: shares 1/12, 6/12, 5/12 on the exact ppm grid
+    assert rows[1].doc_share_ppm == 1_000_000 // 12
+    assert rows[3].doc_share_ppm == 6_000_000 // 12
+    assert rows[5].doc_share_ppm == 5_000_000 // 12
