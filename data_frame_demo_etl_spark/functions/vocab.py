@@ -854,3 +854,91 @@ FROM scored
 ORDER BY g2_micro DESC, source ASC, word ASC
 LIMIT {KEYNESS_TOP_K}
 """
+
+
+# ───────────────────── term burstiness audit ─────────────────────
+
+BURST_MIN_CF = 50
+BURST_TOP_K = 20
+
+
+def term_burstiness(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-k BURSTY terms — words whose occurrences clump into few
+    documents instead of spreading evenly (Church & Gale 1995: content
+    words are bursty, function words are not): for each word, the
+    variance-to-mean ratio of its per-document counts over the
+    documents that CONTAIN it. VMR ≈ 1 = Poisson-spread (function
+    word); VMR ≫ 1 = topical. The signal a stopword-list builder or a
+    keyword extractor reads next to raw frequency.
+
+    Exact integers: per-(doc, word) counts → per word df (docs), cf
+    (occurrences), Σc²; VMR lands once on the micro grid as
+    (df·Σc² − cf²)·10⁶ div (df·cf) — biased (population) variance by
+    construction, both engines bit-agree. cf ≥ 50 guard keeps the
+    estimate meaningful.
+
+    Shape: one tokenize scan → (doc, word) counts (map-side combined),
+    one vocab-sized re-agg. Output top-k under a (vmr, word) total
+    order."""
+    dec = "decimal(38,0)"
+    dw = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            ).alias("w"),
+        )
+        .groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    )
+    per_word = dw.groupBy("w").agg(
+        F.count(F.lit(1)).cast(dec).alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    return (
+        per_word.filter(F.col("cf") >= BURST_MIN_CF)
+        .select(
+            F.col("w").alias("word"),
+            F.col("df").cast("long").alias("n_docs"),
+            F.col("cf").cast("long").alias("n_occurrences"),
+            F.expr("cast(((df * c2 - cf * cf) * 1000000) div (df * cf) as long)").alias(
+                "vmr_micro"
+            ),
+        )
+        .orderBy(F.col("vmr_micro").desc(), F.col("word").asc())
+        .limit(BURST_TOP_K)
+    )
+
+
+def docs_term_burstiness(spark, sf_dir: str) -> DataFrame:
+    """Gate: top-20 bursty terms by per-doc count VMR."""
+    from ..sources.catalog import load_table
+
+    return term_burstiness(load_table(spark, "documents", sf_dir))
+
+
+DOCS_TERM_BURSTINESS_SQL = rf"""
+WITH dw AS (
+  SELECT doc, w, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM (
+    SELECT doc_id AS doc,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+  )
+  GROUP BY doc, w
+),
+per_word AS (
+  SELECT w, CAST(COUNT(*) AS HUGEINT) AS df, SUM(c) AS cf, SUM(c * c) AS c2
+  FROM dw GROUP BY w
+)
+SELECT w AS word,
+       CAST(df AS BIGINT) AS n_docs,
+       CAST(cf AS BIGINT) AS n_occurrences,
+       CAST(((df * c2 - cf * cf) * 1000000) // (df * cf) AS BIGINT) AS vmr_micro
+FROM per_word
+WHERE cf >= {BURST_MIN_CF}
+ORDER BY vmr_micro DESC, word ASC
+LIMIT {BURST_TOP_K}
+"""

@@ -1217,6 +1217,13 @@ from .functions.vocab import (  # noqa: E402
 )
 
 register("docs_source_keyness", docs_source_keyness, DOCS_SOURCE_KEYNESS_SQL)
+
+from .functions.vocab import (  # noqa: E402
+    DOCS_TERM_BURSTINESS_SQL,
+    docs_term_burstiness,
+)
+
+register("docs_term_burstiness", docs_term_burstiness, DOCS_TERM_BURSTINESS_SQL)
 register(
     "docs_duplication_profile", docs_duplication_profile, DOCS_DUPLICATION_PROFILE_SQL
 )

@@ -29,24 +29,31 @@ from data_frame_demo_etl_spark.sources.catalog import load_table
 
 SF10 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf10")
 SF100 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf100")
+SF1000 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf1000")
 # clear of scaling100's SHIFT10 range (10 copies × 5e10)
 SHIFT100 = 1_000_000_000_000
+# clear of the SHIFT100 range (10 copies × 1e12)
+SHIFT1000 = 100_000_000_000_000
 
 
-def build_sf100_documents(spark) -> None:
-    out = f"{SF100}/documents.parquet"
+def _build_documents(spark, src: str, dst: str, shift: int, label: str) -> None:
+    out = f"{dst}/documents.parquet"
     if Path(out).exists():
         return
-    Path(SF100).mkdir(parents=True, exist_ok=True)
-    df = load_table(spark, "documents", SF10)
+    Path(dst).mkdir(parents=True, exist_ok=True)
+    df = load_table(spark, "documents", src)
     copies = [
-        df.withColumn("doc_id", F.col("doc_id") + F.lit(k * SHIFT100)) for k in range(10)
+        df.withColumn("doc_id", F.col("doc_id") + F.lit(k * shift)) for k in range(10)
     ]
     scaled = copies[0]
     for c in copies[1:]:
         scaled = scaled.unionByName(c)
     scaled.write.mode("overwrite").parquet(out)
-    print("built sf100/documents", file=sys.stderr)
+    print(f"built {label}/documents", file=sys.stderr)
+
+
+def build_sf100_documents(spark) -> None:
+    _build_documents(spark, SF10, SF100, SHIFT100, "sf100")
 
 
 def main() -> None:
@@ -61,18 +68,26 @@ def main() -> None:
         sys.exit(1)
     build_sf100_documents(spark)
 
+    legs = [("sf10", SF10), ("sf100", SF100)]
+    if "--sf1000" in sys.argv[1:]:
+        build_sf100_documents(spark)
+        _build_documents(spark, SF100, SF1000, SHIFT1000, "sf1000")
+        legs.append(("sf1000", SF1000))
+
     q = registry.queries()["llm_prep_pipeline"]
     # warm the JVM (codegen compile, parquet reader init) so leg 1
     # isn't charged the cold-start the other legs don't pay
     materialize(q(spark, SF10))
     times = {}
-    for label, d in (("sf10", SF10), ("sf100", SF100)):
+    for label, d in legs:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         materialize(q(spark, d))
         times[label] = round(time.perf_counter() - t0, 2)
         print(f"{label}: {times[label]}s", file=sys.stderr)
     times["ratio"] = round(times["sf100"] / max(times["sf10"], 1e-9), 1)
+    if "sf1000" in times:
+        times["ratio_1000"] = round(times["sf1000"] / max(times["sf100"], 1e-9), 1)
     print(json.dumps(times))
     spark.stop()
 

@@ -53,3 +53,32 @@ def test_duplication_profile_planted_groups(spark):
     assert rows[1].doc_share_ppm == 1_000_000 // 12
     assert rows[3].doc_share_ppm == 6_000_000 // 12
     assert rows[5].doc_share_ppm == 5_000_000 // 12
+
+
+def test_burstiness_topical_vs_function_word(spark):
+    from data_frame_demo_etl_spark.functions.vocab import term_burstiness
+
+    # "the" appears once per doc (VMR = 0: constant counts);
+    # "topic" clumps: 50 occurrences in one doc, absent elsewhere.
+    docs = [(i, "the filler") for i in range(1, 60)]
+    docs.append((60, "the " + "topic " * 50))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.word: r for r in term_burstiness(df).collect()}
+    # topic: df=1, cf=50, c2=2500 → VMR = (2500-2500)/50 = 0? No:
+    # df·c2 − cf² = 1·2500 − 2500 = 0 → single-doc terms have VMR 0
+    # over CONTAINING docs — both are in the list; check exact values.
+    assert out["the"].vmr_micro == 0  # constant 1-per-doc counts
+    assert out["the"].n_docs == 60 and out["the"].n_occurrences == 60
+    assert out["topic"].n_docs == 1 and out["topic"].n_occurrences == 50
+
+
+def test_burstiness_known_vmr(spark):
+    from data_frame_demo_etl_spark.functions.vocab import term_burstiness
+
+    # counts per containing doc: [10, 40] → df=2, cf=50, c2=1700
+    # VMR = (2·1700 − 2500)·1e6 div (2·50) = 900·1e6 div 100
+    docs = [(1, "w " * 10), (2, "w " * 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = term_burstiness(df).collect()[0]
+    assert (r.word, r.n_docs, r.n_occurrences) == ("w", 2, 50)
+    assert r.vmr_micro == 900 * 1_000_000 // 100
