@@ -292,3 +292,74 @@ def test_pushed_filters_keeps_in_list_brackets(spark, sf_oracle_dir):
     assert any("l_returnflag" in f for f in rep.pushed_filters), rep.pushed_filters
     assert not any("ReadSchema" in f for f in rep.pushed_filters), rep.pushed_filters
     assert not any("l_quantity" in f for f in rep.pushed_filters), rep.pushed_filters
+
+
+# Gates whose plans legitimately contain UNPARTITIONED window
+# operators: every entry's window runs over a BOUNDED table (value
+# domain / calendar span / top-k / answer-sized eval grid), never the
+# corpus. The audit below exists so the NEXT gate that accidentally
+# windows corpus-sized data through one task fails in pytest, the way
+# CARTESIAN_ALLOWED guards accidental cross joins.
+GLOBAL_WINDOW_ALLOWED = {
+    # (cohort_year × year_offset) curve table — calendar-bounded
+    "customer_cohort_ltv": "cohort×offset curve table",
+    # row_number over the 8-row TakeOrdered top table
+    "customer_concentration": "top-8 CRk table",
+    # prefix ranks over DISTINCT-signature / candidate-eval tables;
+    # the sketch eval's grid is the documented answer-sized
+    # copies²-pair output (SCALING.md containment sections)
+    "dedup_containment": "distinct-signature prefix tables",
+    "dedup_containment_sketch_eval": "answer-sized eval grid",
+    "dedup_lsh_threshold_sweep": "distinct-signature sweep grid",
+    "dedup_ngram_jaccard": "distinct-text collapse tables",
+    "dedup_sketch_eval": "distinct-text eval tables",
+    # stratum census (value-domain) ranks
+    "docs_ht_estimate": "stratum census table",
+    # top-20 rank over the vocabulary-bounded phrase-score table
+    "docs_rake_keywords": "phrase-score vocabulary table",
+    # K29 exact distributed selection — the documented bounded
+    # final-selection pass
+    "events_exact_stats": "exact-selection value domain",
+    # value-domain threshold candidates (distinct cents)
+    "events_purchase_stump": "distinct-cents threshold table",
+    # depth/duration quantiles over value-domain histograms
+    # (streaming/events.py session_stats, survival.py argument)
+    "events_session_stats": "depth/duration value domains",
+    # distinct-tier prefix-min (the skyline bounded-window argument)
+    "parts_pareto_frontier": "distinct-tier table",
+    # TPC-H shapes: windows over part/supplier-bounded subtables
+    "q17_small_quantity_revenue": "per-part agg table",
+    "q20_promo_part_suppliers": "per-part agg table",
+    "q2_min_cost_supplier": "region-filtered part-supplier table",
+    # calendar-span duration tables (module docstring argument)
+    "users_churn_hazard": "duration table",
+    "users_churn_survival": "duration table",
+    # top-K vocabulary rank
+    "vocab_coverage": "vocab-sized top-K rank",
+}
+
+
+def test_no_corpus_global_window_anywhere(spark, sf_dir):
+    """Every registry gate's physical plan is free of UNPARTITIONED
+    window operators unless allowlisted with a bounded-table
+    justification. Detector: a `Window [...]` plan line carries three
+    bracket groups when partitioned (exprs, partition spec, order
+    spec) and two when global."""
+    bad = {}
+    for name, fn in registry.queries().items():
+        if name in GLOBAL_WINDOW_ALLOWED:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover
+            bad[name] = f"build failed: {exc}"
+            continue
+        rep = plan_report(df)
+        n = sum(
+            1
+            for line in rep.raw.splitlines()
+            if "Window [" in line and line.count("], [") == 1
+        )
+        if n:
+            bad[name] = f"{n} unpartitioned window(s) in plan"
+    assert not bad, bad
