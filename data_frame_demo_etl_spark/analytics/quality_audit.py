@@ -1905,3 +1905,146 @@ SELECT n AS n_entities,
        CAST((s8 * 1000000) // t AS BIGINT) AS cr8_ppm
 FROM agg CROSS JOIN tops
 """
+
+
+# ─────────────── K65: Kruskal–Wallis H (multi-arm rank test) ───────────────
+
+
+def kruskal_wallis(df: DataFrame, arm_col, cents_col) -> DataFrame:
+    """Kruskal–Wallis H — the k-SAMPLE member that completes the A/B
+    test family (K36 two proportions, K42 two-sample ranks, K43 CDF
+    shape, K50 means, K52 runs): 'do these k groups share one value
+    distribution?', valid under skew where a k-way ANOVA is not.
+    Pairwise Mann–Whitney over k arms inflates false positives
+    k(k−1)/2-fold; KW is the one-shot gate run BEFORE any pairwise
+    drill-down.
+
+    Rank machinery is K42's, globalized: ranks never materialize —
+    per distinct cent value only (t_v, per-arm a_jv) counts plus the
+    cumulative count before each value (the constant-key two-pass
+    prefix over the VALUE DOMAIN), midrank ties carried DOUBLED so
+    2·R_j = Σ a_jv·(2·before_v + t_v + 1) stays an exact
+    DECIMAL(38,0) (documented ~10⁹-row exactness bound, the K44
+    convention). Σ R_j²/n_j accumulates as per-arm exact integral
+    divisions q_j = (2R_j)² div (4·n_j) — deterministic truncation
+    < 1 per arm against an O(n³/k) term. H and the tie-corrected H
+    are each ONE fixed-parenthesization IEEE combination over doubles
+    of those exact integers; all-tied data (C = 0) → NULL.
+
+    Shape: one corpus scan → (arm × value) and value-domain counts,
+    the bounded prefix layout, arm-sized folds, 1-row output."""
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(arm_col).alias("arm"), cents_col.alias("cents")
+    ).filter(F.col("cents").isNotNull())
+    dom = (
+        base.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("tv"))
+        .select(F.lit(1).alias("key"), "cents", "tv")
+    )
+    armcnt = base.groupBy("arm", "cents").agg(F.count(F.lit(1)).cast(dec).alias("av"))
+    pre = _keyed_prefix(dom, ["cents"], "tv")
+    before = (F.col("cum") - F.col("tv")).cast(dec)
+    arms = (
+        armcnt.join(pre.select("cents", F.col("tv").cast(dec).alias("tvd"), before.alias("bef")), "cents")
+        .withColumn(
+            "r2_term",
+            F.col("av")
+            * (F.lit(2).cast(dec) * F.col("bef") + F.col("tvd") + F.lit(1).cast(dec)),
+        )
+        .groupBy("arm")
+        .agg(F.sum("av").alias("nj"), F.sum("r2_term").alias("r2j"))
+        # per-arm Σ R_j²/n_j on the 1e-6 grid: the unscaled div's
+        # ≤1-per-arm truncation is magnified by 12/(n(n+1)) into a
+        # visible artifact at small n (all-tied 4 rows → H = −0.6).
+        # `div` on decimals returns LONG (overflows at sf0.1 under
+        # ANSI: qj ~ n³·10⁶/k > 2⁶³), so floor-divide IN DECIMAL via
+        # mod-subtract-divide — the quotient is an exact integer, so
+        # the decimal division is exact, no rounding corner.
+        # Exactness bound: r2j²·10⁶ ≤ 4e6·n⁴ needs n ≲ 7·10⁷ non-null
+        # rows before decimal(38,0) overflow errors (ANSI-loud), the
+        # K44-style documented-bound convention.
+        .withColumn(
+            "qj",
+            F.expr(
+                "cast(((r2j * r2j * 1000000) - pmod(r2j * r2j * 1000000, 4 * nj))"
+                " / (4 * nj) as decimal(38,0))"
+            ),
+        )
+    )
+    ties = dom.agg(
+        F.sum(
+            F.col("tv").cast(dec) * F.col("tv").cast(dec) * F.col("tv").cast(dec)
+            - F.col("tv").cast(dec)
+        ).alias("tie_sum")
+    )
+    tot = arms.agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("qj").alias("s"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double") / F.lit(1.0e6)
+    tied = F.col("tie_sum").cast("double")
+    h = F.lit(12.0) * sd / (nd * (nd + F.lit(1.0))) - F.lit(3.0) * (nd + F.lit(1.0))
+    c = F.lit(1.0) - tied / (nd * nd * nd - nd)
+    return tot.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.floor(h * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("h_micro"),
+        F.when(c > 0, F.floor(h / c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")).alias(
+            "h_corrected_micro"
+        ),
+    )
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: KW H of event value across event types (k arms)."""
+    events = load_table(spark, "events", sf_dir)
+    return kruskal_wallis(
+        events.filter(F.col("value").isNotNull()),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+EVENTS_KRUSKAL_WALLIS_SQL = """
+WITH base AS (
+  SELECT event_type AS arm, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+dom AS (
+  SELECT cents, CAST(COUNT(*) AS HUGEINT) AS tv FROM base GROUP BY cents
+),
+pre AS (
+  SELECT cents, tv,
+         SUM(tv) OVER (ORDER BY cents) - tv AS bef
+  FROM dom
+),
+armcnt AS (
+  SELECT arm, cents, CAST(COUNT(*) AS HUGEINT) AS av FROM base GROUP BY arm, cents
+),
+arms AS (
+  SELECT arm, SUM(av) AS nj,
+         SUM(av * (2 * bef + tv + 1)) AS r2j
+  FROM armcnt JOIN pre USING (cents)
+  GROUP BY arm
+),
+folded AS (
+  SELECT SUM(nj) AS n, COUNT(*) AS k,
+         SUM((r2j * r2j * 1000000) // (4 * nj)) AS s
+  FROM arms
+),
+ties AS (SELECT SUM(tv * tv * tv - tv) AS tie_sum FROM dom)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       CAST(k AS BIGINT) AS n_groups,
+       CAST(FLOOR((12.0 * (CAST(s AS DOUBLE) / 1000000.0) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS h_micro,
+       CASE WHEN (1.0 - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+            THEN CAST(FLOOR((12.0 * (CAST(s AS DOUBLE) / 1000000.0) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                            / (1.0 - CAST(tie_sum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                            * 1000000.0 + 0.5) AS BIGINT)
+       END AS h_corrected_micro
+FROM folded CROSS JOIN ties
+"""

@@ -1224,6 +1224,13 @@ from .functions.vocab import (  # noqa: E402
 )
 
 register("docs_term_burstiness", docs_term_burstiness, DOCS_TERM_BURSTINESS_SQL)
+
+from .analytics.quality_audit import (  # noqa: E402
+    EVENTS_KRUSKAL_WALLIS_SQL,
+    events_kruskal_wallis,
+)
+
+register("events_kruskal_wallis", events_kruskal_wallis, EVENTS_KRUSKAL_WALLIS_SQL)
 register(
     "docs_duplication_profile", docs_duplication_profile, DOCS_DUPLICATION_PROFILE_SQL
 )

@@ -222,6 +222,9 @@ CARTESIAN_ALLOWED = {
     # crossJoin(broadcast(1-ROW corpus-token total)) onto the
     # vocab-sized G² table (functions/vocab.py source_keyness).
     "docs_source_keyness",
+    # crossJoin(broadcast(1-ROW tie-sum aggregate)) onto the 1-row
+    # arm fold (analytics/quality_audit.py kruskal_wallis).
+    "events_kruskal_wallis",
     # crossJoin(broadcast(1-ROW doc total)) onto the group-size
     # histogram (dedup/novelty.py duplication_profile).
     "docs_duplication_profile",

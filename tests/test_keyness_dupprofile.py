@@ -82,3 +82,42 @@ def test_burstiness_known_vmr(spark):
     r = term_burstiness(df).collect()[0]
     assert (r.word, r.n_docs, r.n_occurrences) == ("w", 2, 50)
     assert r.vmr_micro == 900 * 1_000_000 // 100
+
+
+def test_kruskal_wallis_no_ties_known_h(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import kruskal_wallis
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)]
+    df = spark.createDataFrame(rows, "arm string, cents long")
+    r = kruskal_wallis(df, "arm", F.col("cents")).collect()[0]
+    # ranks 1..6: R_a=6, R_b=15 → H = 12/42·(12+75) − 21 = 27/7
+    expect = int((12 * 87 / 42 - 21) * 1_000_000 + 0.5)
+    assert (r.n_obs, r.n_groups) == (6, 2)
+    assert r.h_micro == expect
+    assert r.h_corrected_micro == expect  # no ties → C = 1
+
+
+def test_kruskal_wallis_three_arm_separation(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import kruskal_wallis
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5), ("c", 6)]
+    df = spark.createDataFrame(rows, "arm string, cents long")
+    r = kruskal_wallis(df, "arm", F.col("cents")).collect()[0]
+    # R = 3, 7, 11 → Σ R²/n = 89.5 → H = 12·89.5/42 − 21
+    expect = int((12 * 89.5 / 42 - 21) * 1_000_000 + 0.5)
+    assert (r.n_groups, r.h_micro) == (3, expect)
+
+
+def test_kruskal_wallis_all_tied_h_zero_corrected_null(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import kruskal_wallis
+    from pyspark.sql import functions as F
+
+    rows = [("a", 7), ("a", 7), ("b", 7), ("b", 7)]
+    df = spark.createDataFrame(rows, "arm string, cents long")
+    r = kruskal_wallis(df, "arm", F.col("cents")).collect()[0]
+    # identical values: the micro-grid q_j keeps H exactly 0 (the
+    # unscaled div produced −0.6 here); C = 0 → corrected NULL
+    assert r.h_micro == 0
+    assert r.h_corrected_micro is None
