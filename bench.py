@@ -159,6 +159,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    load_start = round(os.getloadavg()[0], 1)
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(registry.queries())
@@ -222,6 +223,13 @@ def main() -> None:
         # — count() never evaluated final-aggregate expressions or
         # unique-keyed left joins, under-measuring ~1/3 of the suite.
         "action": ACTION,
+        # Host-load sentinel (r10 verdict: a loaded box recorded a 115 s
+        # phantom series point vs 84 s clean on identical code; best-of-2
+        # alone cannot save a run when BOTH reps are contended). 1-min
+        # loadavg at process start and at line-emit time: a record whose
+        # start load is already ≳ the core count was contended before the
+        # warmup began and should be rejected as a series point.
+        "load": [load_start, round(os.getloadavg()[0], 1)],
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }

@@ -15,6 +15,22 @@ broadcasts.
 
 Everything is exact integer/string work — full oracle, no
 quantization needed.
+
+Knife-edge note for the log-quantized gates in this module (PMI,
+source-KL, keyness G², token-budget curve — the K48 convention,
+floor(ln(x)·1e6 + 0.5) of an exactly-computed double ratio): the
+convention assumes the JVM's StrictMath.log and DuckDB's ln round the
+same double input to the same double — true on every platform both
+engines support (both are correctly-rounded for these inputs in
+practice), but a hypothetical last-ulp disagreement EXACTLY at a grid
+midpoint would flip the floor. The inputs here are ratios of exact
+DECIMAL(38,0) products, so the set of representable arguments is
+identical on both sides; the residual risk is a shared-input,
+divergent-libm event that has never been observed across r9–r10's
+external windows. If a gate ever hash-mismatches with every value off
+by exactly 1 micro-unit at one row, this is the first suspect — the
+fix is a planted-corpus assertion that no gate-corpus ratio lands
+within 1e-9 of a .5 grid boundary, not a wider grid.
 """
 
 from __future__ import annotations

@@ -382,7 +382,18 @@ def avro_available(spark: SparkSession) -> bool:
         spark.read.format("avro").load("/nonexistent-avro-probe-path")
         return True  # pragma: no cover — only with the jar deployed
     except Exception as e:  # noqa: BLE001 — classify by Spark error
-        return "Failed to find data source" not in str(e)
+        # Classify POSITIVELY (r10 advice): "deployed" is proven only by
+        # the probe getting past provider lookup to the missing-path
+        # error (PATH_NOT_FOUND / AnalysisException "Path does not
+        # exist"). Any other exception — including a transient JVM or
+        # session failure — reports unavailable, so read_avro raises the
+        # named --packages error instead of an opaque downstream one.
+        msg = str(e)
+        if "Failed to find data source" in msg:
+            return False
+        return (  # pragma: no cover — only with the jar deployed
+            "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+        )
 
 
 def read_avro(spark: SparkSession, path_or_glob: str) -> DataFrame:

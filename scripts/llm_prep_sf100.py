@@ -38,7 +38,12 @@ SHIFT1000 = 100_000_000_000_000
 
 def _build_documents(spark, src: str, dst: str, shift: int, label: str) -> None:
     out = f"{dst}/documents.parquet"
-    if Path(out).exists():
+    # Completion is keyed on a _DONE marker written AFTER the parquet
+    # commit (matching scaling_boilerplate.build_corpus) — a crashed
+    # partial write must NOT read as a finished corpus, or the sf100/
+    # sf1000 timing ratio silently measures an undersized input.
+    marker = Path(dst) / "_DONE_documents"
+    if marker.exists():
         return
     Path(dst).mkdir(parents=True, exist_ok=True)
     df = load_table(spark, "documents", src)
@@ -49,6 +54,7 @@ def _build_documents(spark, src: str, dst: str, shift: int, label: str) -> None:
     for c in copies[1:]:
         scaled = scaled.unionByName(c)
     scaled.write.mode("overwrite").parquet(out)
+    marker.touch()
     print(f"built {label}/documents", file=sys.stderr)
 
 
