@@ -147,6 +147,133 @@ ORDER BY arm
 """
 
 
+# ─────────────── average precision (PR-AUC companion) ───────────────
+
+
+def average_precision(
+    df: DataFrame,
+    key_col,
+    label_col,
+    score_cents_col,
+) -> DataFrame:
+    """Per-key average precision (the PR-curve summary; sklearn's
+    tie-exact step-sum definition): AP = Σ_v (p_v / n⁺) · P_v over
+    DISTINCT score values v in descending order, where p_v is the
+    positives at v and P_v = TP_{≥v} / N_{≥v} the precision of the
+    score-≥v prefix. ROC-AUC (above) misleads exactly where a
+    training-data pipeline lives — rare-positive labels — because the
+    FPR denominator is the huge negative class; AP re-anchors on the
+    positive class (its chance line is the prevalence, not 0.5).
+
+    Arithmetic: per-threshold term quantized to the micro grid BEFORE
+    the fold (the K48 convention) — q_v = p_v·TP_{≥v}·10⁶ div N_{≥v}
+    on exact decimals, ap_ppm = (Σ q_v) div n⁺ — integers end to end,
+    both engines floor on non-negatives.
+
+    Scale: identical to roc_auc — one (key, cents) map-side-combined
+    aggregation to the value domain, the two-pass keyed prefix (cum of
+    tv AND pv in one pass), one ≤keys agg. Descending-prefix counts
+    come from total − ascending-prefix + self, so the shared ASC
+    layout serves both metrics."""
+    cnt = (
+        df.select(
+            key_col.alias("key"),
+            score_cents_col.alias("cents"),
+            label_col.alias("is_pos"),
+        )
+        .filter(F.col("cents").isNotNull() & F.col("is_pos").isNotNull())
+        .groupBy("key", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_pos")).alias("pv"),
+        )
+    )
+    pre = _keyed_prefix(cnt, ["cents"], ["tv", "pv"])
+    n_ge = F.col("t_tv").cast(DEC) - F.col("cum_tv").cast(DEC) + F.col("tv").cast(DEC)
+    tp_ge = F.col("t_pv").cast(DEC) - F.col("cum_pv").cast(DEC) + F.col("pv").cast(DEC)
+    q = F.expr(
+        "cast(pv as decimal(38,0)) * __tp_ge * 1000000 div __n_ge"
+    )
+    g = (
+        pre.withColumn("__n_ge", n_ge)
+        .withColumn("__tp_ge", tp_ge)
+        .withColumn("__q", q)
+        .groupBy("key")
+        .agg(
+            F.first("t_tv").alias("n_rows"),
+            F.first("t_pv").alias("n_pos"),
+            F.sum("__q").alias("qsum"),
+        )
+    )
+    npos = F.col("n_pos").cast(DEC)
+    return g.select(
+        "key",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n_rows").cast(DEC) - npos).cast("long").alias("n_neg"),
+        F.when(npos > 0, F.expr("qsum div cast(n_pos as decimal(38,0))"))
+        .cast("long")
+        .alias("ap_ppm"),
+        F.expr("cast(n_pos as decimal(38,0)) * 1000000 div cast(n_rows as decimal(38,0))")
+        .cast("long")
+        .alias("prevalence_ppm"),
+    )
+
+
+def events_value_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: average precision of event value (cents) against the
+    purchase label, per user-parity arm — the rare-positive companion
+    of events_value_auc on the identical score/label/arm frame, with
+    the prevalence column exposing the chance line AP must clear."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        average_precision(
+            events.filter(F.col("value").isNotNull()),
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+            F.col("event_type") == F.lit("purchase"),
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .withColumnRenamed("key", "arm")
+        .orderBy("arm")
+    )
+
+
+EVENTS_VALUE_AP_SQL = """
+WITH cnt AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS key,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS pv
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, tv, pv,
+         SUM(tv) OVER w AS cum_tv,
+         SUM(pv) OVER w AS cum_pv,
+         SUM(tv) OVER (PARTITION BY key) AS t_tv,
+         SUM(pv) OVER (PARTITION BY key) AS t_pv
+  FROM cnt
+  WINDOW w AS (PARTITION BY key ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT key, t_tv, t_pv,
+         CAST(pv AS HUGEINT) * CAST(t_pv - cum_pv + pv AS HUGEINT) * 1000000
+           // CAST(t_tv - cum_tv + tv AS HUGEINT) AS q
+  FROM pre
+)
+SELECT key AS arm,
+       CAST(t_pv AS BIGINT) AS n_pos,
+       CAST(t_tv - t_pv AS BIGINT) AS n_neg,
+       CASE WHEN t_pv > 0 THEN CAST(SUM(q) // CAST(t_pv AS HUGEINT) AS BIGINT) END AS ap_ppm,
+       CAST(CAST(t_pv AS HUGEINT) * 1000000 // CAST(t_tv AS HUGEINT) AS BIGINT) AS prevalence_ppm
+FROM terms
+GROUP BY key, t_tv, t_pv
+ORDER BY arm
+"""
+
+
 # ─────────────── Cohen's kappa (two deterministic raters) ───────────────
 
 

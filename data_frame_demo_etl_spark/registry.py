@@ -1235,6 +1235,18 @@ register(
     "docs_duplication_profile", docs_duplication_profile, DOCS_DUPLICATION_PROFILE_SQL
 )
 
+# ─── round-11 additions (registered BEFORE the window reorder so the
+#     rotation list below can pull them in) ───
+from .similarity.pq import PQ_ADC_TOPK_SQL, pq_adc_topk_gate
+from .similarity.ivfpq import IVFPQ_ADC_TOPK_SQL, ivfpq_adc_topk_gate
+
+register("pq_adc_topk", pq_adc_topk_gate, PQ_ADC_TOPK_SQL)
+register("ivfpq_adc_topk", ivfpq_adc_topk_gate, IVFPQ_ADC_TOPK_SQL)
+
+from .analytics.ml_eval import EVENTS_VALUE_AP_SQL, events_value_ap
+
+register("events_value_ap", events_value_ap, EVENTS_VALUE_AP_SQL)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

@@ -177,3 +177,175 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "cosine")
     )
+
+
+# ──────────────────── anchor-codebook IVFADC gate (X6) ────────────────────
+# Gate counterpart of fit_ivfpq/ivfpq_topk above: the full IVFADC
+# composition (coarse prune → RESIDUAL product quantization → ADC
+# scoring) with every trained structure replaced by its deterministic
+# anchor analog — coarse centroids from the X14 sweep set
+# (semdedup.anchor_centroids k=8 seed=7), residual codebooks from
+# pq.anchor_codebooks at the residual component scale — so the whole
+# pipeline, probe selection included, is reproduced by generated
+# DuckDB SQL. Scoring is decode-then-cosine (v̂ = centroid + decoded
+# residual), value-identical to the LUT gather the deployment path
+# uses (dot(q, v̂) = q·c + Σ lut terms).
+
+GATE_NPROBE = 2
+_RES_SEED = 13
+# residual component scale: |emb − unit-norm anchor| per dim ≈
+# sqrt(0.125² + 0.12²) on the synthetic embeddings
+_RES_SCALE = 0.17
+
+
+def ivfpq_adc_topk_gate(spark, sf_dir: str) -> DataFrame:
+    """Gate (X6): IVFADC cosine top-5 for the first 10 queries —
+    nprobe=2 coarse prune, residual PQ reconstruction, round-6 cosine,
+    id tie-break. Candidates are bounded by the probed posting lists
+    (~nprobe/k of the corpus), never all pairs."""
+    from ..functions.vectors import dot, l2_distance, norm
+    from ..sources.catalog import load_table
+    from .pq import GATE_K, GATE_QUERIES, anchor_codebooks, pq_anchor_vhat
+    from .semdedup import anchor_centroids, assign_clusters
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = anchor_centroids(k=8, seed=7)
+    cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+
+    assigned = assign_clusters(emb, cents)  # (vec_id, embedding, cluster)
+    my_cent = F.element_at(cent_lit, F.col("cluster") + 1)
+    residual = F.zip_with(
+        F.col("embedding").cast("array<double>"), my_cent, lambda x, c: x - c
+    )
+    vh_res = pq_anchor_vhat(residual, anchor_codebooks(seed=_RES_SEED, scale=_RES_SCALE))
+    vhat = assigned.select(
+        "vec_id",
+        "cluster",
+        F.zip_with(vh_res, my_cent, lambda r, c: r + c).alias("__vh"),
+    )
+
+    q = emb.filter(F.col("vec_id") < GATE_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm(F.col("embedding")).alias("__qn"),
+    )
+    qexp = q.select(
+        "query_id",
+        "__qv",
+        "__qn",
+        F.posexplode(cent_lit).alias("cluster", "__cent"),
+    ).select(
+        "query_id",
+        "__qv",
+        "__qn",
+        "cluster",
+        l2_distance(F.col("__qv").cast("array<double>"), F.col("__cent")).alias("__d"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
+    qrank = (
+        qexp.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= GATE_NPROBE)
+        .select("query_id", "cluster", "__qv", "__qn")
+    )
+
+    denom = F.col("__qn") * norm(F.col("__vh"))
+    scored = (
+        vhat.join(F.broadcast(qrank), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(denom > 0, dot(F.col("__qv"), F.col("__vh")) / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GATE_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_adc_topk_sql() -> str:
+    from .pq import GATE_K, GATE_QUERIES, _codebook_sql_values, anchor_codebooks
+    from .semdedup import _centroid_sql_values, anchor_centroids
+
+    dsub, k, nq, npr = 8, GATE_K, GATE_QUERIES, GATE_NPROBE
+    cents = _centroid_sql_values(anchor_centroids(k=8, seed=7))
+    cbs = _codebook_sql_values(anchor_codebooks(seed=_RES_SEED, scale=_RES_SCALE))
+    return f"""
+WITH cent(cluster, cv) AS (VALUES {cents}),
+cb(sub, code, w) AS (VALUES {cbs}),
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), c.cv) ASC, c.cluster ASC
+           ) AS rk
+    FROM embeddings e, cent c
+  ) WHERE rk = 1
+),
+res AS (
+  SELECT a.vec_id, a.cluster,
+         LIST_TRANSFORM(CAST(a.embedding AS DOUBLE[]), (x, i) -> x - c.cv[i]) AS r
+  FROM assigned a JOIN cent c ON c.cluster = a.cluster
+),
+enc AS (
+  SELECT vec_id, cluster, sub, w FROM (
+    SELECT r.vec_id, r.cluster, c.sub, c.code, c.w,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.vec_id, c.sub
+             ORDER BY LIST_DISTANCE(LIST_SLICE(r.r, c.sub*{dsub}+1, c.sub*{dsub}+{dsub}), c.w) ASC,
+                      c.code ASC
+           ) AS rk
+    FROM res r, cb c
+  ) WHERE rk = 1
+),
+vres AS (
+  SELECT vec_id, cluster, FLATTEN(LIST(w ORDER BY sub)) AS vr
+  FROM enc GROUP BY vec_id, cluster
+),
+vhat AS (
+  SELECT v.vec_id, v.cluster,
+         LIST_TRANSFORM(v.vr, (x, i) -> x + c.cv[i]) AS vh
+  FROM vres v JOIN cent c ON c.cluster = v.cluster
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {nq}
+),
+qrank AS (
+  SELECT query_id, cluster, qv FROM (
+    SELECT q.query_id, c.cluster, q.qv,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY LIST_DISTANCE(q.qv, c.cv) ASC, c.cluster ASC
+           ) AS pr
+    FROM q, cent c
+  ) WHERE pr <= {npr}
+),
+scored AS (
+  SELECT r.query_id, v.vec_id AS neighbor_id,
+         ROUND(LIST_COSINE_SIMILARITY(r.qv, v.vh), 6) AS cosine
+  FROM qrank r JOIN vhat v ON v.cluster = r.cluster
+  WHERE v.vec_id != r.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+IVFPQ_ADC_TOPK_SQL = _ivfpq_adc_topk_sql()

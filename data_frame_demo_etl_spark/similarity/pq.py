@@ -159,3 +159,160 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", F.col(id_col).alias("neighbor_id"), "cosine")
     )
+
+
+# ───────────────────────── anchor-codebook gate (X4) ─────────────────────────
+# The TRAINED codebooks above (fit_pq: driver-side seeded k-means) are
+# the deployment path, recall-tested in pytest. The GATE below swaps in
+# ANCHOR codebooks — deterministic data-independent codewords from a
+# seeded rng, exactly the D8/X14 anchor-centroid policy — so encoding
+# and ADC scoring become fully DuckDB-reproducible: the same 128
+# codeword literals are embedded in the generated oracle SQL. The gate
+# scores via decode-then-cosine (reconstruct v̂ from the chosen
+# codewords, cosine(q, v̂)), which is VALUE-identical to the ADC LUT
+# gather (dot(q, v̂) = Σ_sub lut[sub][code]) — the LUT is the physical
+# optimization, not a different quantity.
+
+ANCHOR_M = 8  # subspaces over the 64-dim embeddings
+ANCHOR_KSUB = 16  # 2^4 codewords per subspace (nbits=4)
+ANCHOR_DSUB = 8  # 64 / m
+ANCHOR_SEED = 11
+ANCHOR_SCALE = 0.12  # matches the synthetic embeddings' component scale
+GATE_QUERIES = 10
+GATE_K = 5
+
+
+def anchor_codebooks(
+    m: int = ANCHOR_M,
+    ksub: int = ANCHOR_KSUB,
+    dsub: int = ANCHOR_DSUB,
+    seed: int = ANCHOR_SEED,
+    scale: float = ANCHOR_SCALE,
+) -> list[list[list[float]]]:
+    """Deterministic codebooks[m][ksub][dsub] (data-independent, like
+    LSH hyperplanes) — shared verbatim by the Spark gate and the
+    generated oracle SQL."""
+    rng = np.random.default_rng(seed)
+    cb = rng.normal(scale=scale, size=(m, ksub, dsub))
+    return [[[float(v) for v in code] for code in sub] for sub in cb]
+
+
+def pq_anchor_vhat(vec_col, codebooks: list[list[list[float]]]):
+    """Reconstructed vector v̂ for `vec_col` under anchor codebooks, as
+    ONE narrow Column expression (static unroll over subspaces): per
+    subspace, argmin-by-L2 over the ksub literal codewords (ties → the
+    lowest code, via struct ordering), then concatenate the chosen
+    codewords. No shuffle, no UDF — encoding rides whole-stage codegen
+    and scales embarrassingly at any corpus size."""
+    from ..functions.vectors import l2_distance
+
+    dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    def _score(cb_lit, sub):
+        # closure factory: PySpark reads the lambda's arity, so the
+        # captured columns must NOT appear as defaulted params
+        return lambda c: F.struct(
+            l2_distance(sub, F.element_at(cb_lit, c + 1)).alias("d"),
+            c.alias("c"),
+        )
+
+    chosen = []
+    for s, cb_s in enumerate(codebooks):
+        cb_lit = F.array(*[F.array(*[F.lit(v) for v in code]) for code in cb_s])
+        sub = F.slice(vec_col, s * dsub + 1, dsub)
+        scored = F.transform(F.sequence(F.lit(0), F.lit(ksub - 1)), _score(cb_lit, sub))
+        best_code = F.array_min(scored)["c"]
+        chosen.append(F.element_at(cb_lit, best_code + 1))
+    return F.concat(*chosen)
+
+
+def pq_adc_topk_gate(spark, sf_dir: str) -> DataFrame:
+    """Gate (X4): PQ-compressed cosine top-5 for the first 10 query
+    vectors under anchor codebooks — raw queries against reconstructed
+    corpus vectors (asymmetric distance), brute-force X1 shape
+    otherwise (broadcast query set, round-6 cosine, id tie-break)."""
+    from ..sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = anchor_codebooks()
+    vh = emb.select("vec_id", pq_anchor_vhat(F.col("embedding"), cb).alias("__vh"))
+    from ..functions.vectors import dot, norm
+
+    q = emb.filter(F.col("vec_id") < GATE_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        norm(F.col("embedding")).alias("__qn"),
+    )
+    denom = F.col("__qn") * norm(F.col("__vh"))
+    scored = (
+        vh.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(denom > 0, dot(F.col("__qv"), F.col("__vh")) / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GATE_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _codebook_sql_values(codebooks: list[list[list[float]]]) -> str:
+    rows = []
+    for s, sub in enumerate(codebooks):
+        for c, code in enumerate(sub):
+            vals = ", ".join(repr(v) for v in code)
+            rows.append(f"({s}, {c}, CAST([{vals}] AS DOUBLE[]))")
+    return ",\n".join(rows)
+
+
+def _pq_adc_topk_sql() -> str:
+    dsub, k, nq = ANCHOR_DSUB, GATE_K, GATE_QUERIES
+    return f"""
+WITH cb(sub, code, cv) AS (VALUES {_codebook_sql_values(anchor_codebooks())}),
+enc AS (
+  SELECT vec_id, sub, cv FROM (
+    SELECT e.vec_id, c.sub, c.code, c.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, c.sub
+             ORDER BY LIST_DISTANCE(
+               CAST(LIST_SLICE(e.embedding, c.sub*{dsub}+1, c.sub*{dsub}+{dsub}) AS DOUBLE[]),
+               c.cv) ASC, c.code ASC
+           ) AS rk
+    FROM embeddings e, cb c
+  ) WHERE rk = 1
+),
+vhat AS (
+  SELECT vec_id, FLATTEN(LIST(cv ORDER BY sub)) AS vh FROM enc GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {nq}
+),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(LIST_COSINE_SIMILARITY(q.qv, v.vh), 6) AS cosine
+  FROM q, vhat v WHERE v.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+PQ_ADC_TOPK_SQL = _pq_adc_topk_sql()

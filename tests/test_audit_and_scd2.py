@@ -98,6 +98,10 @@ def test_plan_audit_flags_cartesian(spark):
 # from two tiny sides.
 CARTESIAN_ALLOWED = {
     "ann_cosine_topk",
+    # broadcast-query-set ANN shape (X1's documented pattern): the
+    # cross join is corpus × 10-row broadcast query set, never
+    # data × data (similarity/pq.py pq_adc_topk_gate).
+    "pq_adc_topk",
     "text_retrieval_topk",
     "events_gapfill",
     # broadcast of a 1-ROW aggregate (global threshold) — the scalar-

@@ -319,3 +319,60 @@ def test_rfm_migration_square_and_conserves_customers(spark, sf_dir):
     before = Counter()
     for r in out:
         before[r.m_before] += r.n_customers
+
+
+def test_ap_perfect_ranking(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import average_precision
+
+    # all positives above all negatives → AP = 1 regardless of skew
+    rows = [("k", 100 + i, True) for i in range(3)] + [
+        ("k", i, False) for i in range(97)
+    ]
+    df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
+    r = average_precision(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    assert (r.n_pos, r.n_neg, r.ap_ppm) == (3, 97, 1_000_000)
+    assert r.prevalence_ppm == 30_000  # 3/100
+
+
+def test_ap_known_value_with_ties(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import average_precision
+
+    # hand-computed (sklearn step-sum with tie blocks):
+    # v=3: t=1,p=1 → P=1/1, term q = 1·1·1e6 div 1 = 1_000_000
+    # v=2: t=2,p=1 → N≥=3, TP≥=2, q = 1·2·1e6 div 3 = 666_666
+    # v=1: t=3,p=0 → q = 0
+    # ap_ppm = (1_666_666) div 2 = 833_333
+    rows = (
+        [("k", 3, True)]
+        + [("k", 2, True), ("k", 2, False)]
+        + [("k", 1, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
+    r = average_precision(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    assert (r.n_pos, r.n_neg, r.ap_ppm) == (2, 4, 833_333)
+
+
+def test_ap_rare_positive_beats_auc_intuition(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import average_precision, roc_auc
+
+    # 1 positive ranked 11th of 1000: ROC-AUC looks great (~0.99) but
+    # AP collapses toward prevalence — the exact failure mode AP is
+    # here to expose. AP = P@11 = 1/11 → 90_909 ppm.
+    rows = [("k", 2000 - i, False) for i in range(10)] + [("k", 500, True)] + [
+        ("k", 400 - i, False) for i in range(989)
+    ]
+    df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
+    ap = average_precision(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    auc = roc_auc(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    assert ap.ap_ppm == 90_909
+    assert auc.auc_ppm > 950_000  # same data, flattering ROC view
+
+
+def test_ap_worst_case_positive_at_bottom(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import average_precision
+
+    # single positive ranked dead last of 4 → AP = 1/4
+    rows = [("k", 4, False), ("k", 3, False), ("k", 2, False), ("k", 1, True)]
+    df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
+    r = average_precision(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
+    assert r.ap_ppm == 250_000
