@@ -248,3 +248,177 @@ FROM haz
 WHERE churn_d > 0
 ORDER BY duration_hours
 """
+
+
+# ─────────────── A15: two-group log-rank test ───────────────
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_hours: int = CENSOR_HOURS,
+) -> DataFrame:
+    """Mantel–Cox log-rank test between two survival groups over the
+    same censored-lifetime model as `km_survival` — the standard "are
+    these two churn curves the same?" significance read that the KM /
+    Nelson–Aalen estimators (A10/A14) describe but cannot test.
+
+    At each distinct duration d with dd = churn events across both
+    groups, nd at risk (n1d in group 1): observed O1 = Σ d1d;
+    expected under H0 E1 = Σ dd·n1d/nd; hypergeometric variance
+    V = Σ dd·(n1d/nd)·(n2d/nd)·(nd−dd)/(nd−1). The statistic
+    (O1−E1)²/V is χ²(1) under H0.
+
+    Exact-integer arithmetic (K48 quantize-before-fold): each
+    per-duration term enters the fold on the micro grid —
+    e1 = dd·n1d·10⁶ div nd, and the variance in two integral stages
+    sized to stay inside DECIMAL(38,0) at any corpus scale
+    (q1 = n1d·10⁶ div nd ≤ 10⁶, then v = dd·q1·n2d·(nd−dd) div
+    (nd·(nd−1)) — the largest intermediate is ~10⁶·nd³, safe to
+    nd ≈ 10¹⁰ users); χ²_micro = (O1·10⁶ − E1_micro)² div V_micro.
+
+    Scale: one corpus-sized span aggregation (map-side combined);
+    every window runs on the calendar-span-bounded duration table
+    (the A10/A14 argument); the output is ONE row."""
+    spans = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.first(group_col).alias("grp"),
+    )
+    edge = spans.agg(F.max("last_ts").alias("gmax"))
+    per_user = spans.crossJoin(F.broadcast(edge)).select(
+        F.expr(
+            "(unix_timestamp(date_trunc('hour', last_ts))"
+            " - unix_timestamp(date_trunc('hour', first_ts))) DIV 3600"
+        ).alias("dur"),
+        (
+            F.col("last_ts")
+            > F.col("gmax") - F.expr(f"INTERVAL {int(censor_hours)} HOURS")
+        ).alias("censored"),
+        "grp",
+    )
+    g1 = F.col("grp") == 1
+    tab = per_user.groupBy("dur").agg(
+        F.count_if(g1).alias("t1"),
+        F.count_if(~g1).alias("t2"),
+        F.count_if(g1 & ~F.col("censored")).alias("d1"),
+        F.count_if(~g1 & ~F.col("censored")).alias("d2"),
+    )
+    w_suffix = Window.orderBy("dur").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risk = (
+        tab.withColumn("n1", F.sum("t1").over(w_suffix))
+        .withColumn("n2", F.sum("t2").over(w_suffix))
+        .filter((F.col("d1") + F.col("d2")) > 0)
+    )
+    dd = "(d1 + d2)"
+    nd = "(n1 + n2)"
+    terms = risk.select(
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.expr(
+            f"cast({dd} as decimal(38,0)) * cast(n1 as decimal(38,0)) * 1000000"
+            f" div cast({nd} as decimal(38,0))"
+        ).alias("e1_term"),
+        F.when(
+            F.expr(f"{nd} > 1"),
+            F.expr(
+                f"cast({dd} as decimal(38,0))"
+                f" * (cast(n1 as decimal(38,0)) * 1000000 div cast({nd} as decimal(38,0)))"
+                f" * cast(n2 as decimal(38,0)) * cast({nd} - (d1 + d2) as decimal(38,0))"
+                f" div (cast({nd} as decimal(38,0)) * cast({nd} - 1 as decimal(38,0)))"
+            ),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("v_term"),
+    )
+    agg = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum("d2").alias("o2"),
+        F.sum("e1_term").alias("e1_micro"),
+        F.sum("v_term").alias("v_micro"),
+    )
+    diff = "(cast(o1 as decimal(38,0)) * 1000000 - e1_micro)"
+    return agg.select(
+        F.col("o1").cast("long").alias("observed_1"),
+        F.col("o2").cast("long").alias("observed_2"),
+        F.col("e1_micro").cast("long").alias("expected_1_micro"),
+        F.expr(
+            "cast(o1 + o2 as decimal(38,0)) * 1000000 - e1_micro"
+        ).cast("long").alias("expected_2_micro"),
+        F.col("v_micro").cast("long").alias("variance_micro"),
+        F.when(
+            F.col("v_micro") > 0,
+            F.expr(f"{diff} * {diff} div v_micro"),
+        ).cast("long").alias("chi2_micro"),
+    )
+
+
+def users_churn_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: log-rank test of the user-parity arms' churn curves over
+    `events` — the same arms K36/K42/E-AUC compare, here on censored
+    lifetimes. Arms split the same traffic, so χ² should sit low; the
+    gate verifies the test arithmetic, not a real treatment effect."""
+    events = load_table(spark, "events", sf_dir)
+    return logrank_test(
+        events, F.when(F.col("user_id") % 2 == 0, 1).otherwise(2)
+    )
+
+
+USERS_CHURN_LOGRANK_SQL = f"""
+WITH spans AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS grp
+  FROM events GROUP BY user_id
+),
+edge AS (SELECT MAX(last_ts) AS gmax FROM spans),
+per_user AS (
+  SELECT (EPOCH(DATE_TRUNC('hour', last_ts)) - EPOCH(DATE_TRUNC('hour', first_ts))) // 3600 AS dur,
+         last_ts > gmax - INTERVAL {CENSOR_HOURS} HOUR AS censored,
+         grp
+  FROM spans, edge
+),
+tab AS (
+  SELECT dur,
+         CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS t1,
+         CAST(COUNT(*) FILTER (WHERE grp = 2) AS BIGINT) AS t2,
+         CAST(COUNT(*) FILTER (WHERE grp = 1 AND NOT censored) AS BIGINT) AS d1,
+         CAST(COUNT(*) FILTER (WHERE grp = 2 AND NOT censored) AS BIGINT) AS d2
+  FROM per_user GROUP BY dur
+),
+risk AS (
+  SELECT dur, d1, d2,
+         CAST(SUM(t1) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+         CAST(SUM(t2) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
+  FROM tab
+),
+terms AS (
+  SELECT d1, d2,
+         CAST(d1 + d2 AS HUGEINT) * CAST(n1 AS HUGEINT) * 1000000
+           // CAST(n1 + n2 AS HUGEINT) AS e1_term,
+         CASE WHEN n1 + n2 > 1
+              THEN CAST(d1 + d2 AS HUGEINT)
+                   * (CAST(n1 AS HUGEINT) * 1000000 // CAST(n1 + n2 AS HUGEINT))
+                   * CAST(n2 AS HUGEINT) * CAST(n1 + n2 - d1 - d2 AS HUGEINT)
+                   // (CAST(n1 + n2 AS HUGEINT) * CAST(n1 + n2 - 1 AS HUGEINT))
+              ELSE 0 END AS v_term
+  FROM risk
+  WHERE d1 + d2 > 0
+),
+agg AS (
+  SELECT CAST(SUM(d1) AS HUGEINT) AS o1, CAST(SUM(d2) AS HUGEINT) AS o2,
+         CAST(SUM(e1_term) AS HUGEINT) AS e1_micro,
+         CAST(SUM(v_term) AS HUGEINT) AS v_micro
+  FROM terms
+)
+SELECT CAST(o1 AS BIGINT) AS observed_1,
+       CAST(o2 AS BIGINT) AS observed_2,
+       CAST(e1_micro AS BIGINT) AS expected_1_micro,
+       CAST((o1 + o2) * 1000000 - e1_micro AS BIGINT) AS expected_2_micro,
+       CAST(v_micro AS BIGINT) AS variance_micro,
+       CASE WHEN v_micro > 0
+            THEN CAST((o1 * 1000000 - e1_micro) * (o1 * 1000000 - e1_micro) // v_micro AS BIGINT)
+       END AS chi2_micro
+FROM agg
+"""

@@ -1247,6 +1247,10 @@ from .analytics.ml_eval import EVENTS_VALUE_AP_SQL, events_value_ap
 
 register("events_value_ap", events_value_ap, EVENTS_VALUE_AP_SQL)
 
+from .analytics.survival import USERS_CHURN_LOGRANK_SQL, users_churn_logrank
+
+register("users_churn_logrank", users_churn_logrank, USERS_CHURN_LOGRANK_SQL)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

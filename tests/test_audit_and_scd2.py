@@ -216,6 +216,9 @@ CARTESIAN_ALLOWED = {
     # right-censor edge — the users_churn_survival shape
     # (analytics/survival.py na_cum_hazard).
     "users_churn_hazard",
+    # same right-censor 1-ROW scalar cross (analytics/survival.py
+    # logrank_test).
+    "users_churn_logrank",
     # crossJoin of two 1-ROW aggregates (Σx²/t/n × top-8 CRk sums) —
     # bounded scalars (analytics/quality_audit.py market_concentration).
     "customer_concentration",
@@ -340,6 +343,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "q2_min_cost_supplier": "region-filtered part-supplier table",
     # calendar-span duration tables (module docstring argument)
     "users_churn_hazard": "duration table",
+    "users_churn_logrank": "duration table",
     "users_churn_survival": "duration table",
     # top-K vocabulary rank
     "vocab_coverage": "vocab-sized top-K rank",

@@ -96,3 +96,46 @@ def test_users_churn_survival_gate_shape(spark, sf_dir):
     # log-survival is monotonically non-increasing over the curve
     vals = [r.log_surv_micro for r in rows if r.log_surv_micro is not None]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_logrank_hand_computed(spark):
+    """Hand-computed Mantel–Cox table. Group 1 = users < 10.
+
+    Spans (hours): u1 g1 0→5, u2 g1 0→3, u11 g2 0→5, u12 g2 0→8,
+    u13 g2 96→216 (last == gmax → censored). Duration rows with
+    events: d=3 (n1=2,n2=3,d1=1), d=5 (n1=1,n2=3,d1=1,d2=1),
+    d=8 (n1=0,n2=2,d2=1).
+      E1 = 1·2e6 div 5 + 2·1e6 div 4 + 0 = 400000 + 500000 = 900000
+      V  = 1·(2e6 div 5)·3·4 div 20 + 2·(1e6 div 4)·3·2 div 12 + 0
+         = 240000 + 250000 = 490000
+      χ² = (2e6 − 900000)² div 490000 = 2469387 micro
+    """
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.survival import logrank_test
+
+    ev = _events(
+        spark,
+        [(1, 0, 5), (2, 0, 3), (11, 0, 5), (12, 0, 8), (13, 96, 216)],
+    )
+    r = logrank_test(ev, F.when(F.col("user_id") < 10, 1).otherwise(2)).collect()[0]
+    assert (r.observed_1, r.observed_2) == (2, 2)
+    assert r.expected_1_micro == 900_000
+    assert r.expected_2_micro == 4_000_000 - 900_000
+    assert r.variance_micro == 490_000
+    assert r.chi2_micro == 2_469_387
+
+
+def test_logrank_identical_groups_zero_chi2(spark):
+    """Mirror-image groups churn identically → O1 == E1 exactly on
+    the micro grid (every risk set splits evenly) → χ² = 0."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.survival import logrank_test
+
+    spans = [(1, 0, 4), (2, 0, 7), (11, 0, 4), (12, 0, 7), (3, 96, 216), (13, 96, 216)]
+    ev = _events(spark, spans)
+    r = logrank_test(ev, F.when(F.col("user_id") < 10, 1).otherwise(2)).collect()[0]
+    assert r.observed_1 == r.observed_2 == 2
+    assert r.expected_1_micro == 2_000_000
+    assert r.chi2_micro == 0
