@@ -732,3 +732,161 @@ FROM binned
 GROUP BY bin
 ORDER BY bin
 """
+
+
+# ─────────────── Brier score decomposition (Murphy 1973) ───────────────
+
+
+def brier_decomposition(
+    df: DataFrame, label_col, score_cents_col, n_bins: int = CAL_BINS
+) -> DataFrame:
+    """Brier score of a normalized integer forecast against a binary
+    label, decomposed into reliability / resolution / uncertainty
+    (Murphy 1973) over the calibration gate's equal-width bins:
+
+        BS   = (1/N) Σ_rows (f − y)²
+        REL  = (1/N) Σ_k n_k (f̄_k − o_k)²   (penalty: calibration)
+        RES  = (1/N) Σ_k n_k (o_k − ō)²     (credit: discrimination)
+        UNC  = ō(1 − ō)                      (irreducible base-rate term)
+
+    The forecast is the min-max-normalized score f = (cents−lo)·10⁶
+    div (hi−lo) — the monotone [0,1]-mapping that makes "is the raw
+    score usable as a probability?" a well-posed question (E-CAL shows
+    the curve; this gate scores it). All four terms are reported in
+    ppm² (Brier × 10¹²). BS = REL − RES + UNC holds exactly only for
+    bin-constant forecasts; with continuous forecasts the gap is the
+    within-bin forecast variance (plus ≤1-unit grid truncation), which
+    the planted test pins.
+
+    Exactness: every per-bin term quantizes to the grid BEFORE the
+    fold (K48): rel_k = (Sf_k − 10⁶·p_k)² div n_k and
+    res_k = (10⁶·p_k − n_k·ō_ppm)² div n_k on DECIMAL(38,0) (largest
+    intermediate (10⁶·n_k)² ≤ 10³⁶ at 10¹² rows); BS folds the exact
+    row-level identity Σ(f−y)² = Σf² − 2·10⁶·Σ_pos f + 10¹²·P from
+    three per-bin integer sums. Scale: one bounds aggregate + one
+    map-side-combined binned aggregation + bin-table (≤ n_bins rows)
+    arithmetic — the E-CAL shape exactly."""
+    base = df.select(
+        score_cents_col.alias("cents"), label_col.alias("is_pos")
+    ).filter(F.col("cents").isNotNull() & F.col("is_pos").isNotNull())
+    bounds = base.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    f = F.when(
+        F.col("hi") > F.col("lo"),
+        F.expr("(cents - lo) * 1000000 div (hi - lo)"),
+    ).otherwise(F.lit(0)).cast("long")
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"(cents - lo) * {n_bins} div (hi - lo + 1)"),
+        ).alias("bin"),
+        f.alias("f"),
+        "is_pos",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("is_pos")).alias("pos"),
+        F.sum(F.col("f").cast(DEC)).alias("sf"),
+        F.sum((F.col("f") * F.col("f")).cast(DEC)).alias("sf2"),
+        F.sum(F.when(F.col("is_pos"), F.col("f")).otherwise(0).cast(DEC)).alias("sfp"),
+    )
+    totals = per_bin.agg(
+        F.sum("n").alias("nn"),
+        F.sum("pos").alias("pp"),
+    ).select(
+        "nn",
+        "pp",
+        F.expr("pp * 1000000 div nn").alias("obar_ppm"),
+    )
+    terms = per_bin.crossJoin(F.broadcast(totals)).select(
+        "nn",
+        "pp",
+        "obar_ppm",
+        F.expr(
+            "(sf - cast(pos as decimal(38,0)) * 1000000)"
+            " * (sf - cast(pos as decimal(38,0)) * 1000000)"
+            " div cast(n as decimal(38,0))"
+        ).alias("rel_k"),
+        F.expr(
+            "(cast(pos as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * obar_ppm)"
+            " * (cast(pos as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * obar_ppm)"
+            " div cast(n as decimal(38,0))"
+        ).alias("res_k"),
+        F.expr(
+            "sf2 - 2 * 1000000 * sfp + cast(pos as decimal(38,0)) * 1000000 * 1000000"
+        ).alias("bs_k"),
+    )
+    return (
+        terms.groupBy("nn", "pp", "obar_ppm")
+        .agg(
+            F.sum("rel_k").alias("rel"),
+            F.sum("res_k").alias("res"),
+            F.sum("bs_k").alias("bs"),
+        )
+        .select(
+            F.col("nn").cast("long").alias("n"),
+            F.col("pp").cast("long").alias("n_pos"),
+            F.col("obar_ppm").cast("long").alias("base_rate_ppm"),
+            F.expr("bs div cast(nn as decimal(38,0))").cast("long").alias("bs_ppm2"),
+            F.expr("rel div cast(nn as decimal(38,0))").cast("long").alias("reliability_ppm2"),
+            F.expr("res div cast(nn as decimal(38,0))").cast("long").alias("resolution_ppm2"),
+            F.expr("obar_ppm * (1000000 - obar_ppm)").cast("long").alias("uncertainty_ppm2"),
+        )
+    )
+
+
+def events_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: Brier decomposition of min-max-normalized event value as
+    a purchase-probability forecast — the scalar summary of the E-CAL
+    reliability diagram on the identical score/label frame."""
+    events = load_table(spark, "events", sf_dir)
+    return brier_decomposition(
+        events.filter(F.col("value").isNotNull()),
+        F.col("event_type") == F.lit("purchase"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+EVENTS_BRIER_SQL = f"""
+WITH base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_type = 'purchase' AS is_pos
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM base),
+binned AS (
+  SELECT LEAST({CAL_BINS - 1}, (cents - lo) * {CAL_BINS} // (hi - lo + 1)) AS bin,
+         CASE WHEN hi > lo THEN (cents - lo) * 1000000 // (hi - lo) ELSE 0 END AS f,
+         is_pos
+  FROM base CROSS JOIN bounds
+),
+per_bin AS (
+  SELECT bin,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE is_pos) AS HUGEINT) AS pos,
+         CAST(SUM(f) AS HUGEINT) AS sf,
+         CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sf2,
+         CAST(COALESCE(SUM(f) FILTER (WHERE is_pos), 0) AS HUGEINT) AS sfp
+  FROM binned GROUP BY bin
+),
+totals AS (
+  SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(pos) AS HUGEINT) AS pp,
+         CAST(SUM(pos) AS HUGEINT) * 1000000 // CAST(SUM(n) AS HUGEINT) AS obar_ppm
+  FROM per_bin
+),
+terms AS (
+  SELECT nn, pp, obar_ppm,
+         (sf - pos * 1000000) * (sf - pos * 1000000) // n AS rel_k,
+         (pos * 1000000 - n * obar_ppm) * (pos * 1000000 - n * obar_ppm) // n AS res_k,
+         sf2 - 2 * 1000000 * sfp + pos * 1000000 * 1000000 AS bs_k
+  FROM per_bin CROSS JOIN totals
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST(pp AS BIGINT) AS n_pos,
+       CAST(obar_ppm AS BIGINT) AS base_rate_ppm,
+       CAST(SUM(bs_k) // nn AS BIGINT) AS bs_ppm2,
+       CAST(SUM(rel_k) // nn AS BIGINT) AS reliability_ppm2,
+       CAST(SUM(res_k) // nn AS BIGINT) AS resolution_ppm2,
+       CAST(obar_ppm * (1000000 - obar_ppm) AS BIGINT) AS uncertainty_ppm2
+FROM terms
+GROUP BY nn, pp, obar_ppm
+"""

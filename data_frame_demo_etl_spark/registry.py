@@ -1251,6 +1251,14 @@ from .analytics.survival import USERS_CHURN_LOGRANK_SQL, users_churn_logrank
 
 register("users_churn_logrank", users_churn_logrank, USERS_CHURN_LOGRANK_SQL)
 
+from .analytics.hits import GRAPH_HITS_SQL, graph_hits
+
+register("graph_hits", graph_hits, GRAPH_HITS_SQL)
+
+from .analytics.ml_eval import EVENTS_BRIER_SQL, events_brier_decomposition
+
+register("events_brier_decomposition", events_brier_decomposition, EVENTS_BRIER_SQL)
+
 # ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation

@@ -30,10 +30,14 @@ from data_frame_demo_etl_spark.sources.catalog import load_table
 SF10 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf10")
 SF100 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf100")
 SF1000 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf1000")
+SF10000 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf10000")
 # clear of scaling100's SHIFT10 range (10 copies × 5e10)
 SHIFT100 = 1_000_000_000_000
 # clear of the SHIFT100 range (10 copies × 1e12)
 SHIFT1000 = 100_000_000_000_000
+# clear of the SHIFT1000 range (10 copies × 1e14); 10 copies × 1e16
+# tops out at 1e17, well under long max
+SHIFT10000 = 10_000_000_000_000_000
 
 
 def _build_documents(spark, src: str, dst: str, shift: int, label: str) -> None:
@@ -75,10 +79,15 @@ def main() -> None:
     build_sf100_documents(spark)
 
     legs = [("sf10", SF10), ("sf100", SF100)]
-    if "--sf1000" in sys.argv[1:]:
+    if "--sf1000" in sys.argv[1:] or "--sf10000" in sys.argv[1:]:
         build_sf100_documents(spark)
         _build_documents(spark, SF100, SF1000, SHIFT1000, "sf1000")
         legs.append(("sf1000", SF1000))
+    if "--sf10000" in sys.argv[1:]:
+        # 5B docs, ~54 GB parquet — the fourth decade, where shuffle
+        # (not plan) is the growth term
+        _build_documents(spark, SF1000, SF10000, SHIFT10000, "sf10000")
+        legs.append(("sf10000", SF10000))
 
     q = registry.queries()["llm_prep_pipeline"]
     # warm the JVM (codegen compile, parquet reader init) so leg 1
@@ -94,6 +103,8 @@ def main() -> None:
     times["ratio"] = round(times["sf100"] / max(times["sf10"], 1e-9), 1)
     if "sf1000" in times:
         times["ratio_1000"] = round(times["sf1000"] / max(times["sf100"], 1e-9), 1)
+    if "sf10000" in times:
+        times["ratio_10000"] = round(times["sf10000"] / max(times["sf1000"], 1e-9), 1)
     print(json.dumps(times))
     spark.stop()
 

@@ -376,3 +376,35 @@ def test_ap_worst_case_positive_at_bottom(spark):
     df = spark.createDataFrame(rows, "key string, cents long, pos boolean")
     r = average_precision(df, F.col("key"), F.col("pos"), F.col("cents")).collect()[0]
     assert r.ap_ppm == 250_000
+
+
+def test_brier_hand_computed_decomposition(spark):
+    """4 rows, 2 bins, bin-constant forecasts — the Murphy identity
+    BS = REL − RES + UNC holds exactly. Hand-walked:
+    cents {0,0,10,10}, labels {F,F,T,F} → f ∈ {0, 1e6},
+    BS = 1/4 → 250e9 ppm²; REL = 0.125 → 125e9; RES = 0.0625 → 62.5e9;
+    UNC = 0.25·0.75 → 187.5e9."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import brier_decomposition
+
+    rows = [("a", 0, False), ("b", 0, False), ("c", 10, True), ("d", 10, False)]
+    df = spark.createDataFrame(rows, "id string, cents long, pos boolean")
+    r = brier_decomposition(df, F.col("pos"), F.col("cents"), n_bins=2).collect()[0]
+    assert (r.n, r.n_pos, r.base_rate_ppm) == (4, 1, 250_000)
+    assert r.bs_ppm2 == 250_000_000_000
+    assert r.reliability_ppm2 == 125_000_000_000
+    assert r.resolution_ppm2 == 62_500_000_000
+    assert r.uncertainty_ppm2 == 187_500_000_000
+    assert r.bs_ppm2 == r.reliability_ppm2 - r.resolution_ppm2 + r.uncertainty_ppm2
+
+
+def test_brier_perfect_forecast(spark):
+    """Scores already equal the outcome (0 → F at lo, hi → T):
+    BS = 0, REL = 0, RES = UNC (perfect discrimination)."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import brier_decomposition
+
+    rows = [("a", 0, False), ("b", 0, False), ("c", 100, True), ("d", 100, True)]
+    df = spark.createDataFrame(rows, "id string, cents long, pos boolean")
+    r = brier_decomposition(df, F.col("pos"), F.col("cents"), n_bins=2).collect()[0]
+    assert r.bs_ppm2 == 0
+    assert r.reliability_ppm2 == 0
+    assert r.resolution_ppm2 == r.uncertainty_ppm2 == 250_000_000_000
