@@ -890,3 +890,145 @@ SELECT CAST(nn AS BIGINT) AS n,
 FROM terms
 GROUP BY nn, pp, obar_ppm
 """
+
+
+# ─────────────── decile lift / gains table ───────────────
+
+LIFT_DECILES = 10
+
+
+def lift_table(df: DataFrame, label_col, score_cents_col) -> DataFrame:
+    """Decile gains/lift table — the campaign-targeting read of a
+    scorer ("mail the top 10%: how many buyers do we reach?"): rank by
+    score DESC, cut into 10 population deciles, report per-decile and
+    cumulative positives, gain (share of all positives captured so
+    far) and lift (capture rate vs random targeting).
+
+    Tie convention: a tied-score block is assigned WHOLE to the decile
+    of its first (0-based) descending-rank position —
+    d = start·10 div N with start = N − cum_≤v — so deciles are
+    slightly unequal under heavy ties but both engines cut
+    identically (no fractional block splitting, no per-row global
+    rank). gain_ppm = cumP·10⁶ div P; lift_ppm = cumP·N·10⁶ div
+    (cumN·P) — exact decimals end to end.
+
+    Scale: one (cents) value-domain aggregation + the two-pass keyed
+    prefix; the decile table is 10 rows and its cumulative window is
+    bounded by construction."""
+    cnt = (
+        df.select(score_cents_col.alias("cents"), label_col.alias("is_pos"))
+        .filter(F.col("cents").isNotNull() & F.col("is_pos").isNotNull())
+        .groupBy("cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_pos")).alias("pv"),
+        )
+        .select(F.lit("all").alias("key"), "cents", "tv", "pv")
+    )
+    pre = _keyed_prefix(cnt, ["cents"], ["tv", "pv"])
+    blocks = pre.select(
+        "tv",
+        "pv",
+        F.col("t_tv").alias("n"),
+        F.col("t_pv").alias("p"),
+        F.expr(
+            f"cast((t_tv - cum_tv) as decimal(38,0)) * {LIFT_DECILES}"
+            " div cast(t_tv as decimal(38,0))"
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    per_dec = blocks.groupBy("decile").agg(
+        F.first("n").alias("n"),
+        F.first("p").alias("p"),
+        F.sum("tv").alias("n_rows"),
+        F.sum("pv").alias("n_pos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_dec.withColumn("cum_rows", F.sum("n_rows").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("cum_rows").cast("long").alias("cum_rows"),
+            F.col("cum_pos").cast("long").alias("cum_pos"),
+            F.when(
+                F.col("p") > 0,
+                F.expr("cast(cum_pos as decimal(38,0)) * 1000000 div cast(p as decimal(38,0))"),
+            ).cast("long").alias("gain_ppm"),
+            F.when(
+                (F.col("p") > 0) & (F.col("cum_rows") > 0),
+                F.expr(
+                    "cast(cum_pos as decimal(38,0)) * cast(n as decimal(38,0)) * 1000000"
+                    " div (cast(cum_rows as decimal(38,0)) * cast(p as decimal(38,0)))"
+                ),
+            ).cast("long").alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def events_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: decile gains/lift of event value against the purchase
+    label — "target the highest-value decile" quantified, beside
+    E-AUC (ranking), E-AP (rare-positive), E-CAL (calibration) and
+    E-BRIER (decomposition) on the identical score/label frame."""
+    events = load_table(spark, "events", sf_dir)
+    return lift_table(
+        events.filter(F.col("value").isNotNull()),
+        F.col("event_type") == F.lit("purchase"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+EVENTS_VALUE_LIFT_SQL = f"""
+WITH cnt AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS pv
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+pre AS (
+  SELECT tv, pv,
+         SUM(tv) OVER w AS cum_tv,
+         SUM(tv) OVER () AS n,
+         SUM(pv) OVER () AS p
+  FROM cnt
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+blocks AS (
+  SELECT tv, pv, n, p,
+         CAST(n - cum_tv AS HUGEINT) * {LIFT_DECILES} // CAST(n AS HUGEINT) AS decile
+  FROM pre
+),
+per_dec AS (
+  SELECT decile, ANY_VALUE(n) AS n, ANY_VALUE(p) AS p,
+         CAST(SUM(tv) AS BIGINT) AS n_rows, CAST(SUM(pv) AS BIGINT) AS n_pos
+  FROM blocks GROUP BY decile
+),
+cum AS (
+  SELECT decile, n, p, n_rows, n_pos,
+         SUM(n_rows) OVER w2 AS cum_rows,
+         SUM(n_pos) OVER w2 AS cum_pos
+  FROM per_dec
+  WINDOW w2 AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       n_rows, n_pos,
+       CAST(cum_rows AS BIGINT) AS cum_rows,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CASE WHEN p > 0
+            THEN CAST(CAST(cum_pos AS HUGEINT) * 1000000 // CAST(p AS HUGEINT) AS BIGINT)
+       END AS gain_ppm,
+       CASE WHEN p > 0 AND cum_rows > 0
+            THEN CAST(CAST(cum_pos AS HUGEINT) * CAST(n AS HUGEINT) * 1000000
+                      // (CAST(cum_rows AS HUGEINT) * CAST(p AS HUGEINT)) AS BIGINT)
+       END AS lift_ppm
+FROM cum
+ORDER BY decile
+"""

@@ -57,39 +57,43 @@ def prepare_corpus(docs: DataFrame, winner: str = "min_id") -> DataFrame:
     # corpus-sized work is one hash-collapse scan.
     # (Scoring still happens on the REDACTED text, matching the
     # oracle's `feats FROM redacted` CTE.)
-    # Collapse keyed on sha2(text) — the dedup_exact scale path: the
-    # winner shuffle moves (64-byte hash, id, attrs), never document
-    # bytes; the rejoin is the one place full text crosses the wire
-    # (same shape the old dedup_exact rejoin had). A groupBy on the
-    # raw text column would both shuffle every document's bytes AND
-    # hash-aggregate on multi-KB string keys.
-    hashed = docs.select(
-        F.sha2(F.col("text"), 256).alias("__h"), "doc_id", "source", "n_chars"
-    )
-    winners = hashed.groupBy("__h").agg(
-        F.min(F.struct("doc_id", "source", "n_chars")).alias("w")
-    )
-    # The persist() below is LOAD-BEARING, not a courtesy cache:
-    # without the materialization boundary Catalyst pushes the
-    # quality/lang filter — including its regex expression trees —
-    # through the join back onto the corpus-sized docs branch
-    # (PushPredicateThroughJoin: `text` resolves to the left side), and
-    # the whole Θ(distinct) saving silently evaporates. jstack on the
-    # sf100 run showed every executor thread back in RegExpReplace
-    # over 50M rows. With the boundary, redact/score/filter evaluate
-    # on the CACHED distinct-winner rows only.
-    first = (
-        docs.select(F.sha2(F.col("text"), 256).alias("__h"), "doc_id", "text")
-        .join(
-            winners.select(
-                "__h", F.col("w.doc_id").alias("doc_id"), "w.source", "w.n_chars"
-            ),
-            ["__h", "doc_id"],
-            "inner",
+    # Collapse keyed on sha2(text), with the text CARRIED THROUGH the
+    # winner aggregation as a struct payload (doc_id leads the struct,
+    # so comparisons never touch text bytes). r11 re-plan: the r10
+    # shape rejoined the full corpus against the winner table on
+    # (hash, doc_id) to recover text — a Θ(corpus-bytes) shuffle that
+    # ran this box out of disk on the sf10000 (5B-doc, 54 GB) leg
+    # ("No space left on device" in BypassMergeSortShuffleWriter).
+    # With text inside the min-struct, map-side partial aggregation
+    # collapses every task's local duplicates BEFORE the shuffle, so
+    # shuffle volume is ~n_tasks × distinct-corpus-bytes (≈2 GB at
+    # sf10000 vs ≥54 GB for the rejoin) and there is NO second join.
+    # On an all-unique corpus it degrades to exactly the old plan's
+    # one corpus-bytes shuffle — never worse, duplication-factor
+    # better. A groupBy on the raw text column would still be wrong
+    # (multi-KB grouping KEYS); the 64-byte hash stays the key.
+    # The ORACLE IS UNCHANGED: min-struct-by-doc_id picks the same
+    # winner row the join recovered.
+    winners = (
+        docs.select(
+            F.sha2(F.col("text"), 256).alias("__h"),
+            "doc_id",
+            "text",
+            "source",
+            "n_chars",
         )
-        .drop("__h")
-        .persist()
+        .groupBy("__h")
+        .agg(F.min(F.struct("doc_id", "text", "source", "n_chars")).alias("w"))
     )
+    # The persist() below is LOAD-BEARING, not a courtesy cache: it is
+    # the materialization boundary that keeps the regex-heavy
+    # redact/score pass on the Θ(distinct) winner rows (see the r10
+    # PushPredicateThroughJoin incident, memory: the filter's regex
+    # trees must evaluate ABOVE this boundary; with the agg shape a
+    # text predicate cannot be pushed below a non-grouping agg output,
+    # but the boundary also stops any future re-plan from re-deriving
+    # the collapse per downstream branch).
+    first = winners.select("w.doc_id", "w.text", "w.source", "w.n_chars").persist()
     redacted = first.withColumn("text", T.redact_pii(F.col("text")))
     scored = redacted.select(
         "doc_id",

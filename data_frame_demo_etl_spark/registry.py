@@ -14,19 +14,19 @@ stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
 As of round 6 the rotation is expressed as an explicit name list
-(``_R10_WINDOW`` at the bottom of this module) that REORDERS the
+(``_R11_WINDOW`` at the bottom of this module) that REORDERS the
 registry dict after all registrations — the physical layout of the
 ``register()`` calls no longer encodes the window, the list does.
-Round-10 window composition:
-- the 26 round-9-continuation additions registered after the r9
-  window froze (never externally verified; judge-verified 26/26 in
-  the r9 verdict session), plus every gate added or redefined during
-  round 10;
+Round-11 window composition:
+- the 18 round-10 second-block additions (never externally
+  verified; judge-verified 18/18 in the r10 verdict session) plus
+  the 6 gates added in round 11 (PQ/IVFADC anchor gates, AP,
+  log-rank, HITS, Brier);
 - the 12-keeper category spine (TPC-H, ETL, text, dedup, ANN,
   streaming, temporal, sources, sampling, the LLM flagship);
 - backfill rows whose newest external green is oldest (the r4-era
   remainder the r9 rotation displaced, in registration order).
-Every other query is driver-green r3–r9 against its current
+Every other query is driver-green r3–r10 against its current
 definition and sits in tier 2, still fully covered by pytest + the
 local oracle harness.
 """
@@ -1259,62 +1259,53 @@ from .analytics.ml_eval import EVENTS_BRIER_SQL, events_brier_decomposition
 
 register("events_brier_decomposition", events_brier_decomposition, EVENTS_BRIER_SQL)
 
-# ═══════════════ ROUND-10 DRIVER WINDOW (explicit rotation) ═══════════════
+register(
+    "ann_filtered_topk", sim_gate.ann_filtered_topk, sim_gate.ANN_FILTERED_TOPK_SQL
+)
+
+from .analytics.ml_eval import EVENTS_VALUE_LIFT_SQL, events_value_lift
+
+register("events_value_lift", events_value_lift, EVENTS_VALUE_LIFT_SQL)
+
+# ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
-# round-10 window (TIER_ROTATION.md "Round-10 window draft"). Rotation
-# targets first (the 26 round-9-continuation additions registered
-# AFTER _R9_WINDOW froze — judge-verified 26/26 in the r9 verdict
-# session but no external green row yet — plus every gate added or
-# redefined in round 10), then the keeper spine, then backfill whose
-# newest green row is oldest (the r4-era remainder the r9 rotation
-# displaced, in registration order).
-_R10_WINDOW: tuple[str, ...] = (
-    # --- rotation targets: r9b additions, never externally verified (26)
-    #     (lineitem_lorenz_curve redefined in r10: the decile lookup is
-    #     now filter(sequence)+explode — narrow map, no nested-loop
-    #     join; identical 10 rows, fresh plan ⇒ fresh external row)
-    "events_ks_test",
-    "events_spearman",
-    "parts_pareto_frontier",
-    "events_chisq_independence",
-    "events_mutual_information",
-    "events_sequence_trigrams",
-    "orders_fd_audit",
-    "supplier_reach_hops",
-    "embeddings_hard_negatives",
-    "customer_segment_target_encoding",
-    "docs_zipf_fit",
-    "events_welch_ttest",
-    "dedup_containment",
-    "docs_heaps_fit",
-    "events_bootstrap_ci",
-    "multimodal_decode_gif",
-    "docs_ht_estimate",
-    "events_runs_test",
-    "docs_flesch_readability",
-    "docs_dp_release",
-    "orders_business_latency",
-    "events_windowed_psi",
-    "dedup_containment_sketch_eval",
-    "events_user_journeys",
-    "brand_price_elasticity",
-    "lineitem_lorenz_curve",
-    # --- new in r10 (never externally verified): the IVF recall dial,
-    #     the ML-evaluation family, the info-theory audits, and the
-    #     text/funnel/similarity additions (11)
-    "ann_ivf_nprobe_sweep",
-    "events_value_auc",
-    "events_rater_agreement",
-    "events_purchase_stump",
-    "events_cuped_adjustment",
-    "events_jsd_arms",
-    "events_transition_entropy",
-    "lineitem_supplier_theil",
-    "embeddings_rp_recall",
-    "customer_cohort_ltv",
-    "docs_rake_keywords",
-    "events_view_purchase_ccf",
-    # --- keeper spine (12, unchanged from r9)
+# round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation
+# targets first: the 18 round-10 second-block additions that have
+# never received an external green row (judge-verified 18/18 in the
+# r10 verdict session), then every gate ADDED during round 11, then
+# the keeper spine, then backfill whose newest external green row is
+# oldest (the r4-era remainder, CORRECTNESS_r04 order).
+_R11_WINDOW: tuple[str, ...] = (
+    # --- rotation targets: r10 second-block additions, never
+    #     externally verified (18)
+    "events_value_calibration",
+    "parts_abc_classification",
+    "customer_rfm_migration",
+    "purchase_touch_attribution",
+    "customer_repurchase_cadence",
+    "docs_collocation_pmi",
+    "docs_source_vocab_kl",
+    "embeddings_centroid_drift",
+    "users_churn_hazard",
+    "customer_concentration",
+    "docs_token_budget_curve",
+    "events_session_stats",
+    "embeddings_label_separation",
+    "graph_personalized_pagerank",
+    "docs_source_keyness",
+    "docs_duplication_profile",
+    "docs_term_burstiness",
+    "events_kruskal_wallis",
+    # --- new in r11 (6): the anchor-codebook PQ family (X4/X6), the
+    #     rare-positive AP companion of E-AUC, the Mantel–Cox log-rank
+    #     test, HITS, and the Brier decomposition
+    "pq_adc_topk",
+    "ivfpq_adc_topk",
+    "events_value_ap",
+    "users_churn_logrank",
+    "graph_hits",
+    "events_brier_decomposition",
+    # --- keeper spine (12, unchanged from r10)
     "q1_pricing_summary",
     "revenue_by_region",
     "llm_prep_pipeline",
@@ -1327,18 +1318,29 @@ _R10_WINDOW: tuple[str, ...] = (
     "ingest_csv_template",
     "pipeline_e2e",
     "sample_documents",
-    # (no backfill slots left: 26 r9b + 12 r10 rotation targets fill
-    # the window beside the 12-keeper spine. The three r10 additions
-    # registered past the budget — events_value_calibration,
-    # parts_abc_classification, customer_rfm_migration — are the
-    # first round-11 rotation targets, TIER_ROTATION.md.)
+    # --- backfill (14): oldest newest-green rows (all r4,
+    #     CORRECTNESS_r04 order)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "orders_above_customer_avg",
+    "customers_without_orders",
+    "churned_customers",
+    "window_running_total",
+    "top_parts_per_brand",
+    "events_pivot",
+    "events_gapfill",
+    "fuzzy_name_pairs",
 )
 
-assert len(_R10_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R10_WINDOW)}"
-_missing = [n for n in _R10_WINDOW if n not in _REGISTRY]
+assert len(_R11_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R11_WINDOW)}"
+_missing = [n for n in _R11_WINDOW if n not in _REGISTRY]
 assert not _missing, f"window names not registered: {_missing}"
 
-_rotated = {n: _REGISTRY[n] for n in _R10_WINDOW}
+_rotated = {n: _REGISTRY[n] for n in _R11_WINDOW}
 _rotated.update({n: e for n, e in _REGISTRY.items() if n not in _rotated})
 _REGISTRY.clear()
 _REGISTRY.update(_rotated)
@@ -1346,4 +1348,4 @@ _REGISTRY.update(_rotated)
 #: The driver-window queries, in (post-rotation) registration order
 #: (consumed by the plan-contract test, which holds every windowed
 #: plan to the scan/join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = _R10_WINDOW
+TIER1_NAMES: tuple[str, ...] = _R11_WINDOW

@@ -725,3 +725,71 @@ JOIN a2 x ON x.label = la
 JOIN a2 y ON y.label = lb
 ORDER BY label_a, label_b
 """
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (X18): METADATA-FILTERED exact cosine top-5 — each of the
+    first 10 queries searches only corpus vectors sharing its label
+    (the "filtered ANN" regime every vector store ships: predicate +
+    similarity in one query). Spark-first shape: the label constraint
+    is an EQUI-JOIN on the label column, not a post-filter on an
+    unfiltered score scan — the corpus shuffles once on the
+    (low-cardinality) label key, each partition scores only its
+    label's vectors, and at 100 TB label partitioning bounds the
+    scored set to the label's share of the corpus. No cross join
+    anywhere (contrast ann_cosine_topk, whose unfiltered scan IS the
+    broadcast-cross shape)."""
+    from ..functions.vectors import dot, norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("__qv"),
+        norm(F.col("embedding")).alias("__qn"),
+    )
+    denom = F.col("__qn") * norm(F.col("embedding"))
+    scored = (
+        emb.join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(denom > 0, dot(F.col("__qv"), F.col("embedding")) / denom)
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(LIST_COSINE_SIMILARITY(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings e ON e.label = q.qlabel
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {K}
+ORDER BY query_id, rank
+"""

@@ -90,6 +90,17 @@ def main() -> None:
         legs.append(("sf10000", SF10000))
 
     q = registry.queries()["llm_prep_pipeline"]
+    if "--sf10000" in sys.argv[1:]:
+        # Distinct-first collapse shuffles n_tasks × local-distincts
+        # (every map task emits its own copy of the ~corpus-distinct
+        # hash set before the merge). At the default 128 MB split the
+        # 54 GB sf10000 corpus is ~520 tasks × ~40 MB ≈ 21 GB of
+        # shuffle — more than this box's free disk (measured: the r11
+        # first attempt died in BypassMergeSortShuffleWriter).
+        # 1 GB splits cut tasks ~8× and the shuffle to ~2.5 GB. Set for
+        # ALL legs of this invocation so the four points share a conf
+        # (noted in SCALING.md).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
     # warm the JVM (codegen compile, parquet reader init) so leg 1
     # isn't charged the cold-start the other legs don't pay
     materialize(q(spark, SF10))

@@ -219,6 +219,13 @@ CARTESIAN_ALLOWED = {
     # same right-censor 1-ROW scalar cross (analytics/survival.py
     # logrank_test).
     "users_churn_logrank",
+    # crossJoin(broadcast(1-ROW L1-total aggregate)) per HITS
+    # normalization — bounded scalar ×4 (analytics/hits.py).
+    "graph_hits",
+    # crossJoin(broadcast(1-ROW bounds)) + crossJoin(broadcast(1-ROW
+    # totals)) onto the ≤n_bins bin table — bounded scalars
+    # (analytics/ml_eval.py brier_decomposition).
+    "events_brier_decomposition",
     # crossJoin of two 1-ROW aggregates (Σx²/t/n × top-8 CRk sums) —
     # bounded scalars (analytics/quality_audit.py market_concentration).
     "customer_concentration",
@@ -325,6 +332,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "dedup_sketch_eval": "distinct-text eval tables",
     # stratum census (value-domain) ranks
     "docs_ht_estimate": "stratum census table",
+    # cumulative gains over the 10-row decile spine (the per-row rank
+    # is the two-pass keyed prefix, never a global window)
+    "events_value_lift": "decile spine",
     # top-20 rank over the vocabulary-bounded phrase-score table
     "docs_rake_keywords": "phrase-score vocabulary table",
     # K29 exact distributed selection — the documented bounded

@@ -408,3 +408,37 @@ def test_brier_perfect_forecast(spark):
     assert r.bs_ppm2 == 0
     assert r.reliability_ppm2 == 0
     assert r.resolution_ppm2 == r.uncertainty_ppm2 == 250_000_000_000
+
+
+def test_lift_hand_computed(spark):
+    """20 rows, scores 19..0 (cents), positives at the top 4 scores.
+    Deciles = 2 rows each; gains: decile 0 captures 2/4, decile 1 all
+    4; lift at decile 0 = (2/2)/(4/20) = 5.0."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import lift_table
+
+    rows = [("r%d" % i, 19 - i, i < 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "id string, cents long, pos boolean")
+    out = {r.decile: r for r in lift_table(df, F.col("pos"), F.col("cents")).collect()}
+    assert len(out) == 10
+    d0, d1, d9 = out[0], out[1], out[9]
+    assert (d0.n_rows, d0.n_pos, d0.cum_pos) == (2, 2, 2)
+    assert d0.gain_ppm == 500_000
+    assert d0.lift_ppm == 5_000_000
+    assert (d1.cum_pos, d1.gain_ppm) == (4, 1_000_000)
+    # lift decays to exactly 1.0 on the full population
+    assert (d9.cum_rows, d9.lift_ppm) == (20, 1_000_000)
+
+
+def test_lift_tie_block_stays_whole(spark):
+    """All 10 rows share one score → a single tie block lands whole in
+    decile 0 (start position 0) and later deciles are absent."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import lift_table
+
+    rows = [("r%d" % i, 7, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id string, cents long, pos boolean")
+    out = lift_table(df, F.col("pos"), F.col("cents")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.decile, r.n_rows, r.n_pos, r.gain_ppm, r.lift_ppm) == (
+        0, 10, 5, 1_000_000, 1_000_000,
+    )

@@ -112,6 +112,57 @@ CARTESIAN_ALLOWED = {
     # against the corpus — the ann_cosine_topk shape twice
     # (similarity/gate.py embeddings_rp_recall).
     "embeddings_rp_recall",
+    # --- r11 window rotation: r10 second-block gates now inside the
+    #     window, each already justified in the whole-registry audit
+    #     allowlist (tests/test_audit_and_scd2.py) with the same
+    #     bounded shape
+    # crossJoin(broadcast(1-ROW min/max-cents bounds)) for the PSI
+    # binning grid — bounded scalar (analytics/ml_eval.py).
+    "events_value_calibration",
+    # crossJoins of 1-ROW epoch-midpoint + quintile-threshold
+    # aggregates — bounded scalars (analytics/features.py).
+    "customer_rfm_migration",
+    # broadcasts of 1-ROW token/bigram totals onto the vocab-sized PMI
+    # table — the scalar-aggregate shape twice (functions/vocab.py).
+    "docs_collocation_pmi",
+    # broadcast of the 1-ROW corpus token total onto the
+    # (source × vocab) term table (functions/vocab.py).
+    "docs_source_vocab_kl",
+    # crossJoin(broadcast(1-ROW corpus-norm aggregate)) — bounded
+    # scalar (similarity/gate.py centroid_cosine_audit).
+    "embeddings_centroid_drift",
+    # crossJoin(broadcast(1-ROW max-timestamp aggregate)) for the
+    # right-censor edge (analytics/survival.py na_cum_hazard).
+    "users_churn_hazard",
+    # crossJoin of two 1-ROW aggregates (Σx²/t/n × top-8 CRk sums) —
+    # bounded scalars (analytics/quality_audit.py).
+    "customer_concentration",
+    # crossJoins of two 1-ROW quantile aggregates (depth × duration)
+    # (streaming/events.py session_stats).
+    "events_session_stats",
+    # per-source 1-ROW totals crossJoined onto the vocab-sized G²
+    # table — bounded scalars (functions/vocab.py source_keyness).
+    "docs_source_keyness",
+    # crossJoin(broadcast(1-ROW corpus totals)) onto the
+    # group-size histogram — bounded scalar (dedup/novelty.py).
+    "docs_duplication_profile",
+    # crossJoin(broadcast(1-ROW rank-variance scalars)) — the K42
+    # bounded-scalar shape globalized (analytics/quality_audit.py).
+    "events_kruskal_wallis",
+    # --- r11 additions
+    # broadcast-query-set ANN shape (X1's documented pattern): corpus
+    # × 10-row broadcast query set (similarity/pq.py).
+    "pq_adc_topk",
+    # crossJoin(broadcast(1-ROW max-timestamp aggregate)) for the
+    # right-censor edge (analytics/survival.py logrank_test).
+    "users_churn_logrank",
+    # crossJoin(broadcast(1-ROW L1-total aggregate)) per
+    # normalization — bounded scalar ×4 (analytics/hits.py).
+    "graph_hits",
+    # crossJoin(broadcast(1-ROW bounds)) for the forecast grid, then
+    # crossJoin(broadcast(1-ROW totals)) onto the ≤n_bins bin table —
+    # bounded scalars (analytics/ml_eval.py brier_decomposition).
+    "events_brier_decomposition",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.

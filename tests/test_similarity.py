@@ -571,3 +571,31 @@ def test_ivfpq_adc_gate_candidates_respect_probe(spark, sf_oracle_dir):
         assert assigned[r.neighbor_id] in probed[r.query_id], (
             f"neighbor {r.neighbor_id} outside query {r.query_id}'s probed lists"
         )
+
+
+def test_ann_filtered_topk_respects_label(spark, sf_oracle_dir):
+    """Every returned neighbor must share its query's label, and the
+    top-5 must equal brute force restricted to that label."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.similarity.ann import brute_force_topk
+    from data_frame_demo_etl_spark.similarity.gate import ann_filtered_topk
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    got = ann_filtered_topk(spark, sf_oracle_dir).collect()
+    assert len(got) == 50
+    for r in got:
+        assert labels[r.neighbor_id] == labels[r.query_id]
+    # cross-check one query against label-restricted brute force
+    q0_label = labels[0]
+    restricted = brute_force_topk(
+        emb.filter(F.col("label") == q0_label),
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+    ).collect()
+    mine = [r.neighbor_id for r in got if r.query_id == 0]
+    assert mine == [r.neighbor_id for r in restricted]
