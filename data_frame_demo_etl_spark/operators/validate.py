@@ -555,3 +555,157 @@ SELECT g AS source,
 FROM noise
 ORDER BY source
 """
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col,
+    t_ppm: int = 200_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-privacy ladder after V5 k-anonymity
+    (class size) and V7 l-diversity (distinct sensitive values): a
+    class can be large AND diverse yet still leak ("every salary in
+    this class is in the top two bands"), so t-closeness bounds the
+    DISTANCE between each class's sensitive distribution and the
+    global one. For an ORDERED attribute the distance is the earth
+    mover's distance EMD = (1/(m−1))·Σ_{i<m} |Σ_{j≤i}(p_j − q_j)|
+    over the m ordered value bins.
+
+    Exact integers end to end: on the common denominator n_c·N the
+    cumulative difference S_i = Σ_{j≤i}(c_cj·N − n_c·g_j) is an exact
+    integer (S_m = 0 identically, so summing |S_i| over ALL bins
+    equals the i<m sum), and emd_ppm = Σ|S_i|·10⁶ div ((m−1)·n_c·N)
+    — both engines floor on non-negatives. Largest intermediate
+    ~bins·n_c·N·10⁶ ≤ 10³¹ at 10¹² rows: inside DECIMAL(38,0).
+
+    Scale shape: one (QI, band) aggregation + one (band) aggregation
+    (both map-side combined, both bounded by domain products, never
+    by rows); the dense class×band spine is a bounded crossJoin of
+    two domain tables plus a 1-ROW (N, m) scalar broadcast; the
+    cumulative window partitions by class over ≤m rows each."""
+    from pyspark.sql import Window, functions as F
+
+    qi = list(quasi_identifiers)
+    base = df.select(*qi, sensitive_col.alias("__band"))
+    g = base.groupBy("__band").agg(F.count(F.lit(1)).alias("__gb"))
+    totals = g.agg(
+        F.sum("__gb").alias("__N"), F.count(F.lit(1)).alias("__m")
+    )
+    classes = base.groupBy(*qi).agg(F.count(F.lit(1)).alias("n"))
+    class_band = base.groupBy(*qi, "__band").agg(F.count(F.lit(1)).alias("__c"))
+    spine = (
+        classes.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(totals))
+        .join(class_band, [*qi, "__band"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy(*qi)
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s_i = F.sum(
+        F.expr(
+            "cast(__c as decimal(38,0)) * cast(__N as decimal(38,0))"
+            " - cast(n as decimal(38,0)) * cast(__gb as decimal(38,0))"
+        )
+    ).over(w)
+    return (
+        spine.withColumn("__s", s_i)
+        .groupBy(*qi)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("__N").alias("__N"),
+            F.first("__m").alias("__m"),
+            F.sum(F.abs(F.col("__s"))).alias("__sabs"),
+        )
+        .select(
+            *qi,
+            F.col("n").cast("long").alias("n"),
+            F.when(
+                F.col("__m") > 1,
+                F.expr(
+                    "__sabs * 1000000 div"
+                    " (cast(__m - 1 as decimal(38,0))"
+                    " * cast(n as decimal(38,0)) * cast(__N as decimal(38,0)))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("emd_ppm"),
+        )
+        .withColumn("meets_t", F.col("emd_ppm") <= t_ppm)
+    )
+
+
+def customer_t_closeness(spark, sf_dir: str) -> DataFrame:
+    """Gate: t=0.2 closeness audit of customers over the
+    (market segment, nation) quasi-identifier pair with the V7 $1000
+    account-balance band as the ordered sensitive attribute — the
+    skewed-distribution leak neither V5's size nor V7's distinct
+    count can see."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "__band", F.expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000000) DIV 100000")
+    )
+    return (
+        t_closeness(cust, ["c_mktsegment", "c_nationkey"], F.col("__band"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+# NOTE: the global total is `tot`, NOT `N` — DuckDB identifiers are
+# case-insensitive, so `N` would silently resolve to the class-size
+# column `n` (caught by the sf0.01 hash gate on landing).
+CUSTOMER_T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT c_mktsegment, c_nationkey,
+         (CAST(c_acctbal * 100 AS BIGINT) + 100000000) // 100000 AS band
+  FROM customer
+),
+g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gb FROM base GROUP BY band),
+totals AS (SELECT CAST(SUM(gb) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS m FROM g),
+classes AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY c_mktsegment, c_nationkey
+),
+cb AS (
+  SELECT c_mktsegment, c_nationkey, band, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY c_mktsegment, c_nationkey, band
+),
+spine AS (
+  SELECT cl.c_mktsegment, cl.c_nationkey, cl.n, g.band, g.gb, t.tot, t.m,
+         COALESCE(cb.c, 0) AS c
+  FROM classes cl CROSS JOIN g CROSS JOIN totals t
+  LEFT JOIN cb ON cb.c_mktsegment = cl.c_mktsegment
+              AND cb.c_nationkey = cl.c_nationkey
+              AND cb.band = g.band
+),
+cum AS (
+  SELECT c_mktsegment, c_nationkey, n, tot, m,
+         SUM(CAST(c AS HUGEINT) * tot - CAST(n AS HUGEINT) * gb) OVER (
+           PARTITION BY c_mktsegment, c_nationkey ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS s
+  FROM spine
+)
+SELECT c_mktsegment, c_nationkey, n,
+       CASE WHEN m > 1
+            THEN CAST(SUM(ABS(s)) * 1000000
+                      // (CAST(m - 1 AS HUGEINT) * CAST(n AS HUGEINT) * CAST(tot AS HUGEINT))
+                 AS BIGINT)
+            ELSE 0 END AS emd_ppm,
+       CASE WHEN m > 1
+            THEN CAST(SUM(ABS(s)) * 1000000
+                      // (CAST(m - 1 AS HUGEINT) * CAST(n AS HUGEINT) * CAST(tot AS HUGEINT))
+                 AS BIGINT)
+            ELSE 0 END <= 200000 AS meets_t
+FROM cum
+GROUP BY c_mktsegment, c_nationkey, n, tot, m
+ORDER BY c_mktsegment, c_nationkey
+"""

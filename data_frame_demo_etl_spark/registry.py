@@ -1267,6 +1267,10 @@ from .analytics.ml_eval import EVENTS_VALUE_LIFT_SQL, events_value_lift
 
 register("events_value_lift", events_value_lift, EVENTS_VALUE_LIFT_SQL)
 
+from .operators.validate import CUSTOMER_T_CLOSENESS_SQL, customer_t_closeness
+
+register("customer_t_closeness", customer_t_closeness, CUSTOMER_T_CLOSENESS_SQL)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

@@ -226,6 +226,10 @@ CARTESIAN_ALLOWED = {
     # totals)) onto the ≤n_bins bin table — bounded scalars
     # (analytics/ml_eval.py brier_decomposition).
     "events_brier_decomposition",
+    # dense (QI-classes × band-domain) spine + 1-ROW (N, m) scalar —
+    # both bounded by value domains, never by rows
+    # (operators/validate.py t_closeness).
+    "customer_t_closeness",
     # crossJoin of two 1-ROW aggregates (Σx²/t/n × top-8 CRk sums) —
     # bounded scalars (analytics/quality_audit.py market_concentration).
     "customer_concentration",

@@ -501,3 +501,47 @@ def test_avro_template_routes_through_gate(spark, tmp_path):
     if not avro_available(spark):
         with _pytest.raises(ModuleNotFoundError, match="spark-avro"):
             read_with_template(spark, str(tmp_path / "x.avro"), tpl)
+
+
+def test_t_closeness_hand_computed(spark):
+    """Two mirror classes over two bands (global 3/3, N=6, m=2):
+    class A holds (2,1) → S₁ = 2·6−3·3 = 3, S₂ = 0, EMD = 3/(1·3·6)
+    → 166666 ppm; class B is the mirror image → identical EMD."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.operators.validate import t_closeness
+
+    rows = [("A", 1), ("A", 1), ("A", 2), ("B", 1), ("B", 2), ("B", 2)]
+    df = spark.createDataFrame(rows, "cls string, band long")
+    out = {r.cls: r for r in t_closeness(df, ["cls"], F.col("band")).collect()}
+    assert out["A"].n == 3 and out["B"].n == 3
+    assert out["A"].emd_ppm == out["B"].emd_ppm == 166_666
+    assert out["A"].meets_t and out["B"].meets_t
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    """Classes whose band distribution equals the global one have
+    EMD exactly 0 (every cumulative difference vanishes)."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.operators.validate import t_closeness
+
+    rows = [(c, b) for c in ("A", "B") for b in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "cls string, band long")
+    out = t_closeness(df, ["cls"], F.col("band")).collect()
+    assert all(r.emd_ppm == 0 and r.meets_t for r in out)
+
+
+def test_t_closeness_flags_concentrated_class(spark):
+    """A class concentrated in the top band of a wide spread must
+    fail t=0.2: global bands 1..5 uniform (2 each from 'spread' +
+    skew), the hot class entirely in band 5."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.operators.validate import t_closeness
+
+    rows = [("bg", b) for b in (1, 1, 2, 2, 3, 3, 4, 4) ] + [("hot", 5), ("hot", 5)]
+    df = spark.createDataFrame(rows, "cls string, band long")
+    out = {r.cls: r for r in t_closeness(df, ["cls"], F.col("band")).collect()}
+    assert not out["hot"].meets_t
+    assert out["hot"].emd_ppm > out["bg"].emd_ppm

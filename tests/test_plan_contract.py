@@ -163,6 +163,9 @@ CARTESIAN_ALLOWED = {
     # crossJoin(broadcast(1-ROW totals)) onto the ≤n_bins bin table —
     # bounded scalars (analytics/ml_eval.py brier_decomposition).
     "events_brier_decomposition",
+    # dense (QI-classes × band-domain) spine + 1-ROW (N, m) scalar —
+    # bounded by value domains (operators/validate.py t_closeness).
+    "customer_t_closeness",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.
