@@ -64,7 +64,10 @@ HEADLINE = [
     "events_ohlc_hourly",
     "events_ewma",
     "bloom_pruned_brand_revenue",
-    "supplier_kcore",
+    # supplier_kcore trimmed from the LINE with the round-11 two — the
+    # graph slot keeps supplier_triangles + supplier_communities and
+    # gains graph_hits below (kcore stays registered, oracle-verified,
+    # and in the pytest suite).
     "events_quantile_rollup",
     "events_zorder_stats",
     "events_lag_features",
@@ -123,7 +126,10 @@ HEADLINE = [
     # round-8 additions (appended, same comparability rule)
     "docs_exact_substring_mass",
     "docs_remove_duplicate_spans",
-    "embeddings_matryoshka_recall",
+    # embeddings_matryoshka_recall trimmed from the LINE with the
+    # round-11 two — the representation-compression slot passes to the
+    # oracle-backed PQ gate below (matryoshka stays registered,
+    # oracle-verified, and in the pytest suite).
     # round-9 trim: six sibling/variant entries retired from the LINE
     # (dedup_minhash_xxhash64 — hash A/B of dedup_minhash_lsh, the A/B
     # lives in SCALING; events_session_window — native-op variant of
@@ -155,6 +161,11 @@ HEADLINE = [
     # and the keyword-extraction op.
     "events_value_auc",
     "docs_rake_keywords",
+    # round-11 additions (appended, same comparability rule; paid for
+    # by the matryoshka trim above and the supplier_kcore trim below):
+    # the anchor-PQ compression gate and integer-grid HITS.
+    "pq_adc_topk",
+    "graph_hits",
 ]
 
 

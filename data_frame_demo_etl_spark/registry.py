@@ -1300,15 +1300,18 @@ _R11_WINDOW: tuple[str, ...] = (
     "docs_duplication_profile",
     "docs_term_burstiness",
     "events_kruskal_wallis",
-    # --- new in r11 (6): the anchor-codebook PQ family (X4/X6), the
-    #     rare-positive AP companion of E-AUC, the Mantel–Cox log-rank
-    #     test, HITS, and the Brier decomposition
+    # --- new in r11 (9): the anchor-codebook PQ family (X4/X6), the
+    #     ML-eval completions (AP, Brier, lift), the Mantel–Cox
+    #     log-rank test, HITS, filtered ANN, and t-closeness
     "pq_adc_topk",
     "ivfpq_adc_topk",
     "events_value_ap",
     "users_churn_logrank",
     "graph_hits",
     "events_brier_decomposition",
+    "ann_filtered_topk",
+    "events_value_lift",
+    "customer_t_closeness",
     # --- keeper spine (12, unchanged from r10)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -1322,8 +1325,10 @@ _R11_WINDOW: tuple[str, ...] = (
     "ingest_csv_template",
     "pipeline_e2e",
     "sample_documents",
-    # --- backfill (14): oldest newest-green rows (all r4,
-    #     CORRECTNESS_r04 order)
+    # --- backfill (11): oldest newest-green rows (all r4,
+    #     CORRECTNESS_r04 order; events_pivot / events_gapfill /
+    #     fuzzy_name_pairs displaced to r12 by the three late r11
+    #     additions)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q4_order_priority",
@@ -1335,9 +1340,6 @@ _R11_WINDOW: tuple[str, ...] = (
     "churned_customers",
     "window_running_total",
     "top_parts_per_brand",
-    "events_pivot",
-    "events_gapfill",
-    "fuzzy_name_pairs",
 )
 
 assert len(_R11_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R11_WINDOW)}"
