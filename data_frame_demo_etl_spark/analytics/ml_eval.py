@@ -1032,3 +1032,74 @@ SELECT CAST(decile AS INTEGER) AS decile,
 FROM cum
 ORDER BY decile
 """
+
+
+# ─────────────── McNemar's test (paired rater disagreement) ───────────────
+
+
+def mcnemar_test(df: DataFrame, rater_a_col, rater_b_col) -> DataFrame:
+    """McNemar's χ² on the same paired-binary frame as Cohen's κ
+    (E-KAP): κ asks "do the raters agree beyond chance?", McNemar asks
+    the DIRECTIONAL follow-up — "when they disagree, is one rater
+    systematically more positive?". Only the discordant cells matter:
+    b = A∧¬B, c = ¬A∧B; χ²(1) = (|b−c|−1)²/(b+c) (Edwards continuity
+    correction, the textbook form). Exact integers: counts from one
+    map-side-combined aggregation, chi2_micro = (|b−c|−1)²·10⁶ div
+    (b+c); b+c = 0 → NULL (no disagreement, test undefined)."""
+    agg = df.select(
+        rater_a_col.alias("a"), rater_b_col.alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("a") & F.col("b")).alias("n_both"),
+        F.count_if(F.col("a") & ~F.col("b")).alias("b_only"),
+        F.count_if(~F.col("a") & F.col("b")).alias("c_only"),
+    )
+    disc = "cast(b_only + c_only as decimal(38,0))"
+    corr = "cast(abs(b_only - c_only) - 1 as decimal(38,0))"
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("b_only").cast("long").alias("b_only"),
+        F.col("c_only").cast("long").alias("c_only"),
+        F.when(
+            (F.col("b_only") + F.col("c_only")) > 0,
+            F.expr(f"greatest({corr}, cast(0 as decimal(38,0)))"
+                   f" * greatest({corr}, cast(0 as decimal(38,0)))"
+                   f" * 1000000 div {disc}"),
+        ).cast("long").alias("chi2_micro"),
+    )
+
+
+def events_rater_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (E-MCN): McNemar's test between E-KAP's two raters — the
+    high-value rater (cents ≥ 5000) vs the conversion-intent rater
+    (click/purchase). A significant χ² says the raters' disagreement
+    is one-sided, i.e. one label source is systematically looser."""
+    events = load_table(spark, "events", sf_dir)
+    return mcnemar_test(
+        events.filter(F.col("value").isNotNull()),
+        F.round(F.col("value") * 100).cast("long") >= 5000,
+        F.col("event_type").isin("click", "purchase"),
+    )
+
+
+EVENTS_RATER_MCNEMAR_SQL = """
+WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100) AS BIGINT) >= 5000
+                                 AND event_type IN ('click', 'purchase')) AS BIGINT) AS n_both,
+         CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100) AS BIGINT) >= 5000
+                                 AND event_type NOT IN ('click', 'purchase')) AS BIGINT) AS b_only,
+         CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100) AS BIGINT) < 5000
+                                 AND event_type IN ('click', 'purchase')) AS BIGINT) AS c_only
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT n, n_both, b_only, c_only,
+       CASE WHEN b_only + c_only > 0
+            THEN CAST(GREATEST(CAST(ABS(b_only - c_only) - 1 AS HUGEINT), 0)
+                      * GREATEST(CAST(ABS(b_only - c_only) - 1 AS HUGEINT), 0)
+                      * 1000000 // CAST(b_only + c_only AS HUGEINT) AS BIGINT)
+       END AS chi2_micro
+FROM g
+"""

@@ -1271,6 +1271,18 @@ from .operators.validate import CUSTOMER_T_CLOSENESS_SQL, customer_t_closeness
 
 register("customer_t_closeness", customer_t_closeness, CUSTOMER_T_CLOSENESS_SQL)
 
+register(
+    "events_windowed_topk",
+    streaming_events.events_windowed_topk,
+    streaming_events.EVENTS_WINDOWED_TOPK_SQL,
+)
+
+from .analytics.ml_eval import EVENTS_RATER_MCNEMAR_SQL, events_rater_mcnemar
+from .similarity.pq import PQ_RECALL_EVAL_SQL, pq_recall_eval_gate
+
+register("events_rater_mcnemar", events_rater_mcnemar, EVENTS_RATER_MCNEMAR_SQL)
+register("pq_recall_eval", pq_recall_eval_gate, PQ_RECALL_EVAL_SQL)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

@@ -316,3 +316,76 @@ ORDER BY query_id, rank
 
 
 PQ_ADC_TOPK_SQL = _pq_adc_topk_sql()
+
+
+def pq_recall_eval_gate(spark, sf_dir: str) -> DataFrame:
+    """Gate (X19): measured recall@5 of the anchor-PQ ADC path (X4
+    gate) against exact brute force, per query — the trust-the-
+    compression number a rollout reads before serving from codes
+    (X10's ann_recall_eval pattern applied to quantization instead of
+    bucketing). Composes two fully-oracled pipelines; recall on the
+    ppm grid."""
+    from ..sources.catalog import load_table
+    from .ann import brute_force_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < GATE_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=GATE_K).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    approx = pq_adc_topk_gate(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    base = queries.select("query_id")
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"coalesce(hits, 0) * 1000000 div {GATE_K}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_recall_eval_sql() -> str:
+    k, nq = GATE_K, GATE_QUERIES
+    return f"""
+WITH approx_topk AS ({_pq_adc_topk_sql()}),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {nq}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(q.qv, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id ASC
+           ) AS rn
+    FROM q, embeddings e WHERE e.vec_id != q.query_id
+  ) WHERE rn <= {k}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM approx_topk a JOIN exact x
+    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       COALESCE(h.hits, 0) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+PQ_RECALL_EVAL_SQL = _pq_recall_eval_sql()

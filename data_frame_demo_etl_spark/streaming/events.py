@@ -654,3 +654,60 @@ SELECT n_sessions, total_events,
        p50_n_events, p90_n_events, p50_dur_s, p90_dur_s
 FROM base CROSS JOIN depth CROSS JOIN dur
 """.replace("{gap}", str(SESSION_GAP_MIN * 60))
+
+
+def windowed_topk_types(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per tumbling 1-hour window by count (ties →
+    type ASC) — the 'trending now' per-window leaderboard. Batch form
+    of the streaming pattern: windowed counts are a supported
+    streaming aggregation; the rank is applied per micro-batch (or on
+    the complete-mode sink), so stream and batch share this exact
+    logical plan up to the rank (pinned stream==batch in pytest).
+
+    Scale: one map-side-combined (window, type) count agg; the rank
+    window partitions by window_start over the type vocabulary —
+    bounded rows per partition by construction."""
+    from pyspark.sql import Window
+
+    counts = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= k)
+        .select("window_start", F.col("rk").cast("int").alias("rk"), "event_type", "n_events")
+    )
+
+
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (ST14): hourly top-3 event types by count."""
+    events = load_table(spark, "events", sf_dir)
+    return windowed_topk_types(events).orderBy("window_start", "rk")
+
+
+EVENTS_WINDOWED_TOPK_SQL = """
+WITH counts AS (
+  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, rk, event_type, n_events FROM (
+  SELECT window_start, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY window_start ORDER BY n_events DESC, event_type ASC
+         ) AS INTEGER) AS rk
+  FROM counts
+) WHERE rk <= 3
+ORDER BY window_start, rk
+"""

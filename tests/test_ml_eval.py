@@ -442,3 +442,33 @@ def test_lift_tie_block_stays_whole(spark):
     assert (r.decile, r.n_rows, r.n_pos, r.gain_ppm, r.lift_ppm) == (
         0, 10, 5, 1_000_000, 1_000_000,
     )
+
+
+def test_mcnemar_hand_computed(spark):
+    """b=5, c=1 discordant: χ² = (|5−1|−1)²/(5+1) = 9/6 = 1.5 →
+    1_500_000 micro (Edwards continuity correction)."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import mcnemar_test
+
+    rows = (
+        [("r", True, True)] * 2
+        + [("r", True, False)] * 5
+        + [("r", False, True)] * 1
+        + [("r", False, False)] * 2
+    )
+    df = spark.createDataFrame(rows, "id string, a boolean, b boolean")
+    r = mcnemar_test(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r.n, r.n_both, r.b_only, r.c_only) == (10, 2, 5, 1)
+    assert r.chi2_micro == 1_500_000
+
+
+def test_mcnemar_symmetric_and_degenerate(spark):
+    from data_frame_demo_etl_spark.analytics.ml_eval import mcnemar_test
+
+    # b == c → |b−c|−1 = −1 clamps to 0 → χ² = 0 (perfectly symmetric)
+    rows = [("r", True, False)] * 3 + [("r", False, True)] * 3
+    df = spark.createDataFrame(rows, "id string, a boolean, b boolean")
+    assert mcnemar_test(df, F.col("a"), F.col("b")).collect()[0].chi2_micro == 0
+    # no disagreement at all → NULL (test undefined)
+    rows2 = [("r", True, True)] * 4
+    df2 = spark.createDataFrame(rows2, "id string, a boolean, b boolean")
+    assert mcnemar_test(df2, F.col("a"), F.col("b")).collect()[0].chi2_micro is None

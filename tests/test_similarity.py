@@ -599,3 +599,24 @@ def test_ann_filtered_topk_respects_label(spark, sf_oracle_dir):
     ).collect()
     mine = [r.neighbor_id for r in got if r.query_id == 0]
     assert mine == [r.neighbor_id for r in restricted]
+
+
+def test_pq_recall_eval_consistent_with_components(spark, sf_oracle_dir):
+    """X19's recall numbers must equal a direct comparison of its two
+    component gates, and sit strictly above the chance line."""
+    from data_frame_demo_etl_spark.similarity.ann import brute_force_topk
+    from data_frame_demo_etl_spark.similarity.gate import _queries
+    from data_frame_demo_etl_spark.similarity.pq import pq_adc_topk_gate, pq_recall_eval_gate
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_oracle_dir)
+    exact = brute_force_topk(emb, _queries(emb), k=5).toPandas()
+    approx = pq_adc_topk_gate(spark, sf_oracle_dir).toPandas()
+    got = {r.query_id: r.hits for r in pq_recall_eval_gate(spark, sf_oracle_dir).collect()}
+    for q in range(10):
+        want = len(
+            set(exact[exact.query_id == q].neighbor_id)
+            & set(approx[approx.query_id == q].neighbor_id)
+        )
+        assert got[q] == want
+    assert sum(got.values()) >= 4  # measured 8/50 at sf0.01; chance ≈ 0.5

@@ -618,3 +618,74 @@ def test_windowed_psi_flags_planted_drift(spark):
     calm = max(out[h] for h in range(10))
     assert out[10] > 4 * max(calm, 1)  # the drifted hour dominates
     assert out[10] > 250_000           # above the classic 0.25 action line
+
+
+def test_windowed_topk_stream_matches_batch(spark, sf_dir):
+    """ST14 parity: streaming windowed counts (complete mode) ranked
+    per window equal the batch gate exactly."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.streaming.events import (
+        read_events_stream,
+        windowed_topk_types,
+        with_watermark,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = (
+        with_watermark(stream)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_topk_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.rk): (r.event_type, r.n_events)
+        for r in spark.sql(
+            """
+            SELECT * FROM (
+              SELECT window_start,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type ASC) AS INT) AS rk,
+                     event_type, n_events
+              FROM win_topk_counts
+            ) WHERE rk <= 3
+            """
+        ).collect()
+    }
+    from data_frame_demo_etl_spark.sources.catalog import load_table
+
+    want = {
+        (r.window_start, r.rk): (r.event_type, r.n_events)
+        for r in windowed_topk_types(load_table(spark, "events", sf_dir)).collect()
+    }
+    assert got == want
+
+
+def test_windowed_topk_tiebreak(spark):
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.streaming.events import windowed_topk_types
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 1, "view", 1.0, ""),
+        (2, t0, 2, "view", 1.0, ""),
+        (3, t0, 3, "click", 1.0, ""),
+        (4, t0, 4, "click", 1.0, ""),  # tie view/click → view first (asc)
+        (5, t0, 5, "purchase", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = [(r.rk, r.event_type, r.n_events) for r in windowed_topk_types(df).collect()]
+    assert got == [(1, "click", 2), (2, "view", 2), (3, "purchase", 1)]
