@@ -292,3 +292,110 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(n_triangles AS BIGINT) AS n_triangles
 FROM stats CROSS JOIN tri
 """
+
+
+LP_TOP_K = 20
+
+
+def link_prediction(edges: DataFrame, k: int = LP_TOP_K) -> DataFrame:
+    """G9: common-neighbor / Jaccard link prediction (Liben-Nowell &
+    Kleinberg 2003) over an undirected (u < v) edge table — "which
+    non-adjacent pairs look most like future edges": score every
+    2-hop pair by |Γ(u)∩Γ(v)| (exact integer) with the Jaccard
+    coefficient |∩|·10⁶ div (deg(u)+deg(v)−|∩|) as the ppm
+    tie-breaker, drop pairs already adjacent, keep the global top-k
+    under a total order (cn DESC, jaccard DESC, u, v).
+
+    Scale: the wedge join is Σ deg(w)² over the strong graph — the
+    same bound the triangles wedge pays, kept honest here by the p90
+    co-occurrence threshold (hubs of the RAW co-purchase graph never
+    reach this table); the top-k is a distributed TakeOrdered, never
+    a single-partition rank window."""
+    from pyspark.sql import functions as F
+
+    und = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        und.select(F.col("w"), F.col("n").alias("x"))
+        .join(und.select("w", F.col("n").alias("y")), "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedges.join(
+        edges, (wedges.x == edges.u) & (wedges.y == edges.v), "left_anti"
+    )
+    scored = (
+        cand.join(deg.withColumnRenamed("w", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("w", "y").withColumnRenamed("deg", "dy"), "y")
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.expr("cn * 1000000 div (dx + dy - cn)").cast("long").alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common_neighbors").desc(),
+        F.col("jaccard_ppm").desc(),
+        F.col("u").asc(),
+        F.col("v").asc(),
+    ).limit(k)
+
+
+def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (G9): top-20 predicted missing edges of the strong
+    supplier co-purchase graph by common-neighbor count, Jaccard
+    tie-broken — the recommendation read ('these two suppliers serve
+    the same orders-neighborhood but never co-appear') beside G2/G7/G8
+    centralities."""
+    edges = copurchase_edges(spark, sf_dir)
+    return link_prediction(edges)
+
+
+SUPPLIER_LINK_PREDICTION_SQL = """
+WITH pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(DISTINCT a.l_orderkey) AS c
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, u ASC, v ASC) AS rn FROM pairs
+),
+thresh AS (
+  SELECT c AS t FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(90 * (SELECT MAX(rn) FROM ranked) / 100.0) AS BIGINT))
+),
+edges AS (
+  SELECT u, v FROM pairs WHERE c >= (SELECT t FROM thresh)
+),
+und AS (
+  SELECT u AS w, v AS n FROM edges UNION ALL SELECT v AS w, u AS n FROM edges
+),
+deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY w),
+wedges AS (
+  SELECT a.n AS x, b.n AS y, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM und a JOIN und b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT wg.x, wg.y, wg.cn
+  FROM wedges wg
+  LEFT JOIN edges e ON e.u = wg.x AND e.v = wg.y
+  WHERE e.u IS NULL
+),
+scored AS (
+  SELECT c.x AS u, c.y AS v, c.cn AS common_neighbors,
+         CAST(c.cn * 1000000 // (dx.deg + dy.deg - c.cn) AS BIGINT) AS jaccard_ppm
+  FROM cand c
+  JOIN deg dx ON dx.w = c.x
+  JOIN deg dy ON dy.w = c.y
+)
+SELECT u, v, common_neighbors, jaccard_ppm
+FROM scored
+ORDER BY common_neighbors DESC, jaccard_ppm DESC, u ASC, v ASC
+LIMIT 20
+"""

@@ -1283,6 +1283,15 @@ from .similarity.pq import PQ_RECALL_EVAL_SQL, pq_recall_eval_gate
 register("events_rater_mcnemar", events_rater_mcnemar, EVENTS_RATER_MCNEMAR_SQL)
 register("pq_recall_eval", pq_recall_eval_gate, PQ_RECALL_EVAL_SQL)
 
+from .analytics.triangles import (
+    SUPPLIER_LINK_PREDICTION_SQL,
+    supplier_link_prediction,
+)
+
+register(
+    "supplier_link_prediction", supplier_link_prediction, SUPPLIER_LINK_PREDICTION_SQL
+)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

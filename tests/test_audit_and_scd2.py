@@ -230,6 +230,10 @@ CARTESIAN_ALLOWED = {
     # both bounded by value domains, never by rows
     # (operators/validate.py t_closeness).
     "customer_t_closeness",
+    # composes the X4 anchor-PQ gate (corpus × 10-row broadcast query
+    # set) with the X1 exact leg — the documented ann_cosine_topk
+    # shape twice (similarity/pq.py pq_recall_eval_gate).
+    "pq_recall_eval",
     # crossJoin of two 1-ROW aggregates (Σx²/t/n × top-8 CRk sums) —
     # bounded scalars (analytics/quality_audit.py market_concentration).
     "customer_concentration",

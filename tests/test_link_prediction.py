@@ -1,0 +1,48 @@
+"""Planted G9 link prediction: hand-checked common-neighbor scores."""
+
+from __future__ import annotations
+
+from data_frame_demo_etl_spark.analytics.triangles import (
+    link_prediction,
+    supplier_link_prediction,
+)
+
+
+def test_link_prediction_path_graph(spark):
+    """Path 1-2-3: the only candidate is (1,3) via 2 — cn=1,
+    jaccard = 1/(1+1-1) = 1.0."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    got = link_prediction(edges).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.u, r.v, r.common_neighbors, r.jaccard_ppm) == (1, 3, 1, 1_000_000)
+
+
+def test_link_prediction_square_and_adjacency_excluded(spark):
+    """4-cycle 1-2-3-4-1: candidates are the two diagonals, each with
+    cn=2 and jaccard 2/(2+2-2) = 1.0; existing edges never appear."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long")
+    got = [(r.u, r.v, r.common_neighbors, r.jaccard_ppm) for r in link_prediction(edges).collect()]
+    assert got == [(1, 3, 2, 1_000_000), (2, 4, 2, 1_000_000)]
+
+
+def test_link_prediction_ranking(spark):
+    """Star hub 0 with leaves 1..4 plus edge (1,2): diagonals among
+    leaves rank by cn then jaccard; (3,4) (deg 1 each, cn=1 via hub,
+    jacc=1.0) outranks (1,3) (deg2+deg1, jacc=0.5)."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], "u long, v long"
+    )
+    got = link_prediction(edges).collect()
+    by_pair = {(r.u, r.v): (r.common_neighbors, r.jaccard_ppm) for r in got}
+    assert by_pair[(3, 4)] == (1, 1_000_000)
+    assert by_pair[(1, 3)] == (1, 500_000)
+    # ranked: (3,4) before (1,3)/(1,4)/(2,3)/(2,4)
+    assert (got[0].u, got[0].v) == (3, 4)
+
+
+def test_supplier_link_prediction_gate_shape(spark, sf_oracle_dir):
+    out = supplier_link_prediction(spark, sf_oracle_dir).toPandas()
+    assert list(out.columns) == ["u", "v", "common_neighbors", "jaccard_ppm"]
+    assert len(out) <= 20
+    assert (out.common_neighbors > 0).all()
