@@ -1116,3 +1116,107 @@ FROM laid
 GROUP BY seg
 ORDER BY seg
 """
+
+
+# ─────────────── K66: MASE forecast-accuracy scale ───────────────
+
+MASE_SEASON = 24  # hours (daily cycle)
+
+
+def mase_hourly(events: DataFrame, season: int = MASE_SEASON) -> DataFrame:
+    """MASE of the seasonal-naive forecast on the hourly value series
+    (Hyndman & Koehler 2006) — the scale-free forecast-accuracy
+    number every demand/traffic model is benchmarked against:
+    MASE = MAE(seasonal-naive, lag s) / MAE(one-step naive, lag 1).
+    MASE < 1e6 ppm ⇒ the daily cycle carries real signal beyond plain
+    persistence.
+
+    Series: dense hourly spine from min to max event hour (missing
+    hours are true zeros — no events means zero value), value sums on
+    the exact cent grid. Errors are exact integer |Δcents|; the ratio
+    lands once as mase_ppm = (Σ|e_s|·n₁·10⁶) div (Σ|e₁|·n_s) with
+    each mean's count carried explicitly (the two lags drop different
+    numbers of leading hours).
+
+    Scale: one map-side-combined hourly aggregation; the spine,
+    lags and folds live on the calendar-bounded hour table."""
+    from pyspark.sql import Window
+
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.expr("cast(round(value * 100) as long)")).alias("cents")
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    dense = spine.join(hourly, "h", "left").select(
+        "h", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+    w = Window.orderBy("h")
+    lagged = dense.select(
+        "cents",
+        F.lag("cents", season).over(w).alias("lag_s"),
+        F.lag("cents", 1).over(w).alias("lag_1"),
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count("lag_s").alias("n_s"),
+        F.sum(F.abs(F.col("cents") - F.col("lag_s"))).alias("sae_s"),
+        F.count("lag_1").alias("n_1"),
+        F.sum(F.abs(F.col("cents") - F.col("lag_1"))).alias("sae_1"),
+    )
+    return agg.select(
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("n_s").cast("long").alias("n_seasonal"),
+        F.col("sae_s").cast("long").alias("sae_seasonal_cents"),
+        F.col("n_1").cast("long").alias("n_naive"),
+        F.col("sae_1").cast("long").alias("sae_naive_cents"),
+        F.when(
+            (F.col("sae_1") > 0) & (F.col("n_s") > 0),
+            F.expr(
+                "cast(sae_s as decimal(38,0)) * cast(n_1 as decimal(38,0)) * 1000000"
+                " div (cast(sae_1 as decimal(38,0)) * cast(n_s as decimal(38,0)))"
+            ),
+        ).cast("long").alias("mase_ppm"),
+    )
+
+
+def events_value_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (K66): MASE of the daily-seasonal-naive forecast of hourly
+    event value — does the 24-hour cycle beat persistence?"""
+    events = load_table(spark, "events", sf_dir)
+    return mase_hourly(events.filter(F.col("value").isNotNull()))
+
+
+EVENTS_VALUE_MASE_SQL = f"""
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+spine AS (
+  SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+dense AS (
+  SELECT s.h, COALESCE(x.cents, 0) AS cents
+  FROM spine s LEFT JOIN hourly x ON x.h = s.h
+),
+lagged AS (
+  SELECT cents,
+         LAG(cents, {MASE_SEASON}) OVER (ORDER BY h) AS lag_s,
+         LAG(cents, 1) OVER (ORDER BY h) AS lag_1
+  FROM dense
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(COUNT(lag_s) AS BIGINT) AS n_seasonal,
+       CAST(COALESCE(SUM(ABS(cents - lag_s)), 0) AS BIGINT) AS sae_seasonal_cents,
+       CAST(COUNT(lag_1) AS BIGINT) AS n_naive,
+       CAST(COALESCE(SUM(ABS(cents - lag_1)), 0) AS BIGINT) AS sae_naive_cents,
+       CASE WHEN COALESCE(SUM(ABS(cents - lag_1)), 0) > 0 AND COUNT(lag_s) > 0
+            THEN CAST(CAST(SUM(ABS(cents - lag_s)) AS HUGEINT) * COUNT(lag_1) * 1000000
+                      // (CAST(SUM(ABS(cents - lag_1)) AS HUGEINT) * COUNT(lag_s)) AS BIGINT)
+       END AS mase_ppm
+FROM lagged
+"""

@@ -1292,6 +1292,10 @@ register(
     "supplier_link_prediction", supplier_link_prediction, SUPPLIER_LINK_PREDICTION_SQL
 )
 
+from .analytics.timeseries import EVENTS_VALUE_MASE_SQL, events_value_mase
+
+register("events_value_mase", events_value_mase, EVENTS_VALUE_MASE_SQL)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

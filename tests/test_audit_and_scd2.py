@@ -343,6 +343,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative gains over the 10-row decile spine (the per-row rank
     # is the two-pass keyed prefix, never a global window)
     "events_value_lift": "decile spine",
+    # lag windows over the dense hourly calendar spine —
+    # calendar-bounded by construction (timeseries.py mase_hourly)
+    "events_value_mase": "hourly calendar spine",
     # top-20 rank over the vocabulary-bounded phrase-score table
     "docs_rake_keywords": "phrase-score vocabulary table",
     # K29 exact distributed selection — the documented bounded

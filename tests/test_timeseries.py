@@ -1,0 +1,68 @@
+
+
+def test_mase_hand_computed(spark):
+    """Hourly cents [10,20,30,40], season=2: one-step SAE = 30 over 3
+    terms; seasonal SAE = |30−10|+|40−20| = 40 over 2 terms →
+    MASE = (40·3)/(30·2) = 2.0 → 2_000_000 ppm."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.timeseries import mase_hourly
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "view", v, "")
+        for i, v in enumerate([0.10, 0.20, 0.30, 0.40])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = mase_hourly(df, season=2).collect()[0]
+    assert (r.n_hours, r.n_seasonal, r.n_naive) == (4, 2, 3)
+    assert (r.sae_seasonal_cents, r.sae_naive_cents) == (40, 30)
+    assert r.mase_ppm == 2_000_000
+
+
+def test_mase_perfect_seasonality_is_zero(spark):
+    """A pure period-2 cycle: the seasonal naive is exact → MASE 0,
+    while the one-step naive errs every hour."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import mase_hourly
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "view", v, "")
+        for i, v in enumerate([0.10, 0.20, 0.10, 0.20, 0.10, 0.20])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = mase_hourly(df, season=2).collect()[0]
+    assert r.sae_seasonal_cents == 0 and r.mase_ppm == 0
+
+
+def test_mase_gap_hours_are_zeros(spark):
+    """A missing hour is a true zero, not a skipped row: hours
+    {0: 10, 2: 10} → dense [10, 0, 10]; one-step SAE = 20, seasonal
+    (s=2) SAE = 0 → MASE 0."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import mase_hourly
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 1, "view", 0.10, ""),
+        (2, t0 + dt.timedelta(hours=2), 1, "view", 0.10, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r = mase_hourly(df, season=2).collect()[0]
+    assert r.n_hours == 3
+    assert r.sae_naive_cents == 20
+    assert r.sae_seasonal_cents == 0 and r.mase_ppm == 0
