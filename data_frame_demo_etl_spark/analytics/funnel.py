@@ -576,3 +576,136 @@ UNION ALL SELECT 'none', CAST(nn AS BIGINT), CAST(sn AS BIGINT) FROM agg
 UNION ALL SELECT 'rounding_remainder', CAST(nr AS BIGINT), CAST(sr AS BIGINT) FROM agg
 ORDER BY channel
 """
+
+
+# ─────────────── A16: funnel-step A/B significance ───────────────
+
+
+def funnel_step_ab(events: DataFrame, stages: tuple[str, ...] = STAGES) -> DataFrame:
+    """Two-proportion z-test per FUNNEL TRANSITION between the
+    user-parity arms: for each step k→k+1 the population is the users
+    who reached step k in each arm and the success is reaching k+1 —
+    the question an experiment readout actually asks ("did the
+    variant move click→purchase, not just raw purchases?"), which
+    K36's per-event-type test cannot answer because its denominators
+    are events, not funnel-stage populations.
+
+    Machinery: one ordered-funnel pass (A7's one-scan shape) → a
+    six-counter global aggregate → two transition rows exploded from
+    a literal array → K36's fixed-parenthesization z pipeline
+    (correctly-rounded IEEE ops only, quantized once). Same NULL
+    guards: an empty reached-population or zero-variance pool yields
+    NULL z."""
+    sr = funnel_stages(events, stages).select(
+        (F.col("user_id") % 2 == 0).alias("is_a"), "stage_reached"
+    )
+    g = sr.agg(
+        *[
+            F.count_if(F.col("is_a") & (F.col("stage_reached") >= k)).alias(f"a{k}")
+            for k in range(1, len(stages) + 1)
+        ],
+        *[
+            F.count_if(~F.col("is_a") & (F.col("stage_reached") >= k)).alias(f"b{k}")
+            for k in range(1, len(stages) + 1)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{stages[k - 1]}->{stages[k]}").alias("step"),
+                F.col(f"a{k}").alias("n_a"),
+                F.col(f"a{k + 1}").alias("s_a"),
+                F.col(f"b{k}").alias("n_b"),
+                F.col(f"b{k + 1}").alias("s_b"),
+            )
+            for k in range(1, len(stages))
+        ]
+    )
+    t = g.select(F.explode(rows).alias("t")).select("t.*")
+    p_a = F.col("s_a").cast("double") / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+    p_b = F.col("s_b").cast("double") / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
+    p_pool = (F.col("s_a") + F.col("s_b")).cast("double") / F.nullif(
+        (F.col("n_a") + F.col("n_b")), F.lit(0)
+    ).cast("double")
+    se = F.sqrt(
+        (p_pool * (F.lit(1.0) - p_pool))
+        * (
+            F.lit(1.0) / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+            + F.lit(1.0) / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
+        )
+    )
+    z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
+    return t.select(
+        "step",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        F.floor((p_a - p_b) * 1_000_000 + 0.5).cast("long").alias("rate_diff_micro"),
+        F.floor(z * 1_000_000 + 0.5).cast("long").alias("z_micro"),
+    ).orderBy("step")
+
+
+def funnel_step_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (A16): per-transition funnel z between the parity arms —
+    arms split the same traffic, so z should sit low; the gate
+    verifies the stage-population test arithmetic."""
+    from ..sources.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    return funnel_step_ab(events)
+
+
+FUNNEL_STEP_SIGNIFICANCE_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+),
+sr AS (
+  SELECT u.user_id % 2 = 0 AS is_a,
+         (v.user_id IS NOT NULL)::INT + (c.user_id IS NOT NULL)::INT
+           + (p.user_id IS NOT NULL)::INT AS stage_reached
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN v ON v.user_id = u.user_id
+  LEFT JOIN c ON c.user_id = u.user_id
+  LEFT JOIN p ON p.user_id = u.user_id
+),
+g AS (
+  SELECT COUNT(*) FILTER (WHERE is_a AND stage_reached >= 1) AS a1,
+         COUNT(*) FILTER (WHERE is_a AND stage_reached >= 2) AS a2,
+         COUNT(*) FILTER (WHERE is_a AND stage_reached >= 3) AS a3,
+         COUNT(*) FILTER (WHERE NOT is_a AND stage_reached >= 1) AS b1,
+         COUNT(*) FILTER (WHERE NOT is_a AND stage_reached >= 2) AS b2,
+         COUNT(*) FILTER (WHERE NOT is_a AND stage_reached >= 3) AS b3
+  FROM sr
+),
+t AS (
+  SELECT 'view->click' AS step, a1 AS n_a, a2 AS s_a, b1 AS n_b, b2 AS s_b FROM g
+  UNION ALL
+  SELECT 'click->purchase', a2, a3, b2, b3 FROM g
+)
+SELECT step,
+       CAST(n_a AS BIGINT) AS n_a, CAST(s_a AS BIGINT) AS s_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(s_b AS BIGINT) AS s_b,
+       CAST(FLOOR((CAST(s_a AS DOUBLE) / NULLIF(n_a, 0)
+                   - CAST(s_b AS DOUBLE) / NULLIF(n_b, 0)) * 1000000 + 0.5) AS BIGINT) AS rate_diff_micro,
+       CAST(FLOOR(
+         ((CAST(s_a AS DOUBLE) / NULLIF(n_a, 0) - CAST(s_b AS DOUBLE) / NULLIF(n_b, 0))
+          / NULLIF(SQRT((CAST(s_a + s_b AS DOUBLE) / NULLIF(n_a + n_b, 0)
+                         * (1.0 - CAST(s_a + s_b AS DOUBLE) / NULLIF(n_a + n_b, 0)))
+                        * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0.0))
+         * 1000000 + 0.5) AS BIGINT) AS z_micro
+FROM t
+ORDER BY step
+"""

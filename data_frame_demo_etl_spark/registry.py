@@ -1296,6 +1296,15 @@ from .analytics.timeseries import EVENTS_VALUE_MASE_SQL, events_value_mase
 
 register("events_value_mase", events_value_mase, EVENTS_VALUE_MASE_SQL)
 
+from .analytics.funnel import (
+    FUNNEL_STEP_SIGNIFICANCE_SQL,
+    funnel_step_significance,
+)
+
+register(
+    "funnel_step_significance", funnel_step_significance, FUNNEL_STEP_SIGNIFICANCE_SQL
+)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation
