@@ -162,7 +162,7 @@ HEADLINE = [
     "events_value_auc",
     "docs_rake_keywords",
     # round-11 additions (appended, same comparability rule; paid for
-    # by the matryoshka trim above and the supplier_kcore trim below):
+    # by the matryoshka and supplier_kcore trims above):
     # the anchor-PQ compression gate and integer-grid HITS.
     "pq_adc_topk",
     "graph_hits",

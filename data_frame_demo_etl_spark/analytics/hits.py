@@ -25,9 +25,12 @@ node per round — 6 orders below the 10¹² grid.
 Scale shape: per round, two equi-join + groupBy passes over the edge
 table (a-update shuffles on dst, h-update on src) and one 1-ROW sum
 broadcast per normalization (the q22 scalar shape). Edges persist
-across rounds; lineage is truncated per round with
-localCheckpoint(eager=False) exactly like pagerank.py — no plan
-re-derivation, no driver-side collect beyond the scalar sums.
+across rounds (released after the last round); lineage is truncated
+per normalization with localCheckpoint(eager=True) — the EAGER form,
+unlike pagerank.py's lazy one, because both the scalar total and the
+next round's join re-read each normalized frame (see _l1_normalize's
+comment) — no plan re-derivation, no driver-side collect beyond the
+scalar sums.
 """
 
 from __future__ import annotations
@@ -65,7 +68,9 @@ def hits(pairs: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
     directed graph given as (src, dst) pairs: side 'hub' rows carry
     src keys, side 'authority' rows carry dst keys; scores are on the
     10¹²-L1 integer grid after `n_rounds` mutual-reinforcement
-    rounds."""
+    rounds (>= 1: the authority side only exists after a round)."""
+    if n_rounds < 1:
+        raise ValueError(f"hits() needs n_rounds >= 1, got {n_rounds}")
     pairs = pairs.persist()
     hubs = pairs.select("src").distinct().select(
         "src", F.lit(INIT).cast("long").alias("h")
@@ -89,6 +94,10 @@ def hits(pairs: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
     a_rows = auth.select(
         F.lit("authority").alias("side"), F.col("dst").alias("key"), F.col("a").alias("score_units")
     )
+    # Both outputs sit on eager checkpoints (the last _l1_normalize of
+    # each side), so the edge cache is no longer read — release it
+    # here rather than leaking one persisted block per hits() call.
+    pairs.unpersist()
     return h_rows.unionByName(a_rows)
 
 

@@ -391,6 +391,21 @@ def avro_available(spark: SparkSession) -> bool:
         msg = str(e)
         if "Failed to find data source" in msg:
             return False
+        # Prefer the structured error class over message substrings
+        # (r11 advice: wording is version-coupled; the class survives
+        # renames of the human text). PySpark exceptions expose it via
+        # getErrorClass() / getCondition() depending on version.
+        for attr in ("getCondition", "getErrorClass"):
+            get = getattr(e, attr, None)
+            if callable(get):  # pragma: no cover — jar-deployed path
+                try:
+                    cls = get() or ""
+                except Exception:  # noqa: BLE001 — probe must not raise
+                    cls = ""
+                if "PATH_NOT_FOUND" in cls:
+                    return True
+                if "DATA_SOURCE" in cls:  # e.g. FAILED_FIND_DATA_SOURCE
+                    return False
         return (  # pragma: no cover — only with the jar deployed
             "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
         )
