@@ -59,6 +59,15 @@ def copurchase_edges_with_count(
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strong supplier co-purchase pairs (u < v); see `_copurchase_edges`.
     Memoized + materialized — see the shared-edge-contract note above."""
+    return copurchase_edges_with_count(spark, sf_dir)[0].select("u", "v")
+
+
+def copurchase_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, c) strong co-purchase pairs WITH the shared-order count
+    that qualified them — the tie-strength weight link_prediction's
+    k-strongest-neighbor sparsification ranks by. Same memoized
+    checkpoint as `copurchase_edges` (the weight rides the cached
+    frame; unweighted consumers project it away for free)."""
     return copurchase_edges_with_count(spark, sf_dir)[0]
 
 
@@ -117,7 +126,7 @@ def _copurchase_edges(
     )
     n = sum(cnt for _, cnt in hist)
     if n == 0:
-        return pairs.select("u", "v"), pairs, 0
+        return pairs.select("u", "v", "c"), pairs, 0
     pos = max(1, -(-90 * n // 100))
     cum, thresh = 0, hist[-1][0]
     for c_val, cnt in hist:
@@ -126,7 +135,7 @@ def _copurchase_edges(
             thresh = c_val
             break
     n_edges = sum(cnt for c_val, cnt in hist if c_val >= thresh)
-    return pairs.filter(F.col("c") >= thresh).select("u", "v"), pairs, n_edges
+    return pairs.filter(F.col("c") >= thresh).select("u", "v", "c"), pairs, n_edges
 
 
 # Below: broadcast-build job latency > shuffle saved. Re-measured in
@@ -256,7 +265,7 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one), with n_edges carried from the histogram — the census itself
     is one combined action."""
     edges, n_edges = copurchase_edges_with_count(spark, sf_dir)
-    return count_triangles(edges, n_edges=n_edges)
+    return count_triangles(edges.select("u", "v"), n_edges=n_edges)
 
 
 SUPPLIER_TRIANGLES_SQL = """
@@ -295,31 +304,59 @@ FROM stats CROSS JOIN tri
 
 
 LP_TOP_K = 20
+#: k-strongest-neighbor sparsification cap. Every center contributes
+#: at most C(32,2) = 496 wedge rows, so total wedge mass is ≤ 496 ·
+#: n_nodes at ANY scale and ANY degree distribution — the bound a
+#: celebrity hub cannot break (an uncapped center of degree d emits
+#: d²/2 rows from one key). 32 ≈ the p25 degree of the strong graph
+#: at sf0.1+ (bell-shaped around 95, max 147 — measured r12), so the
+#: kept ties are each supplier's strongest co-purchase relationships,
+#: the standard KNN-graph construction for link prediction.
+LP_KNN_CAP = 32
 
 
-def link_prediction(edges: DataFrame, k: int = LP_TOP_K) -> DataFrame:
+def link_prediction(
+    edges: DataFrame, k: int = LP_TOP_K, knn_cap: int = LP_KNN_CAP
+) -> DataFrame:
     """G9: common-neighbor / Jaccard link prediction (Liben-Nowell &
-    Kleinberg 2003) over an undirected (u < v) edge table — "which
-    non-adjacent pairs look most like future edges": score every
-    2-hop pair by |Γ(u)∩Γ(v)| (exact integer) with the Jaccard
-    coefficient |∩|·10⁶ div (deg(u)+deg(v)−|∩|) as the ppm
-    tie-breaker, drop pairs already adjacent, keep the global top-k
-    under a total order (cn DESC, jaccard DESC, u, v).
+    Kleinberg 2003) on the k-strongest-neighbor sparsification of a
+    weighted undirected (u < v, weight c) edge table — "which
+    non-adjacent pairs look most like future edges": each node keeps
+    its `knn_cap` strongest ties (rank by c DESC, neighbor id ASC — a
+    total order), 2-hop pairs of the sparsified graph are scored by
+    |Γₖ(u)∩Γₖ(v)| (exact integer) with the truncated-Jaccard
+    |∩|·10⁶ div (degₖ(u)+degₖ(v)−|∩|) ppm tie-breaker, pairs already
+    adjacent in the FULL graph are dropped, and the global top-k
+    survives under (cn DESC, jaccard DESC, u, v). Edges without a
+    weight column get c=1 (ranking then falls back to id order).
 
-    Scale: the wedge join is Σ deg(w)² over the strong graph — the
-    same bound the triangles wedge pays, kept honest here by the p90
-    co-occurrence threshold (hubs of the RAW co-purchase graph never
-    reach this table); the top-k is a distributed TakeOrdered, never
-    a single-partition rank window."""
+    Scale: common-neighbor counting cannot be orientation-split the
+    way the G3 triangle wedge can (every wedge through a center must
+    be counted, so an uncapped self-join pays Σ deg(w)² — measured
+    5.8×/decade at sf10 before this cap, the naive form the r11
+    verdict flagged). The KNN cap bounds the per-center fan-out at
+    C(knn_cap, 2) BEFORE the self-join, making total wedge mass
+    ≤ 496·n_nodes — linear in nodes with a constant no hub can
+    inflate. The per-center rank is a bounded partitioned window
+    (partitions ≤ max degree), the top-k a distributed TakeOrdered."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    und = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
-        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    if "c" not in edges.columns:
+        edges = edges.withColumn("c", F.lit(1).cast("long"))
+    und = edges.select(
+        F.col("u").alias("w"), F.col("v").alias("n"), "c"
+    ).unionByName(edges.select(F.col("v").alias("w"), F.col("u").alias("n"), "c"))
+    rk = Window.partitionBy("w").orderBy(F.col("c").desc(), F.col("n").asc())
+    knn = (
+        und.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") <= knn_cap)
+        .select("w", "n")
     )
-    deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    deg = knn.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
     wedges = (
-        und.select(F.col("w"), F.col("n").alias("x"))
-        .join(und.select("w", F.col("n").alias("y")), "w")
+        knn.select(F.col("w"), F.col("n").alias("x"))
+        .join(knn.select("w", F.col("n").alias("y")), "w")
         .filter(F.col("x") < F.col("y"))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cn"))
@@ -347,11 +384,12 @@ def link_prediction(edges: DataFrame, k: int = LP_TOP_K) -> DataFrame:
 
 def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate (G9): top-20 predicted missing edges of the strong
-    supplier co-purchase graph by common-neighbor count, Jaccard
-    tie-broken — the recommendation read ('these two suppliers serve
-    the same orders-neighborhood but never co-appear') beside G2/G7/G8
+    supplier co-purchase graph by common-neighbor count over the
+    32-strongest-tie sparsification, truncated-Jaccard tie-broken —
+    the recommendation read ('these two suppliers serve the same
+    orders-neighborhood but never co-appear') beside G2/G7/G8
     centralities."""
-    edges = copurchase_edges(spark, sf_dir)
+    edges = copurchase_edges_weighted(spark, sf_dir)
     return link_prediction(edges)
 
 
@@ -370,15 +408,24 @@ thresh AS (
   WHERE rn = GREATEST(1, CAST(CEIL(90 * (SELECT MAX(rn) FROM ranked) / 100.0) AS BIGINT))
 ),
 edges AS (
-  SELECT u, v FROM pairs WHERE c >= (SELECT t FROM thresh)
+  SELECT u, v, c FROM pairs WHERE c >= (SELECT t FROM thresh)
 ),
 und AS (
-  SELECT u AS w, v AS n FROM edges UNION ALL SELECT v AS w, u AS n FROM edges
+  SELECT u AS w, v AS n, c FROM edges
+  UNION ALL
+  SELECT v AS w, u AS n, c FROM edges
 ),
-deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY w),
+knn AS (
+  SELECT w, n FROM (
+    SELECT w, n, ROW_NUMBER() OVER (
+      PARTITION BY w ORDER BY c DESC, n ASC
+    ) AS r FROM und
+  ) WHERE r <= 32
+),
+deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM knn GROUP BY w),
 wedges AS (
   SELECT a.n AS x, b.n AS y, CAST(COUNT(*) AS BIGINT) AS cn
-  FROM und a JOIN und b ON a.w = b.w AND a.n < b.n
+  FROM knn a JOIN knn b ON a.w = b.w AND a.n < b.n
   GROUP BY 1, 2
 ),
 cand AS (

@@ -41,6 +41,32 @@ def test_link_prediction_ranking(spark):
     assert (got[0].u, got[0].v) == (3, 4)
 
 
+def test_knn_cap_noop_below_cap(spark):
+    """D20 convention: the sparsification cap is a no-op while every
+    degree sits below it — cap-on (default 32) == cap-off (cap larger
+    than any degree) on a planted graph, bit-identical."""
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (2, 3, 7), (3, 4, 5), (1, 4, 3), (1, 3, 1)],
+        "u long, v long, c long",
+    )
+    capped = [tuple(r) for r in link_prediction(edges).collect()]
+    uncapped = [tuple(r) for r in link_prediction(edges, knn_cap=10_000).collect()]
+    assert capped == uncapped
+
+
+def test_knn_cap_bites_on_hub(spark):
+    """When a center's degree exceeds the cap, only its knn_cap
+    STRONGEST ties (c DESC, id ASC) form wedges: star 0-{1,2,3} with
+    weights 5/3/1 at knn_cap=2 keeps {1,2}, so (1,2) is the sole
+    candidate — (1,3)/(2,3) vanish with the dropped weakest tie."""
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 3), (0, 3, 1)], "u long, v long, c long"
+    )
+    got = [(r.u, r.v, r.common_neighbors, r.jaccard_ppm)
+           for r in link_prediction(edges, knn_cap=2).collect()]
+    assert got == [(1, 2, 1, 1_000_000)]
+
+
 def test_supplier_link_prediction_gate_shape(spark, sf_oracle_dir):
     out = supplier_link_prediction(spark, sf_oracle_dir).toPandas()
     assert list(out.columns) == ["u", "v", "common_neighbors", "jaccard_ppm"]
