@@ -79,6 +79,64 @@ def plan_report(df: DataFrame) -> PlanReport:
     return rep
 
 
+def self_join_fanouts(df: DataFrame) -> list[str]:
+    """Self-join fan-out detector (the fourth structural audit): walk
+    the OPTIMIZED logical plan and report every Join whose two
+    children are structurally identical — same DFS sequence of node
+    classes and same normalized leaf signatures. That is the shape
+    where a single hot join key emits |key-group|² output rows from
+    one task (the Σdeg² wedge blowup the r11 verdict caught in G9):
+    the cartesian and window audits are blind to it because the join
+    is a plain equi-join and the explosion happens in aggregation
+    fan-out, not in the join TYPE.
+
+    A flagged join is not automatically wrong — oriented wedge joins
+    (G3) and capped KNN self-joins (G9) are legitimate BECAUSE an
+    upstream bound caps the per-key group size; the registry audit
+    forces each one to carry that justification in its allowlist
+    entry, exactly like CARTESIAN_ALLOWED / GLOBAL_WINDOW_ALLOWED.
+
+    Detection is on node SHAPE, not expression text: alias names
+    differ between the two branches of a self-join (``x`` vs ``y``),
+    so textual subtree equality would miss exactly the case that
+    matters. Leaves are normalized to (class, column data types) —
+    expression ids and names stripped."""
+
+    def leaf_sig(node) -> str:
+        try:
+            dtypes = ",".join(
+                node.output().apply(i).dataType().simpleString()
+                for i in range(node.output().length())
+            )
+        except Exception:  # noqa: BLE001 — plan classes vary by node
+            dtypes = "?"
+        return f"{node.getClass().getSimpleName()}[{dtypes}]"
+
+    def shape(node) -> str:
+        ch = node.children()
+        n = ch.length()
+        if n == 0:
+            return leaf_sig(node)
+        kids = ";".join(shape(ch.apply(i)) for i in range(n))
+        return f"{node.getClass().getSimpleName()}({kids})"
+
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        ch = node.children()
+        n = ch.length()
+        kids = [ch.apply(i) for i in range(n)]
+        if node.getClass().getSimpleName() == "Join" and n == 2:
+            left, right = shape(kids[0]), shape(kids[1])
+            if left == right:
+                hits.append(left)
+        for k in kids:
+            walk(k)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     rep = plan_report(df)
     if rep.nested_loop_joins:

