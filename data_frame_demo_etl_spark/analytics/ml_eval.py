@@ -897,20 +897,13 @@ GROUP BY nn, pp, obar_ppm
 LIFT_DECILES = 10
 
 
-def lift_table(df: DataFrame, label_col, score_cents_col) -> DataFrame:
-    """Decile gains/lift table — the campaign-targeting read of a
-    scorer ("mail the top 10%: how many buyers do we reach?"): rank by
-    score DESC, cut into 10 population deciles, report per-decile and
-    cumulative positives, gain (share of all positives captured so
-    far) and lift (capture rate vs random targeting).
-
-    Tie convention: a tied-score block is assigned WHOLE to the decile
-    of its first (0-based) descending-rank position —
-    d = start·10 div N with start = N − cum_≤v — so deciles are
-    slightly unequal under heavy ties but both engines cut
-    identically (no fractional block splitting, no per-row global
-    rank). gain_ppm = cumP·10⁶ div P; lift_ppm = cumP·N·10⁶ div
-    (cumN·P) — exact decimals end to end.
+def _score_decile_blocks(df: DataFrame, label_col, score_cents_col) -> DataFrame:
+    """Shared E-LIFT / E-PR machinery: rank by score DESC, cut into
+    10 population deciles (a tied-score block goes WHOLE to the decile
+    of its first 0-based descending-rank position — d = start·10 div N
+    with start = N − cum_≤v, so both engines cut identically with no
+    fractional splitting), and return the 10-row cumulative table
+    (decile, n, p, n_rows, n_pos, cum_rows, cum_pos).
 
     Scale: one (cents) value-domain aggregation + the two-pass keyed
     prefix; the decile table is 10 rows and its cumulative window is
@@ -947,9 +940,20 @@ def lift_table(df: DataFrame, label_col, score_cents_col) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_dec.withColumn("cum_rows", F.sum("n_rows").over(w)).withColumn(
+        "cum_pos", F.sum("n_pos").over(w)
+    )
+
+
+def lift_table(df: DataFrame, label_col, score_cents_col) -> DataFrame:
+    """Decile gains/lift table — the campaign-targeting read of a
+    scorer ("mail the top 10%: how many buyers do we reach?"): per
+    `_score_decile_blocks`, with gain (share of all positives captured
+    so far) and lift (capture rate vs random targeting).
+    gain_ppm = cumP·10⁶ div P; lift_ppm = cumP·N·10⁶ div (cumN·P) —
+    exact decimals end to end."""
     return (
-        per_dec.withColumn("cum_rows", F.sum("n_rows").over(w))
-        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        _score_decile_blocks(df, label_col, score_cents_col)
         .select(
             F.col("decile").cast("int").alias("decile"),
             F.col("n_rows").cast("long").alias("n_rows"),
@@ -1029,6 +1033,122 @@ SELECT CAST(decile AS INTEGER) AS decile,
             THEN CAST(CAST(cum_pos AS HUGEINT) * CAST(n AS HUGEINT) * 1000000
                       // (CAST(cum_rows AS HUGEINT) * CAST(p AS HUGEINT)) AS BIGINT)
        END AS lift_ppm
+FROM cum
+ORDER BY decile
+"""
+
+
+# ─────────────── precision/recall-at-depth curve (E-PR) ───────────────
+
+
+def pr_curve_table(df: DataFrame, label_col, score_cents_col) -> DataFrame:
+    """Decile precision/recall-at-depth curve — the operating-point
+    read E-AP's scalar summarizes away: at each targeting depth
+    ("score the corpus, keep the top d/10"), what fraction of kept
+    rows are positives (precision) and what fraction of all positives
+    were kept (recall)? The rare-positive story a training-data
+    pipeline reads when picking a quality-classifier threshold: AP
+    says the ranking is good, THIS table says where to cut it.
+
+    Same tie-exact decile blocks as E-LIFT (`_score_decile_blocks`);
+    exact-integer metrics on the micro grid:
+    precision_ppm = cumP·10⁶ div cumN, recall_ppm = cumP·10⁶ div P,
+    f1_ppm = 2·cumP·10⁶ div (cumN + P) — the harmonic mean collapses
+    to one floor division because both denominators share cumP.
+    P = 0 → recall/f1 NULL (undefined, no positives to find)."""
+    return (
+        _score_decile_blocks(df, label_col, score_cents_col)
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("cum_rows").cast("long").alias("cum_rows"),
+            F.col("cum_pos").cast("long").alias("cum_pos"),
+            F.when(
+                F.col("cum_rows") > 0,
+                F.expr(
+                    "cast(cum_pos as decimal(38,0)) * 1000000"
+                    " div cast(cum_rows as decimal(38,0))"
+                ),
+            ).cast("long").alias("precision_ppm"),
+            F.when(
+                F.col("p") > 0,
+                F.expr(
+                    "cast(cum_pos as decimal(38,0)) * 1000000"
+                    " div cast(p as decimal(38,0))"
+                ),
+            ).cast("long").alias("recall_ppm"),
+            F.when(
+                F.col("p") > 0,
+                F.expr(
+                    "cast(cum_pos as decimal(38,0)) * 2000000"
+                    " div (cast(cum_rows as decimal(38,0)) + cast(p as decimal(38,0)))"
+                ),
+            ).cast("long").alias("f1_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def events_value_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (E-PR): precision/recall/F1 at each value-score decile
+    against the purchase label — the operating-point curve beside
+    E-AP's scalar on the identical score/label frame."""
+    events = load_table(spark, "events", sf_dir)
+    return pr_curve_table(
+        events.filter(F.col("value").isNotNull()),
+        F.col("event_type") == F.lit("purchase"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
+EVENTS_VALUE_PR_CURVE_SQL = f"""
+WITH cnt AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS pv
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+pre AS (
+  SELECT tv, pv,
+         SUM(tv) OVER w AS cum_tv,
+         SUM(tv) OVER () AS n,
+         SUM(pv) OVER () AS p
+  FROM cnt
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+blocks AS (
+  SELECT tv, pv, n, p,
+         CAST(n - cum_tv AS HUGEINT) * {LIFT_DECILES} // CAST(n AS HUGEINT) AS decile
+  FROM pre
+),
+per_dec AS (
+  SELECT decile, ANY_VALUE(n) AS n, ANY_VALUE(p) AS p,
+         CAST(SUM(tv) AS BIGINT) AS n_rows, CAST(SUM(pv) AS BIGINT) AS n_pos
+  FROM blocks GROUP BY decile
+),
+cum AS (
+  SELECT decile, n, p, n_rows, n_pos,
+         SUM(n_rows) OVER w2 AS cum_rows,
+         SUM(n_pos) OVER w2 AS cum_pos
+  FROM per_dec
+  WINDOW w2 AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       n_rows, n_pos,
+       CAST(cum_rows AS BIGINT) AS cum_rows,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CASE WHEN cum_rows > 0
+            THEN CAST(CAST(cum_pos AS HUGEINT) * 1000000 // CAST(cum_rows AS HUGEINT) AS BIGINT)
+       END AS precision_ppm,
+       CASE WHEN p > 0
+            THEN CAST(CAST(cum_pos AS HUGEINT) * 1000000 // CAST(p AS HUGEINT) AS BIGINT)
+       END AS recall_ppm,
+       CASE WHEN p > 0
+            THEN CAST(CAST(cum_pos AS HUGEINT) * 2000000
+                      // (CAST(cum_rows AS HUGEINT) + CAST(p AS HUGEINT)) AS BIGINT)
+       END AS f1_ppm
 FROM cum
 ORDER BY decile
 """

@@ -1305,6 +1305,16 @@ register(
     "funnel_step_significance", funnel_step_significance, FUNNEL_STEP_SIGNIFICANCE_SQL
 )
 
+# ─────────────────────────── round-12 additions ───────────────────────────
+
+from .analytics.ml_eval import EVENTS_VALUE_PR_CURVE_SQL, events_value_pr_curve
+
+register("events_value_pr_curve", events_value_pr_curve, EVENTS_VALUE_PR_CURVE_SQL)
+
+from .similarity.ivf import ANN_INCREMENTAL_ADMIT_SQL, ann_incremental_admit
+
+register("ann_incremental_admit", ann_incremental_admit, ANN_INCREMENTAL_ADMIT_SQL)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

@@ -325,3 +325,161 @@ SELECT CAST(s.nprobe AS BIGINT) AS nprobe,
 FROM sweep s LEFT JOIN hits h ON h.nprobe = s.nprobe
 ORDER BY nprobe
 """.replace("{CENTS}", _sweep_centroid_values())
+
+
+# ─────────────── X20: incremental index admission (no refit) ───────────────
+
+ADMIT_CENTROIDS = 8
+ADMIT_SEED = 7  # shares the sweep's anchor-centroid family
+ADMIT_BATCH_MAX = 40  # odd vec_ids below this → 20 batch vectors
+ADMIT_DUP_COS = 0.4  # the dedup_embedding (D5) near-dup line
+
+
+def incremental_admit(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    dup_threshold: float = ADMIT_DUP_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X20: admit a NEW batch of vectors into a live IVF index without
+    refitting — the D9 incremental-dedup pattern applied to the vector
+    side (every production vector store runs this loop: assign each
+    arrival to an existing posting list, probe that list for
+    near-duplicates, admit or reject). The coarse quantizer is NOT
+    refit: centroids are the index's frozen anchors, so admission is
+    O(batch · k_cent) assignment + one bounded probe join, never a
+    corpus re-cluster.
+
+    Per batch vector: (id, cluster, nn_id, nn_cosine, admitted) —
+    cluster is its nearest frozen centroid (L2, tie → lowest cluster,
+    the assign_clusters convention), nn is the most-similar corpus
+    vector in that ONE posting list (cosine rounded to 6dp, tie →
+    lowest id, the X1 total order), admitted = no probe hit at or
+    above `dup_threshold` (an empty posting list admits — NULL nn).
+
+    Scale: the batch is the small side by definition — it broadcasts
+    to the corpus's posting lists, so corpus bytes never shuffle; the
+    per-batch-vector candidate set is ONE posting list, not the
+    corpus. Assignment of the corpus itself is the index's standing
+    state (here recomputed from the frozen anchors because the gate
+    must be self-contained; a deployment reads it from the stored
+    index)."""
+    from .semdedup import assign_clusters
+
+    assigned = assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    bassigned = assign_clusters(batch, centroids, vec_col=vec_col, id_col=id_col)
+    probes = bassigned.select(
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__qvec"), "cluster"
+    )
+    qn = norm(F.col("__qvec"))
+    cn = norm(F.col(vec_col))
+    denom = qn * cn
+    top1 = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .select(
+            "__bid",
+            F.col(id_col).alias("__nid"),
+            F.round(
+                F.when(denom > 0, dot(F.col("__qvec"), F.col(vec_col)) / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("__cos"),
+        )
+        # max-struct top-1: max cosine, then min id (negated in the
+        # struct so the max picks the LOWEST id among ties).
+        .groupBy("__bid")
+        .agg(F.max(F.struct(F.col("__cos"), (-F.col("__nid")).alias("__negid"))).alias("__t"))
+        .select(
+            "__bid",
+            (-F.col("__t.__negid")).cast("long").alias("nn_id"),
+            F.col("__t.__cos").alias("nn_cosine"),
+        )
+    )
+    return (
+        bassigned.select(F.col(id_col), "cluster")
+        .join(top1, F.col(id_col) == F.col("__bid"), "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            "nn_id",
+            "nn_cosine",
+            (F.col("nn_cosine").isNull() | (F.col("nn_cosine") < F.lit(dup_threshold))).alias(
+                "admitted"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def ann_incremental_admit(spark, sf_dir: str) -> DataFrame:
+    """Gate (X20): even vec_ids are the standing index, odd vec_ids
+    < 40 the arriving batch; 8 anchor centroids (the sweep family), so
+    DuckDB replays assignment, the single-list probe, the 6dp-rounded
+    top-1 and the admission rule end to end."""
+    from ..sources.catalog import load_table
+    from .semdedup import anchor_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < ADMIT_BATCH_MAX))
+    return incremental_admit(
+        corpus, batch, anchor_centroids(k=ADMIT_CENTROIDS, seed=ADMIT_SEED)
+    )
+
+
+def _admit_centroid_values() -> str:
+    from .semdedup import _centroid_sql_values, anchor_centroids
+
+    return _centroid_sql_values(anchor_centroids(k=ADMIT_CENTROIDS, seed=ADMIT_SEED))
+
+
+ANN_INCREMENTAL_ADMIT_SQL = f"""
+WITH cent(cluster, cv) AS (VALUES {{CENTS}}),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+batch AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 2 = 1 AND vec_id < {ADMIT_BATCH_MAX}
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT c0.vec_id, c0.embedding, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY c0.vec_id
+             ORDER BY LIST_DISTANCE(CAST(c0.embedding AS DOUBLE[]), c.cv) ASC, c.cluster ASC
+           ) AS rk
+    FROM corpus c0, cent c
+  ) WHERE rk = 1
+),
+bassigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT b.vec_id, b.embedding, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY LIST_DISTANCE(CAST(b.embedding AS DOUBLE[]), c.cv) ASC, c.cluster ASC
+           ) AS rk
+    FROM batch b, cent c
+  ) WHERE rk = 1
+),
+top1 AS (
+  SELECT bid, nid, cosine FROM (
+    SELECT b.vec_id AS bid, a.vec_id AS nid,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY ROUND(LIST_COSINE_SIMILARITY(CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) DESC,
+                      a.vec_id ASC
+           ) AS rn
+    FROM bassigned b JOIN assigned a ON a.cluster = b.cluster
+  ) WHERE rn = 1
+)
+SELECT b.vec_id,
+       CAST(b.cluster AS INTEGER) AS cluster,
+       t.nid AS nn_id,
+       t.cosine AS nn_cosine,
+       (t.cosine IS NULL OR t.cosine < {ADMIT_DUP_COS}) AS admitted
+FROM bassigned b LEFT JOIN top1 t ON t.bid = b.vec_id
+ORDER BY b.vec_id
+""".replace("{CENTS}", _admit_centroid_values())

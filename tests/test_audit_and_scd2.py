@@ -343,6 +343,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative gains over the 10-row decile spine (the per-row rank
     # is the two-pass keyed prefix, never a global window)
     "events_value_lift": "decile spine",
+    "events_value_pr_curve": "decile spine",
     # lag windows over the dense hourly calendar spine —
     # calendar-bounded by construction (timeseries.py mase_hourly)
     "events_value_mase": "hourly calendar spine",
@@ -411,6 +412,7 @@ SELF_JOIN_ALLOWED = {
     "ann_cosine_topk": "broadcast fixed-query side; groups ≤ n_queries",
     "ann_lsh_topk": "LSH bucket join, query side bounded; banded buckets",
     "ann_ivf_nprobe_sweep": "probe join keyed by (query, centroid), ≤ nprobe",
+    "ann_incremental_admit": "broadcast 20-row batch probes one posting list",
     "ann_recall_eval": "exact-vs-approx top-k joins on query id, groups ≤ k",
     "dedup_embedding": "banded cosine buckets with the D2 anti-cap",
     "dedup_semantic": "cluster-local pair join, clusters capped (SemDeDup)",

@@ -472,3 +472,36 @@ def test_mcnemar_symmetric_and_degenerate(spark):
     rows2 = [("r", True, True)] * 4
     df2 = spark.createDataFrame(rows2, "id string, a boolean, b boolean")
     assert mcnemar_test(df2, F.col("a"), F.col("b")).collect()[0].chi2_micro is None
+
+
+def test_pr_curve_hand_computed(spark):
+    """Same planted frame as the lift test (20 rows, scores 19..0,
+    positives at the top 4): decile 0 keeps 2 rows, both positive →
+    precision 1.0, recall 2/4 = 0.5, F1 = 2·2/(2+4) = 2/3; decile 1
+    keeps 4/4 positives in 4 rows → precision 1.0, recall 1.0, F1 1.0;
+    decile 9 (full population) → precision 4/20 = 0.2, recall 1.0,
+    F1 = 2·4/(20+4) = 1/3."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import pr_curve_table
+
+    rows = [("r%d" % i, 19 - i, i < 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "id string, cents long, pos boolean")
+    out = {r.decile: r for r in pr_curve_table(df, F.col("pos"), F.col("cents")).collect()}
+    assert len(out) == 10
+    d0, d1, d9 = out[0], out[1], out[9]
+    assert (d0.cum_rows, d0.cum_pos) == (2, 2)
+    assert (d0.precision_ppm, d0.recall_ppm, d0.f1_ppm) == (1_000_000, 500_000, 666_666)
+    assert (d1.precision_ppm, d1.recall_ppm, d1.f1_ppm) == (1_000_000, 1_000_000, 1_000_000)
+    assert (d9.cum_rows, d9.precision_ppm, d9.recall_ppm, d9.f1_ppm) == (
+        20, 200_000, 1_000_000, 333_333,
+    )
+
+
+def test_pr_curve_no_positives_null_recall(spark):
+    """P = 0 → recall/f1 NULL, precision still defined (0)."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import pr_curve_table
+
+    rows = [("r%d" % i, i, False) for i in range(10)]
+    df = spark.createDataFrame(rows, "id string, cents long, pos boolean")
+    out = pr_curve_table(df, F.col("pos"), F.col("cents")).collect()
+    assert all(r.recall_ppm is None and r.f1_ppm is None for r in out)
+    assert all(r.precision_ppm == 0 for r in out)
