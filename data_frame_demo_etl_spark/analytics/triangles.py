@@ -446,3 +446,205 @@ FROM scored
 ORDER BY common_neighbors DESC, jaccard_ppm DESC, u ASC, v ASC
 LIMIT 20
 """
+
+
+# ─────────────── G10: local clustering coefficient ───────────────
+
+CLUSTERING_TOP_K = 20
+
+
+def local_clustering(edges: DataFrame, k: int = CLUSTERING_TOP_K) -> DataFrame:
+    """G10: per-node local clustering coefficient (Watts–Strogatz) —
+    "how much of each supplier's neighborhood trades among itself":
+    C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) = triangles through
+    v, reported for the top-k nodes (coef DESC, node ASC) among nodes
+    with deg ≥ 2. Exact integers: coef_ppm = 2·T·10⁶ div (deg·(deg−1)).
+
+    Scale: the SAME degree-oriented wedge join as the census above —
+    every triangle is found exactly once from its minimum-ordered
+    vertex (Σ outdeg² = O(E^1.5) by orientation), then credited to all
+    THREE corners with one explode (3·T rows, answer-sized) and a
+    node-keyed count. No undirected Σdeg² join anywhere; the top-k is
+    a distributed TakeOrdered."""
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    withdeg = edges.join(du, "u").join(dv, "v")
+    # Eager checkpoint for the same 3-consumer reason as the census
+    # (both wedge sides + the closing probe read it inside one job).
+    oriented = (
+        withdeg.select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("s"), F.col("d").alias("x"))
+    w2 = oriented.select(F.col("s"), F.col("d").alias("y"))
+    wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select("s", "x", "y")
+    credits = tris.select(F.explode(F.array("s", "x", "y")).alias("n"))
+    tcount = credits.groupBy("n").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tcount, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "2 * cast(coalesce(triangles, 0) as decimal(38,0)) * 1000000"
+                " div (cast(deg as decimal(38,0)) * cast(deg - 1 as decimal(38,0)))"
+            )
+            .cast("long")
+            .alias("coef_ppm"),
+        )
+        .orderBy(F.col("coef_ppm").desc(), F.col("node").asc())
+        .limit(k)
+    )
+
+
+def supplier_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (G10): top-20 most-clustered suppliers of the strong
+    co-purchase graph — the node-local companion of the G3 census
+    (same shared memoized edge build)."""
+    return local_clustering(copurchase_edges(spark, sf_dir))
+
+
+SUPPLIER_CLUSTERING_SQL = """
+WITH pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(DISTINCT a.l_orderkey) AS c
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, u ASC, v ASC) AS rn FROM pairs
+),
+thresh AS (
+  SELECT c AS t FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(90 * (SELECT MAX(rn) FROM ranked) / 100.0) AS BIGINT))
+),
+edges AS (
+  SELECT u, v FROM pairs WHERE c >= (SELECT t FROM thresh)
+),
+und AS (
+  SELECT u AS w FROM edges UNION ALL SELECT v AS w FROM edges
+),
+deg AS (SELECT w AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY w),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+credits AS (
+  SELECT a AS n FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+tcount AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS triangles FROM credits GROUP BY n)
+SELECT d.n AS node,
+       d.deg AS degree,
+       COALESCE(t.triangles, 0) AS triangles,
+       CAST(2 * CAST(COALESCE(t.triangles, 0) AS HUGEINT) * 1000000
+            // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT) AS coef_ppm
+FROM deg d LEFT JOIN tcount t ON t.n = d.n
+WHERE d.deg >= 2
+ORDER BY coef_ppm DESC, node ASC
+LIMIT 20
+"""
+
+
+# ─────────────── G11: degree assortativity ───────────────
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """G11: degree assortativity (Newman 2002) — the degree–degree
+    Pearson correlation over edge endpoints: do well-connected
+    suppliers trade with well-connected ones (r > 0, assortative) or
+    with the periphery (r < 0, disassortative)? Each undirected edge
+    contributes BOTH ordered pairs (du,dv),(dv,du), which makes the
+    marginals symmetric (Σx = Σy, Σx² = Σy²) and the Pearson ratio
+    RATIONAL — r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²), no sqrt at all,
+    so the ppm result is exact integer arithmetic end to end (a
+    stronger guarantee than the K40 one-final-double convention).
+
+    Scale: two broadcast-sized joins of the edge table against the
+    node-degree aggregate and ONE one-row global sum — no self-join,
+    no window."""
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    both = edges.join(du, "u").join(dv, "v")
+    dec = "decimal(38,0)"
+    g = both.agg(
+        (F.count(F.lit(1)) * 2).cast(dec).alias("n"),
+        (F.sum(F.col("du") + F.col("dv"))).cast(dec).alias("sx"),
+        (F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))).cast(dec).alias("sxx"),
+        (F.sum(F.col("du") * F.col("dv")) * 2).cast(dec).alias("sxy"),
+    )
+    return g.select(
+        F.expr("cast(n div 2 as bigint)").alias("n_edges"),
+        F.when(
+            F.expr("n * sxx - sx * sx") > 0,
+            F.expr("(n * sxy - sx * sx) * 1000000 div (n * sxx - sx * sx)"),
+        )
+        .cast("long")
+        .alias("assortativity_ppm"),
+    )
+
+
+def supplier_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (G11): one-row degree assortativity of the strong
+    co-purchase graph."""
+    return degree_assortativity(copurchase_edges(spark, sf_dir))
+
+
+SUPPLIER_ASSORTATIVITY_SQL = """
+WITH pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(DISTINCT a.l_orderkey) AS c
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, u ASC, v ASC) AS rn FROM pairs
+),
+thresh AS (
+  SELECT c AS t FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(90 * (SELECT MAX(rn) FROM ranked) / 100.0) AS BIGINT))
+),
+edges AS (
+  SELECT u, v FROM pairs WHERE c >= (SELECT t FROM thresh)
+),
+und AS (
+  SELECT u AS w FROM edges UNION ALL SELECT v AS w FROM edges
+),
+deg AS (SELECT w AS n, CAST(COUNT(*) AS HUGEINT) AS deg FROM und GROUP BY w),
+g AS (
+  SELECT CAST(2 * COUNT(*) AS HUGEINT) AS n,
+         SUM(x.deg + y.deg) AS sx,
+         SUM(x.deg * x.deg + y.deg * y.deg) AS sxx,
+         2 * SUM(x.deg * y.deg) AS sxy
+  FROM edges e JOIN deg x ON x.n = e.u JOIN deg y ON y.n = e.v
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST((n * sxy - sx * sx) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+       END AS assortativity_ppm
+FROM g
+"""

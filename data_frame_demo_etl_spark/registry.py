@@ -1315,6 +1315,24 @@ from .similarity.ivf import ANN_INCREMENTAL_ADMIT_SQL, ann_incremental_admit
 
 register("ann_incremental_admit", ann_incremental_admit, ANN_INCREMENTAL_ADMIT_SQL)
 
+from .analytics.triangles import (
+    SUPPLIER_ASSORTATIVITY_SQL,
+    SUPPLIER_CLUSTERING_SQL,
+    supplier_clustering_coefficient,
+    supplier_degree_assortativity,
+)
+
+register(
+    "supplier_clustering_coefficient",
+    supplier_clustering_coefficient,
+    SUPPLIER_CLUSTERING_SQL,
+)
+register(
+    "supplier_degree_assortativity",
+    supplier_degree_assortativity,
+    SUPPLIER_ASSORTATIVITY_SQL,
+)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

@@ -463,8 +463,9 @@ SELF_JOIN_ALLOWED = {
     "events_view_purchase_interval_join": "per-user time-interval join; per-user event counts",
     "lapsed_customers_except": "EXCEPT rewrite: distinct customer keys (1 row/side/key)",
     "loyal_customers_intersect": "INTERSECT rewrite: distinct keys (1 row/side/key)",
-    # ── graph: the one true wedge self-join, capped.
+    # ── graph: wedge self-joins with named bounds.
     "supplier_link_prediction": "KNN-sparsified wedge: per-center fan-out ≤ C(32,2)",
+    "supplier_clustering_coefficient": "degree-ORIENTED wedge: Σ outdeg² = O(E^1.5)",
 }
 
 

@@ -72,3 +72,36 @@ def test_supplier_link_prediction_gate_shape(spark, sf_oracle_dir):
     assert list(out.columns) == ["u", "v", "common_neighbors", "jaccard_ppm"]
     assert len(out) <= 20
     assert (out.common_neighbors > 0).all()
+
+
+def test_local_clustering_planted(spark):
+    """Triangle 1-2-3 plus pendant 3-4: C(1)=C(2)=1.0, C(3)=1/3,
+    node 4 (deg 1) excluded."""
+    from data_frame_demo_etl_spark.analytics.triangles import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+    )
+    got = [(r.node, r.degree, r.triangles, r.coef_ppm)
+           for r in local_clustering(edges).collect()]
+    assert got == [(1, 2, 1, 1_000_000), (2, 2, 1, 1_000_000), (3, 3, 1, 333_333)]
+
+
+def test_assortativity_planted(spark):
+    """Path 1-2-3 is perfectly disassortative: r = -1."""
+    from data_frame_demo_etl_spark.analytics.triangles import degree_assortativity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    r = degree_assortativity(edges).collect()[0]
+    assert (r.n_edges, r.assortativity_ppm) == (2, -1_000_000)
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    """A 4-cycle is degree-regular: zero variance → NULL r."""
+    from data_frame_demo_etl_spark.analytics.triangles import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert (r.n_edges, r.assortativity_ppm) == (4, None)
