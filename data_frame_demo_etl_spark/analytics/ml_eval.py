@@ -1223,3 +1223,143 @@ SELECT n, n_both, b_only, c_only,
        END AS chi2_micro
 FROM g
 """
+
+
+# ─────────────── NDCG@k ranking evaluation (E-NDCG) ───────────────
+
+NDCG_K = 10
+#: Literal micro-grid discount table w_r = round(10⁶ / log2(r+1)) for
+#: ranks 1..k — computed ONCE here and embedded verbatim in both
+#: engines, so the irrational log2 never enters either plan (the same
+#: literal-constant policy as the anchor codebooks): parity holds by
+#: construction, not by float luck.
+import math as _math
+
+NDCG_WEIGHTS = tuple(
+    int(round(1_000_000 / _math.log2(r + 1))) for r in range(1, NDCG_K + 1)
+)
+
+
+def ndcg_by_key(
+    df: DataFrame,
+    key_col,
+    group_col,
+    rel_col,
+    score_cents_col,
+    tiebreak_col,
+    k: int = NDCG_K,
+) -> DataFrame:
+    """Per-key mean NDCG@k over per-group rankings — the graded-
+    relevance ranking metric (Järvelin & Kekäläinen 2002) that E-AUC's
+    binary pairwise view cannot express: rank each group's rows by
+    score (DESC, tiebreak ASC — a total order, so both engines walk
+    identical permutations), DCG = Σ_{r≤k} rel_r · w_r with the
+    literal NDCG_WEIGHTS discount, IDCG the same sum over the
+    relevance-sorted ideal ranking, ndcg = DCG·10⁶ div IDCG. Groups
+    with IDCG = 0 (no relevant rows) are excluded; the key row
+    reports how many groups scored and the integer mean of their
+    ndcg_ppm.
+
+    Scale: two row_numbers over the SAME group-partitioned shuffle
+    (groups are per-user — high cardinality, parallelizes fine), one
+    group-sized agg, one key-sized agg. No global window, no join."""
+    wlit = F.array(*[F.lit(w) for w in NDCG_WEIGHTS])
+    from pyspark.sql import Window
+
+    base = df.select(
+        key_col.alias("key"),
+        group_col.alias("grp"),
+        rel_col.cast("long").alias("rel"),
+        score_cents_col.alias("cents"),
+        tiebreak_col.alias("tid"),
+    ).filter(F.col("cents").isNotNull())
+    wr = Window.partitionBy("grp").orderBy(F.col("cents").desc(), F.col("tid").asc())
+    wi = Window.partitionBy("grp").orderBy(F.col("rel").desc(), F.col("tid").asc())
+    ranked = base.withColumn("r", F.row_number().over(wr)).withColumn(
+        "ri", F.row_number().over(wi)
+    )
+    per_grp = ranked.groupBy("key", "grp").agg(
+        F.sum(
+            F.when(F.col("r") <= k, F.col("rel") * F.element_at(wlit, F.col("r")))
+            .otherwise(F.lit(0))
+            .cast(DEC)
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("ri") <= k, F.col("rel") * F.element_at(wlit, F.col("ri")))
+            .otherwise(F.lit(0))
+            .cast(DEC)
+        ).alias("idcg"),
+    )
+    scored = per_grp.filter(F.col("idcg") > 0).withColumn(
+        "ndcg_ppm", F.expr("dcg * 1000000 div idcg")
+    )
+    return (
+        scored.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.expr(
+                "cast(sum(ndcg_ppm) div cast(count(1) as decimal(38,0)) as bigint)"
+            ).alias("mean_ndcg_ppm"),
+        )
+        .orderBy("key")
+    )
+
+
+def events_value_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (E-NDCG): mean per-user NDCG@10 of the value ranking
+    against graded engagement relevance (purchase=2, click=1, else 0),
+    per user-parity arm — does sorting a user's events by value
+    surface their conversion events first?"""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        ndcg_by_key(
+            events.filter(F.col("value").isNotNull()),
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+            F.col("user_id"),
+            F.when(F.col("event_type") == "purchase", F.lit(2))
+            .when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(F.lit(0)),
+            F.round(F.col("value") * 100).cast("long"),
+            F.col("event_id"),
+        )
+        .withColumnRenamed("key", "arm")
+        .orderBy("arm")
+    )
+
+
+def _ndcg_weight_case(pos_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {r} THEN {w}" for r, w in enumerate(NDCG_WEIGHTS, start=1)
+    )
+    return f"CASE {pos_expr} {arms} ELSE 0 END"
+
+
+EVENTS_VALUE_NDCG_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         user_id AS grp,
+         CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1 ELSE 0 END AS rel,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT arm, grp, rel,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents DESC, event_id ASC) AS r,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rel DESC, event_id ASC) AS ri
+  FROM base
+),
+per_grp AS (
+  SELECT arm, grp,
+         SUM(CAST(rel AS HUGEINT) * {_ndcg_weight_case("r")}) AS dcg,
+         SUM(CAST(rel AS HUGEINT) * {_ndcg_weight_case("ri")}) AS idcg
+  FROM ranked GROUP BY arm, grp
+),
+scored AS (
+  SELECT arm, dcg * 1000000 // idcg AS ndcg_ppm FROM per_grp WHERE idcg > 0
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm
+FROM scored GROUP BY arm ORDER BY arm
+"""

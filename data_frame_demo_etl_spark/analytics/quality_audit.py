@@ -2048,3 +2048,139 @@ SELECT CAST(n AS BIGINT) AS n_obs,
        END AS h_corrected_micro
 FROM folded CROSS JOIN ties
 """
+
+
+# ─────────────── Cliff's delta effect size (K67) ───────────────
+
+
+def cliffs_delta(
+    df: DataFrame,
+    key_col: str = "event_type",
+    group_col_expr=None,
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key Cliff's delta between the K36/K42 arms — the EFFECT
+    SIZE the Mann–Whitney p-value refuses to be: δ = P(a > b) −
+    P(a < b) over all cross-arm pairs, the dominance probability
+    difference ([-1, 1]; sign = which arm runs higher). At data scale
+    every test is "significant"; δ is the number that says whether
+    anyone should care.
+
+    Exactly derivable from K42's doubled-U: with U counting ties half,
+    2U_A = 2·#(a>b) + #ties and n_A·n_B = #(a>b) + #(a<b) + #ties, so
+    δ = (2U_A − n_A·n_B) / (n_A·n_B) — no new scan shape. Floor-safety
+    on negatives: δ_ppm = (2U_A·10⁶ div n_A·n_B) − 10⁶ (the dividend
+    is non-negative, and shifting by an integer multiple of the
+    denominator commutes with floor — both engines stay exact without
+    ever floor-dividing a negative). The |δ| magnitude label uses
+    Romano et al.'s conventional cuts (0.147/0.33/0.474) on the
+    IDENTICAL integer δ_ppm, so it can never disagree between engines.
+
+    Scale: same as K42 — one (key, cents) value-domain aggregation,
+    the two-pass keyed prefix, one ≤keys agg."""
+    if group_col_expr is None:
+        group_col_expr = F.col("user_id") % 2 == 0
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    cnt = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(key_col).alias("key"), cents.alias("cents"), group_col_expr.alias("is_a"))
+        .groupBy("key", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_a")).alias("av"),
+        )
+    )
+    pre = _keyed_prefix(cnt, ["cents"], "tv")
+    dec = "decimal(38,0)"
+    before = (F.col("cum") - F.col("tv")).cast(dec)
+    term = F.col("av").cast(dec) * (
+        F.lit(2).cast(dec) * before + F.col("tv").cast(dec) + F.lit(1).cast(dec)
+    )
+    g = (
+        pre.withColumn("r2a_term", term)
+        .groupBy("key")
+        .agg(
+            F.first("t").alias("n_rows"),
+            F.sum("av").alias("n_a"),
+            F.sum("r2a_term").alias("r2a"),
+        )
+    )
+    na = F.col("n_a").cast(dec)
+    nn = F.col("n_rows").cast(dec)
+    nb_d = nn - na
+    out = g.select(
+        F.col("key"),
+        F.col("n_a").cast("long").alias("n_a"),
+        nb_d.cast("long").alias("n_b"),
+        F.when(
+            (na > 0) & (nb_d > 0),
+            F.expr(
+                "(r2a - cast(n_a as decimal(38,0)) * (cast(n_a as decimal(38,0)) + 1))"
+                " * 1000000 div (cast(n_a as decimal(38,0))"
+                " * (cast(n_rows as decimal(38,0)) - cast(n_a as decimal(38,0))))"
+            )
+            - F.lit(1_000_000),
+        )
+        .cast("long")
+        .alias("delta_ppm"),
+    )
+    mag = F.abs(F.col("delta_ppm"))
+    return out.withColumn(
+        "magnitude",
+        F.when(F.col("delta_ppm").isNull(), F.lit(None).cast("string"))
+        .when(mag < 147_000, F.lit("negligible"))
+        .when(mag < 330_000, F.lit("small"))
+        .when(mag < 474_000, F.lit("medium"))
+        .otherwise(F.lit("large")),
+    ).orderBy("key")
+
+
+def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (K67): per-type Cliff's delta of event value between the
+    user-parity arms — the effect-size companion of K42's U test."""
+    events = load_table(spark, "events", sf_dir)
+    return cliffs_delta(events).withColumnRenamed("key", "event_type")
+
+
+EVENTS_CLIFFS_DELTA_SQL = """
+WITH cnt AS (
+  SELECT event_type AS key, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS av
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, tv, av,
+         SUM(tv) OVER (PARTITION BY key ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv AS before_v
+  FROM cnt
+),
+g AS (
+  SELECT key,
+         CAST(SUM(tv) AS HUGEINT) AS n_rows,
+         CAST(SUM(av) AS HUGEINT) AS n_a,
+         SUM(CAST(av AS HUGEINT) * (2 * CAST(before_v AS HUGEINT) + CAST(tv AS HUGEINT) + 1)) AS r2a
+  FROM pre
+  GROUP BY key
+),
+d AS (
+  SELECT key,
+         CAST(n_a AS BIGINT) AS n_a,
+         CAST(n_rows - n_a AS BIGINT) AS n_b,
+         CASE WHEN n_a > 0 AND n_rows - n_a > 0
+              THEN CAST((r2a - n_a * (n_a + 1)) * 1000000
+                        // (n_a * (n_rows - n_a)) - 1000000 AS BIGINT)
+         END AS delta_ppm
+  FROM g
+)
+SELECT key AS event_type, n_a, n_b, delta_ppm,
+       CASE WHEN delta_ppm IS NULL THEN NULL
+            WHEN ABS(delta_ppm) < 147000 THEN 'negligible'
+            WHEN ABS(delta_ppm) < 330000 THEN 'small'
+            WHEN ABS(delta_ppm) < 474000 THEN 'medium'
+            ELSE 'large'
+       END AS magnitude
+FROM d
+ORDER BY event_type
+"""

@@ -1333,6 +1333,14 @@ register(
     SUPPLIER_ASSORTATIVITY_SQL,
 )
 
+from .analytics.ml_eval import EVENTS_VALUE_NDCG_SQL, events_value_ndcg
+
+register("events_value_ndcg", events_value_ndcg, EVENTS_VALUE_NDCG_SQL)
+
+from .analytics.quality_audit import EVENTS_CLIFFS_DELTA_SQL, events_cliffs_delta
+
+register("events_cliffs_delta", events_cliffs_delta, EVENTS_CLIFFS_DELTA_SQL)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

@@ -535,3 +535,49 @@ def test_lorenz_extreme_skew_hockey_stick(spark):
     assert out[9].mass_share_ppm == 90_000     # 9/100
     assert out[10].mass_share_ppm == 1_000_000
     assert out[1].mass_share_ppm == 10_000     # 1/100
+
+
+def test_cliffs_delta_complete_separation(spark):
+    """Arm A strictly above arm B → δ = +1; swapped roles → −1."""
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.quality_audit import cliffs_delta
+
+    rows = [("t", 2 * i, 10.0 + i) for i in range(4)] + [
+        ("t", 2 * i + 1, 1.0 + i) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cliffs_delta(df).collect()[0]
+    assert (r.n_a, r.n_b, r.delta_ppm, r.magnitude) == (4, 4, 1_000_000, "large")
+    flipped = cliffs_delta(df, group_col_expr=F.col("user_id") % 2 == 1).collect()[0]
+    assert (flipped.delta_ppm, flipped.magnitude) == (-1_000_000, "large")
+
+
+def test_cliffs_delta_ties_and_zero(spark):
+    """All values tied → every pair is a tie → δ = 0, negligible."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import cliffs_delta
+
+    rows = [("t", i, 5.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cliffs_delta(df).collect()[0]
+    assert (r.delta_ppm, r.magnitude) == (0, "negligible")
+
+
+def test_cliffs_delta_hand_computed_mixed(spark):
+    """A = {1, 3}, B = {2}: pairs (1,2) a<b, (3,2) a>b → δ = 0;
+    A = {3, 4}, B = {2}: both a>b → δ = 1 on a 2×1 grid."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import cliffs_delta
+
+    rows = [("t", 0, 0.01), ("t", 2, 0.03), ("t", 1, 0.02)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cliffs_delta(df).collect()[0]
+    assert (r.n_a, r.n_b, r.delta_ppm) == (2, 1, 0)
+
+
+def test_cliffs_delta_empty_arm_null(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import cliffs_delta
+
+    rows = [("t", 0, 1.0), ("t", 2, 2.0)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cliffs_delta(df).collect()[0]
+    assert r.delta_ppm is None and r.magnitude is None

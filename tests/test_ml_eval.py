@@ -505,3 +505,34 @@ def test_pr_curve_no_positives_null_recall(spark):
     out = pr_curve_table(df, F.col("pos"), F.col("cents")).collect()
     assert all(r.recall_ppm is None and r.f1_ppm is None for r in out)
     assert all(r.precision_ppm == 0 for r in out)
+
+
+def test_ndcg_hand_computed(spark):
+    """One user, 3 events: value ranking puts rel [2,0,1] at ranks
+    1..3 → DCG = 2·w₁ + 1·w₃; ideal is [2,1,0] → IDCG = 2·w₁ + 1·w₂."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import NDCG_WEIGHTS, ndcg_by_key
+
+    rows = [(1, 1, 2, 500), (1, 2, 0, 400), (1, 3, 1, 300)]
+    df = spark.createDataFrame(rows, "u long, eid long, rel long, cents long")
+    out = ndcg_by_key(
+        df, F.lit("all"), F.col("u"), F.col("rel"), F.col("cents"), F.col("eid")
+    ).collect()
+    assert len(out) == 1
+    dcg = 2 * NDCG_WEIGHTS[0] + 1 * NDCG_WEIGHTS[2]
+    idcg = 2 * NDCG_WEIGHTS[0] + 1 * NDCG_WEIGHTS[1]
+    assert out[0].n_groups == 1
+    assert out[0].mean_ndcg_ppm == dcg * 1_000_000 // idcg == 950_234
+
+
+def test_ndcg_perfect_ranking_and_zero_rel_excluded(spark):
+    """User 1's value order matches relevance → ndcg 10⁶ exactly;
+    user 2 has no relevant rows (IDCG 0) → excluded from the mean."""
+    from data_frame_demo_etl_spark.analytics.ml_eval import ndcg_by_key
+
+    rows = [(1, 1, 2, 900), (1, 2, 1, 800), (1, 3, 0, 100),
+            (2, 4, 0, 500), (2, 5, 0, 400)]
+    df = spark.createDataFrame(rows, "u long, eid long, rel long, cents long")
+    out = ndcg_by_key(
+        df, F.lit("all"), F.col("u"), F.col("rel"), F.col("cents"), F.col("eid")
+    ).collect()
+    assert (out[0].n_groups, out[0].mean_ndcg_ppm) == (1, 1_000_000)
