@@ -1220,3 +1220,97 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
        END AS mase_ppm
 FROM lagged
 """
+
+
+# ─────────────── A17: dwell time per event transition ───────────────
+
+
+def dwell_transitions(events: DataFrame) -> DataFrame:
+    """A17: per-transition dwell-time summary — for every consecutive
+    event pair within a user's (ts, event_id)-ordered stream, the gap
+    in microseconds, aggregated per (from_type, to_type): n, min, max
+    and the DOUBLED exact median (the repo's integer-median
+    convention). The behavioral-latency companion of K23's transition
+    PROBABILITIES: K23 says "view → click happens 30% of the time",
+    this says "and takes a median of 90 seconds" — the pair a
+    session-timeout or recommendation-latency budget is tuned from.
+
+    Determinism: the per-user order carries the (ts, event_id) total
+    order (A11's convention), so tied timestamps produce identical
+    transition pairs in both engines. Scale: one user-partitioned lag
+    window (high-cardinality, parallelizes), ONE (transition, gap)
+    map-side-combined aggregation, then the K63 pattern — the
+    `_keyed_prefix` two-pass layout over the collapsed gap table with
+    both middle order statistics read off the cumulative counts by
+    exact integer cross-multiplication (2·cum ≥ t+1 / t+2). The first
+    cut of this op ran the histogram-narrowing grouped median instead:
+    correct, but its per-task WHEN array (25 transitions × 2 ranks)
+    costs 50 struct evaluations per row per pass — measured 234 s at
+    sf10 vs 20 s for this plan on identical output."""
+    from .quality_audit import _keyed_prefix
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select(
+            "from_type",
+            F.col("event_type").alias("to_type"),
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("d_us"),
+        )
+    )
+    cnt = gaps.groupBy("from_type", "to_type", "d_us").agg(
+        F.count(F.lit(1)).alias("c")
+    ).withColumn("key", F.concat_ws("|", "from_type", "to_type"))
+    pre = _keyed_prefix(cnt, ["d_us"], "c")
+    r_lo = F.expr("(t + 1) div 2")  # lower-middle rank (exact integer)
+    r_hi = F.expr("(t + 2) div 2")  # upper-middle rank (== r_lo when t odd)
+    return (
+        pre.groupBy("key")
+        .agg(
+            F.first("from_type").alias("from_type"),
+            F.first("to_type").alias("to_type"),
+            F.max("t").cast("long").alias("n"),
+            F.min("d_us").cast("long").alias("min_us"),
+            F.max("d_us").cast("long").alias("max_us"),
+            (
+                F.min(F.when(F.col("cum") >= r_lo, F.col("d_us")))
+                + F.min(F.when(F.col("cum") >= r_hi, F.col("d_us")))
+            )
+            .cast("long")
+            .alias("median2_us"),
+        )
+        .select("from_type", "to_type", "n", "min_us", "max_us", "median2_us")
+        .orderBy("from_type", "to_type")
+    )
+
+
+def events_dwell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (A17): dwell-time summary of every event-type transition."""
+    return dwell_transitions(load_table(spark, "events", sf_dir))
+
+
+EVENTS_DWELL_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER w AS from_type,
+         LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT from_type, event_type AS to_type,
+         EPOCH_US(ts) - EPOCH_US(prev_ts) AS d_us
+  FROM seq WHERE from_type IS NOT NULL
+)
+SELECT from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(d_us) AS BIGINT) AS min_us,
+       CAST(MAX(d_us) AS BIGINT) AS max_us,
+       CAST(2 * QUANTILE_CONT(d_us, 0.5) AS BIGINT) AS median2_us
+FROM d
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

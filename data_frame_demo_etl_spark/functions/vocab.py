@@ -958,3 +958,126 @@ WHERE cf >= {BURST_MIN_CF}
 ORDER BY vmr_micro DESC, word ASC
 LIMIT {BURST_TOP_K}
 """
+
+
+# ───────────────────── TF-IDF source profiling (L28) ─────────────────────
+
+TFIDF_TOP_PER_SOURCE = 5
+TFIDF_MIN_TF = 3
+
+
+def tfidf_source_terms(
+    docs: DataFrame,
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = TFIDF_TOP_PER_SOURCE,
+    min_tf: int = TFIDF_MIN_TF,
+) -> DataFrame:
+    """Per-source top-k terms by TF-IDF (Spärck Jones) — the retrieval
+    view of "what is this source about": score(s, w) = tf_{s,w} ·
+    ln(N_docs / df_w) with df the DOCUMENT frequency, so corpus-wide
+    boilerplate (df ≈ N) scores ~0 regardless of raw count while
+    source-concentrated content rises. Beside the keyness family: G²
+    (L26) asks "statistically over-represented vs elsewhere", TF-IDF
+    asks the rawer retrieval question "frequent here, rare anywhere".
+
+    Exactness: the L26 qln convention — idf_micro = floor(ln(N/df)·10⁶
+    + 0.5) of an exact integer ratio (correctly-rounded IEEE double of
+    integer operands, identical in both engines), tfidf_micro =
+    tf · idf_micro, exact integer product. tf < min_tf pairs are
+    pruned before scoring (noise floor, same as KEYNESS_MIN_COUNT).
+
+    Shape: ONE tokenize scan feeding BOTH aggregations — (source,
+    word) term counts and (word, distinct-doc) document frequencies —
+    then a vocabulary-sized join with the broadcast 1-row doc total;
+    the per-source top-k is a partitioned window over the
+    (sources × vocab)-bounded score table."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(by_col).alias("src"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    sw = tok.groupBy("src", "w").agg(F.count(F.lit(1)).cast(dec).alias("tf"))
+    df_w = (
+        tok.select("doc", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast(dec).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast(dec).alias("nd"))
+    scored = (
+        sw.filter(F.col("tf") >= min_tf)
+        .join(df_w, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("src").alias("source"),
+            F.col("w").alias("word"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("nd").cast("double") / F.col("df").cast("double"))
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast(dec)
+            )
+            .cast("long")
+            .alias("tfidf_micro"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("tfidf_micro").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= top_k)
+        .select("source", F.col("rk").cast("int").alias("rk"), "word", "tf", "df", "tfidf_micro")
+        .orderBy("source", "rk")
+    )
+
+
+def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (L28): top-5 TF-IDF terms per source over the documents
+    corpus."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_source_terms(docs)
+
+
+DOCS_TFIDF_TERMS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id AS doc, source AS src,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+),
+sw AS (SELECT src, w, CAST(COUNT(*) AS HUGEINT) AS tf FROM tok GROUP BY 1, 2),
+df_w AS (
+  SELECT w, CAST(COUNT(*) AS HUGEINT) AS df
+  FROM (SELECT DISTINCT doc, w FROM tok) GROUP BY w
+),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents),
+scored AS (
+  SELECT src AS source, w AS word,
+         CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         CAST(tf * CAST(FLOOR(LN(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) AS BIGINT) AS tfidf_micro
+  FROM sw JOIN df_w USING (w) CROSS JOIN tot
+  WHERE tf >= {TFIDF_MIN_TF}
+)
+SELECT source, rk, word, tf, df, tfidf_micro FROM (
+  SELECT source, word, tf, df, tfidf_micro,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY tfidf_micro DESC, word ASC
+         ) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOP_PER_SOURCE}
+ORDER BY source, rk
+"""

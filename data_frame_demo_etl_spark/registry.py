@@ -1341,6 +1341,19 @@ from .analytics.quality_audit import EVENTS_CLIFFS_DELTA_SQL, events_cliffs_delt
 
 register("events_cliffs_delta", events_cliffs_delta, EVENTS_CLIFFS_DELTA_SQL)
 
+from .functions.vocab import DOCS_TFIDF_TERMS_SQL, docs_tfidf_terms
+
+register("docs_tfidf_terms", docs_tfidf_terms, DOCS_TFIDF_TERMS_SQL)
+
+from .analytics.timeseries import (
+    EVENTS_DWELL_TRANSITIONS_SQL,
+    events_dwell_transitions,
+)
+
+register(
+    "events_dwell_transitions", events_dwell_transitions, EVENTS_DWELL_TRANSITIONS_SQL
+)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

@@ -244,6 +244,10 @@ CARTESIAN_ALLOWED = {
     # crossJoin(broadcast(1-ROW corpus-token total)) onto the
     # vocab-sized G² table (functions/vocab.py source_keyness).
     "docs_source_keyness",
+    # crossJoin(broadcast(1-ROW doc total)) onto the vocab-sized
+    # TF-IDF score table — bounded scalar (functions/vocab.py
+    # tfidf_source_terms).
+    "docs_tfidf_terms",
     # crossJoin(broadcast(1-ROW tie-sum aggregate)) onto the 1-row
     # arm fold (analytics/quality_audit.py kruskal_wallis).
     "events_kruskal_wallis",

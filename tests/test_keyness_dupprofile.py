@@ -121,3 +121,44 @@ def test_kruskal_wallis_all_tied_h_zero_corrected_null(spark):
     # unscaled div produced −0.6 here); C = 0 → corrected NULL
     assert r.h_micro == 0
     assert r.h_corrected_micro is None
+
+
+def test_tfidf_hand_computed(spark):
+    """3 docs / 2 sources: df(apple)=2, df(banana)=2, df(cherry)=1 →
+    idf_micro = 405465 / 405465 / 1098612; min_tf=3 prunes s2's
+    single apple; scores are exact integer products."""
+    from data_frame_demo_etl_spark.functions.vocab import tfidf_source_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "apple apple apple banana"),
+            (2, "s1", "banana banana banana banana"),
+            (3, "s2", "apple cherry cherry cherry"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = [(r.source, r.rk, r.word, r.tf, r.df, r.tfidf_micro)
+           for r in tfidf_source_terms(docs).collect()]
+    assert got == [
+        ("s1", 1, "banana", 5, 2, 5 * 405465),
+        ("s1", 2, "apple", 3, 2, 3 * 405465),
+        ("s2", 1, "cherry", 3, 1, 3 * 1098612),
+    ]
+
+
+def test_tfidf_ubiquitous_word_scores_zero(spark):
+    """A word in EVERY document has idf ln(1) = 0 → tfidf 0, ranked
+    below any concentrated term."""
+    from data_frame_demo_etl_spark.functions.vocab import tfidf_source_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "the the the zebra zebra zebra"),
+            (2, "s1", "the cat"),
+            (3, "s2", "the dog"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.source, r.word): r.tfidf_micro for r in tfidf_source_terms(docs).collect()}
+    assert got[("s1", "the")] == 0
+    assert got[("s1", "zebra")] == 3 * 1098612

@@ -143,6 +143,10 @@ CARTESIAN_ALLOWED = {
     # per-source 1-ROW totals crossJoined onto the vocab-sized G²
     # table — bounded scalars (functions/vocab.py source_keyness).
     "docs_source_keyness",
+    # crossJoin(broadcast(1-ROW doc total)) onto the vocab-sized
+    # TF-IDF score table — bounded scalar (functions/vocab.py
+    # tfidf_source_terms).
+    "docs_tfidf_terms",
     # crossJoin(broadcast(1-ROW corpus totals)) onto the
     # group-size histogram — bounded scalar (dedup/novelty.py).
     "docs_duplication_profile",

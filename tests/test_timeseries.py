@@ -66,3 +66,57 @@ def test_mase_gap_hours_are_zeros(spark):
     assert r.n_hours == 3
     assert r.sae_naive_cents == 20
     assert r.sae_seasonal_cents == 0 and r.mase_ppm == 0
+
+
+def test_dwell_transitions_hand_computed(spark):
+    """view→click 10s, click→purchase 15s (user 1); view→view 5s
+    (user 2); single-gap medians are 2·gap on the doubled grid."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_frame_demo_etl_spark.analytics.timeseries import dwell_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + dt.timedelta(seconds=10)),
+        (3, 1, "purchase", t0 + dt.timedelta(seconds=25)),
+        (4, 2, "view", t0),
+        (5, 2, "view", t0 + dt.timedelta(seconds=5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = [(r.from_type, r.to_type, r.n, r.min_us, r.max_us, r.median2_us)
+           for r in dwell_transitions(df).collect()]
+    s = 1_000_000
+    assert got == [
+        ("click", "purchase", 1, 15 * s, 15 * s, 30 * s),
+        ("view", "click", 1, 10 * s, 10 * s, 20 * s),
+        ("view", "view", 1, 5 * s, 5 * s, 10 * s),
+    ]
+
+
+def test_dwell_transitions_tied_ts_uses_event_id_order(spark):
+    """Two events share a timestamp: the (ts, event_id) total order
+    fixes the transition direction (a→b, never b→a), and the even
+    count exercises the doubled-median midpoint (gaps 0s and 4s →
+    median2 = 4s)."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import dwell_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (10, 1, "a", t0),
+        (11, 1, "b", t0),  # tied ts: comes AFTER event 10 by id
+        (20, 2, "a", t0),
+        (21, 2, "b", t0 + dt.timedelta(seconds=4)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = [(r.from_type, r.to_type, r.n, r.min_us, r.max_us, r.median2_us)
+           for r in dwell_transitions(df).collect()]
+    assert got == [("a", "b", 2, 0, 4_000_000, 4_000_000)]
