@@ -1314,3 +1314,160 @@ FROM d
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ─────────────── K68: seasonal strength decomposition ───────────────
+
+SEASONAL_HALF_WINDOW = 12  # centered 25-hour moving-average trend
+
+
+def seasonal_strength_hourly(events: DataFrame) -> DataFrame:
+    """K68: seasonal-strength decomposition of the hourly value series
+    (the STL-strength read, Wang/Smith/Hyndman 2006): detrend with a
+    centered 25-hour moving average, take the hour-of-day means as the
+    seasonal component, and report
+    F_seasonal = max(0, 1 − Var(remainder)/Var(detrended)) — "how much
+    of the non-trend variation is the daily cycle". K66's MASE says a
+    seasonal-naive FORECAST beats persistence; this says how much of
+    the variance the season explains, plus WHERE the cycle peaks.
+
+    Exact-integer construction: the dense hourly spine and cent sums
+    are K66's; detrended d = 25·cents − Σ±12 cents (multiplied
+    through, so the trend subtraction never divides); d is SHIFTED by
+    the global min (one broadcast 1-row scalar — the q22 shape) so
+    every later floor division runs on non-negatives, where Spark
+    `div` and DuckDB `//` agree (variance is shift-invariant, so the
+    strength is unchanged); hour-of-day means land once, floored
+    on the d grid itself (s_grid = Σd_shift div n_hod — one grid unit
+    is 1/25 of a cent of hourly sum, so the quantization is far below
+    any real seasonal signal, and both engines floor identically on
+    the non-negative shifted values); variances use the n·Σx² − (Σx)²
+    integer form on decimal(38,0) — an earlier cut scaled d by 10⁶
+    before squaring and overflowed the 38-digit grid at sf1.
+    Edges without a full 25-hour window are excluded (n_core).
+
+    Scale: one map-side-combined hourly aggregation; every window and
+    mean lives on the calendar-bounded spine."""
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.expr("cast(round(value * 100) as long)")).alias("cents")
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    dense = spine.join(hourly, "h", "left").select(
+        "h", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+    from pyspark.sql import Window
+
+    hw = SEASONAL_HALF_WINDOW
+    span = 2 * hw + 1
+    w = Window.orderBy("h").rowsBetween(-hw, hw)
+    dec = "decimal(38,0)"
+    n_hours = dense.count()
+    core = (
+        dense.withColumn("s25", F.sum("cents").over(w))
+        .withColumn("c25", F.count(F.lit(1)).over(w))
+        .filter(F.col("c25") == span)
+        .select(
+            F.hour("h").alias("hod"),
+            (F.lit(span).cast(dec) * F.col("cents").cast(dec) - F.col("s25").cast(dec)).alias("d"),
+        )
+    )
+    dmin = core.agg(F.min("d").alias("dmin"))
+    shifted = core.crossJoin(F.broadcast(dmin)).select(
+        "hod", (F.col("d") - F.col("dmin")).alias("dm")
+    ).persist()
+    hod_means = shifted.groupBy("hod").agg(
+        F.expr("cast(sum(dm) div cast(count(1) as decimal(38,0)) as decimal(38,0))").alias("s_grid")
+    )
+    joined = shifted.join(F.broadcast(hod_means), "hod").select(
+        "dm", (F.col("dm") - F.col("s_grid")).alias("r")
+    )
+    g = joined.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("dm").alias("sd"),
+        F.sum(F.expr("dm * dm")).alias("sdd"),
+        F.sum("r").alias("sr"),
+        F.sum(F.expr("r * r")).alias("srr"),
+    )
+    peak = hod_means.orderBy(F.col("s_grid").desc(), F.col("hod").asc()).limit(1)
+    out = g.crossJoin(F.broadcast(peak)).select(
+        F.lit(n_hours).cast("long").alias("n_hours"),
+        F.col("n").cast("long").alias("n_core"),
+        F.when(
+            F.expr("n * sdd - sd * sd") > 0,
+            F.expr(
+                "greatest((n * sdd - sd * sd) - (n * srr - sr * sr), cast(0 as decimal(38,0)))"
+                " * 1000000 div (n * sdd - sd * sd)"
+            ),
+        )
+        .cast("long")
+        .alias("seasonal_strength_ppm"),
+        F.col("hod").cast("int").alias("peak_hour"),
+    )
+    shifted.unpersist()
+    return out
+
+
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (K68): seasonal strength + peak hour of the hourly value
+    series."""
+    events = load_table(spark, "events", sf_dir)
+    return seasonal_strength_hourly(events.filter(F.col("value").isNotNull()))
+
+
+EVENTS_SEASONAL_STRENGTH_SQL = f"""
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+spine AS (
+  SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+dense AS (
+  SELECT s.h, COALESCE(hourly.cents, 0) AS cents
+  FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+),
+win AS (
+  SELECT h, cents,
+         SUM(cents) OVER w AS s25, COUNT(*) OVER w AS c25
+  FROM dense
+  WINDOW w AS (ORDER BY h ROWS BETWEEN {SEASONAL_HALF_WINDOW} PRECEDING
+               AND {SEASONAL_HALF_WINDOW} FOLLOWING)
+),
+core AS (
+  SELECT EXTRACT(HOUR FROM h) AS hod,
+         CAST({2 * SEASONAL_HALF_WINDOW + 1} AS HUGEINT) * cents - CAST(s25 AS HUGEINT) AS d
+  FROM win WHERE c25 = {2 * SEASONAL_HALF_WINDOW + 1}
+),
+shifted AS (
+  SELECT hod, d - (SELECT MIN(d) FROM core) AS dm FROM core
+),
+hod_means AS (
+  SELECT hod, SUM(dm) // COUNT(*) AS s_grid FROM shifted GROUP BY hod
+),
+joined AS (
+  SELECT dm, dm - s_grid AS r FROM shifted JOIN hod_means USING (hod)
+),
+g AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(dm) AS sd, SUM(dm * dm) AS sdd,
+         SUM(r) AS sr, SUM(r * r) AS srr
+  FROM joined
+),
+peak AS (
+  SELECT hod FROM hod_means ORDER BY s_grid DESC, hod ASC LIMIT 1
+)
+SELECT CAST((SELECT COUNT(*) FROM dense) AS BIGINT) AS n_hours,
+       CAST(n AS BIGINT) AS n_core,
+       CASE WHEN n * sdd - sd * sd > 0
+            THEN CAST(GREATEST((n * sdd - sd * sd) - (n * srr - sr * sr), 0)
+                      * 1000000 // (n * sdd - sd * sd) AS BIGINT)
+       END AS seasonal_strength_ppm,
+       CAST((SELECT hod FROM peak) AS INTEGER) AS peak_hour
+FROM g
+"""

@@ -1354,6 +1354,15 @@ register(
     "events_dwell_transitions", events_dwell_transitions, EVENTS_DWELL_TRANSITIONS_SQL
 )
 
+from .analytics.timeseries import (
+    EVENTS_SEASONAL_STRENGTH_SQL,
+    events_seasonal_strength,
+)
+
+register(
+    "events_seasonal_strength", events_seasonal_strength, EVENTS_SEASONAL_STRENGTH_SQL
+)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

@@ -251,6 +251,10 @@ CARTESIAN_ALLOWED = {
     # crossJoin(broadcast(1-ROW tie-sum aggregate)) onto the 1-row
     # arm fold (analytics/quality_audit.py kruskal_wallis).
     "events_kruskal_wallis",
+    # crossJoins of 1-ROW scalars (global d-min shift, peak-hour row)
+    # onto the calendar-bounded decomposition (analytics/timeseries.py
+    # seasonal_strength_hourly).
+    "events_seasonal_strength",
     # crossJoin(broadcast(1-ROW doc total)) onto the group-size
     # histogram (dedup/novelty.py duplication_profile).
     "docs_duplication_profile",
@@ -351,6 +355,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # lag windows over the dense hourly calendar spine —
     # calendar-bounded by construction (timeseries.py mase_hourly)
     "events_value_mase": "hourly calendar spine",
+    "events_seasonal_strength": "hourly calendar spine",
     # top-20 rank over the vocabulary-bounded phrase-score table
     "docs_rake_keywords": "phrase-score vocabulary table",
     # K29 exact distributed selection — the documented bounded

@@ -147,6 +147,9 @@ CARTESIAN_ALLOWED = {
     # TF-IDF score table — bounded scalar (functions/vocab.py
     # tfidf_source_terms).
     "docs_tfidf_terms",
+    # 1-ROW scalar crossJoins (d-min shift, peak hour) — the q22 shape
+    # (analytics/timeseries.py seasonal_strength_hourly).
+    "events_seasonal_strength",
     # crossJoin(broadcast(1-ROW corpus totals)) onto the
     # group-size histogram — bounded scalar (dedup/novelty.py).
     "docs_duplication_profile",

@@ -120,3 +120,42 @@ def test_dwell_transitions_tied_ts_uses_event_id_order(spark):
     got = [(r.from_type, r.to_type, r.n, r.min_us, r.max_us, r.median2_us)
            for r in dwell_transitions(df).collect()]
     assert got == [("a", "b", 2, 0, 4_000_000, 4_000_000)]
+
+
+def test_seasonal_strength_pure_period_is_one(spark):
+    """A purely 24-periodic series (value 1.0 at hour 9, nothing
+    else): the detrended series is constant per hour-of-day, so the
+    remainder is exactly zero → strength = 10⁶, peak_hour = 9."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import seasonal_strength_hourly
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [(i, 1, "view", t0 + dt.timedelta(days=d), 1.0) for d, i in zip(range(5), range(5))]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    r = seasonal_strength_hourly(df).collect()[0]
+    # spine: day0 09:00 .. day4 09:00 = 97 hours; 24 edge hours lack a
+    # full 25-hour window.
+    assert (r.n_hours, r.n_core) == (97, 73)
+    assert r.seasonal_strength_ppm == 1_000_000
+    assert r.peak_hour == 9
+
+
+def test_seasonal_strength_constant_series_null(spark):
+    """A constant series detrends to all-zero: Var(detrended) = 0 →
+    strength NULL (undefined, nothing to explain)."""
+    import datetime as dt
+
+    from data_frame_demo_etl_spark.analytics.timeseries import seasonal_strength_hourly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, "view", t0 + dt.timedelta(hours=i), 2.0) for i in range(72)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    r = seasonal_strength_hourly(df).collect()[0]
+    assert (r.n_hours, r.n_core) == (72, 48)
+    assert r.seasonal_strength_ppm is None
+    assert r.peak_hour == 0
