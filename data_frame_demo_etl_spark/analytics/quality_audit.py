@@ -2184,3 +2184,124 @@ SELECT key AS event_type, n_a, n_b, delta_ppm,
 FROM d
 ORDER BY event_type
 """
+
+
+# ─────────────── K69: Benjamini–Hochberg FDR over the A/B family ───────────────
+
+BH_ALPHA = 0.05
+BH_MAX_M = 8  # threshold table covers up to 8 simultaneous tests
+
+#: z*(m, k) = Φ⁻¹(1 − α·k/(2m)) on the micro grid — the two-sided
+#: z-threshold equivalent of the BH bound p_(k) ≤ α·k/m, precomputed
+#: ONCE here (stdlib NormalDist) and embedded as literals in BOTH
+#: engines (the anchor-constant policy): |z| comparisons against a
+#: shared integer table keep Φ out of both plans entirely, so the
+#: step-up decision is exact integer logic.
+import statistics as _statistics
+
+BH_Z_MICRO = {
+    (m, k): int(
+        round(
+            _statistics.NormalDist().inv_cdf(1.0 - BH_ALPHA * k / (2.0 * m)) * 1_000_000
+        )
+    )
+    for m in range(1, BH_MAX_M + 1)
+    for k in range(1, m + 1)
+}
+
+
+def bh_fdr(tests: DataFrame, key_col: str, z_micro_col: str) -> DataFrame:
+    """K69: Benjamini–Hochberg step-up over a family of z-tests — the
+    multiple-testing layer every per-type A/B table needs before
+    anyone acts on it (at data scale, 1-in-20 "significant" types are
+    free; BH caps the expected FALSE-DISCOVERY share at α instead of
+    the per-test error). Tests ranked by |z| DESC (p ASC), the BH
+    bound p_(k) ≤ α·k/m applied as |z|_(k) ≥ z*(m, k) against the
+    literal BH_Z_MICRO table, and every rank ≤ the LARGEST passing k
+    is rejected (step-up: a test can be carried over the line by a
+    stronger one below it — the defining BH behavior).
+
+    Scale: the family table is test-domain-sized (≤ types); the rank
+    window and the 1-row k* scalar are bounded by construction."""
+    from pyspark.sql import Window
+
+    base = tests.select(
+        F.col(key_col).alias("key"), F.col(z_micro_col).alias("z_micro")
+    ).filter(F.col("z_micro").isNotNull())
+    w = Window.orderBy(F.abs(F.col("z_micro")).desc(), F.col("key").asc())
+    m_row = base.agg(F.count(F.lit(1)).alias("m"))
+    thr = F.coalesce(
+        *[
+            F.when(
+                (F.col("m") == m) & (F.col("rank") == k), F.lit(z)
+            )
+            for (m, k), z in sorted(BH_Z_MICRO.items())
+        ],
+        F.lit(None).cast("long"),
+    )
+    ranked = (
+        base.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(m_row))
+        .withColumn("threshold_micro", thr.cast("long"))
+        .withColumn(
+            "passes", F.abs(F.col("z_micro")) >= F.col("threshold_micro")
+        )
+    )
+    kstar = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("passes"), F.col("rank"))), F.lit(0)).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            F.col("key"),
+            F.col("z_micro").cast("long").alias("z_micro"),
+            F.col("rank").cast("int").alias("rank"),
+            "threshold_micro",
+            (F.col("rank") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+def events_ab_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (K69): BH step-up at α=0.05 over the per-type two-
+    proportion z family (K36) — which event types survive
+    multiple-testing correction."""
+    return bh_fdr(events_ab_test(spark, sf_dir), "event_type", "z_micro").withColumnRenamed(
+        "key", "event_type"
+    )
+
+
+def _bh_threshold_case() -> str:
+    arms = " ".join(
+        f"WHEN m = {m} AND rank = {k} THEN {z}"
+        for (m, k), z in sorted(BH_Z_MICRO.items())
+    )
+    return f"CASE {arms} END"
+
+
+EVENTS_AB_FDR_SQL = f"""
+WITH zt AS (
+{EVENTS_AB_TEST_SQL}
+),
+fdr_base AS (SELECT event_type AS key, z_micro FROM zt WHERE z_micro IS NOT NULL),
+ranked AS (
+  SELECT key, z_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY ABS(z_micro) DESC, key ASC) AS INTEGER) AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM fdr_base
+),
+thr AS (
+  SELECT key, z_micro, rank,
+         CAST({_bh_threshold_case()} AS BIGINT) AS threshold_micro
+  FROM ranked
+),
+ks AS (
+  SELECT COALESCE(MAX(CASE WHEN ABS(z_micro) >= threshold_micro THEN rank END), 0) AS k_star
+  FROM thr
+)
+SELECT key AS event_type, z_micro, rank, threshold_micro,
+       rank <= (SELECT k_star FROM ks) AS rejected
+FROM thr
+ORDER BY rank
+"""

@@ -1363,6 +1363,10 @@ register(
     "events_seasonal_strength", events_seasonal_strength, EVENTS_SEASONAL_STRENGTH_SQL
 )
 
+from .analytics.quality_audit import EVENTS_AB_FDR_SQL, events_ab_fdr
+
+register("events_ab_fdr", events_ab_fdr, EVENTS_AB_FDR_SQL)
+
 # ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation

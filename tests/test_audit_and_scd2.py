@@ -255,6 +255,9 @@ CARTESIAN_ALLOWED = {
     # onto the calendar-bounded decomposition (analytics/timeseries.py
     # seasonal_strength_hourly).
     "events_seasonal_strength",
+    # crossJoins of 1-ROW scalars (family size m, step-up k*) onto the
+    # type-domain test table (analytics/quality_audit.py bh_fdr).
+    "events_ab_fdr",
     # crossJoin(broadcast(1-ROW doc total)) onto the group-size
     # histogram (dedup/novelty.py duplication_profile).
     "docs_duplication_profile",
@@ -355,6 +358,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # lag windows over the dense hourly calendar spine —
     # calendar-bounded by construction (timeseries.py mase_hourly)
     "events_value_mase": "hourly calendar spine",
+    # |z|-rank over the ≤types test-family table (bh_fdr)
+    "events_ab_fdr": "type-domain test family",
     "events_seasonal_strength": "hourly calendar spine",
     # top-20 rank over the vocabulary-bounded phrase-score table
     "docs_rake_keywords": "phrase-score vocabulary table",

@@ -581,3 +581,43 @@ def test_cliffs_delta_empty_arm_null(spark):
     df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
     r = cliffs_delta(df).collect()[0]
     assert r.delta_ppm is None and r.magnitude is None
+
+
+def test_bh_fdr_step_up_carries_weaker_test(spark):
+    """The defining BH behavior: rank-1 (|z|=2.30) misses its own
+    threshold z*(3,1)≈2.394 but rank-2 (|z|=2.20) clears z*(3,2)≈2.128,
+    so k*=2 and BOTH are rejected; rank-3 stays."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import BH_Z_MICRO, bh_fdr
+
+    assert BH_Z_MICRO[(3, 1)] > 2_300_000 > BH_Z_MICRO[(3, 2)]
+    assert 2_200_000 > BH_Z_MICRO[(3, 2)] > 1_000_000
+    df = spark.createDataFrame(
+        [("t1", 2_300_000), ("t2", -2_200_000), ("t3", 1_000_000)],
+        "key string, z_micro long",
+    )
+    got = [(r.key, r.rank, r.rejected) for r in bh_fdr(df, "key", "z_micro").collect()]
+    assert got == [("t1", 1, True), ("t2", 2, True), ("t3", 3, False)]
+
+
+def test_bh_fdr_none_pass(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 100_000), ("b", -50_000)], "key string, z_micro long"
+    )
+    got = bh_fdr(df, "key", "z_micro").collect()
+    assert all(not r.rejected for r in got)
+
+
+def test_bh_fdr_null_z_excluded_from_family(spark):
+    """A NULL z (degenerate test) must not inflate m: with it removed,
+    m=1 and the single |z|=2.0 test clears z*(1,1)≈1.96."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 2_000_000), ("b", None)], "key string, z_micro long"
+    )
+    got = [(r.key, r.rank, r.threshold_micro, r.rejected)
+           for r in bh_fdr(df, "key", "z_micro").collect()]
+    assert len(got) == 1
+    assert got[0][0] == "a" and got[0][3] is True

@@ -150,6 +150,8 @@ CARTESIAN_ALLOWED = {
     # 1-ROW scalar crossJoins (d-min shift, peak hour) — the q22 shape
     # (analytics/timeseries.py seasonal_strength_hourly).
     "events_seasonal_strength",
+    # 1-ROW scalar crossJoins (m, k*) — the q22 shape (bh_fdr).
+    "events_ab_fdr",
     # crossJoin(broadcast(1-ROW corpus totals)) onto the
     # group-size histogram — bounded scalar (dedup/novelty.py).
     "docs_duplication_profile",
