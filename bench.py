@@ -44,7 +44,9 @@ HEADLINE = [
     "events_sessionize",
     # text / dedup / similarity
     "text_token_count",
-    "text_quality_score",
+    # text_quality_score trimmed from the LINE with the round-12 two —
+    # sibling of the headlined text_token_count (same one-scan Column-
+    # expression family); stays registered, oracle-verified, in pytest.
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -58,11 +60,13 @@ HEADLINE = [
     "skew_salted_brand_revenue",
     "docs_sequence_packing",
     "events_hll_rollup",
-    "events_interpolate",
     "supplier_triangles",
     # round-5 additions (appended, same comparability rule)
     "events_ohlc_hourly",
     "events_ewma",
+    # events_interpolate trimmed from the LINE with the round-12 two —
+    # timeseries sibling of the headlined ohlc/ewma pair; stays
+    # registered, oracle-verified, in pytest.
     "bloom_pruned_brand_revenue",
     # supplier_kcore trimmed from the LINE with the round-11 two — the
     # graph slot keeps supplier_triangles + supplier_communities and
@@ -166,6 +170,12 @@ HEADLINE = [
     # the anchor-PQ compression gate and integer-grid HITS.
     "pq_adc_topk",
     "graph_hits",
+    # round-12 additions (appended, same comparability rule; paid for
+    # by the text_quality_score and events_interpolate trims above):
+    # the re-planned KNN-sparsified link prediction and the keyed-
+    # prefix dwell-median op.
+    "supplier_link_prediction",
+    "events_dwell_transitions",
 ]
 
 

@@ -14,7 +14,7 @@ stays in every round. See TIER_ROTATION.md for the per-round history
 of which queries were driver-verified when.
 
 As of round 6 the rotation is expressed as an explicit name list
-(``_R11_WINDOW`` at the bottom of this module) that REORDERS the
+(``_R12_WINDOW`` at the bottom of this module) that REORDERS the
 registry dict after all registrations — the physical layout of the
 ``register()`` calls no longer encodes the window, the list does.
 Round-11 window composition:
@@ -1367,48 +1367,39 @@ from .analytics.quality_audit import EVENTS_AB_FDR_SQL, events_ab_fdr
 
 register("events_ab_fdr", events_ab_fdr, EVENTS_AB_FDR_SQL)
 
-# ═══════════════ ROUND-11 DRIVER WINDOW (explicit rotation) ═══════════════
+# ═══════════════ ROUND-12 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
-# round-11 window (TIER_ROTATION.md "Round-11 window"). Rotation
-# targets first: the 18 round-10 second-block additions that have
-# never received an external green row (judge-verified 18/18 in the
-# r10 verdict session), then every gate ADDED during round 11, then
-# the keeper spine, then backfill whose newest external green row is
-# oldest (the r4-era remainder, CORRECTNESS_r04 order).
-_R11_WINDOW: tuple[str, ...] = (
-    # --- rotation targets: r10 second-block additions, never
-    #     externally verified (18)
-    "events_value_calibration",
-    "parts_abc_classification",
-    "customer_rfm_migration",
-    "purchase_touch_attribution",
-    "customer_repurchase_cadence",
-    "docs_collocation_pmi",
-    "docs_source_vocab_kl",
-    "embeddings_centroid_drift",
-    "users_churn_hazard",
-    "customer_concentration",
-    "docs_token_budget_curve",
-    "events_session_stats",
-    "embeddings_label_separation",
-    "graph_personalized_pagerank",
-    "docs_source_keyness",
-    "docs_duplication_profile",
-    "docs_term_burstiness",
-    "events_kruskal_wallis",
-    # --- new in r11 (9): the anchor-codebook PQ family (X4/X6), the
-    #     ML-eval completions (AP, Brier, lift), the Mantel–Cox
-    #     log-rank test, HITS, filtered ANN, and t-closeness
-    "pq_adc_topk",
-    "ivfpq_adc_topk",
-    "events_value_ap",
-    "users_churn_logrank",
-    "graph_hits",
-    "events_brier_decomposition",
-    "ann_filtered_topk",
-    "events_value_lift",
-    "customer_t_closeness",
-    # --- keeper spine (12, unchanged from r10)
+# round-12 window (TIER_ROTATION.md "Round-12 window"). Rotation
+# targets first: the 6 round-11 post-window additions (judge-verified
+# 6/6 in the r11 verdict session, never yet in a driver window), then
+# every gate ADDED during round 12, then the keeper spine, then
+# backfill whose newest external green row is oldest (the r4-era
+# remainder per TIER_ROTATION.md, then the r5-era block in
+# CORRECTNESS_r05 order).
+_R12_WINDOW: tuple[str, ...] = (
+    # --- rotation targets: r11 post-window additions, never
+    #     externally verified (6)
+    "events_windowed_topk",
+    "events_rater_mcnemar",
+    "pq_recall_eval",
+    "supplier_link_prediction",
+    "events_value_mase",
+    "funnel_step_significance",
+    # --- new in r12 (10): the PR operating-point curve, incremental
+    #     ANN admission, local clustering + assortativity, NDCG,
+    #     Cliff's delta, TF-IDF source terms, dwell-time transitions,
+    #     seasonal strength, and BH-FDR over the A/B family
+    "events_value_pr_curve",
+    "ann_incremental_admit",
+    "supplier_clustering_coefficient",
+    "supplier_degree_assortativity",
+    "events_value_ndcg",
+    "events_cliffs_delta",
+    "docs_tfidf_terms",
+    "events_dwell_transitions",
+    "events_seasonal_strength",
+    "events_ab_fdr",
+    # --- keeper spine (12, unchanged from r10/r11)
     "q1_pricing_summary",
     "revenue_by_region",
     "llm_prep_pipeline",
@@ -1421,28 +1412,38 @@ _R11_WINDOW: tuple[str, ...] = (
     "ingest_csv_template",
     "pipeline_e2e",
     "sample_documents",
-    # --- backfill (11): oldest newest-green rows (all r4,
-    #     CORRECTNESS_r04 order; events_pivot / events_gapfill /
-    #     fuzzy_name_pairs displaced to r12 by the three late r11
-    #     additions)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "orders_above_customer_avg",
-    "customers_without_orders",
-    "churned_customers",
-    "window_running_total",
-    "top_parts_per_brand",
+    # --- backfill (22): oldest newest-green rows — the r4-era
+    #     remainder (TIER_ROTATION order), then the r5-era block head
+    #     (CORRECTNESS_r05 order)
+    "events_pivot",
+    "events_gapfill",
+    "fuzzy_name_pairs",
+    "top_terms_per_source",
+    "events_hypertable_rollup",
+    "revenue_rollup",
+    "events_engagement",
+    "cdc_apply_changes",
+    "winsorize_prices",
+    "scd2_customer_history",
+    "q11_important_stock",
+    "skew_salted_brand_revenue",
+    "docs_sequence_packing",
+    "events_variant_extract",
+    "events_hll_rollup",
+    "events_interpolate",
+    "events_session_window",
+    "multimodal_decode_real",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "text_repetition_score",
+    "text_chunking",
 )
 
-assert len(_R11_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R11_WINDOW)}"
-_missing = [n for n in _R11_WINDOW if n not in _REGISTRY]
+assert len(_R12_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_R12_WINDOW)}"
+_missing = [n for n in _R12_WINDOW if n not in _REGISTRY]
 assert not _missing, f"window names not registered: {_missing}"
 
-_rotated = {n: _REGISTRY[n] for n in _R11_WINDOW}
+_rotated = {n: _REGISTRY[n] for n in _R12_WINDOW}
 _rotated.update({n: e for n, e in _REGISTRY.items() if n not in _rotated})
 _REGISTRY.clear()
 _REGISTRY.update(_rotated)
@@ -1450,4 +1451,4 @@ _REGISTRY.update(_rotated)
 #: The driver-window queries, in (post-rotation) registration order
 #: (consumed by the plan-contract test, which holds every windowed
 #: plan to the scan/join/shuffle shape we want at 100 TB).
-TIER1_NAMES: tuple[str, ...] = _R11_WINDOW
+TIER1_NAMES: tuple[str, ...] = _R12_WINDOW
