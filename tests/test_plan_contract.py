@@ -152,6 +152,11 @@ CARTESIAN_ALLOWED = {
     "events_seasonal_strength",
     # 1-ROW scalar crossJoins (m, k*) — the q22 shape (bh_fdr).
     "events_ab_fdr",
+    # composes the anchor-PQ ADC leg and the exact brute-force leg,
+    # each the documented broadcast-query-set ann_cosine_topk shape
+    # (similarity/pq.py pq_recall_eval_gate) — entered the window in
+    # the r12 rotation.
+    "pq_recall_eval",
     # crossJoin(broadcast(1-ROW corpus totals)) onto the
     # group-size histogram — bounded scalar (dedup/novelty.py).
     "docs_duplication_profile",
