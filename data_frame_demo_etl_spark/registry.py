@@ -1367,6 +1367,12 @@ from .analytics.quality_audit import EVENTS_AB_FDR_SQL, events_ab_fdr
 
 register("events_ab_fdr", events_ab_fdr, EVENTS_AB_FDR_SQL)
 
+# ── round-12 post-window additions (first r13 rotation targets) ──
+
+from .similarity.ivf import ANN_DELETE_COMPACT_SQL, ann_delete_compact
+
+register("ann_delete_compact", ann_delete_compact, ANN_DELETE_COMPACT_SQL)
+
 # ═══════════════ ROUND-12 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-12 window (TIER_ROTATION.md "Round-12 window"). Rotation

@@ -483,3 +483,104 @@ SELECT b.vec_id,
 FROM bassigned b LEFT JOIN top1 t ON t.bid = b.vec_id
 ORDER BY b.vec_id
 """.replace("{CENTS}", _admit_centroid_values())
+
+
+# ─────────────── X21: tombstone deletion + compaction audit ───────────────
+
+TOMBSTONE_MOD = 10  # gate: every 10th vec_id is deleted
+COMPACT_LIVE_PPM = 500_000  # below half live → rebuild the posting list
+
+
+def index_delete_compact(
+    corpus: DataFrame,
+    tombstones: DataFrame,
+    centroids: list[list[float]],
+    compact_below_ppm: int = COMPACT_LIVE_PPM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X21: the other half of index maintenance (X20 admits, this
+    deletes): mark `tombstones` ids deleted, report per-posting-list
+    occupancy — (cluster, n_before, n_deleted, n_after, live_ppm,
+    needs_compaction) — where needs_compaction flags lists whose live
+    fraction fell below the rebuild line (the operational read every
+    vector store acts on: a half-dead list scans 2× per probe hit).
+    Deletion itself is an anti-join against the tombstone set; the
+    FROZEN anchor centroids mean compaction never re-clusters, so the
+    X20 batch-vs-rebuild equality extends to the deleted index
+    (pinned in pytest: a probe of the compacted index never returns a
+    tombstoned id and equals a probe of an index built without them).
+
+    Scale: tombstone sets are small by nature — broadcast semi/anti
+    joins against the assigned corpus; the report is k_cent rows."""
+    from .semdedup import assign_clusters
+
+    assigned = assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    t_ids = tombstones.select(F.col(id_col)).distinct()
+    flagged = assigned.join(
+        F.broadcast(t_ids.withColumn("__dead", F.lit(True))), id_col, "left"
+    )
+    return (
+        flagged.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count_if(F.col("__dead")).alias("n_deleted"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_deleted").cast("long").alias("n_deleted"),
+            (F.col("n_before") - F.col("n_deleted")).cast("long").alias("n_after"),
+            F.expr(
+                "cast((n_before - n_deleted) * 1000000 div n_before as bigint)"
+            ).alias("live_ppm"),
+            (
+                F.expr("(n_before - n_deleted) * 1000000 div n_before")
+                < F.lit(compact_below_ppm)
+            ).alias("needs_compaction"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def ann_delete_compact(spark, sf_dir: str) -> DataFrame:
+    """Gate (X21): delete every 10th vec_id from the standing even-id
+    index (the X20 corpus) and report per-posting-list occupancy over
+    the 8 anchor centroids."""
+    from ..sources.catalog import load_table
+    from .semdedup import anchor_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    tombstones = corpus.filter(F.col("vec_id") % TOMBSTONE_MOD == 0)
+    return index_delete_compact(
+        corpus, tombstones, anchor_centroids(k=ADMIT_CENTROIDS, seed=ADMIT_SEED)
+    )
+
+
+ANN_DELETE_COMPACT_SQL = f"""
+WITH cent(cluster, cv) AS (VALUES {{CENTS}}),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT c0.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY c0.vec_id
+             ORDER BY LIST_DISTANCE(CAST(c0.embedding AS DOUBLE[]), c.cv) ASC, c.cluster ASC
+           ) AS rk
+    FROM corpus c0, cent c
+  ) WHERE rk = 1
+),
+g AS (
+  SELECT cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(COUNT(*) FILTER (WHERE vec_id % {TOMBSTONE_MOD} = 0) AS BIGINT) AS n_deleted
+  FROM assigned GROUP BY cluster
+)
+SELECT CAST(cluster AS INTEGER) AS cluster, n_before, n_deleted,
+       n_before - n_deleted AS n_after,
+       CAST((n_before - n_deleted) * 1000000 // n_before AS BIGINT) AS live_ppm,
+       (n_before - n_deleted) * 1000000 // n_before < {COMPACT_LIVE_PPM} AS needs_compaction
+FROM g
+ORDER BY cluster
+""".replace("{CENTS}", _admit_centroid_values())

@@ -80,3 +80,47 @@ def test_gate_shape(spark, sf_oracle_dir):
     assert list(out.columns) == ["vec_id", "cluster", "nn_id", "nn_cosine", "admitted"]
     assert len(out) == 20
     assert (out.vec_id % 2 == 1).all()
+
+
+def test_delete_compact_counts_and_flag(spark):
+    """Cluster 0 holds {0, 10} and loses 10 (50% live → flagged);
+    cluster 1 holds {2} and loses nothing."""
+    from data_frame_demo_etl_spark.similarity.ivf import index_delete_compact
+
+    corpus = _vecs(spark, [(0, [1.0, 0.0]), (10, [0.9, 0.1]), (2, [0.0, 1.0])])
+    tomb = _vecs(spark, [(10, [0.9, 0.1])]).select("vec_id")
+    got = {r.cluster: r for r in index_delete_compact(corpus, tomb, CENTS).collect()}
+    c0, c1 = got[0], got[1]
+    assert (c0.n_before, c0.n_deleted, c0.n_after, c0.live_ppm, c0.needs_compaction) == (
+        2, 1, 1, 500_000, False,
+    )
+    assert (c1.n_before, c1.n_deleted, c1.n_after, c1.live_ppm, c1.needs_compaction) == (
+        1, 0, 1, 1_000_000, False,
+    )
+    # flag fires strictly below the line
+    flagged = {
+        r.cluster: r.needs_compaction
+        for r in index_delete_compact(corpus, tomb, CENTS, compact_below_ppm=600_000).collect()
+    }
+    assert flagged[0] is True and flagged[1] is False
+
+
+def test_compacted_probe_never_returns_tombstoned(spark):
+    """Frozen anchors: probing the compacted index equals probing an
+    index built WITHOUT the tombstoned rows, and no deleted id can be
+    a nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    corpus = _vecs(spark, [(0, [1.0, 0.05]), (10, [0.99, 0.06]), (2, [0.05, 1.0])])
+    tomb_ids = [10]
+    compacted = corpus.filter(~F.col("vec_id").isin(tomb_ids))
+    batch = _vecs(spark, [(1, [0.98, 0.05])])
+    inc = sorted(tuple(r) for r in incremental_admit(compacted, batch, CENTS).collect())
+    rebuilt = sorted(
+        tuple(r)
+        for r in incremental_admit(
+            _vecs(spark, [(0, [1.0, 0.05]), (2, [0.05, 1.0])]), batch, CENTS
+        ).collect()
+    )
+    assert inc == rebuilt
+    assert all(r[2] not in tomb_ids for r in inc)  # nn_id never tombstoned
