@@ -2305,3 +2305,173 @@ SELECT key AS event_type, z_micro, rank, threshold_micro,
 FROM thr
 ORDER BY rank
 """
+
+
+# ─────────────── K70: Cramér–von Mises two-sample test ───────────────
+
+CVM_CRIT_05_MICRO = 461_000  # asymptotic 5% point of T (Anderson 1962)
+CVM_FLOOR_SHIFT = 10  # T > −10 always; shifts the floor onto positives
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    key_col: str = "event_type",
+    group_col_expr=None,
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key two-sample Cramér–von Mises T between the K36/K42 arms
+    — the INTEGRATED-distance member of the A/B family: KS (K43) takes
+    the supremum of the CDF gap (one point decides), CvM integrates
+    the squared gap over the whole distribution, so it fires on
+    accumulated small deviations KS is blind to. Anderson's rank form:
+    T = U/(N·n·m) − (4nm−1)/(6N) with
+    U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)² over pooled midranks.
+
+    Exact with ties, no per-row ranks: midranks are half-integers, so
+    everything is carried DOUBLED (the K42 discipline) and each tied
+    block's contribution has a CLOSED FORM — for a block of a members
+    at doubled midrank R with beforeA members of the arm below it,
+    Σₖ₌₁..ₐ(R − 2·(beforeA+k))² = (3aC² − 6C·a(a+1) + 2a(a+1)(2a+1))/3
+    with C = R − 2·beforeA — so the whole statistic folds over the
+    value-domain table: 12U = n·Σ3A + m·Σ3B exactly. The final ratio
+    lands once: t_micro = (num + 10·den) div den − 10 with
+    num = (12U − 2nm(4nm−1))·10⁶ and den = 12·N·n·m — T can be
+    slightly negative, and the +10·den shift keeps the floor division
+    on positives where both engines agree (the K67 trick).
+    DECIMAL(38,0) bound: 12U·10⁶ ~ N⁴·10⁶ — exact to ~10⁸ rows per
+    key (same documented class as K43's n² bound).
+
+    Scale: one (key, cents) value-domain aggregation, the multi-column
+    two-pass keyed prefix, one ≤keys agg."""
+    if group_col_expr is None:
+        group_col_expr = F.col("user_id") % 2 == 0
+    cents = F.round(F.col(val_col) * 100).cast("long")
+    cnt = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(F.col(key_col).alias("key"), cents.alias("cents"), group_col_expr.alias("is_a"))
+        .groupBy("key", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.count_if(F.col("is_a")).alias("av"),
+        )
+    )
+    pre = _keyed_prefix(cnt, ["cents"], ["tv", "av"])
+    dec = "decimal(38,0)"
+
+    def block3(c, a):
+        # 3·Σ_{k=1..a} (C − 2k)² as exact decimals
+        return (
+            F.lit(3).cast(dec) * a * c * c
+            - F.lit(6).cast(dec) * c * a * (a + 1)
+            + F.lit(2).cast(dec) * a * (a + 1) * (2 * a + 1)
+        )
+
+    before = (F.col("cum_tv") - F.col("tv")).cast(dec)
+    before_a = (F.col("cum_av") - F.col("av")).cast(dec)
+    before_b = before - before_a
+    r2 = F.lit(2).cast(dec) * before + F.col("tv").cast(dec) + F.lit(1).cast(dec)
+    av = F.col("av").cast(dec)
+    bv = F.col("tv").cast(dec) - av
+    terms = pre.select(
+        "key",
+        F.col("t_tv").alias("nn"),
+        F.col("t_av").alias("na"),
+        block3(r2 - F.lit(2).cast(dec) * before_a, av).alias("s3a"),
+        block3(r2 - F.lit(2).cast(dec) * before_b, bv).alias("s3b"),
+    )
+    g = terms.groupBy("key").agg(
+        F.first("nn").cast(dec).alias("nn"),
+        F.first("na").cast(dec).alias("na"),
+        F.sum("s3a").alias("s3a"),
+        F.sum("s3b").alias("s3b"),
+    )
+    shift = CVM_FLOOR_SHIFT
+    out = g.select(
+        "key",
+        F.col("na").cast("long").alias("n_a"),
+        (F.col("nn") - F.col("na")).cast("long").alias("n_b"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nn") > F.col("na")),
+            F.expr(
+                f"((na * s3a + (nn - na) * s3b"
+                f"   - 2 * na * (nn - na) * (4 * na * (nn - na) - 1)) * 1000000"
+                f" + {shift} * (12 * nn * na * (nn - na)))"
+                f" div (12 * nn * na * (nn - na)) - {shift}"
+            ),
+        )
+        .cast("long")
+        .alias("t_micro"),
+    )
+    return out.withColumn(
+        "significant_05",
+        F.when(F.col("t_micro").isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.col("t_micro") >= CVM_CRIT_05_MICRO
+        ),
+    ).orderBy("key")
+
+
+def events_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (K70): per-type Cramér–von Mises T of event value between
+    the user-parity arms — the integrated-CDF member beside K43's KS."""
+    events = load_table(spark, "events", sf_dir)
+    return cvm_two_sample(events).withColumnRenamed("key", "event_type")
+
+
+EVENTS_CVM_TEST_SQL = f"""
+WITH cnt AS (
+  SELECT event_type AS key, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS tv,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS av
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, tv, av,
+         SUM(tv) OVER w - tv AS before_t,
+         SUM(av) OVER w - av AS before_a
+  FROM cnt
+  WINDOW w AS (PARTITION BY key ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT key, tv, av,
+         2 * CAST(before_t AS HUGEINT) + tv + 1 AS r2,
+         CAST(before_a AS HUGEINT) AS ba,
+         CAST(before_t - before_a AS HUGEINT) AS bb
+  FROM pre
+),
+blocks AS (
+  SELECT key, tv, av,
+         (3 * CAST(av AS HUGEINT) * (r2 - 2*ba) * (r2 - 2*ba)
+          - 6 * (r2 - 2*ba) * CAST(av AS HUGEINT) * (av + 1)
+          + 2 * CAST(av AS HUGEINT) * (av + 1) * (2*av + 1)) AS s3a,
+         (3 * CAST(tv - av AS HUGEINT) * (r2 - 2*bb) * (r2 - 2*bb)
+          - 6 * (r2 - 2*bb) * CAST(tv - av AS HUGEINT) * ((tv - av) + 1)
+          + 2 * CAST(tv - av AS HUGEINT) * ((tv - av) + 1) * (2*(tv - av) + 1)) AS s3b
+  FROM terms
+),
+g AS (
+  SELECT key,
+         CAST(SUM(tv) AS HUGEINT) AS nn,
+         CAST(SUM(av) AS HUGEINT) AS na,
+         SUM(s3a) AS s3a, SUM(s3b) AS s3b
+  FROM blocks GROUP BY key
+),
+d AS (
+  SELECT key,
+         CAST(na AS BIGINT) AS n_a,
+         CAST(nn - na AS BIGINT) AS n_b,
+         CASE WHEN na > 0 AND nn > na
+              THEN CAST(((na * s3a + (nn - na) * s3b
+                          - 2 * na * (nn - na) * (4 * na * (nn - na) - 1)) * 1000000
+                         + {CVM_FLOOR_SHIFT} * (12 * nn * na * (nn - na)))
+                        // (12 * nn * na * (nn - na)) - {CVM_FLOOR_SHIFT} AS BIGINT)
+         END AS t_micro
+  FROM g
+)
+SELECT key AS event_type, n_a, n_b, t_micro,
+       CASE WHEN t_micro IS NULL THEN NULL
+            ELSE t_micro >= {CVM_CRIT_05_MICRO} END AS significant_05
+FROM d
+ORDER BY event_type
+"""

@@ -1373,6 +1373,10 @@ from .similarity.ivf import ANN_DELETE_COMPACT_SQL, ann_delete_compact
 
 register("ann_delete_compact", ann_delete_compact, ANN_DELETE_COMPACT_SQL)
 
+from .analytics.quality_audit import EVENTS_CVM_TEST_SQL, events_cvm_test
+
+register("events_cvm_test", events_cvm_test, EVENTS_CVM_TEST_SQL)
+
 # ═══════════════ ROUND-12 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-12 window (TIER_ROTATION.md "Round-12 window"). Rotation

@@ -621,3 +621,46 @@ def test_bh_fdr_null_z_excluded_from_family(spark):
            for r in bh_fdr(df, "key", "z_micro").collect()]
     assert len(got) == 1
     assert got[0][0] == "a" and got[0][3] is True
+
+
+def test_cvm_hand_computed_interleaved(spark):
+    """A={1,3}, B={2}: U = 2·1 + 1·1 = 3, T = 3/6 − 7/18 = 1/9 →
+    t_micro = 111111 (hand-walked through the doubled closed form)."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import cvm_two_sample
+
+    rows = [("t", 0, 0.01), ("t", 2, 0.03), ("t", 1, 0.02)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cvm_two_sample(df).collect()[0]
+    assert (r.n_a, r.n_b, r.t_micro, r.significant_05) == (2, 1, 111_111, False)
+
+
+def test_cvm_all_tied_equals_interleaved_ranks(spark):
+    """A={1,1}, B={1}: every observation shares midrank 2 and the
+    tie-exact closed form reproduces T = 1/9 — the same statistic as
+    the interleaved case, as Anderson's midrank form requires."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import cvm_two_sample
+
+    rows = [("t", 0, 0.01), ("t", 2, 0.01), ("t", 1, 0.01)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cvm_two_sample(df).collect()[0]
+    assert r.t_micro == 111_111
+
+
+def test_cvm_complete_separation(spark):
+    """A={1,2} below B={10,11}: U = 2·0 + 2·8 = 16,
+    T = 16/16 − 15/24 = 0.375 → 375000 (the n=m=2 maximum)."""
+    from data_frame_demo_etl_spark.analytics.quality_audit import cvm_two_sample
+
+    rows = [("t", 0, 0.01), ("t", 2, 0.02), ("t", 1, 0.10), ("t", 3, 0.11)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cvm_two_sample(df).collect()[0]
+    assert (r.n_a, r.n_b, r.t_micro) == (2, 2, 375_000)
+
+
+def test_cvm_empty_arm_null(spark):
+    from data_frame_demo_etl_spark.analytics.quality_audit import cvm_two_sample
+
+    rows = [("t", 0, 1.0), ("t", 2, 2.0)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    r = cvm_two_sample(df).collect()[0]
+    assert r.t_micro is None and r.significant_05 is None
