@@ -1081,3 +1081,126 @@ SELECT source, rk, word, tf, df, tfidf_micro FROM (
 ) WHERE rk <= {TFIDF_TOP_PER_SOURCE}
 ORDER BY source, rk
 """
+
+
+# ───────────────── keyphrase (bigram) TF-IDF (L29) ─────────────────
+
+KEYPHRASE_TOP_PER_SOURCE = 5
+KEYPHRASE_MIN_TF = 3
+
+
+def keyphrase_source_terms(
+    docs: DataFrame,
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = KEYPHRASE_TOP_PER_SOURCE,
+    min_tf: int = KEYPHRASE_MIN_TF,
+) -> DataFrame:
+    """L29: per-source top-k KEYPHRASES — L28's TF-IDF lifted from
+    unigrams to adjacent bigrams ("machine learning", not "machine" +
+    "learning"): phrase tf from in-row adjacent pairs of the same
+    whitespace tokenization (zip of the token array with its tail —
+    no self-join, no explode-then-rejoin), document frequency over
+    distinct docs, idf on the L26 integer-log grid, per-source top-k.
+    PMI (L23) finds collocations by association strength; this ranks
+    them the retrieval way — frequent here, rare anywhere.
+
+    Scale: identical to L28 — ONE tokenize scan (the bigram zip is an
+    in-row array op), (source, phrase) + distinct-doc aggregations,
+    vocabulary-sized join, broadcast 1-row doc total, bounded top-k."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    bigrams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(by_col).alias("src"),
+        F.explode(
+            F.filter(bigrams, lambda p: F.size(F.split(p, " ")) == 2)
+        ).alias("w"),
+    )
+    sw = tok.groupBy("src", "w").agg(F.count(F.lit(1)).cast(dec).alias("tf"))
+    df_w = (
+        tok.select("doc", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast(dec).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast(dec).alias("nd"))
+    scored = (
+        sw.filter(F.col("tf") >= min_tf)
+        .join(df_w, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("src").alias("source"),
+            F.col("w").alias("phrase"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("nd").cast("double") / F.col("df").cast("double"))
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast(dec)
+            )
+            .cast("long")
+            .alias("tfidf_micro"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("tfidf_micro").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= top_k)
+        .select("source", F.col("rk").cast("int").alias("rk"), "phrase", "tf", "df", "tfidf_micro")
+        .orderBy("source", "rk")
+    )
+
+
+def docs_keyphrase_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate (L29): top-5 TF-IDF bigram keyphrases per source."""
+    from ..sources.catalog import load_table
+
+    return keyphrase_source_terms(load_table(spark, "documents", sf_dir))
+
+
+DOCS_KEYPHRASE_TERMS_SQL = rf"""
+WITH words AS (
+  SELECT doc_id AS doc, source AS src,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc, src, ws[i] || ' ' || ws[i+1] AS w
+  FROM words, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 1, 0))) AS i)
+),
+sw AS (SELECT src, w, CAST(COUNT(*) AS HUGEINT) AS tf FROM tok GROUP BY 1, 2),
+df_w AS (
+  SELECT w, CAST(COUNT(*) AS HUGEINT) AS df
+  FROM (SELECT DISTINCT doc, w FROM tok) GROUP BY w
+),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents),
+scored AS (
+  SELECT src AS source, w AS phrase,
+         CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         CAST(tf * CAST(FLOOR(LN(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT) AS BIGINT) AS tfidf_micro
+  FROM sw JOIN df_w USING (w) CROSS JOIN tot
+  WHERE tf >= {KEYPHRASE_MIN_TF}
+)
+SELECT source, rk, phrase, tf, df, tfidf_micro FROM (
+  SELECT source, phrase, tf, df, tfidf_micro,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY tfidf_micro DESC, phrase ASC
+         ) AS INTEGER) AS rk
+  FROM scored
+) WHERE rk <= {KEYPHRASE_TOP_PER_SOURCE}
+ORDER BY source, rk
+"""

@@ -1377,6 +1377,10 @@ from .analytics.quality_audit import EVENTS_CVM_TEST_SQL, events_cvm_test
 
 register("events_cvm_test", events_cvm_test, EVENTS_CVM_TEST_SQL)
 
+from .functions.vocab import DOCS_KEYPHRASE_TERMS_SQL, docs_keyphrase_terms
+
+register("docs_keyphrase_terms", docs_keyphrase_terms, DOCS_KEYPHRASE_TERMS_SQL)
+
 # ═══════════════ ROUND-12 DRIVER WINDOW (explicit rotation) ═══════════════
 # The driver verifies the FIRST 50 dict entries; this list IS the
 # round-12 window (TIER_ROTATION.md "Round-12 window"). Rotation

@@ -248,6 +248,8 @@ CARTESIAN_ALLOWED = {
     # TF-IDF score table — bounded scalar (functions/vocab.py
     # tfidf_source_terms).
     "docs_tfidf_terms",
+    # same bounded 1-ROW doc-total crossJoin, bigram form (L29).
+    "docs_keyphrase_terms",
     # crossJoin(broadcast(1-ROW tie-sum aggregate)) onto the 1-row
     # arm fold (analytics/quality_audit.py kruskal_wallis).
     "events_kruskal_wallis",

@@ -162,3 +162,33 @@ def test_tfidf_ubiquitous_word_scores_zero(spark):
     got = {(r.source, r.word): r.tfidf_micro for r in tfidf_source_terms(docs).collect()}
     assert got[("s1", "the")] == 0
     assert got[("s1", "zebra")] == 3 * 1098612
+
+
+def test_keyphrase_hand_computed(spark):
+    """Adjacent-bigram tf with overlap ('big data' ×3 in one doc),
+    df over distinct docs, idf = ln(2/1) → 693147 on the micro grid;
+    sub-min_tf phrases pruned."""
+    from data_frame_demo_etl_spark.functions.vocab import keyphrase_source_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "big data big data big data x"),
+            (2, "s2", "alpha beta alpha beta alpha beta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = [(r.source, r.rk, r.phrase, r.tf, r.df, r.tfidf_micro)
+           for r in keyphrase_source_terms(docs).collect()]
+    assert got == [
+        ("s1", 1, "big data", 3, 1, 3 * 693147),
+        ("s2", 1, "alpha beta", 3, 1, 3 * 693147),
+    ]
+
+
+def test_keyphrase_single_token_docs_yield_nothing(spark):
+    from data_frame_demo_etl_spark.functions.vocab import keyphrase_source_terms
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "solo"), (2, "s1", "")], "doc_id long, source string, text string"
+    )
+    assert keyphrase_source_terms(docs).count() == 0

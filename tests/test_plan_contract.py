@@ -147,6 +147,8 @@ CARTESIAN_ALLOWED = {
     # TF-IDF score table — bounded scalar (functions/vocab.py
     # tfidf_source_terms).
     "docs_tfidf_terms",
+    # same bounded 1-ROW doc-total crossJoin, bigram form (L29).
+    "docs_keyphrase_terms",
     # 1-ROW scalar crossJoins (d-min shift, peak hour) — the q22 shape
     # (analytics/timeseries.py seasonal_strength_hourly).
     "events_seasonal_strength",
