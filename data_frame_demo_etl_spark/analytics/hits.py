@@ -24,13 +24,20 @@ node per round — 6 orders below the 10¹² grid.
 
 Scale shape: per round, two equi-join + groupBy passes over the edge
 table (a-update shuffles on dst, h-update on src) and one 1-ROW sum
-broadcast per normalization (the q22 scalar shape). Edges persist
-across rounds (released after the last round); lineage is truncated
-per normalization with localCheckpoint(eager=True) — the EAGER form,
-unlike pagerank.py's lazy one, because both the scalar total and the
-next round's join re-read each normalized frame (see _l1_normalize's
-comment) — no plan re-derivation, no driver-side collect beyond the
-scalar sums.
+broadcast per normalization (the q22 scalar shape). Round 1's
+a-update needs no join at all: h0 = INIT for every src, so
+a1' = INIT · indegree — one groupBy over the edge table. Edges stay
+persisted for the caller's action (the session owner releases caches
+— see session.release_all_caches); lineage is truncated per
+normalization with a lazy persist() (see _l1_normalize's comment for
+why not localCheckpoint): consumers plan against the InMemoryRelation
+leaf (no Catalyst re-derivation of round subtrees) and execution
+defers to the caller's single action, which cascades all
+materializations in one job chain instead of the old 4 blocking
+eager-checkpoint jobs + broadcast sub-jobs per construction (measured
+r12: construct 25 jobs / 4.9–14.7 s → 2 jobs / 0.6–0.8 s; the
+scalar-total subtree inside each normalization is deduplicated at
+execution by exchange reuse).
 """
 
 from __future__ import annotations
@@ -47,19 +54,30 @@ DEC = "decimal(38,0)"
 
 
 def _l1_normalize(df: DataFrame, score: str) -> DataFrame:
-    # Materialize the pre-normalization aggregate FIRST
-    # (localCheckpoint eager): the scalar total and the normalized
-    # output both read it, and the next round's join builds on it — a
-    # lazy frame here would hand Catalyst three copies of the
-    # join+agg subtree per round, compounding across rounds (measured:
-    # 13.7×/decade at sf10 lazy vs edge-linear checkpointed).
-    df = df.localCheckpoint(eager=True)
+    # The scalar total and the normalized output both read `df`, so
+    # the subtree appears twice in the plan — both copies end in the
+    # same Exchange and execution dedupes them via ReusedExchange.
+    # Lineage is truncated by the lazy persist() below, NOT a
+    # localCheckpoint: under AQE, even localCheckpoint(eager=False)
+    # executes every query stage at construction (AdaptiveSparkPlan
+    # collapses its stages inside physicalPlan.execute() — measured
+    # r12: 25–28 blocking construction jobs either way), while a
+    # persisted frame is substituted as an InMemoryRelation BEFORE
+    # optimization (QueryExecution.withCachedData), so each round's
+    # consumers plan against a leaf, never re-deriving the round
+    # subtree (the compounding the fully-lazy form measured at
+    # 13.7×/decade at sf10), and nothing executes until the caller's
+    # single action cascades all materializations in one job chain.
     total = df.agg(F.sum(F.col(score).cast(DEC)).alias("__t"))
-    return df.crossJoin(F.broadcast(total)).select(
-        *[c for c in df.columns if c != score],
-        F.expr(f"cast({score} as decimal(38,0)) * {GRID} div __t")
-        .cast("long")
-        .alias(score),
+    return (
+        df.crossJoin(F.broadcast(total))
+        .select(
+            *[c for c in df.columns if c != score],
+            F.expr(f"cast({score} as decimal(38,0)) * {GRID} div __t")
+            .cast("long")
+            .alias(score),
+        )
+        .persist()
     )
 
 
@@ -72,16 +90,22 @@ def hits(pairs: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
     if n_rounds < 1:
         raise ValueError(f"hits() needs n_rounds >= 1, got {n_rounds}")
     pairs = pairs.persist()
-    hubs = pairs.select("src").distinct().select(
-        "src", F.lit(INIT).cast("long").alias("h")
-    )
-    for _ in range(n_rounds):
-        auth = _l1_normalize(
-            pairs.join(hubs, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("h").cast(DEC)).alias("a")),
-            "a",
-        )
+    auth = hubs = None
+    for r in range(n_rounds):
+        if r == 0:
+            # Closed form for the first a-update: h0 = INIT for every
+            # src, so Σ_{u→v} h0(u) = INIT · indegree(v) — one groupBy
+            # over the edge table, no h0 node table, no first join.
+            a_raw = pairs.groupBy("dst").agg(
+                (F.count(F.lit(1)).cast(DEC) * F.lit(INIT)).alias("a")
+            )
+        else:
+            a_raw = (
+                pairs.join(hubs, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("h").cast(DEC)).alias("a"))
+            )
+        auth = _l1_normalize(a_raw, "a")
         hubs = _l1_normalize(
             pairs.join(auth, "dst")
             .groupBy("src")
@@ -94,10 +118,11 @@ def hits(pairs: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
     a_rows = auth.select(
         F.lit("authority").alias("side"), F.col("dst").alias("key"), F.col("a").alias("score_units")
     )
-    # Both outputs sit on eager checkpoints (the last _l1_normalize of
-    # each side), so the edge cache is no longer read — release it
-    # here rather than leaking one persisted block per hits() call.
-    pairs.unpersist()
+    # Everything above is lazy: the caller's action materializes the
+    # rounds through the persisted edge table, so the cache must
+    # outlive this function — the SESSION owner releases it
+    # (session.release_all_caches), the same lifecycle as minhash /
+    # jaccard signature persists.
     return h_rows.unionByName(a_rows)
 
 
