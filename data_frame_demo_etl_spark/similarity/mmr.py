@@ -21,13 +21,19 @@ unrolls the same K steps CTE-for-CTE (argmax via QUALIFY-style
 ROW_NUMBER subselects, cumulative selected-set joins).
 
 Scale shape (100 TB): the only corpus-sized work is the X1 relevance
-scan that builds the pool (broadcast queries, no corpus shuffle);
-everything after operates on Q×POOL rows (bounded, here 10×10). The
-pool and the pairwise-similarity table are eagerly checkpointed —
-each greedy round consumes both, and round t references every
-earlier pick (without materialization the lineage re-expands
-~2^K-fold). Per-round argmax is the partial-aggregable max(struct)
-keep-best construction, never a row_number window over a hot key.
+scan that builds the pool (broadcast queries, no corpus shuffle) plus
+ONE broadcast-hash vector fetch for the pool ids; everything after
+operates on Q rows each carrying a bounded POOL-sized array (10
+candidates, 90 pairwise sims — sims computed IN-ROW from the pool
+vectors, same ROUND(cos,6)·1e6 grid). That bounded Q-row table is
+collected and the greedy K-step argmax runs on the driver in exact
+int64 arithmetic — the count_triangles literal-result convention for
+answer-sized tails: at any corpus size the collect is Q×POOL rows.
+The pre-r12 form instead ran each greedy step as a join+groupBy round
+with 7 eager localCheckpoints ≈ 50 blocking construction jobs
+(measured r12: 3.1 s of the sf0.1 bench, ~85% scheduler latency); an
+all-expression rewrite (array_max over a static unroll) was measured
+too — its codegen alone cost 3.3 s/run — before settling here.
 """
 
 from __future__ import annotations
@@ -51,21 +57,6 @@ def _ppm(col: Column) -> Column:
     return F.round(col * F.lit(1_000_000.0)).cast("long")
 
 
-def _argmax(df: DataFrame, score_col: str, pos: int) -> DataFrame:
-    """Per-query argmax of (score DESC, cand ASC) as max(struct)."""
-    m = df.groupBy("query_id").agg(
-        F.max(
-            F.struct(F.col(score_col).alias("s"), (-F.col("cand")).alias("nc"))
-        ).alias("m")
-    )
-    return m.select(
-        "query_id",
-        (-F.col("m.nc")).alias("cand"),
-        F.col("m.s").cast("long").alias("score10_ppm"),
-        F.lit(pos).cast("int").alias("pos"),
-    )
-
-
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -76,64 +67,85 @@ def mmr_rerank(
 ) -> DataFrame:
     """(query_id, pos, neighbor_id, score10_ppm): the MMR-greedy top-k
     out of the relevance top-``pool``, score10_ppm = 7·rel − 3·maxsim
-    in cosine ppm (position 1 has no diversity term: 7·rel)."""
+    in cosine ppm (position 1 has no diversity term: 7·rel).
+
+    Spark carries the corpus-scale work: the X1 relevance scan and ONE
+    broadcast-hash vector fetch whose groupBy emits per query the pool
+    (cand, rel_ppm) plus the pool×(pool−1) pairwise cosine ppms
+    computed IN-ROW from the pool vectors (same ROUND(cos,6)·1e6 grid
+    as before, so the integers collected are grid-identical to the
+    former join-based pairs table). The greedy K-step argmax then runs
+    on the driver over those collected integers — exact int64
+    arithmetic, ties toward the smaller candidate id — and the answer
+    comes back as a literal frame. The collect is bounded at Q rows
+    (Q·pool ids + Q·pool·(pool−1) sims) at ANY corpus size. Every
+    aggregate here is order-independent (max over a set), so the
+    non-deterministic collect_list order never reaches the output."""
     rel = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
     cands = rel.select(
         "query_id",
         F.col("neighbor_id").alias("cand"),
         _ppm(F.col("cosine")).alias("rel_ppm"),
-    ).localCheckpoint(eager=True)
-
+    )
     vecs = corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("__v"))
-    a = cands.select("query_id", "cand").join(vecs, "cand").select(
-        "query_id", F.col("cand").alias("ca"), F.col("__v").alias("__va")
-    )
-    b = cands.select("query_id", "cand").join(vecs, "cand").select(
-        "query_id", F.col("cand").alias("cb"), F.col("__v").alias("__vb")
-    )
-    pairs = (
-        a.join(b, "query_id")
-        .filter(F.col("ca") != F.col("cb"))
+    # Broadcast the Q×POOL id table so the corpus-sized vector fetch is
+    # a map-side hash join (corpus streams once, never shuffles).
+    byq = (
+        vecs.join(F.broadcast(cands), "cand")
+        .groupBy("query_id")
+        .agg(F.collect_list(F.struct("cand", "rel_ppm", "__v")).alias("cs"))
         .select(
             "query_id",
-            "ca",
-            "cb",
-            _ppm(F.round(cosine(F.col("__va"), F.col("__vb")), 6)).alias("sim_ppm"),
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(c["cand"].alias("cand"), c["rel_ppm"].alias("rel_ppm")),
+            ).alias("pl"),
+            F.flatten(
+                F.transform(
+                    F.col("cs"),
+                    lambda a: F.transform(
+                        F.filter(F.col("cs"), lambda b: b["cand"] != a["cand"]),
+                        lambda b: F.struct(
+                            a["cand"].alias("ca"),
+                            b["cand"].alias("cb"),
+                            _ppm(F.round(cosine(a["__v"], b["__v"]), 6)).alias(
+                                "sim_ppm"
+                            ),
+                        ),
+                    ),
+                )
+            ).alias("ps"),
         )
-        .localCheckpoint(eager=True)
     )
 
-    first = _argmax(
-        cands.select(
-            "query_id", "cand", (F.lit(LAM10_REL) * F.col("rel_ppm")).alias("score10")
-        ),
-        "score10",
-        1,
-    ).localCheckpoint(eager=True)
-    selected = first
-    for t in range(2, k + 1):
-        remaining = cands.join(
-            selected.select("query_id", "cand"), ["query_id", "cand"], "left_anti"
-        )
-        ms = (
-            pairs.join(
-                selected.select("query_id", F.col("cand").alias("cb")),
-                ["query_id", "cb"],
-            )
-            .groupBy("query_id", F.col("ca").alias("cand"))
-            .agg(F.max("sim_ppm").alias("ms"))
-        )
-        scored = remaining.join(ms, ["query_id", "cand"]).select(
-            "query_id",
-            "cand",
-            (
-                F.lit(LAM10_REL) * F.col("rel_ppm") - F.lit(LAM10_DIV) * F.col("ms")
-            ).alias("score10"),
-        )
-        pick = _argmax(scored, "score10", t).localCheckpoint(eager=True)
-        selected = selected.unionByName(pick)
-    return selected.select(
-        "query_id", "pos", F.col("cand").alias("neighbor_id"), "score10_ppm"
+    out: list[tuple[int, int, int, int]] = []
+    for r in byq.collect():
+        rel_by_cand = {int(c["cand"]): int(c["rel_ppm"]) for c in r["pl"]}
+        sim = {(int(p["ca"]), int(p["cb"])): int(p["sim_ppm"]) for p in r["ps"]}
+        selected: list[int] = []
+        for pos in range(1, k + 1):
+            best_key = None
+            best_cand = None
+            for c, rp in rel_by_cand.items():
+                if c in selected:
+                    continue
+                if pos == 1:
+                    s = LAM10_REL * rp
+                else:
+                    s = LAM10_REL * rp - LAM10_DIV * max(
+                        sim[(c, sid)] for sid in selected
+                    )
+                key = (s, -c)
+                if best_key is None or key > best_key:
+                    best_key, best_cand = key, c
+            if best_cand is None:
+                break
+            selected.append(best_cand)
+            out.append((int(r["query_id"]), pos, best_cand, best_key[0]))
+    out.sort()
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out, "query_id long, pos int, neighbor_id long, score10_ppm long"
     )
 
 
