@@ -25,7 +25,6 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from ..sources.catalog import load_table
 
@@ -119,7 +118,8 @@ def _keyed_prefix(
     two-pass layout (operators/packing.py pattern) generalized to a
     key column. Range-partition by (key, *order_cols), cum-sum within
     each partition, add per-(partition, key) offsets from one bounded
-    collect (≤ partitions × live keys rows — this helper is for
+    in-plan broadcast (≤ partitions × live keys rows — this helper is
+    for
     LOW-cardinality keys, where ``Window.partitionBy(key)`` would
     funnel each key's entire history through ONE task; high-
     cardinality keys parallelize fine under the plain window).
@@ -142,12 +142,22 @@ def _keyed_prefix(
     (cumulative per-arm AND total counts from one pass).
 
     The low-cardinality contract is ENFORCED, not trusted: the offset
-    collect is ≤ partitions × distinct keys rows, so a caller passing
-    a high-cardinality key would silently blow up the driver — the
-    bounded `part_tot` collect doubles as the guard (it IS the
-    partitions×keys table; if it exceeds ``MAX_OFFSET_ROWS`` the
-    helper raises with a pointer at the plain per-key window, which
-    parallelizes fine when keys are plentiful)."""
+    table is ≤ partitions × distinct keys rows; a caller passing a
+    high-cardinality key would otherwise silently build an unbounded
+    broadcast — a lazy `raise_error` guard on the offset row count
+    (one scalar agg, broadcast alongside) fails the job with a pointer
+    at the plain per-key window, which parallelizes fine when keys are
+    plentiful.
+
+    r12: the offsets are computed IN-PLAN (per-key running sums over
+    the partitions×keys table, ordered by ``__pid`` — the same
+    ascending-pid accumulation the former driver loop did) and joined
+    back as ONE broadcast instead of a blocking collect + two literal
+    broadcasts. Construction no longer issues Spark jobs (the former
+    collect materialized the layout eagerly and serialized every
+    caller on a driver round-trip); the caller's single action
+    materializes the persisted layout once, during the broadcast
+    build, so pass 2 still sees pass 1's exact sampled boundaries."""
     single = isinstance(val_col, str)
     vals: list[str] = [val_col] if single else list(val_col)
     cum_names = ["cum"] if single else [f"cum_{c}" for c in vals]
@@ -161,70 +171,65 @@ def _keyed_prefix(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    part_tot = (
-        laid.groupBy("__pid", "key")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            *[F.sum(v).alias(f"sv_{i}") for i, v in enumerate(vals)],
-        )
-        .limit(MAX_OFFSET_ROWS + 1)
-        .collect()
+    part_tot = laid.groupBy("__pid", "key").agg(
+        F.count(F.lit(1)).alias("__c"),
+        *[
+            F.coalesce(F.sum(v), F.lit(0)).cast("long").alias(f"__sv_{i}")
+            for i, v in enumerate(vals)
+        ],
     )
-    if len(part_tot) > MAX_OFFSET_ROWS:
-        laid.unpersist()
-        raise ValueError(
-            f"_keyed_prefix collected more than {MAX_OFFSET_ROWS} "
-            "(partition, key) offset rows — the key column is too "
-            "high-cardinality for the two-pass layout. Use a plain "
-            "Window.partitionBy(key) prefix sum instead: many distinct "
-            "keys parallelize fine under the per-key window."
-        )
-    # Offsets for a key must accumulate in ascending __pid (the range
-    # partitioner's layout order); interleaving ACROSS keys is
-    # irrelevant (`run` is per-key), so sort by __pid alone — no
-    # str()-of-key comparisons that could disagree with native order.
-    run: dict = {}
-    rows = []
-    for r in sorted(part_tot, key=lambda r: r["__pid"]):
-        prev = run.get(r["key"], (0,) + (0,) * len(vals))
-        rows.append((int(r["__pid"]), r["key"]) + tuple(int(x) for x in prev))
-        run[r["key"]] = tuple(
-            a + b
-            for a, b in zip(
-                prev, (r["c"],) + tuple((r[f"sv_{i}"] or 0) for i in range(len(vals)))
-            )
-        )
-    # Build the driver-side frames with the INPUT's key type so the
-    # join-back never relies on implicit cross-type casts.
-    key_type = base.schema["key"].dataType
-    off_v_fields = [StructField(f"__off_v_{i}", LongType()) for i in range(len(vals))]
-    off_df = spark.createDataFrame(
-        rows,
-        StructType(
-            [
-                StructField("__pid", IntegerType()),
-                StructField("key", key_type),
-                StructField("__off_c", LongType()),
-            ]
-            + off_v_fields
-        ),
+    guard = part_tot.agg(F.count(F.lit(1)).alias("__noff"))
+    # Offsets for a key accumulate in ascending __pid (the range
+    # partitioner's layout order): strictly-preceding-pid running sums
+    # per key. Totals (n, t) are the whole-key sums off the same tiny
+    # table — one shared shuffle by key, both window frames bounded by
+    # ≤ n_parts rows per key.
+    w_off = (
+        Window.partitionBy("key")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    nt_df = spark.createDataFrame(
-        [(k,) + tuple(int(x) for x in cv) for k, cv in run.items()],
-        StructType(
-            [StructField("key", key_type), StructField("n", LongType())]
-            + [StructField(t, LongType()) for t in tot_names]
-        ),
+    w_tot = Window.partitionBy("key")
+    off = part_tot.crossJoin(F.broadcast(guard)).select(
+        "__pid",
+        "key",
+        F.when(
+            F.col("__noff") > MAX_OFFSET_ROWS,
+            F.raise_error(
+                F.lit(
+                    f"_keyed_prefix built more than {MAX_OFFSET_ROWS} "
+                    "(partition, key) offset rows — the key column is too "
+                    "high-cardinality for the two-pass layout. Use a plain "
+                    "Window.partitionBy(key) prefix sum instead: many "
+                    "distinct keys parallelize fine under the per-key "
+                    "window."
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.coalesce(F.sum("__c").over(w_off), F.lit(0)))
+        .cast("long")
+        .alias("__off_c"),
+        *[
+            F.coalesce(F.sum(f"__sv_{i}").over(w_off), F.lit(0))
+            .cast("long")
+            .alias(f"__off_v_{i}")
+            for i in range(len(vals))
+        ],
+        F.sum("__c").over(w_tot).cast("long").alias("n"),
+        *[
+            F.sum(f"__sv_{i}").over(w_tot).cast("long").alias(t)
+            for i, t in enumerate(tot_names)
+        ],
     )
     w = (
         Window.partitionBy("__pid", "key")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = (
-        laid.join(F.broadcast(off_df), ["__pid", "key"])
-        .join(F.broadcast(nt_df), "key")
-        .withColumn("k", F.row_number().over(Window.partitionBy("__pid", "key").orderBy(*order_cols)) + F.col("__off_c"))
+    out = laid.join(F.broadcast(off), ["__pid", "key"]).withColumn(
+        "k",
+        F.row_number().over(Window.partitionBy("__pid", "key").orderBy(*order_cols))
+        + F.col("__off_c"),
     )
     for i, (v, cn) in enumerate(zip(vals, cum_names)):
         out = out.withColumn(cn, F.sum(v).over(w) + F.col(f"__off_v_{i}"))

@@ -349,8 +349,8 @@ def test_dedup_sketch_eval_collapses_exact_duplicates(spark, tmp_path):
 
 def test_keyed_prefix_raises_on_high_cardinality(spark, monkeypatch):
     """The low-cardinality contract fails loudly: more (partition, key)
-    offset rows than MAX_OFFSET_ROWS raises instead of collecting an
-    unbounded driver-side table."""
+    offset rows than MAX_OFFSET_ROWS fails the job (lazy raise_error
+    guard, r12) instead of building an unbounded offset broadcast."""
     import pytest
 
     from data_frame_demo_etl_spark.analytics import quality_audit as qa
@@ -361,7 +361,7 @@ def test_keyed_prefix_raises_on_high_cardinality(spark, monkeypatch):
         F.col("id").alias("ord"),
         F.lit(1).alias("v"),
     )
-    with pytest.raises(ValueError, match="high-cardinality"):
+    with pytest.raises(Exception, match="high-cardinality"):
         qa._keyed_prefix(wide, ["ord"], "v").collect()
 
 
