@@ -194,29 +194,28 @@ def rfm_segments(
     tie-break, so band edges cannot float between engines; amounts
     ride exact integer cents.
     """
+    # The anchor stays a driver scalar (one single-column agg job): as
+    # a lazy 1-row crossJoin it plans a BroadcastNestedLoopJoin, which
+    # the RFM plan contract bans outright (test_rfm_no_single_
+    # partition_window) — and a literal folds into the datediff while
+    # a joined column does not.
     anchor = orders.agg(F.max(date_col).alias("mx")).collect()[0]["mx"]
     per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
         F.datediff(F.lit(anchor), F.max(date_col)).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("monetary_cents"),
     )
-    ranked, n = per_cust, None
+    ranked = per_cust
     for metric, out in (
         ("recency_days", "__rank_r"),
         ("frequency", "__rank_f"),
         ("monetary_cents", "__rank_m"),
     ):
-        ranked, n = _global_rank(ranked, metric, "custkey", out)
+        ranked = _global_rank(ranked, metric, "custkey", out)
+    n = F.col("__n")
     r_tile = _ntile_from_rank("__rank_r", n, n_tiles)
     f_tile = _ntile_from_rank("__rank_f", n, n_tiles)
     m_tile = _ntile_from_rank("__rank_m", n, n_tiles)
-    if n == 0:
-        return per_cust.sparkSession.createDataFrame(
-            [],
-            "custkey long, recency_days int, frequency long, "
-            "monetary_cents long, r_score int, f_score int, m_score int, "
-            "rfm_code int",
-        )
     return (
         ranked.select(
             "custkey",
@@ -236,55 +235,69 @@ def rfm_segments(
 def _global_rank(df, metric: str, id_col: str, out: str):
     """Exact 1-based global rank by (metric, id) WITHOUT a global
     single-partition window: range-partition on the order key, count
-    rows per partition (bounded collect), cumulate offsets driver-side
-    and add them to per-partition row_numbers — the two-pass
-    prefix-sum shape of operators/packing.py. Returns (df+rank, n).
+    rows per partition, cumulate offsets over the ≤-partitions-row
+    counts table IN-PLAN (r12: formerly a blocking collect + driver
+    loop) and add them to per-partition row_numbers — the two-pass
+    prefix-sum shape of operators/packing.py. Returns df + rank +
+    ``__n`` (the global row count, every row — the NTILE closed form
+    downstream consumes it as a column).
 
     The range layout is persisted before pass 1 for the same
     correctness reason packing.py documents: repartitionByRange
     samples its boundaries, and a recompute in pass 2 could re-draw
-    them. The session owner releases caches."""
+    them; the caller's action materializes it during the offset
+    broadcast build. The two windows over the counts table are
+    unpartitioned BUT bounded by the partition count (≤ n_parts rows)
+    — the GLOBAL_WINDOW_ALLOWED justification of the RFM gates. The
+    session owner releases caches."""
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if "__n" in df.columns:  # re-rank of an already-ranked frame
+        df = df.drop("__n")
     laid = (
         df.repartitionByRange(n_parts, F.col(metric).asc(), F.col(id_col).asc())
         .sortWithinPartitions(metric, id_col)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    counts = {
-        r["__pid"]: r["c"]
-        for r in laid.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    running, rows = 0, []
-    for pid in sorted(counts):
-        rows.append((pid, running))
-        running += counts[pid]
-    if not rows:
-        return laid.withColumn(out, F.lit(None).cast("long")), 0
-    offsets = spark.createDataFrame(rows, "__pid int, __off long")
+    # coalesce(1), not an exchange: the ≤ n_parts-row counts table is
+    # already aggregated, and the offset window needs all of it in one
+    # task either way — coalescing keeps the RFM plan contract's "no
+    # Exchange SinglePartition" guarantee about the CUSTOMER table
+    # while the bounded table rides a narrow merge.
+    counts = laid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).coalesce(1)
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        F.sum("__c").over(Window.partitionBy()).cast("long").alias("__n"),
+    )
     w = Window.partitionBy("__pid").orderBy(F.col(metric).asc(), F.col(id_col).asc())
     ranked = (
         laid.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(offsets), "__pid")
+        .join(F.broadcast(off), "__pid")
         .withColumn(out, (F.col("__rn") + F.col("__off")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
-    return ranked, running
+    return ranked
 
 
-def _ntile_from_rank(rank_col: str, n: int, tiles: int):
+def _ntile_from_rank(rank_col: str, n, tiles: int):
     """SQL NTILE(tiles) as a closed-form expression over an exact
     1-based rank: the first n % tiles bands hold ⌈n/tiles⌉ rows, the
-    rest ⌊n/tiles⌋ — the standard (Spark == DuckDB) distribution."""
-    q, rem = divmod(n, tiles)
+    rest ⌊n/tiles⌋ — the standard (Spark == DuckDB) distribution.
+    ``n`` is a Column (the per-row global count `_global_rank`
+    emits), so the whole formula stays lazy; q == 0 (fewer rows than
+    tiles: tile == rank) folds into the CASE."""
+    q = F.floor(n / F.lit(tiles)).cast("long")
+    rem = (n % F.lit(tiles)).cast("long")
     r = F.col(rank_col)
-    big = (q + 1) * rem
-    if q == 0:  # fewer rows than tiles: tile == rank
-        return r
-    return F.when(
-        r <= F.lit(big), F.floor((r - 1) / F.lit(q + 1)) + 1
-    ).otherwise(F.lit(rem) + F.floor((r - 1 - big) / F.lit(q)) + 1)
+    big = (q + F.lit(1)) * rem
+    return F.when(q == 0, r).otherwise(
+        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+            rem + F.floor((r - 1 - big) / q) + 1
+        )
+    )
 
 
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,6 +353,11 @@ GLOBAL_WINDOW_ALLOWED = {
     "dedup_sketch_eval": "distinct-text eval tables",
     # stratum census (value-domain) ranks
     "docs_ht_estimate": "stratum census table",
+    # r12 lazy _global_rank: running offsets + total over the
+    # ≤-shuffle-partitions-row per-partition counts table (the former
+    # driver-side offset loop, now in-plan; bounded by n_parts)
+    "customer_rfm_segments": "partition-count offset table",
+    "customer_rfm_migration": "partition-count offset table",
     # cumulative gains over the 10-row decile spine (the per-row rank
     # is the two-pass keyed prefix, never a global window)
     "events_value_lift": "decile spine",
