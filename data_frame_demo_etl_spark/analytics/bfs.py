@@ -61,7 +61,11 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = MAX_HOPS) -> Da
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h))
         )
-        nxt = nxt.localCheckpoint(eager=False)
+        # Lazy persist, not localCheckpoint (r12, the graph_hits
+        # finding): under AQE localCheckpoint(eager=False) executes
+        # eagerly; the rounds are a sequential chain, so persist
+        # truncates lineage without blocking construction.
+        nxt = nxt.persist()
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist

@@ -72,7 +72,14 @@ def label_propagation(edges: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
             )
             .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("label"))
         )
-        labels = labels.localCheckpoint(eager=False)
+        # Lazy persist, not localCheckpoint (r12, the graph_hits
+        # finding): under AQE even localCheckpoint(eager=False)
+        # executes every stage eagerly, serializing construction into
+        # blocking per-round jobs. The rounds are a SEQUENTIAL chain
+        # (round t+1's join is the only consumer of round t), so a
+        # lazy persist truncates lineage the same way and the caller's
+        # single action materializes all rounds in one cascade.
+        labels = labels.persist()
     return labels
 
 

@@ -85,7 +85,11 @@ def pagerank(edges: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
                 ).alias("r"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        # Lazy persist, not localCheckpoint (r12, the graph_hits
+        # finding): under AQE localCheckpoint(eager=False) executes
+        # eagerly; the rounds are a sequential chain, so persist
+        # truncates lineage without blocking construction.
+        ranks = ranks.persist()
     return ranks.select("node", F.col("r").alias("rank_units"))
 
 
@@ -198,7 +202,11 @@ def personalized_pagerank(
                 ).alias("r"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        # Lazy persist, not localCheckpoint (r12, the graph_hits
+        # finding): under AQE localCheckpoint(eager=False) executes
+        # eagerly; the rounds are a sequential chain, so persist
+        # truncates lineage without blocking construction.
+        ranks = ranks.persist()
     return ranks.select("node", F.col("r").alias("rank_units"))
 
 
