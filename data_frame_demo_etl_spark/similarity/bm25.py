@@ -55,10 +55,15 @@ def bm25_topk(
     toks = _tok_table(corpus, id_col, text_col).persist()
     tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    # Corpus totals ride a 1-row scalar-aggregate broadcast (the
+    # q11/q22 shape) instead of a blocking driver collect (r12): the
+    # doubles entering idf/denom are identical to the former literals
+    # (count→double, sum→double are the same exact conversions), so
+    # the bm25 grid is unchanged.
     totals = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    ).collect()[0]
-    n_docs, total_len = int(totals["n_docs"]), int(totals["total_len"])
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.sum("dl").cast("double").alias("__total_len"),
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     qterms = (
@@ -68,10 +73,10 @@ def bm25_topk(
     )
 
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     denom = F.col("tf") + K1 * (
-        1.0 - B + B * F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_len))
+        1.0 - B + B * F.col("dl") * F.col("__n_docs") / F.col("__total_len")
     )
     term_q = F.floor(idf * (F.col("tf") * (K1 + 1.0)) / denom * SCALE + 0.5).cast("long")
 
@@ -80,6 +85,7 @@ def bm25_topk(
         .filter(F.col("doc") != F.col("query_id"))
         .join(dl, "doc")
         .join(dfreq, "tok")
+        .crossJoin(F.broadcast(totals))
         .groupBy("query_id", "doc")
         .agg(F.sum(term_q).alias("sq"))
         .select(

@@ -126,6 +126,10 @@ CARTESIAN_ALLOWED = {
     # broadcast of a 1-ROW total for the ppm shares — the scalar-
     # aggregate shape (analytics/quality_audit.py).
     "orders_benford_audit",
+    # broadcast of the 1-ROW corpus totals (n_docs, total_len) onto
+    # the term table — the scalar-aggregate shape, r12 lazification of
+    # the former driver collect (similarity/bm25.py).
+    "text_bm25_topk",
     # broadcasts of 1-ROW token/bigram totals (N, NB) onto the
     # vocab-sized PMI table — the scalar-aggregate shape twice
     # (functions/vocab.py collocation_pmi).
