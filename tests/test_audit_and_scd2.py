@@ -267,6 +267,32 @@ CARTESIAN_ALLOWED = {
     # crossJoin(broadcast(1-ROW doc total)) onto the group-size
     # histogram (dedup/novelty.py duplication_profile).
     "docs_duplication_profile",
+    # --- _keyed_prefix consumers (analytics/quality_audit.py): the r12
+    # in-plan offsets carry a crossJoin(broadcast(1-ROW offset-count
+    # guard)) — the q22 bounded-scalar shape; the guard row count is
+    # what ENFORCES the helper's low-cardinality contract (raise_error
+    # when the offset table exceeds MAX_OFFSET_ROWS), so the cross is
+    # 1-row by construction.
+    "events_value_pr_curve",
+    "events_cliffs_delta",
+    "events_dwell_transitions",
+    "events_max_concurrency",
+    "lineitem_supplier_gini",
+    "events_cusum_changepoints",
+    "events_mannwhitney",
+    "events_ks_test",
+    "events_spearman",
+    "docs_zipf_fit",
+    "events_runs_test",
+    "lineitem_lorenz_curve",
+    "parts_abc_classification",
+    "events_value_auc",
+    "events_purchase_stump",
+    "customer_repurchase_cadence",
+    "docs_token_budget_curve",
+    "events_value_ap",
+    "events_value_lift",
+    "events_cvm_test",
 }
 
 

@@ -182,6 +182,13 @@ CARTESIAN_ALLOWED = {
     # dense (QI-classes × band-domain) spine + 1-ROW (N, m) scalar —
     # bounded by value domains (operators/validate.py t_closeness).
     "customer_t_closeness",
+    # --- r12 in-window _keyed_prefix consumers: the in-plan offsets
+    # carry a crossJoin(broadcast(1-ROW offset-count guard)) — the q22
+    # bounded-scalar shape; the guard is what enforces the helper's
+    # low-cardinality contract (analytics/quality_audit.py).
+    "events_value_pr_curve",
+    "events_cliffs_delta",
+    "events_dwell_transitions",
 }
 
 # name -> substrings that must each appear in some PushedFilters entry.
