@@ -189,7 +189,17 @@ def _keyed_prefix(
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_tot = Window.partitionBy("key")
+    # Whole-key totals ride the SAME ordered window spec with an
+    # unbounded frame (not a separate unordered Window.partitionBy):
+    # identical partitioning+ordering lets Spark evaluate offsets and
+    # totals in ONE WindowExec, and an unordered per-key window renders
+    # with two bracket groups — the shape the global-window audit
+    # flags as unpartitioned.
+    w_tot = (
+        Window.partitionBy("key")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     off = part_tot.crossJoin(F.broadcast(guard)).select(
         "__pid",
         "key",

@@ -122,11 +122,30 @@ def self_join_fanouts(df: DataFrame) -> list[str]:
 
     hits: list[str] = []
 
+    def is_scalar_agg(node) -> bool:
+        # A grouping-free Aggregate emits AT MOST ONE row — a join
+        # against it (the q22/guard scalar-broadcast shape) cannot
+        # produce |group|² fan-out, whatever the other side is. Shape
+        # matching alone would flag it whenever the optimizer's
+        # simplifications make both children's class trees coincide
+        # (e.g. the keyed-prefix offset-count guard over the same
+        # cached layout).
+        if node.getClass().getSimpleName() != "Aggregate":
+            return False
+        try:
+            return node.groupingExpressions().isEmpty()
+        except Exception:  # noqa: BLE001 — plan classes vary by node
+            return False
+
     def walk(node) -> None:
         ch = node.children()
         n = ch.length()
         kids = [ch.apply(i) for i in range(n)]
-        if node.getClass().getSimpleName() == "Join" and n == 2:
+        if (
+            node.getClass().getSimpleName() == "Join"
+            and n == 2
+            and not any(is_scalar_agg(k) for k in kids)
+        ):
             left, right = shape(kids[0]), shape(kids[1])
             if left == right:
                 hits.append(left)
