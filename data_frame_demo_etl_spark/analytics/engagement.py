@@ -170,19 +170,25 @@ def per_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     # customer scales with SF — no forced broadcast.
-    joined = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    # r12 (aggregate-before-shuffle): orders collapse to per-customer
+    # (order count, sales sum) partials first — the custkey groupBy is
+    # the exchange the join needed anyway, the join then carries
+    # customer-sized rows, and the per-segment count_distinct becomes a
+    # plain count (one joined row per ordering customer by
+    # construction). Decimal sums re-aggregate exactly.
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("__orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__sales"),
+    )
+    joined = per_cust.join(customer, "c_custkey")
     return (
         joined.groupBy("c_mktsegment")
         .agg(
-            F.countDistinct("c_custkey").alias("customer_count"),
-            F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
-            .cast("double")
-            .alias("total_sales"),
+            F.count(F.lit(1)).alias("customer_count"),
+            F.sum("__orders").alias("order_count"),
+            F.round(F.sum("__sales"), 2).cast("double").alias("total_sales"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
-                / F.count(F.lit(1)),
-                2,
+                F.sum("__sales").cast("double") / F.sum("__orders"), 2
             ).alias("avg_order_value"),
         )
         .orderBy(F.col("total_sales").desc(), F.col("c_mktsegment").asc())

@@ -48,14 +48,19 @@ def association_rules(
     b = baskets.select(
         F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
     )
-    # per_basket feeds both the count action and the pair explode; a
-    # persist was measured at sf1 and bought nothing (the agg is cheap
-    # next to the scan, and AQE reuses the exchange), so it stays
-    # uncached.
-    per_basket = b.groupBy("bid").agg(F.collect_set("item").alias("items"))
+    # r12: per_basket now feeds THREE consumers — the n_baskets scalar,
+    # the item supports, and the pair explode — so it is persisted and
+    # the count() doubles as the cache materialization. item_supp is
+    # derived from the basket sets (supp(item) = #baskets containing
+    # it = one explode of the cached sets) instead of a second
+    # corpus-sized distinct-shuffle of the raw (bid, item) table: the
+    # whole operator now shuffles the corpus exactly once (on bid).
+    per_basket = b.groupBy("bid").agg(F.collect_set("item").alias("items")).persist()
     n_baskets = per_basket.count()
     item_supp = (
-        b.distinct().groupBy("item").agg(F.count(F.lit(1)).alias("supp"))
+        per_basket.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("supp"))
     )
     pairs = (
         per_basket.select(F.explode("items").alias("u"), "items")

@@ -55,8 +55,15 @@ def mad_outliers(
     med = base.groupBy("grp").agg(
         F.round(F.percentile(F.col("v"), F.lit(0.5)) * 2).cast("long").alias("med2")
     )
-    dev = base.join(F.broadcast(med), "grp").withColumn(
-        "dev2", F.abs(2 * F.col("v") - F.col("med2"))
+    # Persist (r12): the median/MAD cascade reads the joined fact table
+    # three more times (MAD build, outlier agg) — uncached, each read
+    # re-scanned the source. The broadcast BUILD of `med` executes
+    # before any probe, so the first probe materializes the cache and
+    # later consumers hit it: source scans drop from ~4 to 2.
+    dev = (
+        base.join(F.broadcast(med), "grp")
+        .withColumn("dev2", F.abs(2 * F.col("v") - F.col("med2")))
+        .persist()
     )
     mad = dev.groupBy("grp").agg(
         F.round(F.percentile(F.col("dev2"), F.lit(0.5))).cast("long").alias("mad2")
@@ -135,8 +142,16 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = base.groupBy("grp", "hod").agg(
         F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("seasonal_mean")
     )
-    resid = base.join(F.broadcast(profile), ["grp", "hod"]).select(
-        "grp", (F.col("v") - F.col("seasonal_mean")).alias("v")
+    # Persist (r12): the residual table feeds the median build, the
+    # deviation projection, the MAD build and the final aggregate —
+    # uncached, each consumer re-scanned events and re-joined the
+    # profile. The profile broadcast BUILD runs before any probe, so
+    # the first probe materializes the cache: events scans drop from
+    # ~5 to 2 (profile build + one residual materialization).
+    resid = (
+        base.join(F.broadcast(profile), ["grp", "hod"])
+        .select("grp", (F.col("v") - F.col("seasonal_mean")).alias("v"))
+        .persist()
     )
     med = resid.groupBy("grp").agg(
         F.round(F.percentile(F.col("v"), F.lit(0.5)) * 2).cast("long").alias("med2")

@@ -107,9 +107,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
 
-    return (
+    # r12 (aggregate-before-shuffle): the filtered lineitem collapses
+    # to one (orderkey, revenue-sum) row BEFORE the joins — the
+    # orderkey groupBy is the exchange the join needed anyway, so the
+    # custkey exchange then carries order-sized rows, and the final
+    # (orderkey, orderdate) aggregation disappears (o_orderdate is
+    # functionally dependent on the unique o_orderkey; an inner join
+    # against it neither drops nor multiplies the per-order sums —
+    # decimal arithmetic, exact).
+    per_order = (
         lineitem.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-        .join(
+        .groupBy("l_orderkey")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+    )
+    return (
+        per_order.join(
             orders.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -119,8 +131,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(_money(F.sum(_disc_price()), "revenue"))
+        .select("l_orderkey", "o_orderdate", _money(F.col("__rev"), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -200,22 +211,35 @@ ORDER BY revenue DESC, n_name ASC
 
 
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue rollup by region and order year (combine/summary parity)."""
+    """Revenue rollup by region and order year (combine/summary parity).
+
+    r12 (aggregate-before-shuffle): lineitem collapses to per-order
+    (revenue, line count) partials BEFORE any join — the orderkey
+    groupBy is the same exchange the join needed anyway, and every
+    downstream join/exchange (orders→customer on custkey) then carries
+    orders-sized rows instead of lineitem-sized ones. Decimal sums are
+    exact, so re-aggregating the per-order partials by (region, year)
+    is value-identical to summing raw lines; an inner join against the
+    unique o_orderkey neither drops nor multiplies partials."""
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir)
 
+    per_order = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_disc_price()).alias("__rev"),
+        F.count(F.lit(1)).alias("__lines"),
+    )
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, "o_orderkey")
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name"), F.year("o_orderdate").alias("order_year"))
         .agg(
-            _money(F.sum(_disc_price()), "revenue"),
-            F.count(F.lit(1)).alias("line_count"),
+            _money(F.sum("__rev"), "revenue"),
+            F.sum("__lines").alias("line_count"),
         )
         .orderBy("r_name", "order_year")
     )

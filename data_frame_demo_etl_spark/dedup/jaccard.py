@@ -20,7 +20,7 @@ kept for cross-validation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .shingling import shingle_hash_table, shingles
 
@@ -35,6 +35,55 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     # Hash word tuples directly — no shingle strings are ever built.
     # (xxhash64 collisions are ~1e-19 at realistic shingle counts.)
     return shingle_hash_table(df, id_col, text_col, n)
+
+
+def _collapse_exact_texts(keyed: DataFrame) -> DataFrame:
+    """(__tk, __rep, __text, __ids) — one row per DISTINCT text of the
+    (__id, __text) input: representative = min id, __ids = the sorted
+    member-id list. r12: this replaces the md5-keyed WINDOW the
+    collapse paths used — the window shuffled every row's full TEXT
+    payload and sorted it, just to stamp a per-group min id; the
+    groupBy ships map-side PARTIAL aggregates instead (ids + one text
+    copy per distinct text per map task — §2.3 shuffle metadata, not
+    payloads). Same degenerate bound as the window: a text duplicated
+    d times puts d ids in one aggregation buffer exactly as the window
+    put d rows in one partition — but ids are 8 bytes, not documents.
+    Persisted; the CALLER releases (session cache policy)."""
+    return (
+        keyed.groupBy(F.md5("__text").alias("__tk"))
+        .agg(
+            F.min("__id").alias("__rep"),
+            F.min_by("__text", "__id").alias("__text"),
+            F.sort_array(F.collect_list("__id")).alias("__ids"),
+        )
+        .persist()
+    )
+
+
+def _inrow_pairs(ids: Column, directed: bool) -> Column:
+    """All member pairs of one duplicate group, expanded IN-ROW from
+    the sorted id array (the minhash combos pattern) — no members
+    self-join. Undirected: (ids[i], ids[j]) for i < j; directed: both
+    orders, x != y."""
+    if directed:
+        return F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(
+                    F.filter(ids, lambda y: y != x),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
 
 
 def jaccard_pairs(
@@ -96,32 +145,23 @@ def jaccard_pairs(
             n,
             threshold,
         )
-    w = Window.partitionBy("__tk")
-    # Persist: feeds the representative set, the within-group
-    # expansion, and the cross-group expansion (session cache policy:
-    # the session owner releases between logical queries).
-    marked = (
-        keyed.withColumn("__tk", F.md5("__text"))
-        .withColumn("__rep", F.min("__id").over(w))
-        .persist()
-    )
-    reps = marked.filter(F.col("__id") == F.col("__rep")).select(
-        F.col("__id").alias(id_col), F.col("__text").alias(text_col)
+    groups = _collapse_exact_texts(keyed)
+    reps = groups.select(
+        F.col("__rep").alias(id_col), F.col("__text").alias(text_col)
     )
     rep_pairs = _jaccard_pairs_uncollapsed(reps, id_col, text_col, n, threshold)
 
-    members = marked.select("__rep", "__id")
-    m1 = members.select(F.col("__rep"), F.col("__id").alias("__da"))
-    m2 = members.select(F.col("__rep"), F.col("__id").alias("__db"))
-    within = (
-        m1.join(m2, "__rep")
-        .filter(F.col("__da") < F.col("__db"))
-        .select(
-            F.col("__da").alias("id_a"),
-            F.col("__db").alias("id_b"),
-            F.round(F.lit(1.0), 6).alias("jaccard"),
-        )
+    # Within-group pairs expand IN-ROW from the sorted member-id array
+    # (every pair is Jaccard 1.0 by construction) — the former members
+    # self-join shuffled the member table twice for the same set.
+    within = groups.select(
+        F.explode(_inrow_pairs(F.col("__ids"), directed=False)).alias("p")
+    ).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.round(F.lit(1.0), 6).alias("jaccard"),
     )
+    members = groups.select("__rep", F.explode("__ids").alias("__id"))
     ma = members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__da"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__db"))
     cross = (
@@ -320,14 +360,9 @@ def containment_pairs(
     keyed = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).filter(F.size(word_array(F.col(text_col))) >= n)
-    w = Window.partitionBy("__tk")
-    marked = (
-        keyed.withColumn("__tk", F.md5("__text"))
-        .withColumn("__rep", F.min("__id").over(w))
-        .persist()
-    )
-    reps = marked.filter(F.col("__id") == F.col("__rep")).select(
-        F.col("__id").alias(id_col), F.col("__text").alias(text_col)
+    groups = _collapse_exact_texts(keyed)
+    reps = groups.select(
+        F.col("__rep").alias(id_col), F.col("__text").alias(text_col)
     )
 
     sh = _hashed_shingles(reps, id_col, text_col, n).persist()
@@ -388,17 +423,15 @@ def containment_pairs(
         )
     )
 
-    members = marked.select("__rep", "__id")
-    m1 = members.select(F.col("__rep"), F.col("__id").alias("__da"))
-    m2 = members.select(F.col("__rep"), F.col("__id").alias("__db"))
-    within = (
-        m1.join(m2, "__rep")
-        .filter(F.col("__da") != F.col("__db"))
-        .select(
-            F.col("__da").alias("id_a"),
-            F.col("__db").alias("id_b"),
-            F.round(F.lit(1.0), 6).alias("containment"),
-        )
+    members = groups.select("__rep", F.explode("__ids").alias("__id"))
+    # Directed within-group pairs (both orders) expand IN-ROW from the
+    # member-id array — no members self-join.
+    within = groups.select(
+        F.explode(_inrow_pairs(F.col("__ids"), directed=True)).alias("p")
+    ).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.round(F.lit(1.0), 6).alias("containment"),
     )
     ma = members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__da"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__db"))

@@ -9,12 +9,13 @@ PHRASE as the sum of its member word scores, and keep the top
 candidates. Complements L1–L21: the tokenizer/quality family measures
 documents; this extracts the vocabulary a human would skim.
 
-Spark-first shape: tokenization is one narrow regexp pass;
-phrase-id assignment is a running stopword count windowed per doc
-(doc_id is high-cardinality — the window parallelizes); word stats
-are one vocabulary-sized aggregation broadcast back onto the
-(distinct) phrase table. Scores ride the ppm grid (degree·10⁶ div
-freq — exact integers), so the oracle matches bit-for-bit.
+Spark-first shape: tokenization AND phrase carving are one in-row
+regexp pass (stopword tokens deleted from the rebuilt token string,
+leaving phrase boundaries) — no token explode, no per-doc window, no
+data movement before the vocabulary-sized aggregations; word stats
+are one such aggregation broadcast back onto the (distinct) phrase
+table. Scores ride the ppm grid (degree·10⁶ div freq — exact
+integers), so the oracle matches bit-for-bit.
 """
 
 from __future__ import annotations
@@ -49,24 +50,34 @@ def rake_keywords(
 ) -> DataFrame:
     """(rank, phrase, n_words, n_occurrences, score_ppm) — the corpus
     top keywords by RAKE score."""
-    stop_lit = [F.lit(s) for s in RAKE_STOPWORDS]
-    words = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
-        ).alias("pos", "w"),
+    # r12: candidate phrases are a PER-DOCUMENT function of the token
+    # sequence, so they are carved out IN-ROW: rebuild the token stream
+    # as a single-space-joined string and delete each stopword token
+    # (consumed with its leading space, trailing space kept via
+    # lookahead so stopword runs fall together) leaving "|" phrase
+    # boundaries — one linear regexp pass, zero shuffles. The former
+    # shape posexploded every token, ran a per-doc running-sum window
+    # (full token-stream exchange + sort) and a (doc, pid) groupBy
+    # (second token-stream exchange) just to reassemble adjacent
+    # words; phrase formation now costs no data movement at all and
+    # the first exchanges in the plan are the vocabulary-sized
+    # aggregations.
+    arr = F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
+    joined = F.concat(F.lit(" "), F.concat_ws(" ", arr), F.lit(" "))
+    stop_pat = " (?:" + "|".join(RAKE_STOPWORDS) + ")(?= )"
+    segments = F.split(F.regexp_replace(joined, stop_pat, " |"), r"\|")
+    phrases = F.filter(
+        F.transform(segments, lambda s: F.trim(s)), lambda s: s != ""
     )
-    wdoc = Window.partitionBy("doc").orderBy("pos")
-    marked = words.withColumn("is_stop", F.col("w").isin(*RAKE_STOPWORDS)).withColumn(
-        "pid", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wdoc)
-    )
+    # Persist: the word-stats branch and the distinct-phrase branch
+    # both consume the phrase table; the stats side is the broadcast
+    # BUILD of the scoring join, so it materializes the cache before
+    # the probe side reads it (no concurrent-recompute hazard).
     phr_occ = (
-        marked.filter(~F.col("is_stop"))
-        .groupBy("doc", "pid")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("ws"))
-        .select(F.expr("transform(ws, s -> s.w)").alias("wa"))
-        .filter((F.size("wa") >= 1) & (F.size("wa") <= max_phrase))
-        .select(F.concat_ws(" ", F.col("wa")).alias("phrase"), F.size("wa").alias("plen"))
+        docs.select(F.explode(phrases).alias("phrase"))
+        .select("phrase", F.size(F.split("phrase", " ")).alias("plen"))
+        .filter((F.col("plen") >= 1) & (F.col("plen") <= max_phrase))
+        .persist()
     )
     word_occ = phr_occ.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
     stats = word_occ.groupBy("w").agg(
@@ -83,10 +94,16 @@ def rake_keywords(
         .groupBy("phrase", "n_occurrences", "n_words")
         .agg(F.sum("wscore").alias("score_ppm"))
     )
+    # r12: the global row_number window funnelled the WHOLE phrase
+    # vocabulary through one task; (score, phrase) is a total order
+    # (phrases are distinct), so orderBy+limit — a distributed
+    # per-partition top-k merge (TakeOrderedAndProject) — selects the
+    # identical rows and the rank window then numbers only ≤top rows.
     wtop = Window.partitionBy().orderBy(F.col("score_ppm").desc(), F.col("phrase").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= top)
+        scored.orderBy(F.col("score_ppm").desc(), F.col("phrase").asc())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(wtop))
         .select(
             F.col("rank").cast("long").alias("rank"),
             "phrase",

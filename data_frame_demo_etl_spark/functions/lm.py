@@ -72,12 +72,23 @@ def lm_score_documents(
     lp = F.log(F.col("cb") + F.lit(1.0)) - F.log(F.col("cu") + F.lit(float(vocab_size)))
     lpq = F.floor(lp * LP_SCALE + F.lit(0.5)).cast("long")
 
-    scored = (
-        bi_occ.join(bi_counts, "bg")
-        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    # r12: the per-bigram log-prob depends only on (cb, cu of w1) — so
+    # it is computed ON THE COUNTS TABLE (bigram-vocab-sized) and the
+    # corpus-sized occurrence stream joins the finished per-bigram
+    # score once, on bg. The former shape joined uni onto every
+    # OCCURRENCE row (an occurrence-sized second join input plus a
+    # per-occurrence split(bg)); at 100 TB that was a second
+    # corpus-scale shuffle for a value that has bigram-vocab
+    # cardinality. Same rows out: bg_lp has one row per distinct bg
+    # and every occurrence matches it (counts come from the same
+    # corpus), so the inner joins are cardinality-preserving in both
+    # shapes.
+    bg_lp = (
+        bi_counts.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
         .join(uni.withColumnRenamed("w", "w1"), "w1")
-        .select(id_col, lpq.alias("lpq"))
+        .select("bg", lpq.alias("lpq"))
     )
+    scored = bi_occ.join(bg_lp, "bg").select(id_col, "lpq")
     return (
         scored.groupBy(id_col)
         .agg(
@@ -214,12 +225,16 @@ def dsir_importance_keys(
         - F.floor(lp_raw * LP_SCALE + F.lit(0.5)).cast("long")
     )
 
-    scored = (
-        bi_occ.join(bi_counts, "bg")
-        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    # r12: same counts-side restructure as lm_score_documents — dq is a
+    # function of the bigram alone, so it is finished on the
+    # bigram-vocab-sized counts table and the occurrence stream joins
+    # the scored table once, on bg (was: uni joined per occurrence).
+    bg_dq = (
+        bi_counts.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
         .join(uni.withColumnRenamed("w", "w1"), "w1")
-        .select(id_col, dq.alias("dq"))
+        .select("bg", dq.alias("dq"))
     )
+    scored = bi_occ.join(bg_dq, "bg").select(id_col, "dq")
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("dq").alias("sd"),
