@@ -44,9 +44,7 @@ HEADLINE = [
     "events_sessionize",
     # text / dedup / similarity
     "text_token_count",
-    # text_quality_score trimmed from the LINE with the round-12 two —
-    # sibling of the headlined text_token_count (same one-scan Column-
-    # expression family); stays registered, oracle-verified, in pytest.
+    "text_quality_score",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -64,9 +62,7 @@ HEADLINE = [
     # round-5 additions (appended, same comparability rule)
     "events_ohlc_hourly",
     "events_ewma",
-    # events_interpolate trimmed from the LINE with the round-12 two —
-    # timeseries sibling of the headlined ohlc/ewma pair; stays
-    # registered, oracle-verified, in pytest.
+    "events_interpolate",
     "bloom_pruned_brand_revenue",
     # supplier_kcore trimmed from the LINE with the round-11 two — the
     # graph slot keeps supplier_triangles + supplier_communities and
@@ -170,10 +166,13 @@ HEADLINE = [
     # the anchor-PQ compression gate and integer-grid HITS.
     "pq_adc_topk",
     "graph_hits",
-    # round-12 additions (appended, same comparability rule; paid for
-    # by the text_quality_score and events_interpolate trims above):
+    # round-12 additions (appended, same comparability rule):
     # the re-planned KNN-sparsified link prediction and the keyed-
-    # prefix dwell-median op.
+    # prefix dwell-median op. (text_quality_score / events_interpolate
+    # were briefly trimmed to pay for these two; the r12 verdict ruled
+    # the HEADLINE additions-only, so both are restored above and the
+    # capture budget is instead covered by the optional-field tiers of
+    # the fail-soft ladder below.)
     "supplier_link_prediction",
     "events_dwell_transitions",
 ]
@@ -261,18 +260,22 @@ def main() -> None:
     # the capture window. Full 3-decimal timings go to bench_full.json.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
-    # Tiered fail-soft: 2-decimal → 1-decimal → totals-only. A hard
-    # assert here would cost the driver the WHOLE artifact (rc != 0);
-    # a totals-only line still parses and bench_full.json keeps the
-    # per-query map.
+    # Tiered fail-soft: 2-decimal → 1-decimal → 1-decimal minus the
+    # optional "action" field → minus "load" too → drop-cheapest →
+    # totals-only. A hard assert here would cost the driver the WHOLE
+    # artifact (rc != 0). Per-query visibility outranks the optional
+    # methodology/sentinel fields (they always survive in
+    # bench_full.json), so those fields are shed BEFORE any query
+    # entry is — the r12 verdict gates on every query staying in the
+    # line (additions-only HEADLINE).
     line = ""
-    for ndigits in (2, 1):
-        compact = dict(
-            payload, queries={k: round(v, ndigits) for k, v in timings.items()}
-        )
+    for ndigits, drop_fields in ((2, ()), (1, ()), (1, ("action",)), (1, ("action", "load"))):
+        compact = {k: v for k, v in payload.items() if k not in drop_fields}
+        compact["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) < 1990:
             break
+    stripped = {k: v for k, v in payload.items() if k not in ("action", "load")}
     if len(line) >= 1990:
         # intermediate tier: drop the CHEAPEST queries from the compact
         # line (they carry the least signal) until it fits; the full
@@ -283,11 +286,11 @@ def main() -> None:
                 break
             kept.pop(name)
             compact = dict(
-                payload, queries=kept, queries_omitted=len(timings) - len(kept)
+                stripped, queries=kept, queries_omitted=len(timings) - len(kept)
             )
             line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1990:
-        compact = dict(payload, queries={}, queries_omitted=len(timings))
+        compact = dict(stripped, queries={}, queries_omitted=len(timings))
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -191,18 +191,16 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "vt")
         .agg(F.min("ts").alias("pt"))
     )
-    # Persist the collapsed (d_us, count) table — its plan is
-    # deterministic, so a repeated run in one session (bench rep 2)
-    # reuses the cached collapse and skips the event scans + funnel
-    # joins entirely; the keyed-prefix layout below is NOT reusable
-    # across runs (spark_partition_id defeats plan-cache matching) but
-    # is cheap on the collapsed table. Session owner releases caches.
+    # No persist here: _keyed_prefix consumes its input exactly once
+    # (its own internal layout persist is the shared intermediate), so
+    # caching the collapse would only serve a REPEATED run in the same
+    # session — a bench-convention artifact, not a query win (r12
+    # verdict item 3).
     cnt = (
         purchases.select((F.unix_micros("pt") - F.unix_micros("vt")).alias("d_us"))
         .groupBy("d_us")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("key", F.lit(1))
-        .persist()
     )
     pre = _keyed_prefix(cnt, ["d_us"], "c")
     r_lo = F.expr("(t + 1) div 2")  # lower-middle rank (exact integer)
