@@ -155,18 +155,38 @@ def _cost_columns(words: DataFrame, pieces: DataFrame) -> DataFrame:
     return joined.groupBy("w", "f", "len").agg(*aggs)
 
 
-def _viterbi_used(costs: DataFrame) -> DataFrame:
+def _viterbi_used(costs: DataFrame, emit_unk: bool = False) -> DataFrame:
     """(w, f, piece): the pieces of each word's minimum-cost
     segmentation (longest-piece tie-break), via the static-unroll DP.
-    Also carries b_0 as ``word_cost`` for likelihood tests."""
+    Also carries b_0 as ``word_cost`` for likelihood tests.
+
+    With ``emit_unk`` each row additionally carries ``unk`` — whether
+    the emitted piece was ABSENT from the cost vocabulary. That is
+    read straight off the DP: the chosen piece's cost cell is
+    coalesce(-lpq, BIG), and real costs sit 7 orders of magnitude
+    below BIG, so chosen-cost ≥ BIG ⟺ the piece missed the cost
+    join. (The walk never chooses a k that overruns the word: at any
+    position the in-range candidate through b reaches the terminal 0
+    at cost ≤ len·BIG while every out-of-range candidate pays
+    BIG + b_j with j > len, i.e. ≥ 2·BIG against an in-range
+    alternative of ≤ BIG at the same position — so the emitted piece
+    is always a true substring and membership is exactly the cost
+    test.) This lets the encode gate skip a second corpus-scale join
+    against the vocabulary (r13)."""
     # Generated-SQL unroll, assembled into ONE spark.sql call (see the
     # _cost_columns note): DataFrames analyze EAGERLY on creation, so
     # a withColumn/selectExpr chain re-analyzes the growing DP plan at
     # every stage (~3.4 s of driver time per build in the original
     # Column form, ~1.1 s as 38 selectExpr stages); a single nested
-    # query is parsed and analyzed once (~0.1 s). The temp view is
-    # dropped immediately — the returned DataFrame's plan is already
-    # resolved, so later view churn cannot redirect it.
+    # query is parsed and analyzed once. r13: the ~38 one-column-
+    # per-level nested SELECTs became TWO levels using lateral column
+    # aliases (each alias may reference aliases defined earlier in the
+    # same SELECT list — Spark ≥ 3.4) — the analyzer resolves one
+    # projection list instead of re-expanding a growing star per
+    # level, measured ~40% less build (driver) time per DP with
+    # bit-identical output. The temp view is dropped immediately — the
+    # returned DataFrame's plan is already resolved, so later view
+    # churn cannot redirect it.
     spark = costs.sparkSession
     have = set(costs.columns)
 
@@ -178,11 +198,15 @@ def _viterbi_used(costs: DataFrame) -> DataFrame:
     _DP_VIEW_N += 1
     vname = f"__unigram_dp_{_DP_VIEW_N}"
     costs.createOrReplaceTempView(vname)
-    # suffix DP, right to left: b_i = min cost to segment w[i+1 .. len]
-    q = (
-        f"SELECT *, CASE WHEN len = {MAX_WORD} THEN 0 ELSE {BIG} END"
-        f" AS b_{MAX_WORD} FROM {vname}"
-    )
+    # Level 1 — suffix DP (right to left: b_i = min cost to segment
+    # w[i+1 .. len]), argmin k (longest piece first on ties,
+    # k = MAX_PIECE … 1), and the forward path walk (position 0 is on
+    # the path; position i is on it iff some on-path position i−k
+    # chose a k-piece ending at i) as ONE lateral-alias SELECT.
+    sel = [
+        "*",
+        f"CASE WHEN len = {MAX_WORD} THEN 0 ELSE {BIG} END AS b_{MAX_WORD}",
+    ]
     for i in range(MAX_WORD - 1, -1, -1):
         cands = [
             f"({cost_sql(i, k)} + b_{i + k})"
@@ -190,44 +214,60 @@ def _viterbi_used(costs: DataFrame) -> DataFrame:
             if i + k <= MAX_WORD
         ]
         m = f"least({', '.join(cands)})" if len(cands) > 1 else cands[0]
-        q = (
-            f"SELECT *, CASE WHEN len = {i} THEN 0 WHEN len < {i} THEN {BIG}"
-            f" ELSE {m} END AS b_{i} FROM ({q})"
+        sel.append(
+            f"CASE WHEN len = {i} THEN 0 WHEN len < {i} THEN {BIG}"
+            f" ELSE {m} END AS b_{i}"
         )
-        # argmin k, longest piece first on ties (k = MAX_PIECE … 1)
         whens = " ".join(
             f"WHEN ({cost_sql(i, k)} + b_{i + k}) = b_{i} THEN {k}"
             for k in range(min(MAX_PIECE, MAX_WORD - i), 0, -1)
         )
-        q = (
-            f"SELECT *, CASE WHEN len <= {i} THEN 0 ELSE (CASE {whens} ELSE 0 END) END"
-            f" AS k_{i} FROM ({q})"
+        sel.append(
+            f"CASE WHEN len <= {i} THEN 0 ELSE (CASE {whens} ELSE 0 END) END AS k_{i}"
         )
-    # forward path membership: position 0 is on the path; position i is
-    # on it iff some on-path position i−k chose a k-piece ending at i.
-    q = f"SELECT *, true AS on_0 FROM ({q})"
+    sel.append("true AS on_0")
     for i in range(1, MAX_WORD):
         terms = " OR ".join(
             f"(on_{i - k} AND k_{i - k} = {k})"
             for k in range(1, MAX_PIECE + 1)
             if i - k >= 0
         )
-        q = f"SELECT *, ({terms}) AS on_{i} FROM ({q})"
-    # emit the used pieces (static 3-way CASE over k_i per position)
+        sel.append(f"({terms}) AS on_{i}")
+    q = f"SELECT {', '.join(sel)} FROM {vname}"
+    # Level 2 — emit the used pieces (static 3-way CASE over k_i per
+    # position; generators cannot ride lateral aliases, so this is its
+    # own level).
     piece_at = []
     for i in range(MAX_WORD):
         inner = " ".join(
             f"WHEN k_{i} = {k} THEN substr(w, {i + 1}, {k})"
             for k in range(1, MAX_PIECE + 1)
         )
-        piece_at.append(
-            f"CASE WHEN on_{i} AND k_{i} > 0 AND len > {i} THEN (CASE {inner} END) END"
+        chosen = f"CASE WHEN on_{i} AND k_{i} > 0 AND len > {i} THEN (CASE {inner} END) END"
+        if emit_unk:
+            ccost = " ".join(
+                f"WHEN k_{i} = {k} THEN {cost_sql(i, k)}"
+                for k in range(1, MAX_PIECE + 1)
+            )
+            chosen = (
+                f"CASE WHEN on_{i} AND k_{i} > 0 AND len > {i} THEN"
+                f" named_struct('p', (CASE {inner} END),"
+                f" 'u', (CASE {ccost} END) >= {BIG}) END"
+            )
+        piece_at.append(chosen)
+    if emit_unk:
+        final = (
+            "SELECT w, f, word_cost, s.p AS piece, s.u AS unk FROM ("
+            "SELECT w, f, b_0 AS word_cost,"
+            f" explode(filter(array({', '.join(piece_at)}), x -> x IS NOT NULL)) AS s"
+            f" FROM ({q}))"
         )
-    final = (
-        "SELECT w, f, b_0 AS word_cost,"
-        f" explode(filter(array({', '.join(piece_at)}), x -> x IS NOT NULL)) AS piece"
-        f" FROM ({q})"
-    )
+    else:
+        final = (
+            "SELECT w, f, b_0 AS word_cost,"
+            f" explode(filter(array({', '.join(piece_at)}), x -> x IS NOT NULL)) AS piece"
+            f" FROM ({q})"
+        )
     out = spark.sql(final)
     spark.catalog.dropTempView(vname)
     return out
@@ -242,10 +282,19 @@ def unigram_lm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Train the unigram vocabulary with 2 Viterbi-EM iterations;
     returns (piece, n_used, lpq) — the final vocabulary with usage
     counts and quantized log-probs, the table a tokenizer loads."""
-    spark = docs.sparkSession
+    words = _word_table(docs, text_col).persist()
+    return _train_from_words(words).orderBy("piece")
+
+
+def _train_from_words(words: DataFrame) -> DataFrame:
+    """The trainer body over a prepared (w, f, len) word table —
+    UNORDERED output (the vocab gate sorts; the encode gate joins, so
+    a sort would be dead work under its joins). ``words`` must already
+    be persisted (or otherwise cheap): it is consumed three times
+    (seed counts + both iterations' cost pivots)."""
+    spark = words.sparkSession
     empty = spark.createDataFrame([], "piece string, n_used long, lpq long")
 
-    words = _word_table(docs, text_col).persist()
     seed = _seed_pieces(words).persist()
     total0 = seed.agg(F.sum("c")).collect()[0][0]
     if not total0:  # empty corpus / no trainable words
@@ -274,7 +323,6 @@ def unigram_lm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .cast("long")
             .alias("lpq"),
         )
-        .orderBy("piece")
     )
     return out
 
@@ -411,6 +459,8 @@ def unigram_encode_tokens(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    raw_words: DataFrame | None = None,
+    _occ: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_tokens, n_unk): per-document token counts segmenting
     every word with a TRAINED unigram vocabulary (piece, lpq) — the
@@ -426,11 +476,25 @@ def unigram_encode_tokens(
 
     Scale shape: the DP runs per DISTINCT block string (vocabulary-
     sized); the corpus-sized work is one tokenize pass + two
-    vocabulary joins back (word → block counts → doc)."""
-    occ = docs.select(
-        id_col, F.explode(_tokens(F.col(text_col))).alias("w0")
-    ).persist()
-    raw_words = occ.select("w0").distinct()
+    vocabulary joins back (word → block counts → doc). The unknown
+    flag comes off the DP's own cost cells (``emit_unk``), not a
+    second join against the vocabulary (r13).
+
+    ``raw_words``: optional pre-computed distinct-word table (one
+    column ``w0``); when the caller already aggregated the token
+    stream (the L18 gate shares one corpus pass between trainer and
+    encoder) this skips the encoder's own distinct shuffle. ``_occ``:
+    the caller's already-persisted (id, w0) occurrence table, for the
+    same sharing."""
+    occ = (
+        _occ
+        if _occ is not None
+        else docs.select(
+            id_col, F.explode(_tokens(F.col(text_col))).alias("w0")
+        ).persist()
+    )
+    if raw_words is None:
+        raw_words = occ.select("w0").distinct()
     blocks = raw_words.select(
         "w0",
         F.explode(
@@ -446,14 +510,10 @@ def unigram_encode_tokens(
         .withColumn("len", F.length("w").cast("int"))
     )
     pieces = vocab.select("piece", "lpq")
-    used = _viterbi_used(_cost_columns(bwords, pieces))
-    per_block = (
-        used.join(pieces.withColumnRenamed("piece", "p2"), used.piece == F.col("p2"), "left")
-        .groupBy("w")
-        .agg(
-            F.count(F.lit(1)).alias("bt"),
-            F.count_if(F.col("p2").isNull()).alias("bu"),
-        )
+    used = _viterbi_used(_cost_columns(bwords, pieces), emit_unk=True)
+    per_block = used.groupBy("w").agg(
+        F.count(F.lit(1)).alias("bt"),
+        F.count_if(F.col("unk")).alias("bu"),
     )
     per_word = (
         blocks.join(per_block, "w")
@@ -473,19 +533,31 @@ def unigram_encode_tokens(
 def docs_unigram_tokens(spark, sf_dir: str) -> DataFrame:
     """Gate: train the unigram vocabulary on `documents` (L17), then
     ENCODE the same corpus with it — per-document token and unknown
-    counts. The acting half of the tokenizer-training family."""
+    counts. The acting half of the tokenizer-training family.
+
+    r13 shape: ONE corpus tokenize pass feeds both halves — the
+    persisted occurrence table aggregates once to per-word counts,
+    which serve as the trainer's word table (≤ MAX_WORD filter) AND
+    the encoder's distinct-word list (formerly a second tokenize scan
+    plus a separate distinct shuffle). The vocabulary is consumed
+    exactly once now (the unknown flag rides the DP, see
+    _viterbi_used), so the eager localCheckpoint barrier the two-
+    consumer form needed (it re-ran EM-2 otherwise) is gone — a lazy
+    persist truncates the trainer subtree and the gate's single
+    action materializes everything in one cascade."""
     from ..sources.catalog import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    # Eagerly materialize the trained vocabulary: the encoder consumes
-    # it TWICE (the DP cost join and the unknown-piece check join), and
-    # without a checkpoint the second consumer re-runs the trainer's
-    # entire second EM iteration (the r8 multi-consumer-recompute
-    # lesson; measured here: 13.4 s → see SCALING round-9). The table
-    # is vocabulary-sized — a bounded artifact.
-    vocab = unigram_lm_train(docs).localCheckpoint(eager=True)
+    occ = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w0")
+    ).persist()
+    wf = occ.groupBy("w0").agg(F.count(F.lit(1)).alias("f")).persist()
+    words = wf.filter(F.length("w0") <= MAX_WORD).select(
+        F.col("w0").alias("w"), "f", F.length("w0").cast("int").alias("len")
+    )
+    vocab = _train_from_words(words).persist()
     return (
-        unigram_encode_tokens(docs, vocab)
+        unigram_encode_tokens(docs, vocab, raw_words=wf.select("w0"), _occ=occ)
         .select("doc_id", "n_tokens", "n_unk")
         .orderBy("doc_id")
     )
