@@ -269,12 +269,16 @@ def ohlc_resample(
     surface alongside gapfill/interpolate).
 
     Open/close are the FIRST/LAST value in (ts, tiebreak) order —
-    picked with row_number marks folded into the same groupBy, not a
-    separate self-join. The window and the aggregation share the
-    (bucket, key) partitioning, so the whole operator is ONE shuffle:
-    Catalyst reuses the window's hash partitioning for the groupBy.
-    Determinism: the tiebreak column makes first/last total orders,
-    so any engine picks the same rows.
+    r13: picked with min_by/max_by over the (ts, tiebreak) STRUCT
+    (lexicographic struct comparison ≡ the former window's two-column
+    sort order; the tiebreak column makes it a total order, so any
+    engine picks the same rows). The former shape ran two row_number
+    windows before the groupBy — that shuffled and SORTED every input
+    row; min_by/max_by are ordinary declarative aggregates, so the
+    whole operator is one groupBy with map-side PARTIAL aggregation
+    (§2.3): the exchange carries one partial bar per (bucket, key) per
+    map task instead of the full point stream, and the per-partition
+    sort disappears outright.
     """
     base = df.select(
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
@@ -283,20 +287,12 @@ def ohlc_resample(
         F.col(tiebreak_col).alias("_tb"),
         F.col(val_col).alias("_v"),
     )
-    w_a = Window.partitionBy("bucket", "key").orderBy(
-        F.col("_ts").asc(), F.col("_tb").asc()
-    )
-    w_d = Window.partitionBy("bucket", "key").orderBy(
-        F.col("_ts").desc(), F.col("_tb").desc()
-    )
-    marked = base.withColumn("_rn_a", F.row_number().over(w_a)).withColumn(
-        "_rn_d", F.row_number().over(w_d)
-    )
-    return marked.groupBy("bucket", "key").agg(
-        F.max(F.when(F.col("_rn_a") == 1, F.col("_v"))).alias("open"),
+    okey = F.struct(F.col("_ts"), F.col("_tb"))
+    return base.groupBy("bucket", "key").agg(
+        F.min_by("_v", okey).alias("open"),
         F.max("_v").alias("high"),
         F.min("_v").alias("low"),
-        F.max(F.when(F.col("_rn_d") == 1, F.col("_v"))).alias("close"),
+        F.max_by("_v", okey).alias("close"),
         F.count(F.lit(1)).alias("n_points"),
         F.sum("_v").alias("total"),
     )

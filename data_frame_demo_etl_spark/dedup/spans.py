@@ -45,8 +45,17 @@ def span_dedup(
     """(id_col, dedup_text, n_kept, n_total): corpus-wide span dedup
     with deterministic first-occurrence winners."""
     spans = span_table(df, id_col, text_col, span_words)
-    w = Window.partitionBy("span").orderBy("doc", "idx")
-    kept = spans.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    # r13: first-occurrence winner per span via MIN of the (doc, idx)
+    # struct — lexicographic ≡ the former window's orderBy(doc, idx),
+    # and (doc, idx) is unique so the winner is identical. The window
+    # shuffled and sorted every span OCCURRENCE (full span text rides
+    # each row); the groupBy partial-aggregates map-side, shipping one
+    # candidate winner per distinct span per task (§2.3).
+    kept = (
+        spans.groupBy("span")
+        .agg(F.min(F.struct("doc", "idx")).alias("__w"))
+        .select(F.col("__w.doc").alias("doc"), F.col("__w.idx").alias("idx"), "span")
+    )
     re = kept.groupBy("doc").agg(
         F.concat_ws(
             " ",

@@ -36,16 +36,32 @@ def apply_changes(
     arbitrary winner (nondeterministic across runs/partitionings) —
     pass `tiebreak` columns that complete the total order, e.g. an
     ingest offset; they are appended descending after `seq_col`.
+
+    r13: the latest-change collapse is MAX of the (seq, tiebreaks,
+    remaining columns) struct — lexicographic struct comparison ≡ the
+    former window's all-descending sort, identical winner under the
+    contract's total (seq, tie-break) order. row_number shuffled and
+    sorted the whole change stream; max(struct) partial-aggregates
+    map-side, so the exchange carries one candidate per key per map
+    task — the step that turns billions of change rows into per-key
+    state now ships per-key state (§2.3).
     """
     key = list(key)
     payload = [c for c in base.columns if c not in key]
 
-    order = [F.col(seq_col).desc()] + [F.col(c).desc() for c in tiebreak]
-    w = Window.partitionBy(*key).orderBy(*order)
+    ordered = [seq_col] + [c for c in tiebreak]
+    rest = [c for c in changes.columns if c not in key and c not in ordered]
     latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy(*key)
+        .agg(F.max(F.struct(*ordered, *rest)).alias("__w"))
+        .select(
+            *key,
+            *[
+                F.col("__w").getField(c).alias(c)
+                for c in changes.columns
+                if c not in key
+            ],
+        )
     )
 
     untouched = base.join(latest.select(*key), key, "left_anti")

@@ -20,12 +20,27 @@ def dedupe_keep_first(
     df: DataFrame, subset: Sequence[str], order_by: Sequence[str]
 ) -> DataFrame:
     """Keep the first row per `subset` group, 'first' defined by
-    `order_by` ascending. One shuffle (the window partition)."""
-    w = Window.partitionBy(*subset).orderBy(*[F.col(c).asc() for c in order_by])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    `order_by` ascending (rows tied on the full order key are
+    interchangeable, so any one of them is 'the' first; the min-struct
+    refinement below picks deterministically among them).
+
+    r13: one groupBy taking MIN of the (order key, remaining columns)
+    struct — lexicographic struct comparison ≡ the former window's
+    multi-column ascending sort. row_number shuffled and SORTED every
+    row; min(struct) is a declarative aggregate, so each map task
+    ships one partial winner per group instead of its whole row set
+    (§2.3 aggregate-before-shuffle) and the per-partition sort
+    disappears."""
+    subset = list(subset)
+    order_by = list(order_by)
+    rest = [c for c in df.columns if c not in subset and c not in order_by]
+    key = F.struct(*[F.col(c) for c in order_by + rest])
+    won = df.groupBy(*subset).agg(F.min(key).alias("__w"))
+    return won.select(
+        *[
+            F.col(c) if c in subset else F.col("__w").getField(c).alias(c)
+            for c in df.columns
+        ]
     )
 
 

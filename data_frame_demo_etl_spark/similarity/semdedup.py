@@ -47,24 +47,26 @@ def assign_clusters(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment as pure Column code: posexplode a
-    literal k × d array, L2 per centroid, keep rank 1 (ties broken by
-    cluster id)."""
+    """Nearest-centroid assignment as pure Column code — fully IN-ROW
+    (r13): per-centroid L2 distances via transform over the literal
+    k × d array, argmin via array_min of (distance, cluster) structs
+    (lexicographic struct comparison ≡ the former window's
+    orderBy(dist asc, cluster asc) rank-1 — identical winner, same
+    doubles from the same expression). The former shape posexploded
+    every embedding k ways and ran a per-id window: a k× row blowup
+    plus a full corpus shuffle and sort, for a decision that depends
+    only on the row itself. Now: zero shuffles, zero explode."""
     cent_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
-    exploded = emb.select(
-        id_col, vec_col, F.posexplode(cent_lit).alias("cluster", "__cent")
-    ).select(
-        id_col,
-        vec_col,
-        "cluster",
-        l2_distance(F.col(vec_col).cast("array<double>"), F.col("__cent")).alias("__dist"),
+    vec = F.col(vec_col).cast("array<double>")
+    best = F.array_min(
+        F.transform(
+            cent_lit,
+            lambda c, i: F.struct(
+                l2_distance(vec, c).alias("__dist"), i.alias("cluster")
+            ),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("cluster").asc())
-    return (
-        exploded.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, vec_col, "cluster")
-    )
+    return emb.select(id_col, vec_col, best.getField("cluster").alias("cluster"))
 
 
 def semantic_dup_pairs(
