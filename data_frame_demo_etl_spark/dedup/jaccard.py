@@ -67,7 +67,10 @@ def _collapse_exact_texts(keyed: DataFrame) -> DataFrame:
 def _inrow_pairs(ids: Column, directed: bool) -> Column:
     """All member pairs of one duplicate group, expanded IN-ROW from
     the sorted id array (the minhash combos pattern) — no members
-    self-join. Undirected: (ids[i], ids[j]) for i < j; directed: both
+    self-join. Undirected: (ids[i], ids[j]) for i < j, by VALUE
+    (y != x guards the degenerate duplicated-id input, where pairing
+    array POSITIONS alone would emit an (x, x) self-pair the former
+    members self-join's __da < __db filter excluded); directed: both
     orders, x != y."""
     if directed:
         return F.flatten(
@@ -83,7 +86,7 @@ def _inrow_pairs(ids: Column, directed: bool) -> Column:
         F.transform(
             ids,
             lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
+                F.filter(F.slice(ids, i + 2, F.size(ids)), lambda y: y != x),
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )

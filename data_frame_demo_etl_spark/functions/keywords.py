@@ -64,6 +64,13 @@ def rake_keywords(
     # aggregations.
     arr = F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
     joined = F.concat(F.lit(" "), F.concat_ws(" ", arr), F.lit(" "))
+    # The stopwords are joined into a regex alternation UNescaped; that
+    # is only sound while every entry is a plain [a-z0-9]+ token (a
+    # metacharacter would silently corrupt phrase carving and diverge
+    # from the oracle's IN-list). Enforce the precondition.
+    for w in RAKE_STOPWORDS:
+        if not w.isalnum():
+            raise ValueError(f"RAKE stopword {w!r} is not a plain alphanumeric token")
     stop_pat = " (?:" + "|".join(RAKE_STOPWORDS) + ")(?= )"
     segments = F.split(F.regexp_replace(joined, stop_pat, " |"), r"\|")
     phrases = F.filter(
