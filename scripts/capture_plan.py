@@ -22,7 +22,7 @@ def main() -> None:
         sf = args[i + 1]
         del args[i : i + 2]
     tag, names = args[0], args[1:]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plan", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")

@@ -296,21 +296,100 @@ CARTESIAN_ALLOWED = {
 }
 
 
-def test_no_accidental_cartesian_anywhere(spark, sf_dir):
-    import pyspark
+# Expected nested-loop-join count per CARTESIAN_ALLOWED entry (r13,
+# ADVICE item: a name-scoped exemption let any FUTURE unrelated cross
+# join ride in silently on an allowlisted query). Each count is the
+# audited number of bounded-scalar crossJoins in the query's plan at
+# the test SF; an increase — a new nested-loop join on an exempted
+# query — now fails the audit like any other query. Regenerate a
+# value ONLY after verifying the new join is another ≤1-row-aggregate
+# build (the q22 bounded-scalar shape).
+CARTESIAN_MAX = {
+    "ann_cosine_topk": 1,
+    "ann_ivf_nprobe_sweep": 1, "ann_recall_eval": 2,
+    "corpus_temperature_mix": 1, "customer_concentration": 1,
+    "customer_repurchase_cadence": 1, "customer_rfm_migration": 1,
+    "customer_segment_target_encoding": 1, "customer_t_closeness": 2,
+    "docs_collocation_pmi": 2, "docs_duplication_profile": 1,
+    "docs_heaps_fit": 7, "docs_keyphrase_terms": 1,
+    "docs_source_keyness": 1, "docs_source_vocab_kl": 1,
+    "docs_tfidf_terms": 1, "docs_token_budget_curve": 1,
+    "docs_unigram_tokens": 1, "docs_zipf_fit": 1,
+    "embeddings_centroid_drift": 1, "embeddings_hard_negatives": 1,
+    "embeddings_matryoshka_recall": 5, "embeddings_mmr_rerank": 0,
+    "embeddings_rp_recall": 2, "events_ab_fdr": 3,
+    "events_brier_decomposition": 3, "events_cliffs_delta": 1,
+    "events_cuped_adjustment": 3, "events_cusum_changepoints": 2,
+    "events_cvm_test": 1, "events_dwell_transitions": 1,
+    "events_gapfill": 1, "events_jsd_arms": 1,
+    "events_kmv_overlap": 4, "events_kruskal_wallis": 2,
+    "events_ks_test": 1, "events_mannwhitney": 1,
+    "events_max_concurrency": 2, "events_mutual_information": 2,
+    "events_purchase_stump": 1, "events_runs_test": 3,
+    "events_seasonal_strength": 4, "events_session_stats": 2,
+    "events_spearman": 2, "events_transition_entropy": 2,
+    "events_type_correlation": 2, "events_value_ap": 1,
+    "events_value_auc": 1, "events_value_calibration": 1,
+    "events_value_drift_psi": 4, "events_value_lift": 1,
+    "events_value_pr_curve": 1, "events_windowed_psi": 2,
+    "graph_hits": 22, "lineitem_lorenz_curve": 1,
+    "lineitem_supplier_gini": 1, "lineitem_supplier_theil": 1,
+    "orders_benford_audit": 1, "parts_abc_classification": 1,
+    "pq_adc_topk": 1, "pq_recall_eval": 2,
+    "q11_important_stock": 1, "q15_top_supplier": 0,
+    "q22_idle_rich_customers": 1, "retrieval_rrf_fusion": 2,
+    "star_integrity_audit": 0, "text_bm25_topk": 1,
+    "text_retrieval_topk": 0, "unigram_lm_vocab": 1,
+    "users_churn_hazard": 1, "users_churn_logrank": 1,
+    "users_churn_survival": 1,
+}
 
-    bad = {}
+
+@pytest.fixture(scope="module")
+def registry_sweep(spark, sf_dir):
+    """ONE construction + plan-inspection pass over every registry
+    gate, shared by the three structural audits below (r13: the three
+    audits each rebuilt all ~289 plans — 363 s of the suite wall for
+    two redundant passes; the driver's pytest window is the constraint
+    the r12 verdict gated on)."""
+    from data_frame_demo_etl_spark.operators.audit import self_join_fanouts
+
+    sweep = {}
     for name, fn in registry.queries().items():
-        if name in CARTESIAN_ALLOWED:
-            continue
         try:
             df = fn(spark, sf_dir)
         except Exception as exc:  # pragma: no cover
-            bad[name] = f"build failed: {exc}"
+            sweep[name] = {"error": f"build failed: {exc}"}
             continue
         rep = plan_report(df)
-        if rep.nested_loop_joins:
-            bad[name] = "nested-loop/cartesian join in plan"
+        sweep[name] = {
+            "error": None,
+            "nested_loop_joins": rep.nested_loop_joins,
+            "unpartitioned_windows": sum(
+                1
+                for line in rep.raw.splitlines()
+                if "Window [" in line and line.count("], [") == 1
+            ),
+            "self_joins": len(self_join_fanouts(df)),
+        }
+    return sweep
+
+
+def test_no_accidental_cartesian_anywhere(registry_sweep):
+    assert set(CARTESIAN_MAX) == set(CARTESIAN_ALLOWED), (
+        "CARTESIAN_ALLOWED and CARTESIAN_MAX must list the same names"
+    )
+    bad = {}
+    for name, info in registry_sweep.items():
+        if info["error"]:
+            bad[name] = info["error"]
+            continue
+        limit = CARTESIAN_MAX.get(name, 0)
+        if info["nested_loop_joins"] > limit:
+            bad[name] = (
+                f"{info['nested_loop_joins']} nested-loop/cartesian join(s), "
+                f"audited bound {limit}"
+            )
     assert not bad, bad
 
 
@@ -423,29 +502,21 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
-def test_no_corpus_global_window_anywhere(spark, sf_dir):
+def test_no_corpus_global_window_anywhere(registry_sweep):
     """Every registry gate's physical plan is free of UNPARTITIONED
     window operators unless allowlisted with a bounded-table
     justification. Detector: a `Window [...]` plan line carries three
     bracket groups when partitioned (exprs, partition spec, order
     spec) and two when global."""
     bad = {}
-    for name, fn in registry.queries().items():
+    for name, info in registry_sweep.items():
         if name in GLOBAL_WINDOW_ALLOWED:
             continue
-        try:
-            df = fn(spark, sf_dir)
-        except Exception as exc:  # pragma: no cover
-            bad[name] = f"build failed: {exc}"
+        if info["error"]:
+            bad[name] = info["error"]
             continue
-        rep = plan_report(df)
-        n = sum(
-            1
-            for line in rep.raw.splitlines()
-            if "Window [" in line and line.count("], [") == 1
-        )
-        if n:
-            bad[name] = f"{n} unpartitioned window(s) in plan"
+        if info["unpartitioned_windows"]:
+            bad[name] = f"{info['unpartitioned_windows']} unpartitioned window(s) in plan"
     assert not bad, bad
 
 
@@ -520,25 +591,20 @@ SELF_JOIN_ALLOWED = {
 }
 
 
-def test_no_unbounded_self_join_anywhere(spark, sf_dir):
+def test_no_unbounded_self_join_anywhere(registry_sweep):
     """Every registry gate is free of structurally-identical-children
     self-joins unless allowlisted with a named per-key fan-out bound.
     This is the audit that would have caught G9's uncapped Σdeg² wedge
     at landing (r11 verdict item 4)."""
-    from data_frame_demo_etl_spark.operators.audit import self_join_fanouts
-
     bad = {}
-    for name, fn in registry.queries().items():
+    for name, info in registry_sweep.items():
         if name in SELF_JOIN_ALLOWED:
             continue
-        try:
-            df = fn(spark, sf_dir)
-        except Exception as exc:  # pragma: no cover
-            bad[name] = f"build failed: {exc}"
+        if info["error"]:
+            bad[name] = info["error"]
             continue
-        hits = self_join_fanouts(df)
-        if hits:
-            bad[name] = f"{len(hits)} self-join(s) with identical children"
+        if info["self_joins"]:
+            bad[name] = f"{info['self_joins']} self-join(s) with identical children"
     assert not bad, bad
 
 
