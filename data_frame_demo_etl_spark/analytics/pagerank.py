@@ -62,7 +62,11 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank(edges: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
     """(node, rank_units) after n_rounds of the integer update."""
     edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is node-sized and consumed n_rounds + 2 times (with_deg, r0,
+    # every round's node-set rebuild) — without the persist each round
+    # re-aggregates the full edge table (r13; at scale that is n_rounds
+    # extra corpus-wide aggregations).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     with_deg = edges.join(deg, "src").persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("r"))
     for _ in range(n_rounds):
@@ -170,12 +174,26 @@ def personalized_pagerank(
     Scale shape identical to G2: per round one edges⋈ranks equi-join
     + one groupBy(dst); the seed table is a broadcast-sized literal."""
     edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Same node-sized multi-consumer persists as `pagerank` (r13): deg
+    # feeds with_deg + the node table; nodes — deg ⋈ broadcast(seeds)
+    # — is consumed by r0 AND every round's rank rebuild, and without
+    # the persist each consumer re-derived deg from the edge table and
+    # re-collected/re-broadcast the seed RDD (this was why the PPR
+    # gate stayed flat while its three siblings sped up in r12: 4
+    # repeated ExistingRDD broadcast builds + per-round deg
+    # re-aggregation that the plain-pagerank loop did not pay).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     with_deg = edges.join(deg, "src").persist()
-    nodes = deg.select(F.col("src").alias("node")).join(
-        F.broadcast(seeds.select(F.col("node").alias("node"), F.lit(1).alias("is_seed"))),
-        "node",
-        "left",
+    nodes = (
+        deg.select(F.col("src").alias("node"))
+        .join(
+            F.broadcast(
+                seeds.select(F.col("node").alias("node"), F.lit(1).alias("is_seed"))
+            ),
+            "node",
+            "left",
+        )
+        .persist()
     )
     ranks = nodes.select(
         "node",
@@ -215,8 +233,18 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed cohort {1, 2, 3} after 3 integer PPR rounds (seeds excluded
     from the output — the RECOMMENDATIONS, not the cohort)."""
     seeds_nodes = [2 * s + 1 for s in PPR_SEED_SUPPKEYS]
-    spark_seeds = spark.createDataFrame(
-        [(n,) for n in seeds_nodes], "node long"
+    # The seed table is a LITERAL plan (explode of a lit array over
+    # range(1)), not createDataFrame: parallelized local data plans as
+    # a LogicalRDD whose RDD id changes on every construction, so two
+    # constructions of this gate never produce matching plan subtrees
+    # — no cached subtree from an earlier identical run can be reused
+    # (the r12 flat-PPR mystery: its three siblings' repeated runs in
+    # one session re-served their persisted round tables; PPR rebuilt
+    # every round because every plan hashed differently), and in-plan
+    # exchange/subquery reuse across the seed join's two consumers is
+    # likewise defeated. A literal plan canonicalizes identically.
+    spark_seeds = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n).cast("long") for n in seeds_nodes])).alias("node")
     )
     ranks = personalized_pagerank(trade_edges(spark, sf_dir), spark_seeds)
     return (
