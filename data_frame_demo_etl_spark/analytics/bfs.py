@@ -29,6 +29,11 @@ bit-identical answers.
 
 No reference analog (/root/reference has no graph module);
 beyond-reference graph surface.
+
+Iterative-persist memory contract: see pagerank.py's module docstring
+— the per-hop persists are lazily chained, peak cached state is
+O(MAX_HOPS) frontier tables (each ≤ node-sized), the session owner
+releases them, and persist does not truncate RDD lineage.
 """
 
 from __future__ import annotations

@@ -31,6 +31,13 @@ partial-aggregable groupBys. The argmax is max(struct(cnt, -label))
 row_number over a per-node window partition. Labels re-checkpoint
 per round to bound lineage (pagerank.py precedent). No step buffers
 a posting list; AQE is free to pick join strategies per round.
+
+Iterative-persist memory contract: see pagerank.py's module docstring
+— the per-round persists are lazily chained (in-function unpersist
+would drop them before the caller's action fills them), peak cached
+state is O(N_ROUNDS) node-sized label tables, the session owner
+releases them, and persist does not truncate RDD lineage (a
+long-rounds variant should checkpoint every K rounds).
 """
 
 from __future__ import annotations

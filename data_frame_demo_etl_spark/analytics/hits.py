@@ -38,6 +38,13 @@ eager-checkpoint jobs + broadcast sub-jobs per construction (measured
 r12: construct 25 jobs / 4.9–14.7 s → 2 jobs / 0.6–0.8 s; the
 scalar-total subtree inside each normalization is deduplicated at
 execution by exchange reuse).
+
+Iterative-persist memory contract: see pagerank.py's module docstring
+— the per-round persists are lazily chained, peak cached state is
+O(N_ROUNDS) node-sized score tables, the session owner releases them,
+and persist does not truncate RDD lineage (contra an earlier
+docstring's claim; a long-rounds variant should checkpoint every K
+rounds to cap executor-loss recompute depth).
 """
 
 from __future__ import annotations

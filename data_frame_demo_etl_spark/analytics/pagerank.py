@@ -25,6 +25,21 @@ edges ⋈ ranks join on src; the rank table is node-sized, the edge
 table is reused every round (persist it); localCheckpoint every few
 rounds would bound lineage for long runs (see dedup/clusters.py for
 the precedent and its OOM rationale).
+
+Iterative-persist memory contract (r12 verdict item 9): the per-round
+lazy persists cannot be released in-function — the rounds are a LAZY
+chain (nothing materializes until the caller's single action), so an
+in-function unpersist would drop the cache before it is ever filled,
+and an eager materialize-then-unpersist loop is the blocking per-round
+construction r12 measured and removed. The bound instead comes from
+construction: N_ROUNDS is a small constant, every persisted table is
+node-sized, so peak cached state is O(N_ROUNDS) node tables per query
+and the SESSION owner releases them between queries
+(session.release_all_caches). Failure-mode note: persist does NOT
+truncate RDD lineage — an executor-loss recompute of round t re-derives
+rounds 1..t from the cached edge table; acceptable at these bounded
+round counts, but a long-rounds variant at 100 TB should checkpoint
+every K rounds to cap both recompute depth and cached-block count.
 """
 
 from __future__ import annotations
