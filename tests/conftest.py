@@ -15,7 +15,17 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    extra = {}
+    for kv in os.environ.get("TEST_EXTRA_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k] = v
+    s = get_spark(
+        app_name="tests",
+        master=f"local[{os.environ.get('TEST_CPUS', '4')}]",
+        shuffle_partitions=int(os.environ.get("TEST_SHUFFLE", "4")),
+        extra_conf=extra,
+    )
     yield s
     s.stop()
 

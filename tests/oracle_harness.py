@@ -51,7 +51,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
     spark_pd = spark_df.toPandas()
     oracle_pd = con.execute(sql).fetchdf()
 
-    report: dict[str, Any] = {"name": name, "ok": True, "issues": []}
+    report: dict[str, Any] = {
+        "name": name,
+        "ok": True,
+        "issues": [],
+        # row counts ride the report so callers can assert on them
+        # without re-executing the query (a bare df.count() re-runs
+        # the whole plan — it doubled the parity suite's wall).
+        "spark_rows": len(spark_pd),
+        "oracle_rows": len(oracle_pd),
+    }
 
     if sorted(spark_pd.columns) != sorted(oracle_pd.columns):
         report["ok"] = False
