@@ -53,8 +53,13 @@ MAX_PIECE = 3   #: maximum piece length (fixes the DP branching)
 BIG = 10**15    #: +infinity on the integer cost grid
 
 #: monotone suffix for the one-shot DP temp views (never reused, so a
-#: long-lived session can build concurrent plans without name races)
-_DP_VIEW_N = 0
+#: long-lived session can build concurrent plans without name races);
+#: itertools.count — next() is atomic under the GIL, so concurrent
+#: builder THREADS (e.g. a threaded plan sweep) get distinct names,
+#: which a bare `n += 1` would not guarantee.
+import itertools as _itertools
+
+_DP_VIEW_N = _itertools.count(1)
 
 
 def _word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -194,9 +199,7 @@ def _viterbi_used(costs: DataFrame, emit_unk: bool = False) -> DataFrame:
         name = f"c_{i}_{k}"
         return f"coalesce({name}, {BIG})" if name in have else str(BIG)
 
-    global _DP_VIEW_N
-    _DP_VIEW_N += 1
-    vname = f"__unigram_dp_{_DP_VIEW_N}"
+    vname = f"__unigram_dp_{next(_DP_VIEW_N)}"
     costs.createOrReplaceTempView(vname)
     # Level 1 — suffix DP (right to left: b_i = min cost to segment
     # w[i+1 .. len]), argmin k (longest piece first on ties,

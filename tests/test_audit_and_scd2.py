@@ -351,28 +351,44 @@ def registry_sweep(spark, sf_dir):
     gate, shared by the three structural audits below (r13: the three
     audits each rebuilt all ~289 plans — 363 s of the suite wall for
     two redundant passes; the driver's pytest window is the constraint
-    the r12 verdict gated on)."""
+    the r12 verdict gated on).
+
+    The pass runs from a small thread pool (r13): per-query cost is
+    driver-side plan construction — py4j round trips plus the handful
+    of construction jobs some gates issue — which overlaps cleanly
+    across threads (optimization guide §2.6); temp-view names are
+    per-construction unique and plan inspection is read-only."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_frame_demo_etl_spark.operators.audit import self_join_fanouts
 
-    sweep = {}
-    for name, fn in registry.queries().items():
+    def inspect(item):
+        name, fn = item
         try:
             df = fn(spark, sf_dir)
+            rep = plan_report(df)
+            return name, {
+                "error": None,
+                "nested_loop_joins": rep.nested_loop_joins,
+                "unpartitioned_windows": sum(
+                    1
+                    for line in rep.raw.splitlines()
+                    if "Window [" in line and line.count("], [") == 1
+                ),
+                "self_joins": len(self_join_fanouts(df)),
+            }
         except Exception as exc:  # pragma: no cover
-            sweep[name] = {"error": f"build failed: {exc}"}
-            continue
-        rep = plan_report(df)
-        sweep[name] = {
-            "error": None,
-            "nested_loop_joins": rep.nested_loop_joins,
-            "unpartitioned_windows": sum(
-                1
-                for line in rep.raw.splitlines()
-                if "Window [" in line and line.count("], [") == 1
-            ),
-            "self_joins": len(self_join_fanouts(df)),
-        }
-    return sweep
+            return name, {"error": f"build failed: {exc}"}
+
+    # plan_report save-sets spark.sql.maxMetadataStringLength per call;
+    # pin it for the sweep so concurrent save/restore interleavings are
+    # value-identical no-ops (no thread can restore it to unset).
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            return dict(pool.map(inspect, registry.queries().items()))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
 
 
 def test_no_accidental_cartesian_anywhere(registry_sweep):
