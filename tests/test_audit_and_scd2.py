@@ -385,7 +385,7 @@ def registry_sweep(spark, sf_dir):
     # value-identical no-ops (no thread can restore it to unset).
     spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     try:
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             return dict(pool.map(inspect, registry.queries().items()))
     finally:
         spark.conf.unset("spark.sql.maxMetadataStringLength")

@@ -51,7 +51,7 @@ def test_oracle_parity_all(spark, sf_oracle_dir):
             con.close()
 
     try:
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             results = dict(pool.map(run, ORACLE_KEYS))
     finally:
         root.close()
