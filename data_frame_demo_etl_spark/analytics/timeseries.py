@@ -273,12 +273,15 @@ def ohlc_resample(
     (lexicographic struct comparison ≡ the former window's two-column
     sort order; the tiebreak column makes it a total order, so any
     engine picks the same rows). The former shape ran two row_number
-    windows before the groupBy — that shuffled and SORTED every input
-    row; min_by/max_by are ordinary declarative aggregates, so the
-    whole operator is one groupBy with map-side PARTIAL aggregation
-    (§2.3): the exchange carries one partial bar per (bucket, key) per
-    map task instead of the full point stream, and the per-partition
-    sort disappears outright.
+    windows before the groupBy — that SHUFFLED every input row, then
+    sorted each hash partition; min_by/max_by partial-aggregate, so
+    the exchange now carries one partial bar per (bucket, key) per map
+    task instead of the full point stream (§2.3 — the 100 TB term).
+    Plan note: struct-typed aggregation buffers are not hashable, so
+    the aggregate plans as a partial/final SortAggregate pair — a
+    map-side sort by the GROUP key remains (measured: still ~2× faster
+    locally, because the shuffle and the post-shuffle full-row sort
+    are gone).
     """
     base = df.select(
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
@@ -371,6 +374,19 @@ def ewma(
     tail below (1-α)^span is ≤ 2^-16 of the signal, and an unbounded
     recursive form would either need an iterative fixpoint or a full
     running window; neither survives a 100× partition.
+
+    Scale shape (r13, the core-scaling audit): the per-key window
+    funnels each key through one task, but the gate feeds it the
+    HOURLY pre-aggregation — its input is calendar × key-domain
+    bounded (hours × event types), never corpus-sized; the corpus-
+    scale work is the hourly groupBy, which partial-aggregates
+    map-side. The flat 8-vs-32-core ratio at sf0.1 is the fixed
+    plan/scheduling cost of a sub-second query, not a parallelism
+    ceiling: the window's input at sf0.1 is ~2k rows. A deployment
+    smoothing a HIGH-cardinality key domain (per-user EWMA) gets its
+    parallelism from the key count; a long-calendar single-key series
+    would need the keyed-prefix chunked layout instead — not this
+    gate's shape.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col)
     v = F.col(val_col).cast("double")

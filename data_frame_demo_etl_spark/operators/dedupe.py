@@ -27,10 +27,12 @@ def dedupe_keep_first(
     r13: one groupBy taking MIN of the (order key, remaining columns)
     struct — lexicographic struct comparison ≡ the former window's
     multi-column ascending sort. row_number shuffled and SORTED every
-    row; min(struct) is a declarative aggregate, so each map task
-    ships one partial winner per group instead of its whole row set
-    (§2.3 aggregate-before-shuffle) and the per-partition sort
-    disappears."""
+    row; min(struct) partial-aggregates, so each map task ships one
+    partial winner per group instead of its whole row set (§2.3
+    aggregate-before-shuffle). Struct buffers are not hashable, so the
+    plan is a partial/final SortAggregate pair — a map-side sort by
+    the GROUP key remains, but the exchange and the post-shuffle
+    full-row sort are gone."""
     subset = list(subset)
     order_by = list(order_by)
     rest = [c for c in df.columns if c not in subset and c not in order_by]
